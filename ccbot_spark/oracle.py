@@ -1,0 +1,194 @@
+"""Single-threaded oracle crawler — the spec-as-code (SURVEY.md §5 item 2).
+
+The reference checkout is empty (SURVEY.md §0), so THIS module defines
+the reference semantics the Spark engine must reproduce exactly:
+crawl-order trace, URL-seen membership, and stored image+caption rows
+(BASELINE.json north_rule). It is deliberately simple: dict frontier,
+set seen, sequential loops, sharing the exact same pure-Python cores
+(urlkit / robots / parsekit / synthweb / codecs / phash) as the Spark
+engine's vectorized UDFs.
+
+Deterministic semantics (normative):
+
+  * priorities: seeds = 1000; discovered = max(parent_priority) - 10,
+    clamped at 0. Rediscovery of an already-seen URL never updates
+    priority (it only emits a 'dup' trace event, once per cycle).
+  * discovery_time = (cycle_added, dt_seq); dt_seq = seed index for
+    seeds, 0 for discovered links. All orderings end with url_norm as
+    the final tie-break (SURVEY.md §7.5) — a total order with no
+    global counter, which is what makes it scale.
+  * per cycle, per host: pending candidates ordered by
+    (priority DESC, dt_cycle ASC, dt_seq ASC, url_norm ASC);
+    robots-denied candidates are removed (traced 'robots_denied');
+    the first `budget_per_cycle` allowed ones are fetched at
+    sched_time = slot * crawl_delay_ms; the rest are traced
+    'budget_skipped' and stay pending.
+  * within a cycle, trace events are globally ordered by
+    (phase, sched_time, host, url_norm); phase: robots_denied=0,
+    budget_skipped=1, fetched=2, dup=3. `seq` is a running counter
+    across cycles.
+  * images are processed in fetched-event order, then document order;
+    an image whose phash is already stored (or seen earlier in the
+    same cycle) is a dedup hit and is not stored.
+  * 'dup' = a discovered outlink already in the seen set; traced at
+    most once per (cycle, url).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import codecs, parsekit, phash, robots, synthweb, urlkit
+
+SEED_PRIORITY = 1000
+PRIORITY_DECAY = 10
+
+_PHASE = {"robots_denied": 0, "budget_skipped": 1, "fetched": 2, "dup": 3}
+
+
+@dataclass
+class FrontierEntry:
+    url_norm: str
+    host: str
+    priority: int
+    dt_cycle: int
+    dt_seq: int
+    status: str  # pending | fetched | denied
+    cycle_added: int
+
+
+@dataclass
+class OracleResult:
+    trace: list[tuple] = field(default_factory=list)  # TRACE schema tuples
+    seen: set = field(default_factory=set)
+    images: list[dict] = field(default_factory=list)  # IMAGES schema dicts
+    frontier: dict = field(default_factory=dict)      # url_norm → FrontierEntry
+    metrics: list[dict] = field(default_factory=list)  # METRICS schema dicts
+
+
+def crawl(
+    cfg: synthweb.WebConfig,
+    seeds: list[str],
+    cycles: int,
+) -> OracleResult:
+    res = OracleResult()
+    frontier = res.frontier
+    seen = res.seen
+    phashes: set[int] = set()
+    seq = 0
+
+    # cycle 0: seed the frontier (first occurrence wins; seed order = dt_seq)
+    idx = 0
+    for raw in seeds:
+        u = urlkit.normalize_url(raw)
+        if u is None or u in seen:
+            continue
+        seen.add(u)
+        frontier[u] = FrontierEntry(
+            u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0
+        )
+        idx += 1
+
+    robots_cache: dict[str, tuple[robots.RobotsRules, int]] = {}
+
+    def host_rules(host: str) -> tuple[robots.RobotsRules, int]:
+        if host not in robots_cache:
+            rules = robots.parse_robots(synthweb.robots_txt(cfg, host))
+            robots_cache[host] = (rules, synthweb.host_budget(cfg, host))
+        return robots_cache[host]
+
+    for cycle in range(1, cycles + 1):
+        # ---- GENERATE: per-host candidate ordering + robots + budget
+        by_host: dict[str, list[FrontierEntry]] = {}
+        for e in frontier.values():
+            if e.status == "pending":
+                by_host.setdefault(e.host, []).append(e)
+
+        events: list[tuple] = []  # (phase, sched_time, host, url_norm, slot, action)
+        fetch_list: list[tuple] = []  # (sched_time, host, url_norm, slot, entry)
+        for host, entries in by_host.items():
+            rules, budget = host_rules(host)
+            entries.sort(key=lambda e: (-e.priority, e.dt_cycle, e.dt_seq, e.url_norm))
+            slot = 0
+            for e in entries:
+                path = robots.path_of(e.url_norm)
+                if not robots.allowed(rules.allow, rules.disallow, path):
+                    e.status = "denied"
+                    events.append((0, 0, host, e.url_norm, -1, "robots_denied"))
+                elif slot < budget:
+                    st = slot * rules.crawl_delay_ms
+                    events.append((2, st, host, e.url_norm, slot, "fetched"))
+                    fetch_list.append((st, host, e.url_norm, slot, e))
+                    slot += 1
+                else:
+                    events.append((1, 0, host, e.url_norm, -1, "budget_skipped"))
+
+        # ---- FETCH + PARSE in event order
+        fetch_list.sort(key=lambda t: (t[0], t[1], t[2]))
+        host_metrics: dict[str, dict] = {}
+
+        def hm(host: str) -> dict:
+            if host not in host_metrics:
+                host_metrics[host] = dict(
+                    fetched=0, parsed_links=0, stored_images=0,
+                    dedup_hits=0, errors=0, bytes=0,
+                )
+            return host_metrics[host]
+
+        discovered: dict[str, int] = {}  # url_norm → max parent priority
+        dup_this_cycle: set[str] = set()
+        for _st, host, url, _slot, e in fetch_list:
+            html = synthweb.fetch(cfg, url)
+            e.status = "fetched"
+            m = hm(host)
+            m["fetched"] += 1
+            m["bytes"] += len(html.encode("utf-8"))
+            # links
+            for link in parsekit.extract_links(url, html):
+                m["parsed_links"] += 1
+                if link in seen:
+                    if link not in dup_this_cycle:
+                        dup_this_cycle.add(link)
+                        events.append(
+                            (3, 0, urlkit.host_of(link), link, -1, "dup")
+                        )
+                else:
+                    prev = discovered.get(link)
+                    if prev is None or e.priority > prev:
+                        discovered[link] = e.priority
+            # images
+            for img_url, caption in parsekit.extract_images(url, html):
+                data, w, h, fmt = synthweb.fetch_image(cfg, img_url)
+                px = codecs.decode(data, fmt)
+                ph = phash.phash64(px)
+                if ph in phashes:
+                    m["dedup_hits"] += 1
+                else:
+                    phashes.add(ph)
+                    m["stored_images"] += 1
+                    m["bytes"] += len(data)
+                    res.images.append(
+                        dict(
+                            image_id=img_url, bytes=data, w=w, h=h,
+                            fmt=fmt, caption=caption, phash=ph,
+                        )
+                    )
+
+        # ---- UPDATE: new frontier entries + seen
+        for link in sorted(discovered):
+            pri = max(discovered[link] - PRIORITY_DECAY, 0)
+            seen.add(link)
+            frontier[link] = FrontierEntry(
+                link, urlkit.host_of(link), pri, cycle, 0, "pending", cycle
+            )
+
+        # ---- RECORD: global per-cycle event order → trace seq
+        events.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
+        for ph_, st, host, url, slot, action in events:
+            res.trace.append((seq, cycle, url, host, slot, action))
+            seq += 1
+        for host in sorted(host_metrics):
+            m = host_metrics[host]
+            res.metrics.append(dict(cycle=cycle, partition_id=-1, host=host, **m))
+
+    return res

@@ -1,0 +1,61 @@
+"""HTML parsing: outlink and image+caption extraction (SURVEY.md §2.7
+`u_extract_links` / `u_extract_images`).
+
+Regex-based, deterministic, shared by the oracle crawler and the Spark
+`mapInPandas` parse stage. Semantics:
+
+  * links: every ``<a href="...">``; resolved against the page URL and
+    normalized via ``urlkit.resolve_link`` (drops mailto/js/data/#frag)
+  * images: ``<figure><img src=X ...><figcaption>C</figcaption></figure>``
+    yields (X, C) — figcaption overrides alt; standalone
+    ``<img src=X alt=C>`` yields (X, C). Document order preserved.
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import urlkit
+
+_A_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"', re.IGNORECASE | re.DOTALL)
+_FIGURE_RE = re.compile(
+    r'<figure>\s*<img\s[^>]*?src="([^"]*)"[^>]*>\s*'
+    r"<figcaption>(.*?)</figcaption>\s*</figure>",
+    re.IGNORECASE | re.DOTALL,
+)
+_IMG_RE = re.compile(r'<img\s[^>]*?src="([^"]*)"[^>]*?alt="([^"]*)"', re.IGNORECASE)
+
+
+def extract_links(page_url: str, html: str) -> list[str]:
+    """Resolved+normalized outlinks, document order, within-page dedup."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in _A_RE.findall(html or ""):
+        u = urlkit.resolve_link(page_url, href)
+        if u is not None and u not in seen:
+            seen.add(u)
+            out.append(u)
+    return out
+
+
+def extract_images(page_url: str, html: str) -> list[tuple[str, str]]:
+    """(img_url, caption) pairs, document order, within-page dedup by url."""
+    html = html or ""
+    pairs: list[tuple[int, str, str]] = []
+    spans: list[tuple[int, int]] = []
+    for m in _FIGURE_RE.finditer(html):
+        pairs.append((m.start(), m.group(1), m.group(2).strip()))
+        spans.append(m.span())
+    for m in _IMG_RE.finditer(html):
+        if any(s <= m.start() < e for s, e in spans):
+            continue  # already captured via its figure
+        pairs.append((m.start(), m.group(1), m.group(2).strip()))
+    pairs.sort(key=lambda t: t[0])
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for _, src, cap in pairs:
+        u = urlkit.resolve_link(page_url, src)
+        if u is not None and u not in seen:
+            seen.add(u)
+            out.append((u, cap))
+    return out

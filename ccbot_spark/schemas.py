@@ -1,0 +1,101 @@
+"""Explicit StructTypes for every table (SURVEY.md §1.3 — never rely on
+schema inference; the DuckDB oracle compares schemas).
+
+Central contract schema (BASELINE.json input_hint):
+    image_id:string, bytes:binary, w:int32, h:int32,
+    fmt:string, caption:string, phash:int64
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# The authoritative image+caption table (BASELINE.json input_hint).
+IMAGES = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+# Priority frontier (FIXTURES.md §2.3). discovery_time is a logical
+# counter (dt_cycle, dt_seq), never wall clock (SURVEY.md §7.5):
+# dt_seq = seed-list index for seeds, 0 for discovered links (ties are
+# broken by url_norm — total order without a global row_number).
+FRONTIER = T.StructType(
+    [
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("priority", T.LongType(), False),
+        T.StructField("dt_cycle", T.IntegerType(), False),
+        T.StructField("dt_seq", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),  # pending|fetched|denied
+        T.StructField("cycle_added", T.IntegerType(), False),
+    ]
+)
+
+# Exact URL-seen set (FIXTURES.md §2.4).
+SEEN = T.StructType(
+    [
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("cycle_added", T.IntegerType(), False),
+    ]
+)
+
+# Per-host politeness rules (FIXTURES.md §2.5).
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("allow", T.ArrayType(T.StringType()), False),
+        T.StructField("disallow", T.ArrayType(T.StringType()), False),
+        T.StructField("crawl_delay_ms", T.LongType(), False),
+        T.StructField("budget_per_cycle", T.IntegerType(), False),
+    ]
+)
+
+# Golden crawl trace (FIXTURES.md §2.7). Event order within a cycle:
+# (phase, sched_time_ms, host, url_norm); phase:
+# 0=robots_denied, 1=budget_skipped, 2=fetched, 3=dup.
+TRACE = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("cycle", T.IntegerType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("sched_slot", T.IntegerType(), False),  # -1 if n/a
+        T.StructField("action", T.StringType(), False),
+    ]
+)
+
+# Per-partition lineage/metrics (FIXTURES.md §2.8).
+METRICS = T.StructType(
+    [
+        T.StructField("cycle", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("fetched", T.LongType(), False),
+        T.StructField("parsed_links", T.LongType(), False),
+        T.StructField("stored_images", T.LongType(), False),
+        T.StructField("dedup_hits", T.LongType(), False),
+        T.StructField("errors", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+    ]
+)
+
+# Intermediate: fetched page (engine-internal, SURVEY.md §3.1 step 3).
+FETCHED = T.StructType(
+    [
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("priority", T.LongType(), False),
+        T.StructField("sched_slot", T.IntegerType(), False),
+        T.StructField("sched_time", T.LongType(), False),
+        T.StructField("html", T.StringType(), False),
+    ]
+)

@@ -1,0 +1,174 @@
+"""Deterministic synthetic web (FIXTURES.md §2.6, SURVEY.md §5.3).
+
+No network in this sandbox, so the "fetch" of URL *u* is a pure
+function of *u* (and a small picklable config): ``page(u) =
+render(sha256(u))``. Both the single-threaded oracle crawler and the
+Spark engine's `applyInPandas` fetch stage call the SAME functions in
+this module, so their inputs are byte-identical — the precondition for
+exact crawl-order / seen-set / stored-row equality.
+
+Emits:
+  * HTML pages with 0–8 ``<a href>`` outlinks (relative, absolute,
+    cross-host, tracking-param'd duplicates, malformed) and 0–3
+    image+caption pairs (``<img alt>`` and ``<figure><figcaption>``)
+  * per-host robots.txt bodies (allow/disallow/wildcards/crawl-delay)
+  * procedural images (gradient+sine RGB) encoded as ppm/png/qpng
+  * a hot-host skew knob concentrating outlinks on host 0
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import codecs
+
+_FMTS = ("ppm", "png", "qpng")
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    n_hosts: int = 10
+    pages_per_host: int = 200
+    hot_frac_pct: int = 0  # % of cross-host links redirected to host 0
+    seed: int = 42
+
+    def host(self, k: int) -> str:
+        return f"h{k}.test"
+
+
+def _digest(s: str) -> bytes:
+    return hashlib.sha256(s.encode("utf-8")).digest()
+
+
+def seed_urls(cfg: WebConfig, n_seeds: int) -> list[str]:
+    """Fixed-order seed list: round-robin across hosts, ascending page no."""
+    out = []
+    for i in range(n_seeds):
+        k = i % cfg.n_hosts
+        j = i // cfg.n_hosts
+        out.append(f"http://{cfg.host(k)}/p/{j}")
+    return out
+
+
+# ---------------------------------------------------------------- robots
+
+def robots_txt(cfg: WebConfig, host: str) -> str:
+    """Deterministic robots.txt body for a host; exercises RFC 9309 edges."""
+    d = _digest(f"robots:{cfg.seed}:{host}")
+    kind = d[0] % 5
+    delay_s = d[1] % 4  # 0..3 s
+    lines = [f"# robots for {host}", "User-agent: *"]
+    if kind == 0:
+        lines.append("Disallow:")  # allow all
+    elif kind == 1:
+        lines.append(f"Disallow: /p/{d[2] % 10}")  # block one page prefix
+    elif kind == 2:
+        lines.append("Disallow: /p/")
+        lines.append(f"Allow: /p/{d[3] % 10}")  # longest-match override
+    elif kind == 3:
+        lines.append(f"Disallow: /*/{d[4] % 10}$")  # wildcard + anchor
+    else:
+        lines.append("Disallow: /private/")
+    if delay_s:
+        lines.append(f"Crawl-delay: {delay_s}")
+    return "\n".join(lines) + "\n"
+
+
+def host_budget(cfg: WebConfig, host: str) -> int:
+    """Per-host per-cycle fetch budget (politeness budget, BASELINE.json:2)."""
+    d = _digest(f"budget:{cfg.seed}:{host}")
+    return 5 + d[0] % 16  # 5..20
+
+
+# ---------------------------------------------------------------- pages
+
+def render_page(cfg: WebConfig, url: str) -> str:
+    """HTML body of a page URL — pure function of (cfg, url)."""
+    d = _digest(f"page:{cfg.seed}:{url}")
+    host = url.split("/")[2]
+    k = int(host[1:].split(".")[0])
+    n_links = d[0] % 9
+    n_imgs = d[1] % 4
+    parts = [
+        f"<html><head><title>Page {url}</title></head><body>",
+        f"<h1>host {host}</h1><p>lorem {d.hex()[:16]}</p>",
+    ]
+    for i in range(n_links):
+        b = d[2 + i]
+        tgt_j = (d[10 + i] + 256 * d[18 + i]) % cfg.pages_per_host
+        style = b % 6
+        if style == 0:  # relative
+            href = f"/p/{tgt_j}"
+        elif style == 1:  # relative no leading slash (resolves vs page dir)
+            href = f"p/{tgt_j}"
+        elif style == 2:  # absolute same host
+            href = f"http://{host}/p/{tgt_j}"
+        elif style == 3:  # cross-host (hot-host skew applies)
+            tgt_k = d[24 + i] % cfg.n_hosts
+            if cfg.hot_frac_pct and (d[2 + i] % 100) < cfg.hot_frac_pct:
+                tgt_k = 0
+            href = f"http://{cfg.host(tgt_k)}/p/{tgt_j}"
+        elif style == 4:  # tracking-param duplicate + fragment
+            href = f"http://{host}/p/{tgt_j}?utm_source=x&utm_campaign={i}#frag"
+        else:  # malformed / non-fetchable
+            href = ["javascript:void(0)", "mailto:a@b.test", "#top", "data:text/plain,x"][b % 4]
+        parts.append(f'<a href="{href}">link {i}</a>')
+    for i in range(n_imgs):
+        di = _digest(f"img:{cfg.seed}:{url}:{i}")
+        img_id = di.hex()[:12]
+        fmt = _FMTS[di[0] % 3]
+        img_url = f"http://{host}/img/{img_id}.{fmt}"
+        cap = caption_of(cfg, img_url)
+        if di[1] % 2 == 0:
+            parts.append(f'<img src="{img_url}" alt="{cap}">')
+        else:
+            parts.append(
+                f'<figure><img src="{img_url}" alt="ignored">'
+                f"<figcaption>{cap}</figcaption></figure>"
+            )
+    parts.append(f"</body></html><!-- k={k} -->")
+    return "\n".join(parts)
+
+
+def caption_of(cfg: WebConfig, img_url: str) -> str:
+    d = _digest(f"cap:{cfg.seed}:{img_url}")
+    words = ["alpha", "béta", "gamma", "delta", "épsilon", "zeta", "eta", "theta"]
+    picked = " ".join(words[b % len(words)] for b in d[:4])
+    name = img_url.rsplit("/", 1)[-1]
+    return f"caption {name}: {picked} [{d.hex()[:8]}]"
+
+
+# ---------------------------------------------------------------- images
+
+def image_pixels(cfg: WebConfig, img_url: str) -> np.ndarray:
+    """Procedural (h, w, 3) uint8 pixels — gradient + sine, digest-param'd."""
+    d = _digest(f"pix:{cfg.seed}:{img_url}")
+    w = 16 + d[0] % 113  # 16..128
+    h = 16 + d[1] % 113
+    fx = 1 + d[2] % 7
+    fy = 1 + d[3] % 7
+    phase = d[4] / 255.0 * 2 * np.pi
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 127.5 + 127.5 * np.sin(2 * np.pi * fx * xx / w + phase)
+    g = 127.5 + 127.5 * np.sin(2 * np.pi * fy * yy / h - phase)
+    b = (xx / max(w - 1, 1) * 255.0 + yy / max(h - 1, 1) * 0.0)
+    b = (b + d[5]) % 256.0
+    img = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def fetch_image(cfg: WebConfig, img_url: str) -> tuple[bytes, int, int, str]:
+    """Encoded bytes + (w, h, fmt) for an image URL."""
+    fmt = img_url.rsplit(".", 1)[-1]
+    if fmt not in _FMTS:
+        fmt = "ppm"
+    px = image_pixels(cfg, img_url)
+    return codecs.encode(px, fmt), px.shape[1], px.shape[0], fmt
+
+
+def fetch(cfg: WebConfig, url: str) -> str:
+    """The synthetic 'network': fetch a page URL → HTML body."""
+    return render_page(cfg, url)

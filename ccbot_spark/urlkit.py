@@ -1,0 +1,143 @@
+"""URL kit: normalization, host extraction, scheme filtering, hashing.
+
+Pure-Python core functions (used verbatim by the oracle crawler,
+``ccbot_spark.oracle``) plus vectorized pandas wrappers used by the
+Spark engine through ``pandas_udf`` — both sides share ONE
+implementation, which is what makes the exact seen-set / crawl-order
+match achievable (SURVEY.md §7.4 item 1).
+
+Normalization semantics (Mercator-style canonicalization, SURVEY.md
+§2.2 `f_url_normalize`):
+  * lowercase scheme and host
+  * strip fragment
+  * strip default port (:80 http, :443 https)
+  * resolve '.' and '..' path segments
+  * collapse '//' in path, ensure leading '/'
+  * drop tracking query params (utm_*, fbclid, gclid), sort the rest
+  * strip trailing '?' / lone '&'
+Idempotence is property-tested (tests/test_urlkit.py).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_TRACKING_RE = re.compile(r"^(utm_|fbclid$|gclid$|msclkid$)")
+_SCHEME_OK_RE = re.compile(r"^https?://", re.IGNORECASE)
+
+
+def _normalize_path(path: str) -> str:
+    if not path:
+        return "/"
+    # collapse repeated slashes, resolve . and ..
+    segs = path.split("/")
+    out: list[str] = []
+    for seg in segs:
+        if seg == "" or seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    norm = "/" + "/".join(out)
+    if path.endswith("/") and norm != "/":
+        norm += "/"
+    return norm
+
+
+def _normalize_query(query: str) -> str:
+    if not query:
+        return ""
+    kept = []
+    for pair in query.split("&"):
+        if not pair:
+            continue
+        key = pair.split("=", 1)[0]
+        if _TRACKING_RE.match(key.lower()):
+            continue
+        kept.append(pair)
+    kept.sort()
+    return "&".join(kept)
+
+
+def normalize_url(url: str) -> str | None:
+    """Canonicalize a single URL; return None if not a fetchable http(s) URL."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url or not _SCHEME_OK_RE.match(url):
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = _normalize_path(parts.path)
+    query = _normalize_query(parts.query)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(url: str) -> str | None:
+    """Registrable host of a (normalized) URL."""
+    if url is None:
+        return None
+    try:
+        h = urlsplit(url).hostname
+    except ValueError:
+        return None
+    return h.lower() if h else None
+
+
+def resolve_link(base_url: str, href: str) -> str | None:
+    """Resolve an extracted href against its page URL, then normalize."""
+    if href is None:
+        return None
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    low = href.lower()
+    if low.startswith(("mailto:", "javascript:", "data:", "tel:", "ftp:")):
+        return None
+    try:
+        absu = urljoin(base_url, href)
+    except ValueError:
+        return None
+    return normalize_url(absu)
+
+
+def is_fetchable(url: str) -> bool:
+    return url is not None and bool(_SCHEME_OK_RE.match(url))
+
+
+# ----------------------------------------------------------------------
+# Vectorized pandas wrappers (Arrow batch path; no per-row Python seen by
+# Spark — the loop lives inside one Python worker call per batch).
+# ----------------------------------------------------------------------
+
+def normalize_series(urls: pd.Series) -> pd.Series:
+    return urls.map(normalize_url)
+
+
+def host_series(urls: pd.Series) -> pd.Series:
+    return urls.map(host_of)
+
+
+def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [resolve_link(b, h) for b, h in zip(bases, hrefs)], dtype=object
+    )

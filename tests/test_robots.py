@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import urllib.robotparser
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ccbot_spark import robots
+
+
+ROBOTS_BODY = """
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2
+
+User-agent: otherbot
+Disallow: /
+"""
+
+
+def test_parse_groups():
+    r = robots.parse_robots(ROBOTS_BODY)
+    assert r.disallow == ["/private/"]
+    assert r.allow == ["/private/ok"]
+    assert r.crawl_delay_ms == 2000
+
+
+def test_specific_agent_wins():
+    body = "User-agent: ccbot-spark\nDisallow: /x\nUser-agent: *\nDisallow: /"
+    r = robots.parse_robots(body)
+    assert r.disallow == ["/x"]
+
+
+def test_longest_match_and_tie():
+    # longest match decides; tie → Allow wins (RFC 9309 §2.2.2)
+    assert robots.allowed(["/private/ok"], ["/private/"], "/private/ok/page")
+    assert not robots.allowed(["/private/ok"], ["/private/"], "/private/other")
+    assert robots.allowed(["/p"], ["/p"], "/page")  # tie → allow
+    assert robots.allowed([], [], "/anything")  # no rules → allow
+
+
+def test_wildcards_and_anchor():
+    assert not robots.allowed([], ["/*/secret$"], "/a/secret")
+    assert robots.allowed([], ["/*/secret$"], "/a/secret/x")
+    assert not robots.allowed([], ["/a*b"], "/aXXXb")
+
+
+def test_empty_disallow_allows_all():
+    r = robots.parse_robots("User-agent: *\nDisallow:")
+    assert r.disallow == []
+    assert robots.allowed(r.allow, r.disallow, "/x")
+
+
+def test_path_of():
+    assert robots.path_of("http://h.test/p/1?a=2") == "/p/1?a=2"
+    assert robots.path_of("http://h.test") == "/"
+
+
+_path_seg = st.from_regex(r"[a-z0-9]{1,6}", fullmatch=True)
+_path_st = st.lists(_path_seg, min_size=0, max_size=4).map(
+    lambda segs: "/" + "/".join(segs)
+)
+_rules_st = st.lists(_path_st, min_size=0, max_size=4)
+
+
+@given(_rules_st, _rules_st, _path_st)
+@settings(max_examples=200, deadline=None)
+def test_matches_urllib_robotparser(allow, disallow, path):
+    """Wildcard-free subset must agree with the stdlib parser."""
+    lines = ["User-agent: *"]
+    lines += [f"Allow: {p}" for p in allow if p != "/"]
+    lines += [f"Disallow: {p}" for p in disallow]
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(lines)
+    r = robots.parse_robots("\n".join(lines))
+    want = rp.can_fetch("*", f"http://h.test{path}")
+    got = robots.allowed(r.allow, r.disallow, path)
+    assert got == want, (allow, disallow, path)

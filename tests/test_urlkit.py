@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ccbot_spark import urlkit
+
+
+def test_basic_normalization():
+    cases = {
+        "HTTP://Ex.COM/a/b/../c?b=2&a=1#f": "http://ex.com/a/c?a=1&b=2",
+        "http://ex.com:80/": "http://ex.com/",
+        "https://ex.com:443/x": "https://ex.com/x",
+        "http://ex.com:8080/x": "http://ex.com:8080/x",
+        "http://ex.com": "http://ex.com/",
+        "http://ex.com//a///b": "http://ex.com/a/b",
+        "http://ex.com/a/./b/": "http://ex.com/a/b/",
+        "http://ex.com/?utm_source=t&x=1&utm_campaign=c": "http://ex.com/?x=1",
+        "http://ex.com/a?fbclid=123": "http://ex.com/a",
+    }
+    for raw, want in cases.items():
+        assert urlkit.normalize_url(raw) == want, raw
+
+
+def test_rejects_non_http():
+    for bad in ["mailto:a@b", "javascript:void(0)", "ftp://x/y", "", None, "#f",
+                "data:text/plain,x", "http://", "relative/path"]:
+        assert urlkit.normalize_url(bad) is None
+
+
+def test_resolve_link():
+    base = "http://ex.com/a/b"
+    assert urlkit.resolve_link(base, "/p/1") == "http://ex.com/p/1"
+    assert urlkit.resolve_link(base, "p/1") == "http://ex.com/a/p/1"
+    assert urlkit.resolve_link(base, "../z") == "http://ex.com/z"
+    assert urlkit.resolve_link(base, "http://o.com/q?utm_source=1") == "http://o.com/q"
+    assert urlkit.resolve_link(base, "#top") is None
+    assert urlkit.resolve_link(base, "mailto:a@b") is None
+
+
+_url_st = st.builds(
+    lambda scheme, host, port, path, query, frag: (
+        f"{scheme}://{host}{port}/{path}{query}{frag}"
+    ),
+    st.sampled_from(["http", "https", "HTTP", "Http"]),
+    st.from_regex(r"[a-zA-Z0-9]{1,10}(\.[a-zA-Z]{2,4}){1,2}", fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(r"[a-zA-Z0-9_\-./%]{0,30}", fullmatch=True),
+    st.sampled_from(["", "?a=1", "?b=2&a=1", "?utm_source=x&k=v"]),
+    st.sampled_from(["", "#frag"]),
+)
+
+
+@given(_url_st)
+@settings(max_examples=300, deadline=None)
+def test_normalize_idempotent(url):
+    n1 = urlkit.normalize_url(url)
+    if n1 is not None:
+        assert urlkit.normalize_url(n1) == n1
+
+
+def test_vectorized_matches_scalar():
+    urls = pd.Series(
+        ["HTTP://A.com:80/x/../y?utm_source=1&z=2#f", "bad", None, "https://B.io/"]
+    )
+    out = urlkit.normalize_series(urls)
+    assert list(out) == [urlkit.normalize_url(u) if u else None for u in urls]
+    hosts = urlkit.host_series(pd.Series(["http://A.com/x", None]))
+    assert list(hosts) == ["a.com", None]
