@@ -1,0 +1,323 @@
+"""The crawl engine: iterative micro-batch cycle loop (SURVEY.md §3.1).
+
+Each cycle is one batch job over the frontier:
+
+  1. GENERATE   pending frontier × broadcast(robots) → per-host top-k
+                by (priority DESC, discovery_time, url_norm) within the
+                politeness budget; crawl-delay schedule per host
+  2. PARTITION  repartition by host-salt key (hot hosts fan out)
+  3. FETCH      groupBy(salt).applyInPandas — Arrow batch boundary
+  4. PARSE      mapInPandas link + image extraction
+  5. IMAGES     mapInPandas decode+phash → exact phash dedup → sink
+  6. UPDATE     links → Bloom prefilter → exact seen anti-join →
+                priority scoring → frontier MERGE INTO; seen append
+  7. RECORD     metrics aggregation; deterministic trace; checkpoint tag
+
+Determinism (SURVEY.md §7.5): every ordering is by explicit keys
+(priority, logical discovery_time, url_norm, sched_time) — never by
+partition/arrival order — so the same seed list + politeness budget
+reproduces the oracle crawler's trace, seen-set, and stored rows at
+any parallelism (local[8] == local[32] == a 1000-executor cluster).
+
+Scale posture: no driver-side collect of any large set (seeds and
+hot-host top-k only); frontier/seen are hash-bucket partitioned tables
+with touched-partition copy-on-write merges; the Bloom prefilter keeps
+the seen anti-join's left side small; AQE handles residual join skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from . import schemas, synthweb, urlkit
+from .oracle import PRIORITY_DECAY, SEED_PRIORITY
+from .operators import fetchparse, images as imageops, politeness, seen as seenops
+from .operators import urlops
+from .tablestore import TableStore
+
+
+def _with_bucket(schema: T.StructType) -> T.StructType:
+    return T.StructType(list(schema.fields) + [T.StructField("bucket", T.IntegerType(), False)])
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: synthweb.WebConfig,
+        workdir: str,
+        n_buckets: int = 32,
+        use_bloom: bool = True,
+        record_trace: bool = True,
+        salt_fanout: int = 8,
+        hot_host_min: int = 2000,
+        bloom_bits: int = 1 << 22,
+    ):
+        from .shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.cfg = cfg
+        self.workdir = workdir
+        self.n_buckets = n_buckets
+        self.use_bloom = use_bloom
+        self.record_trace = record_trace
+        self.salt_fanout = salt_fanout
+        self.hot_host_min = hot_host_min
+        self.bloom_bits = bloom_bits
+        os.makedirs(workdir, exist_ok=True)
+        self.frontier = TableStore(
+            spark, workdir, "frontier", _with_bucket(schemas.FRONTIER), ("bucket",)
+        )
+        self.seen = TableStore(
+            spark, workdir, "seen", _with_bucket(schemas.SEEN), ("bucket",)
+        )
+        self.images = TableStore(spark, workdir, "images", schemas.IMAGES)
+        self.trace = TableStore(spark, workdir, "trace", schemas.TRACE)
+        self.metrics = TableStore(spark, workdir, "metrics", schemas.METRICS)
+        self._tables = [self.frontier, self.seen, self.images, self.trace, self.metrics]
+        self.state_path = os.path.join(workdir, "state.json")
+        self.trace_seq = 0
+        self.last_cycle = 0
+
+    # ------------------------------------------------------------ state
+
+    def _save_state(self, cycle: int) -> None:
+        for t in self._tables:
+            t.tag(f"cycle-{cycle}")
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_cycle": cycle, "trace_seq": self.trace_seq}, f)
+        os.replace(tmp, self.state_path)
+
+    def resume(self) -> int:
+        """Roll every table back to the last completed cycle's snapshot
+        and return that cycle number (SURVEY.md §2.1 snk_checkpoint)."""
+        if not os.path.exists(self.state_path):
+            return 0
+        with open(self.state_path) as f:
+            st = json.load(f)
+        cycle = st["last_cycle"]
+        self.trace_seq = st["trace_seq"]
+        self.last_cycle = cycle
+        for t in self._tables:
+            v = t.tagged_version(f"cycle-{cycle}")
+            if v is not None:
+                t.rollback(v)
+        return cycle
+
+    # ------------------------------------------------------------ seeding
+
+    def seed(self, seeds: list[str]) -> None:
+        """Cycle 0: normalize the (small, driver-resident by definition)
+        seed list preserving order; dt_seq = seed index (§7.5)."""
+        rows, dedup = [], set()
+        idx = 0
+        for raw in seeds:
+            u = urlkit.normalize_url(raw)
+            if u is None or u in dedup:
+                continue
+            dedup.add(u)
+            rows.append((u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0))
+            idx += 1
+        df = self.spark.createDataFrame(rows, schemas.FRONTIER).withColumn(
+            "bucket", urlops.host_bucket(F.col("host"), self.n_buckets)
+        )
+        self.frontier.overwrite(df)
+        seen_df = df.select(
+            "url_norm",
+            urlops.url_hash(F.col("url_norm")).alias("url_hash"),
+            F.lit(0).cast("int").alias("cycle_added"),
+        ).withColumn("bucket", urlops.url_bucket(F.col("url_hash"), self.n_buckets))
+        self.seen.overwrite(seen_df)
+        self._save_state(0)
+
+    # ------------------------------------------------------------ cycle
+
+    def run_cycle(self, cycle: int) -> dict:
+        cfg = self.cfg
+        pending = self.frontier.read().filter(F.col("status") == "pending")
+        robots_df = politeness.build_robots_table(
+            pending.select("host").distinct(), cfg
+        )
+        parts = politeness.generate(pending, robots_df)
+
+        hot = politeness.topk_hosts(pending, min_count=self.hot_host_min)
+        fetched = fetchparse.fetch(
+            parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # ---- links path (§3.1 step 6)
+        links = fetchparse.extract_links(fetched).persist(StorageLevel.MEMORY_AND_DISK)
+        cand = (
+            links.groupBy("url_norm")
+            .agg(F.max("parent_priority").alias("pp"))
+            .withColumn("url_hash", urlops.url_hash(F.col("url_norm")))
+        )
+        seen_df = self.seen.read()
+        if self.use_bloom:
+            bloom = seenops.build_bloom(seen_df, self.bloom_bits)
+            sure_new, maybe = seenops.split_by_bloom(
+                cand, bloom, self.bloom_bits, self.spark
+            )
+            new = sure_new.unionByName(seenops.anti_join_seen(maybe, seen_df))
+            dup = seenops.semi_join_seen(maybe, seen_df)
+        else:
+            new = seenops.anti_join_seen(cand, seen_df)
+            dup = seenops.semi_join_seen(cand, seen_df)
+
+        new_rows = new.select(
+            F.col("url_norm"),
+            F.lower(F.parse_url(F.col("url_norm"), F.lit("HOST"))).alias("host"),
+            F.greatest(F.col("pp") - PRIORITY_DECAY, F.lit(0)).cast("long").alias("priority"),
+            F.lit(cycle).cast("int").alias("dt_cycle"),
+            F.lit(0).cast("long").alias("dt_seq"),
+            F.lit("pending").alias("status"),
+            F.lit(cycle).cast("int").alias("cycle_added"),
+        ).withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
+        new_rows = new_rows.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # ---- images path (§3.1 step 5)
+        decoded = imageops.fetch_decode_phash(
+            fetchparse.extract_images(fetched), cfg
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        dd = imageops.dedup_by_phash(decoded, self.images.read().select("phash"))
+        store = dd["store"].persist(StorageLevel.MEMORY_AND_DISK)
+        dups = dd["dups"]
+        self.images.append(store.select(*[f.name for f in schemas.IMAGES.fields]))
+
+        # ---- metrics (§3.1 step 7)
+        m_fetch = fetched.groupBy("host").agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.octet_length(F.col("html"))).alias("html_bytes"),
+        )
+        m_links = links.groupBy(F.col("page_host").alias("host")).agg(
+            F.count("*").alias("parsed_links")
+        )
+        m_store = store.groupBy(F.col("page_host").alias("host")).agg(
+            F.count("*").alias("stored_images"),
+            F.sum(F.octet_length(F.col("bytes"))).alias("img_bytes"),
+        )
+        m_dups = dups.groupBy(F.col("page_host").alias("host")).agg(
+            F.count("*").alias("dedup_hits")
+        )
+        metrics_df = (
+            m_fetch.join(m_links, "host", "left")
+            .join(m_store, "host", "left")
+            .join(m_dups, "host", "left")
+            .select(
+                F.lit(cycle).cast("int").alias("cycle"),
+                urlops.host_bucket(F.col("host"), self.n_buckets).alias("partition_id"),
+                F.col("host"),
+                F.col("fetched").cast("long"),
+                F.coalesce(F.col("parsed_links"), F.lit(0)).cast("long").alias("parsed_links"),
+                F.coalesce(F.col("stored_images"), F.lit(0)).cast("long").alias("stored_images"),
+                F.coalesce(F.col("dedup_hits"), F.lit(0)).cast("long").alias("dedup_hits"),
+                F.lit(0).cast("long").alias("errors"),
+                (
+                    F.coalesce(F.col("html_bytes"), F.lit(0))
+                    + F.coalesce(F.col("img_bytes"), F.lit(0))
+                ).cast("long").alias("bytes"),
+            )
+        )
+        self.metrics.append(metrics_df)
+
+        # ---- trace (§3.1 step 7; phases: denied=0 skipped=1 fetched=2 dup=3)
+        n_trace = 0
+        if self.record_trace:
+            ev_cols = ["url_norm", "host", "sched_slot", "sched_time", "phase", "action"]
+
+            def evt(df: DataFrame, phase: int, action: str, slot=None, sched=None):
+                return df.select(
+                    "url_norm",
+                    "host",
+                    (F.col("sched_slot") if slot else F.lit(-1)).cast("int").alias("sched_slot"),
+                    (F.col("sched_time") if sched else F.lit(0)).cast("long").alias("sched_time"),
+                    F.lit(phase).alias("phase"),
+                    F.lit(action).alias("action"),
+                ).select(*ev_cols)
+
+            dup_ev = dup.select(
+                "url_norm",
+                F.lower(F.parse_url(F.col("url_norm"), F.lit("HOST"))).alias("host"),
+                F.lit(-1).cast("int").alias("sched_slot"),
+                F.lit(0).cast("long").alias("sched_time"),
+                F.lit(3).alias("phase"),
+                F.lit("dup").alias("action"),
+            ).select(*ev_cols)
+            events = (
+                evt(parts["denied"], 0, "robots_denied")
+                .unionByName(evt(parts["skipped"], 1, "budget_skipped"))
+                .unionByName(evt(fetched, 2, "fetched", slot=True, sched=True))
+                .unionByName(dup_ev)
+            )
+            w = Window.orderBy("phase", "sched_time", "host", "url_norm")
+            trace_df = events.withColumn(
+                "seq", (F.row_number().over(w) - 1 + self.trace_seq).cast("long")
+            ).select(
+                "seq",
+                F.lit(cycle).cast("int").alias("cycle"),
+                "url_norm",
+                "host",
+                "sched_slot",
+                "action",
+            )
+            self.trace.append(trace_df)
+            n_trace = self.trace.read().filter(F.col("cycle") == cycle).count()
+            self.trace_seq += n_trace
+
+        # ---- frontier MERGE INTO: status updates + new-link inserts
+        bucket = urlops.host_bucket(F.col("host"), self.n_buckets)
+        upd_fetched = fetched.select(
+            "url_norm", "host", "priority",
+            F.lit(0).cast("int").alias("dt_cycle"),  # ignored on update
+            F.lit(0).cast("long").alias("dt_seq"),
+            F.lit("fetched").alias("status"),
+            F.lit(0).cast("int").alias("cycle_added"),
+        ).withColumn("bucket", bucket)
+        upd_denied = parts["denied"].select(
+            "url_norm", "host", "priority",
+            F.lit(0).cast("int").alias("dt_cycle"),
+            F.lit(0).cast("long").alias("dt_seq"),
+            F.lit("denied").alias("status"),
+            F.lit(0).cast("int").alias("cycle_added"),
+        ).withColumn("bucket", bucket)
+        merge_src = upd_fetched.unionByName(upd_denied).unionByName(new_rows)
+        self.frontier.merge_into(merge_src, on=["url_norm"], update_cols=["status"])
+
+        new_seen = new_rows.select(
+            "url_norm",
+            urlops.url_hash(F.col("url_norm")).alias("url_hash"),
+            F.lit(cycle).cast("int").alias("cycle_added"),
+        ).withColumn("bucket", urlops.url_bucket(F.col("url_hash"), self.n_buckets))
+        self.seen.append(new_seen)
+
+        counts = {
+            "cycle": cycle,
+            "fetched": fetched.count(),
+            "new_links": new_rows.count(),
+            "stored_images": store.count(),
+            "trace_events": n_trace,
+        }
+        for df in (fetched, links, decoded, store, new_rows):
+            df.unpersist()
+        self.last_cycle = cycle
+        self._save_state(cycle)
+        return counts
+
+    # ------------------------------------------------------------ driver
+
+    def crawl(self, seeds: list[str], cycles: int, start_cycle: int = 0) -> list[dict]:
+        if start_cycle == 0:
+            self.seed(seeds)
+        out = []
+        for c in range(start_cycle + 1, cycles + 1):
+            out.append(self.run_cycle(c))
+        return out

@@ -1,0 +1,112 @@
+"""Politeness operators: robots dimension table, allow/deny, per-host
+top-k generate + crawl-delay schedule (SURVEY.md §2.3 j_robots_bcast,
+§2.5 w_generate_topk / w_schedule, §2.7 u_robots_parse / u_robots_allow).
+
+Design: the robots table is a small-by-construction dimension (one row
+per distinct host in the pending frontier) built DISTRIBUTED via
+mapInPandas — never collected to the driver — then broadcast-joined
+onto candidates (explicit ``F.broadcast``: at any scale the robots dim
+is orders of magnitude smaller than the frontier).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .. import robots as robots_mod
+from .. import schemas, synthweb
+
+def _cand_order():
+    return [
+        F.col("priority").desc(),
+        F.col("dt_cycle").asc(),
+        F.col("dt_seq").asc(),
+        F.col("url_norm").asc(),
+    ]
+
+
+def build_robots_table(hosts: DataFrame, cfg: synthweb.WebConfig) -> DataFrame:
+    """hosts: DF[host] → ROBOTS-schema DF, built executor-side.
+
+    In production the fetch of /robots.txt is a real HTTP call inside
+    the same batch function; here it is the deterministic synthetic web.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host in pdf["host"]:
+                rules = robots_mod.parse_robots(synthweb.robots_txt(cfg, host))
+                rows.append(rules.to_row(host, synthweb.host_budget(cfg, host)))
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "allow", "disallow", "crawl_delay_ms", "budget_per_cycle"],
+            )
+
+    return hosts.mapInPandas(gen, schema=schemas.ROBOTS)
+
+
+@F.pandas_udf(T.BooleanType())
+def robots_allow_udf(
+    allow: pd.Series, disallow: pd.Series, url_norm: pd.Series
+) -> pd.Series:
+    """Vectorized RFC 9309 allow/deny (Arrow batch; rules arrive as lists)."""
+    out = [
+        robots_mod.allowed(
+            list(a) if a is not None else [],
+            list(d) if d is not None else [],
+            robots_mod.path_of(u),
+        )
+        for a, d, u in zip(allow, disallow, url_norm)
+    ]
+    return pd.Series(out, dtype=bool)
+
+
+def generate(pending: DataFrame, robots_df: DataFrame) -> dict[str, DataFrame]:
+    """The crawl GENERATE step (§3.1 step 1).
+
+    Returns dict with:
+      denied  — robots-denied candidates (removed from frontier)
+      fetch   — per-host top-budget allowed candidates with
+                sched_slot / sched_time (slot * crawl_delay_ms)
+      skipped — allowed candidates beyond the per-host budget
+    """
+    cand = pending.join(F.broadcast(robots_df), on="host", how="left")
+    cand = cand.withColumn(
+        "allowed",
+        robots_allow_udf(F.col("allow"), F.col("disallow"), F.col("url_norm")),
+    )
+    denied = cand.filter(~F.col("allowed"))
+    ok = cand.filter(F.col("allowed"))
+    w = Window.partitionBy("host").orderBy(*_cand_order())
+    ok = ok.withColumn("sched_slot", (F.row_number().over(w) - 1).cast("int"))
+    fetch = ok.filter(F.col("sched_slot") < F.col("budget_per_cycle")).withColumn(
+        "sched_time", (F.col("sched_slot") * F.col("crawl_delay_ms")).cast("long")
+    )
+    skipped = ok.filter(F.col("sched_slot") >= F.col("budget_per_cycle"))
+    keep = ["url_norm", "host", "priority", "dt_cycle", "dt_seq"]
+    return {
+        "denied": denied.select(*keep),
+        "fetch": fetch.select(*keep, "sched_slot", "sched_time", "crawl_delay_ms"),
+        "skipped": skipped.select(*keep),
+    }
+
+
+def topk_hosts(pending: DataFrame, k: int = 16, min_count: int = 1000) -> list[str]:
+    """Heavy-hitter hosts feeding the fetch-stage salting decision
+    (SURVEY.md §2.4 a_topk_hosts). Driver-side collect of ≤k rows."""
+    rows = (
+        pending.groupBy("host")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("host"))
+        .limit(k)
+        .collect()
+    )
+    return [r["host"] for r in rows]

@@ -1,0 +1,222 @@
+"""Iceberg-emulated table store on Parquet (SURVEY.md §7.3).
+
+The sandbox has no Iceberg runtime jar and no network to fetch one, so
+this module provides the Iceberg surface the engine needs — versioned
+snapshots (time travel), atomic commits, ``MERGE INTO`` upserts,
+append, and manifest-level partition pruning — backed by Parquet files
+plus a tiny JSON manifest. The design mirrors Iceberg's public model
+(a table = an ordered list of snapshot versions, each a list of data
+files with partition values; commits swap a manifest pointer
+atomically), so a deployment with ``iceberg-spark-runtime`` on the
+classpath can swap this for real ``spark.sql("MERGE INTO ...")`` /
+``df.writeTo(...)`` without touching engine code.
+
+Scale notes (100 TB / 10^10-row frontier):
+  * ``merge_into`` is copy-on-write per *touched partition*: only
+    hash-bucket partitions present in the source batch are rewritten;
+    untouched data files carry over into the new snapshot by
+    reference. With P=4096 buckets a cycle that touches 1% of hosts
+    rewrites 1% of the table — the same cost profile as Iceberg COW.
+  * file-level pruning happens in the manifest layer (like Iceberg
+    manifests): ``read(partition_filter=...)`` hands Spark only the
+    matching files, so a bucket-restricted scan never opens the rest.
+  * snapshots are O(1) metadata — they reference files, never copy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        schema,
+        partition_cols: tuple[str, ...] = (),
+    ):
+        self.spark = spark
+        self.name = name
+        self.schema = schema
+        self.partition_cols = tuple(partition_cols)
+        self.dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.manifest_path = os.path.join(self.dir, "manifest.json")
+        os.makedirs(self.data_dir, exist_ok=True)
+        if not os.path.exists(self.manifest_path):
+            self._write_manifest({"current": 0, "versions": {"0": {"files": []}}, "tags": {}})
+
+    # ------------------------------------------------------------ manifest
+
+    def _read_manifest(self) -> dict:
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self.manifest_path)  # atomic commit (Iceberg pointer swap)
+
+    def version(self) -> int:
+        return self._read_manifest()["current"]
+
+    def _files(self, version: int | None = None) -> list[dict]:
+        m = self._read_manifest()
+        v = m["current"] if version is None else version
+        return m["versions"][str(v)]["files"]
+
+    def _commit(self, files: list[dict]) -> int:
+        m = self._read_manifest()
+        new_v = m["current"] + 1
+        m["versions"][str(new_v)] = {"files": files}
+        m["current"] = new_v
+        self._write_manifest(m)
+        return new_v
+
+    # ------------------------------------------------------------ writes
+
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Write a commit's data files; return manifest entries with
+        partition values parsed from the directory layout."""
+        commit = uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, f"commit-{commit}")
+        writer = df.write.mode("overwrite")
+        if self.partition_cols:
+            # duplicate partition cols into `_p_*` dirs so the data files
+            # keep the original columns (Iceberg keeps them too)
+            for c in self.partition_cols:
+                df = df.withColumn(f"_p_{c}", F.col(c))
+            writer = df.write.mode("overwrite").partitionBy(
+                *[f"_p_{c}" for c in self.partition_cols]
+            )
+        writer.parquet(out)
+        entries: list[dict] = []
+        for dirpath, _dirs, fnames in os.walk(out):
+            parts = {}
+            for seg in os.path.relpath(dirpath, out).split(os.sep):
+                if seg.startswith("_p_") and "=" in seg:
+                    k, _, val = seg.partition("=")
+                    parts[k[3:]] = val
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    entries.append({"path": os.path.join(dirpath, fn), "parts": parts})
+        return entries
+
+    def append(self, df: DataFrame) -> int:
+        new = self._write_files(df)
+        return self._commit(self._files() + new)
+
+    def overwrite(self, df: DataFrame, sort_within_partitions_by: list[str] | None = None) -> int:
+        """Full overwrite; optionally sort rows within partitions on write
+        (the frontier's `(priority DESC, dt, url_norm)` write order)."""
+        if sort_within_partitions_by:
+            df = df.sortWithinPartitions(*sort_within_partitions_by)
+        return self._commit(self._write_files(df))
+
+    # ------------------------------------------------------------ reads
+
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, set[str]] | None = None,
+    ) -> DataFrame:
+        files = self._files(version)
+        if partition_filter:
+            files = [
+                e
+                for e in files
+                if all(
+                    k not in e["parts"] or e["parts"][k] in vals
+                    for k, vals in partition_filter.items()
+                )
+            ]
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*[e["path"] for e in files])
+
+    # ------------------------------------------------------------ merge
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        update_cols: list[str] | None = None,
+        insert: bool = True,
+    ) -> int:
+        """Emulated ``MERGE INTO target USING source ON <on>
+        WHEN MATCHED THEN UPDATE SET <update_cols> = source.<update_cols>
+        WHEN NOT MATCHED THEN INSERT *``.
+
+        Copy-on-write per touched partition: with partition_cols set,
+        only partitions present in `source` are rewritten; all other
+        data files carry over by reference.
+        """
+        files = self._files()
+        carry: list[dict] = files
+        target = self.read()
+        if self.partition_cols and files:
+            pcol = self.partition_cols[0]
+            touched = {
+                str(r[0]) for r in source.select(pcol).distinct().collect()
+            }
+            carry = [e for e in files if e["parts"].get(pcol) not in touched]
+            touched_files = [e for e in files if e["parts"].get(pcol) in touched]
+            target = (
+                self.spark.read.schema(self.schema).parquet(
+                    *[e["path"] for e in touched_files]
+                )
+                if touched_files
+                else self.spark.createDataFrame([], self.schema)
+            )
+        else:
+            carry = []
+
+        cols = [f.name for f in self.schema.fields]
+        update_cols = update_cols or []
+        t = target.alias("t")
+        s = source.alias("s")
+        # USING-style join: key columns appear once, already coalesced
+        joined = t.join(s, on=on, how="full_outer")
+        out_cols = []
+        for c in cols:
+            if c in on:
+                out_cols.append(F.col(c))
+            elif c in update_cols:
+                out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+            else:
+                out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        merged = joined.select(*out_cols)
+        if not insert:
+            merged = merged.join(target.select(*on).distinct(), on=on, how="left_semi")
+        new_files = self._write_files(merged)
+        return self._commit(carry + new_files)
+
+    # ------------------------------------------------------------ snapshots
+
+    def tag(self, name: str) -> int:
+        m = self._read_manifest()
+        m["tags"][name] = m["current"]
+        self._write_manifest(m)
+        return m["current"]
+
+    def tagged_version(self, name: str) -> int | None:
+        return self._read_manifest()["tags"].get(name)
+
+    def rollback(self, version: int) -> None:
+        m = self._read_manifest()
+        if str(version) not in m["versions"]:
+            raise ValueError(f"unknown version {version}")
+        m["current"] = version
+        self._write_manifest(m)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)

@@ -1,0 +1,135 @@
+"""Trace-equality tests: the Spark engine must reproduce the oracle
+crawler exactly — crawl order, seen-set membership, stored image rows,
+and per-host metrics (BASELINE.json north_rule; SURVEY.md §5 item 2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ccbot_spark import oracle, synthweb
+from ccbot_spark.engine import CrawlEngine
+
+CFG = synthweb.WebConfig(n_hosts=5, pages_per_host=60, hot_frac_pct=25)
+SEEDS = synthweb.seed_urls(CFG, 20)
+CYCLES = 2
+
+
+@pytest.fixture(scope="module")
+def oracle_res():
+    return oracle.crawl(CFG, SEEDS, cycles=CYCLES)
+
+
+@pytest.fixture(scope="module")
+def engine_res(spark, tmp_path_factory):
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path_factory.mktemp("engine")), n_buckets=8,
+        use_bloom=True, record_trace=True, hot_host_min=10,
+    )
+    eng.crawl(SEEDS, cycles=CYCLES)
+    return eng
+
+
+def _engine_trace(eng) -> list[tuple]:
+    rows = eng.trace.read().orderBy("seq").collect()
+    return [(r.seq, r.cycle, r.url_norm, r.host, r.sched_slot, r.action) for r in rows]
+
+
+def test_trace_exact_match(engine_res, oracle_res):
+    got = _engine_trace(engine_res)
+    want = oracle_res.trace
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+
+
+def test_seen_set_exact_match(engine_res, oracle_res):
+    got = {r.url_norm for r in engine_res.seen.read().select("url_norm").collect()}
+    assert got == oracle_res.seen
+
+
+def test_stored_images_exact_match(engine_res, oracle_res):
+    got = {
+        r.image_id: (r.w, r.h, r.fmt, r.caption, r.phash, bytes(r.bytes))
+        for r in engine_res.images.read().collect()
+    }
+    want = {
+        r["image_id"]: (r["w"], r["h"], r["fmt"], r["caption"], r["phash"], r["bytes"])
+        for r in oracle_res.images
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
+
+
+def test_metrics_match_per_host(engine_res, oracle_res):
+    got = {
+        (r.cycle, r.host): (
+            r.fetched, r.parsed_links, r.stored_images, r.dedup_hits, r.bytes
+        )
+        for r in engine_res.metrics.read().collect()
+    }
+    want = {
+        (m["cycle"], m["host"]): (
+            m["fetched"], m["parsed_links"], m["stored_images"],
+            m["dedup_hits"], m["bytes"],
+        )
+        for m in oracle_res.metrics
+    }
+    assert got == want
+
+
+def test_frontier_statuses_consistent(engine_res, oracle_res):
+    rows = engine_res.frontier.read().collect()
+    by_status: dict[str, set] = {}
+    for r in rows:
+        by_status.setdefault(r.status, set()).add(r.url_norm)
+    want_status: dict[str, set] = {}
+    for e in oracle_res.frontier.values():
+        want_status.setdefault(e.status, set()).add(e.url_norm)
+    assert {k: v for k, v in by_status.items()} == want_status
+
+
+def test_resume_reproduces_uninterrupted(spark, tmp_path, engine_res, oracle_res):
+    """Kill after cycle 1, resume from checkpoint in a fresh engine
+    object, run cycle 2 — final state identical to the uninterrupted
+    run (BASELINE.json: 'resumable from Spark checkpoints')."""
+    wd = str(tmp_path / "resumed")
+    eng1 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+                       record_trace=True, hot_host_min=10)
+    eng1.crawl(SEEDS, cycles=1)  # ... then the process "dies"
+
+    eng2 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+                       record_trace=True, hot_host_min=10)
+    assert eng2.resume() == 1
+    eng2.run_cycle(2)
+    assert _engine_trace(eng2) == oracle_res.trace
+    got_seen = {r.url_norm for r in eng2.seen.read().select("url_norm").collect()}
+    assert got_seen == oracle_res.seen
+    got_imgs = {r.image_id for r in eng2.images.read().select("image_id").collect()}
+    assert got_imgs == {r["image_id"] for r in oracle_res.images}
+
+
+def test_resume_discards_partial_cycle(spark, tmp_path, oracle_res):
+    """A crash mid-cycle leaves newer table versions; resume() rolls
+    back to the last tagged cycle and the rerun still matches."""
+    wd = str(tmp_path / "partial")
+    eng = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+                      record_trace=True, hot_host_min=10)
+    eng.crawl(SEEDS, cycles=1)
+    # simulate a partial cycle-2 write that never reached _save_state
+    eng.images.append(eng.images.read().limit(1))
+    eng2 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+                       record_trace=True, hot_host_min=10)
+    assert eng2.resume() == 1
+    eng2.run_cycle(2)
+    assert _engine_trace(eng2) == oracle_res.trace
+
+
+def test_bloom_off_identical(spark, tmp_path, oracle_res):
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path / "nobloom"), n_buckets=8,
+        use_bloom=False, record_trace=True, hot_host_min=10,
+    )
+    eng.crawl(SEEDS, cycles=CYCLES)
+    assert _engine_trace(eng) == oracle_res.trace
