@@ -1,10 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Design discipline for oracle-matched queries:
+  * integer-first outputs — money as cents (round(x*100) → bigint),
+    timestamps as epoch millis, ratios as (numerator, denominator)
+    pairs — so no float-representation or fp-summation-order hazard
+    can break the value hash between Spark and DuckDB;
+  * every computed column aliased identically on both sides;
+  * thresholds as integer cross-multiplications (10*inter >= t*union).
+
+Entries without an oracle (rows-only check) are the genuinely
+non-SQL-expressible ops: xxhash64 / md5-seeded MinHash+SimHash / URL
+normalization / rolling-hash fingerprints / the binary image pipeline.
+Each of those has a stronger dedicated check in tests/ (property tests
+vs pure-Python references; see SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -12,27 +25,708 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ccbot_spark.functions import dedup, multimodal, similarity, textkit
+from ccbot_spark.operators import urlops
+from ccbot_spark.sources.tables import src_parquet
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return src_parquet(spark, sf_dir, name)
+
+
+def _cents(col):
+    """Exact integer cents from a double money column — deterministic
+    across engines (double arithmetic is identical; the sum is then an
+    order-independent integer sum)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URL column synthesized from `documents` (the
+    driver tables carry no URLs; both sides build the same strings)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+def _mixed_scheme_urls(events: DataFrame) -> DataFrame:
+    """URL list with non-fetchable schemes mixed in (from `events`)."""
+    scheme = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("mailto:u@example.com"))
+        .when(F.col("event_id") % 4 == 1, F.lit("javascript:void(0)"))
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), (F.col("event_id") % 7).cast("string"),
+                F.lit(".test/p/"), F.col("event_id").cast("string"),
+            )
+        )
+    )
+    return events.select("event_id", scheme.alias("url"))
+
+
+# --------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------
+
+def q_a_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregation (the a_metrics shape: partial+final
+    hash aggregate, one shuffle on the two grouping keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice")) - _cents(F.col("l_discount") * 100)
+            ).alias("sum_disc_expr_cents"),
+            F.count("*").alias("n_rows"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_a_metrics(spark, "/root/testdata/sf0.001")
 
+
+# --------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- aggregations (§2.4)
+    q["a_metrics"] = q_a_metrics
+
+    def a_distinct_urls(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        return o.groupBy("o_orderstatus").agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n_orders"),
+        )
+    q["a_distinct_urls"] = a_distinct_urls
+
+    def a_host_budget(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        return (
+            o.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"))
+            .filter(F.col("n_orders") >= 20)
+        )
+    q["a_host_budget"] = a_host_budget
+
+    def a_rollup_metrics(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.rollup("lang", "source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    q["a_rollup_metrics"] = a_rollup_metrics
+
+    def a_topk_hosts(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        return (
+            o.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+            .limit(10)
+        )
+    q["a_topk_hosts"] = a_topk_hosts
+
+    # ---------------- joins (§2.3)
+    def j_robots_bcast(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        return (
+            o.join(
+                F.broadcast(c),
+                o.o_custkey == c.c_custkey,
+                "left",
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(_cents(F.col("o_totalprice"))).alias("sum_total_cents"),
+            )
+        )
+    q["j_robots_bcast"] = j_robots_bcast
+
+    def j_seen_anti(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+        return c.select("c_custkey", "c_mktsegment").join(o, "c_custkey", "left_anti")
+    q["j_seen_anti"] = j_seen_anti
+
+    def j_seen_semi(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+        return c.select("c_custkey", "c_nationkey").join(o, "c_custkey", "left_semi")
+    q["j_seen_semi"] = j_seen_semi
+
+    def j_phash_dedup(spark, sf_dir):
+        p = _t(spark, sf_dir, "part")
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("p_partkey")
+        )
+        return p.select("p_partkey", "p_brand").join(li, "p_partkey", "left_anti")
+    q["j_phash_dedup"] = j_phash_dedup
+
+    def j_phash_near(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        h = (F.col("n_chars") * 1103515245 + 12345).alias("h")
+        docs = d.select(F.col("doc_id"), h)
+        bands = docs.select(
+            "doc_id",
+            "h",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("h"), b * 16).bitwiseAND(
+                            F.lit(0xFFFF)
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band_id", "band_val"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .filter(F.col("hamming") <= 4)
+        )
+    q["j_phash_near"] = j_phash_near
+
+    def j_host_skew(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            )
+        )
+    q["j_host_skew"] = j_host_skew
+
+    def j_edges_pages(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            )
+        )
+    q["j_edges_pages"] = j_edges_pages
+
+    # ---------------- URL / scalar functions (§2.2)
+    def f_host(spark, sf_dir):
+        urls = _doc_urls(_t(spark, sf_dir, "documents"))
+        return (
+            urls.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"))
+            .groupBy("host")
+            .agg(F.count("*").alias("n_urls"))
+        )
+    q["f_host"] = f_host
+
+    def f_filter_scheme(spark, sf_dir):
+        urls = _mixed_scheme_urls(_t(spark, sf_dir, "events"))
+        return urlops.filter_scheme(urls, "url").select("event_id", "url")
+    q["f_filter_scheme"] = f_filter_scheme
+
+    def f_dedup_batch(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select("lang", "source").dropDuplicates(["lang", "source"])
+    q["f_dedup_batch"] = f_dedup_batch
+
+    def f_json_props(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        k = F.get_json_object(F.col("props"), "$.k").cast("long")
+        return e.groupBy("event_type").agg(
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_k"),
+        )
+    q["f_json_props"] = f_json_props
+
+    def u_priority(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        pri = F.greatest(
+            F.lit(1000) - F.floor(F.col("o_totalprice") / 1000).cast("long") * 10,
+            F.lit(0),
+        )
+        return o.select("o_orderkey", pri.alias("priority"))
+    q["u_priority"] = u_priority
+
+    # ---------------- windows / sorts / limits (§2.5)
+    def w_generate_topk(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", F.col("rank").cast("int").alias("rank"))
+        )
+    q["w_generate_topk"] = w_generate_topk
+
+    def w_schedule(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        # ts is TIMESTAMP_NTZ; timestampdiff is pure wall-clock (no
+        # session-timezone dependence — matches DuckDB date_diff)
+        return (
+            e.select(
+                "user_id",
+                "event_id",
+                "ts",
+                (F.row_number().over(w) - 1).cast("int").alias("slot"),
+                F.lag("ts").over(w).alias("prev_ts"),
+            )
+            .select(
+                "user_id",
+                "event_id",
+                "slot",
+                F.coalesce(
+                    F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"), F.lit(-1)
+                ).alias("gap_us"),
+            )
+        )
+    q["w_schedule"] = w_schedule
+
+    def w_global_order(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        return o.select(
+            "o_orderkey",
+            (F.row_number().over(w) - 1).cast("long").alias("seq"),
+        )
+    q["w_global_order"] = w_global_order
+
+    def s_limit(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        return (
+            o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(50)
+            .select("o_orderkey", "o_custkey")
+        )
+    q["s_limit"] = s_limit
+
+    # ---------------- set ops (§2.6)
+    def set_union_links(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        return (
+            c.select(F.col("c_nationkey").alias("nationkey"))
+            .unionByName(s.select(F.col("s_nationkey").alias("nationkey")))
+            .groupBy("nationkey")
+            .agg(F.count("*").alias("n_parties"))
+        )
+    q["set_union_links"] = set_union_links
+
+    def set_except_seen(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        return c.select(F.col("c_nationkey").alias("nationkey")).distinct().subtract(
+            s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+        )
+    q["set_except_seen"] = set_except_seen
+
+    def set_intersect(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+            s.select(F.col("s_nationkey").alias("nationkey"))
+        )
+    q["set_intersect"] = set_intersect
+
+    # ---------------- training-data pipeline: dedup
+    def dedup_exact(spark, sf_dir):
+        return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=3, t10=1
+        )
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_embedding(spark, sf_dir):
+        return dedup.embedding_near_pairs(_t(spark, sf_dir, "embeddings"), t4=3500)
+    q["dedup_embedding"] = dedup_embedding
+
+    # ---------------- similarity search
+    def ann_topk(spark, sf_dir):
+        return similarity.ann_bruteforce_topk(
+            _t(spark, sf_dir, "embeddings"), n_queries=10, k=5
+        )
+    q["ann_topk"] = ann_topk
+
+    # ---------------- text analysis
+    def text_quality(spark, sf_dir):
+        return textkit.quality_columns(_t(spark, sf_dir, "documents"))
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf_dir):
+        return textkit.langid(_t(spark, sf_dir, "documents"))
+    q["text_langid"] = text_langid
+
+    # ---------------- rows-only entries (no SQL equivalent; each has a
+    # stronger dedicated pytest check — see module docstring)
+    def f_url_hash(spark, sf_dir):
+        urls = _doc_urls(_t(spark, sf_dir, "documents"))
+        return urls.select(
+            "doc_id", urlops.url_hash(F.col("url")).alias("url_hash")
+        )
+    q["f_url_hash"] = f_url_hash
+
+    def f_url_normalize(spark, sf_dir):
+        urls = _doc_urls(_t(spark, sf_dir, "documents")).select(
+            "doc_id",
+            F.concat(
+                F.col("url"), F.lit("?utm_source=x&b=2&a=1#frag")
+            ).alias("url"),
+        )
+        return urls.select(
+            "doc_id", urlops.normalize_udf(F.col("url")).alias("url_norm")
+        )
+    q["f_url_normalize"] = f_url_normalize
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf_dir):
+        return dedup.simhash_near_pairs(
+            _t(spark, sf_dir, "documents"), max_ham=16
+        )
+    q["dedup_simhash"] = dedup_simhash
+
+    def ann_lsh(spark, sf_dir):
+        return similarity.ann_lsh_topk(
+            _t(spark, sf_dir, "embeddings"), n_queries=10, k=5
+        )
+    q["ann_lsh"] = ann_lsh
+
+    def text_fingerprint(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id", textkit.fingerprint_udf(F.col("text")).alias("fp")
+        )
+    q["text_fingerprint"] = text_fingerprint
+
+    def img_pipeline(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        return multimodal.decode_features(multimodal.synth_images_from_docs(docs))
+    q["img_pipeline"] = img_pipeline
+
+    def img_phash_near(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        decoded = multimodal.decode_features(
+            multimodal.synth_images_from_docs(docs)
+        )
+        return multimodal.phash_near_pairs(decoded, max_ham=16)
+    q["img_phash_near"] = img_phash_near
+
+    return q
+
+
+# --------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; same tables pre-registered as views)
+# --------------------------------------------------------------------
+
+_STOP_SQL = "('" + "','".join(textkit.STOPWORDS) + "')"
+
+# shared SQL fragments -------------------------------------------------
+_DOC_URLS = (
+    "SELECT doc_id, 'https://' || source || '.example.com/d/' || "
+    "CAST(doc_id AS VARCHAR) AS url FROM documents"
+)
+_MIXED_URLS = (
+    "SELECT event_id, CASE "
+    "WHEN event_id % 4 = 0 THEN 'mailto:u@example.com' "
+    "WHEN event_id % 4 = 1 THEN 'javascript:void(0)' "
+    "ELSE 'https://h' || CAST(event_id % 7 AS VARCHAR) || '.test/p/' || "
+    "CAST(event_id AS VARCHAR) END AS url FROM events"
+)
+# distinct word-3-gram shingles per doc (single-space split), matching
+# ccbot_spark.functions.dedup.shingles exactly
+_SHINGLES = (
+    "SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, len(string_split(text,' ')) - 2), "
+    "i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS shingle "
+    "FROM documents WHERE len(string_split(text,' ')) >= 3"
+)
+# exact double cosine, same fold order as the Spark side
+_COS = (
+    "list_sum(list_transform(generate_series(1, len(a.emb)), "
+    "i -> a.emb[i] * b.emb[i])) / "
+    "(sqrt(list_sum(list_transform(a.emb, x -> x*x))) * "
+    "sqrt(list_sum(list_transform(b.emb, x -> x*x))))"
+)
+_EMB_D = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["a_metrics"] = """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   - CAST(ROUND(l_discount * 100 * 100, 0) AS BIGINT)) AS sum_disc_expr_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["a_distinct_urls"] = """
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """
+
+    o["a_host_budget"] = """
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+    """
+
+    o["a_rollup_metrics"] = """
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        FROM documents GROUP BY ROLLUP (lang, source)
+    """
+
+    o["a_topk_hosts"] = """
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+        ORDER BY n_orders DESC, o_custkey ASC LIMIT 10
+    """
+
+    o["j_robots_bcast"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_total_cents
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+
+    o["j_seen_anti"] = """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+    o["j_seen_semi"] = """
+        SELECT c_custkey, c_nationkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+    o["j_phash_dedup"] = """
+        SELECT p_partkey, p_brand FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """
+
+    o["j_phash_near"] = """
+        WITH h AS (
+          SELECT doc_id, n_chars * 1103515245 + 12345 AS h FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.h, b.h)) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+          AND (
+            (a.h & 65535) = (b.h & 65535)
+            OR ((a.h // 65536) & 65535) = ((b.h // 65536) & 65535)
+            OR ((a.h // 4294967296) & 65535) = ((b.h // 4294967296) & 65535)
+            OR ((a.h // 281474976710656) & 65535) = ((b.h // 281474976710656) & 65535)
+          )
+        WHERE bit_count(xor(a.h, b.h)) <= 4
+    """
+
+    o["j_host_skew"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """
+
+    o["j_edges_pages"] = """
+        SELECT p_brand, COUNT(*) AS n_items,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """
+
+    o["f_host"] = f"""
+        SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+               COUNT(*) AS n_urls
+        FROM ({_DOC_URLS}) GROUP BY 1
+    """
+
+    o["f_filter_scheme"] = f"""
+        SELECT event_id, url FROM ({_MIXED_URLS})
+        WHERE regexp_matches(url, '^https?://')
+    """
+
+    o["f_dedup_batch"] = "SELECT DISTINCT lang, source FROM documents"
+
+    o["f_json_props"] = """
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(json_extract_string(props, '$.k')) AS n_k
+        FROM events GROUP BY event_type
+    """
+
+    o["u_priority"] = """
+        SELECT o_orderkey,
+               GREATEST(1000 - CAST(FLOOR(o_totalprice / 1000) AS BIGINT) * 10,
+                        0) AS priority
+        FROM orders
+    """
+
+    o["w_generate_topk"] = """
+        SELECT o_custkey, o_orderkey, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          FROM orders
+        ) WHERE rank <= 3
+    """
+
+    o["w_schedule"] = """
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w - 1 AS INTEGER) AS slot,
+               COALESCE(date_diff('microsecond', LAG(ts) OVER w, ts), -1) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """
+
+    o["w_global_order"] = """
+        SELECT o_orderkey,
+               CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+                    - 1 AS BIGINT) AS seq
+        FROM orders WHERE o_totalprice > 400000
+    """
+
+    o["s_limit"] = """
+        SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+    """
+
+    o["set_union_links"] = """
+        SELECT nationkey, COUNT(*) AS n_parties FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nationkey FROM supplier
+        ) GROUP BY nationkey
+    """
+
+    o["set_except_seen"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """
+
+    o["set_intersect"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """
+
+    o["dedup_exact"] = """
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS copies
+        FROM documents GROUP BY md5(text)
+    """
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH sh AS ({_SHINGLES}),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+    """
+
+    o["dedup_embedding"] = f"""
+        WITH e AS ({_EMB_D})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 3500 / 10000.0
+    """
+
+    o["ann_topk"] = f"""
+        WITH e AS ({_EMB_D}),
+        q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(q.emb)),
+                   i -> q.emb[i] * e.emb[i])) /
+                 (sqrt(list_sum(list_transform(q.emb, x -> x*x))) *
+                  sqrt(list_sum(list_transform(e.emb, x -> x*x)))) AS cos
+          FROM q JOIN e ON e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+    o["text_quality"] = f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN {_STOP_SQL})) AS BIGINT) AS n_stopwords,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(list_distinct(string_split(lower(text), ' ')))
+                    AS BIGINT) AS n_distinct_tokens
+        FROM documents
+    """
+
+    o["text_langid"] = f"""
+        SELECT doc_id, lang AS lang_tagged,
+               CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN {_STOP_SQL})) * 20
+                         >= len(string_split(text, ' '))
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM documents
+    """
+
+    return o

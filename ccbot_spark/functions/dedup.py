@@ -1,0 +1,291 @@
+"""Deduplication operators for a training-data pipeline over the
+`documents` table (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup).
+
+Scale design (100 TB of documents):
+  * exact dedup is one hash-aggregate on md5(text) — a single shuffle
+    keyed by digest, never by the raw text (bytes shuffled = 16/doc).
+  * n-gram Jaccard / MinHash avoid the quadratic all-pairs join: pairs
+    are generated ONLY via equi-joins on shingles / LSH band hashes
+    (candidates ∝ true-duplicate density, not n²).
+  * all thresholds are integer cross-multiplications (10*inter >=
+    t10*union) — exact arithmetic, no float-epsilon drift between
+    engines, and the DuckDB oracle can reproduce them verbatim.
+  * per-doc shingle sets are bounded (cap via slice) so one pathological
+    document can't blow up a join partition; LSH band tables are the
+    skew-safe path for the heavy hitters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# MinHash parameters (mirrored by tests/test_dedup.py's reference impl)
+MH_K = 64  # signature length
+MH_BANDS = 8  # LSH bands
+MH_ROWS = MH_K // MH_BANDS
+_MH_P = 2147483647  # 2^31-1; products fit uint64
+_rng = np.random.RandomState(42)
+MH_A = _rng.randint(1, _MH_P, size=MH_K).astype(np.uint64)
+MH_B = _rng.randint(0, _MH_P, size=MH_K).astype(np.uint64)
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text: str = "text") -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id.
+    Returns one row per distinct text: (text_md5, keeper_id, copies)."""
+    return (
+        df.groupBy(F.md5(F.col(text)).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("copies"),
+        )
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles, distinct, single-space tokenization —
+    byte-identical to the oracle SQL's list_transform/generate_series
+    construction (guard: <n tokens → empty array, since Spark's
+    sequence(1, k) DESCENDS when k < 1)."""
+    toks = F.split(text_col, " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def doc_shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded pairs, distinct per doc."""
+    return df.select(
+        "doc_id", F.explode(shingles(F.col(text), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text: str = "text", n: int = 3, t10: int = 5
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ t10/10, via shingle equi-join
+    (never a cross join): explode → self-join on shingle → count the
+    intersection → |A∪B| = |A|+|B|−inter → integer threshold test.
+
+    Returns (doc_a, doc_b, inter, union_sz) with doc_a < doc_b.
+    """
+    sh = doc_shingles(df, text, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 10 >= F.lit(t10) * F.col("union_sz"))
+        .select("doc_a", "doc_b", "inter", "union_sz")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+def _shingle_hash_np(shingle_list: list[str]) -> np.ndarray:
+    """Stable 32-bit-ish shingle hashes (md5 first 8 bytes mod p)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+            % _MH_P
+            for s in shingle_list
+        ),
+        dtype=np.uint64,
+        count=len(shingle_list),
+    )
+
+
+def minhash_signature_py(shingle_list: list[str]) -> list[int]:
+    """Reference MinHash signature (also used by the pandas UDF):
+    sig[i] = min over shingles of (a_i*x + b_i) mod p. Empty set → p."""
+    if not shingle_list:
+        return [int(_MH_P)] * MH_K
+    x = _shingle_hash_np(shingle_list)
+    hs = (MH_A[:, None] * x[None, :] + MH_B[:, None]) % np.uint64(_MH_P)
+    return hs.min(axis=1).astype(np.int64).tolist()
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(shingle_lists: pd.Series) -> pd.Series:
+    return shingle_lists.map(
+        lambda ls: minhash_signature_py(list(ls) if ls is not None else [])
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text: str = "text", n: int = 3
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 64-hash signature →
+    8 bands of 8 → equi-join docs sharing any band (banding makes the
+    join linear in true-pair density — the 100 TB path). Returns
+    (doc_a, doc_b, est10) where est10 = 10*estimated-Jaccard rounded
+    down (matching signature positions / K)."""
+    sig = df.select(
+        "doc_id", minhash_udf(shingles(F.col(text), n)).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice("sig", b * MH_ROWS + 1, MH_ROWS), ",")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "doc_a", "doc_b", (matches * 10 / F.lit(MH_K)).cast("long").alias("est10")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash64_py(token_list: list[str]) -> int:
+    """Reference SimHash: per-token 64-bit md5 hash; bit votes ±1;
+    sign → bit. Returns signed int64 (two's complement)."""
+    votes = np.zeros(64, dtype=np.int64)
+    for t in token_list:
+        h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    bits = 0
+    for j in range(64):
+        if votes[j] > 0:
+            bits |= 1 << j
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(token_lists: pd.Series) -> pd.Series:
+    return token_lists.map(
+        lambda ls: simhash64_py(list(ls) if ls is not None else [])
+    ).astype("int64")
+
+
+def simhash_near_pairs(df: DataFrame, text: str = "text", max_ham: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(simhash_a, simhash_b) ≤ max_ham,
+    found by the 4×16-bit band trick (a pair within Hamming ≤ 3 shares
+    ≥1 exact band by pigeonhole; with max_ham > 3 the bands are a recall
+    heuristic, as in production SimHash dedup). Join is equi on
+    (band_id, band_val) — no cross join at any scale."""
+    sh = df.select(
+        "doc_id", simhash_udf(F.split(F.lower(F.col(text)), " ")).alias("sh")
+    )
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_ham)
+    )
+
+
+# ------------------------------------------------------------- embeddings
+
+def embedding_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
+    """Embedding-cosine near-dup pairs: cosine(a, b) ≥ t4/10000 over the
+    `embeddings` table, exact double arithmetic (cast float→double, then
+    left-fold sums — mirrors the oracle's list_sum formula bit-for-bit).
+
+    This is the exact/baseline form (all-pairs join, fine to ~10^5
+    vectors); similarity.ann_lsh_topk is the sub-quadratic scale path.
+    Returns (vec_a, vec_b) id pairs only — no float output columns.
+    """
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    # norms precomputed per vector (linear work) so the quadratic join
+    # evaluates only the dot product per pair
+    e = df.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("nrm", F.sqrt(sq(F.col("emb"))))
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= F.lit(t4) / F.lit(10000.0))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+    )

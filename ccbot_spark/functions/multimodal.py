@@ -1,0 +1,214 @@
+"""Multimodal (image/audio/video-as-binary) column plumbing.
+
+Pattern: media is an opaque `binary` column + typed metadata columns;
+every transform is an Arrow-batched `mapInPandas` so bytes stream
+through Python in bounded batches (set
+spark.sql.execution.arrow.maxRecordsPerBatch small on wide-blob
+tables; never collect() a binary column to the driver).
+
+Real codecs exist for the closed world of formats this repo ships
+(ppm / png / qpng via ccbot_spark.codecs — numpy + stdlib zlib, no
+Pillow in the sandbox). Formats outside that world (jpeg, mp3, mp4)
+raise NotImplementedError at the decode boundary by design: the
+Spark-side plumbing (schema, batch shape, partitioning) is identical,
+only the codec call changes when the real library is present.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import codecs, phash as phash_mod
+
+REAL_FMTS = ("ppm", "png", "qpng")
+
+DECODED_META = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("mean_r", T.IntegerType(), False),
+        T.StructField("mean_g", T.IntegerType(), False),
+        T.StructField("mean_b", T.IntegerType(), False),
+    ]
+)
+
+RESIZED = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def decode_bytes(data: bytes, fmt: str) -> np.ndarray:
+    """Decode one blob → (h, w, 3) uint8. Closed-world formats decode
+    for real; anything else is explicitly unimplemented (no silent
+    fake pixels on the decode path)."""
+    if fmt in REAL_FMTS:
+        return codecs.decode(data, fmt)
+    raise NotImplementedError(
+        f"codec {fmt!r}: not available in this sandbox (needs Pillow/ffmpeg); "
+        "plumbing is format-agnostic — plug the real decoder here"
+    )
+
+
+def synth_images_from_docs(docs: DataFrame, fmt_cycle: bool = True) -> DataFrame:
+    """Deterministic image table derived from `documents` (for tests and
+    benchmarks — the driver testdata ships no binary media). One image
+    per doc: procedural pixels seeded by doc_id, encoded ppm/png/qpng
+    round-robin. Pure function of doc_id ⇒ reproducible anywhere."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d % 150  # docs ≥150 repeat earlier pixel content →
+                # real near-duplicates (fmt still varies, so qpng
+                # re-encodes make them NEAR-dups, not byte-dups)
+                rs = np.random.RandomState(base)
+                w = 16 + base * 7 % 97
+                h = 16 + base * 11 % 97
+                px = rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                fmt = REAL_FMTS[d % 3] if fmt_cycle else "ppm"
+                rows.append(
+                    (f"doc-{d}", codecs.encode(px, fmt), w, h, fmt)
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def decode_features(images: DataFrame) -> DataFrame:
+    """Decode + feature-extract: (image_id, w, h, fmt, phash, mean RGB).
+    Drops the blob on output — downstream analytics never re-reads
+    bytes (column pruning keeps the blob out of later scans)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_bytes(bytes(r.bytes), r.fmt)
+                means = px.reshape(-1, 3).mean(axis=0).astype(int)
+                rows.append(
+                    (
+                        r.image_id,
+                        px.shape[1],
+                        px.shape[0],
+                        r.fmt,
+                        phash_mod.phash64(px),
+                        int(means[0]),
+                        int(means[1]),
+                        int(means[2]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_META.fields])
+
+    return images.mapInPandas(gen, schema=DECODED_META)
+
+
+def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Batch resize (nearest-neighbor, pure numpy indexing) → re-encode
+    as ppm. The standard pre-training normalization step shape."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_bytes(bytes(r.bytes), r.fmt)
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                out = px[yi][:, xi]
+                rows.append(
+                    (r.image_id, codecs.encode(out, "ppm"), out_w, out_h, "ppm")
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return images.mapInPandas(gen, schema=RESIZED)
+
+
+def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing. No video codec exists in this
+    sandbox, so the decode call is the NotImplementedError boundary;
+    the operator shape (binary in → exploded frame rows out via
+    mapInPandas) is the real, tested part."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                decode_bytes(bytes(r.bytes), r.fmt)  # raises for video fmts
+            yield pd.DataFrame(
+                columns=["image_id", "frame_no", "bytes"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+    return videos.mapInPandas(gen, schema=schema)
+
+
+def phash_near_pairs(decoded: DataFrame, max_ham: int = 6) -> DataFrame:
+    """Perceptual near-dup pairs over decoded phashes — the banded
+    Hamming join (SURVEY.md §2.3 j_phash_near): split 64 bits into 4
+    16-bit bands, equi-join any band, verify bit_count(xor) ≤ t."""
+    bands = decoded.select(
+        "image_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), b * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["img_a", "img_b"])
+        .filter(F.col("hamming") <= max_ham)
+    )

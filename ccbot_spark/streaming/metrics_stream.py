@@ -1,0 +1,116 @@
+"""Structured Streaming metrics/lineage path (SURVEY.md §2.8).
+
+The crawl loop itself is iterative micro-batch (cycle loop — that is
+what makes crawl order exactly reproducible); Structured Streaming
+carries the OBSERVABILITY path: fetch/parse events land in a directory
+as parquet, and these jobs aggregate them continuously.
+
+All jobs read a file-source stream (exactly-once via checkpointed file
+tracking), apply an event-time watermark for late fetch results, and
+write append-mode parquet. Tests drive them with trigger(availableNow)
+so they are deterministic batch-equivalent runs; on a live cluster the
+same code tails the directory forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Fetch-event stream schema: one row per fetched URL, event-time ts.
+FETCH_EVENTS = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def read_fetch_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(FETCH_EVENTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+
+
+def st_metrics_stream(events: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-minute per-host throughput/error aggregation with a
+    late-data watermark (st_metrics_stream + st_watermark)."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", "1 minute").alias("win"), "host")
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum("bytes").alias("bytes"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("errors"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "host",
+            "fetched",
+            "bytes",
+            "errors",
+        )
+    )
+
+
+def st_sessions(events: DataFrame, gap: str = "5 minutes",
+                late: str = "10 minutes") -> DataFrame:
+    """Per-host fetch sessions (st_session): session window closes after
+    `gap` of inactivity."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "host")
+        .agg(F.count("*").alias("fetched"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "host",
+            "fetched",
+        )
+    )
+
+
+def st_dedup_urls(events: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Streaming URL dedup within the watermark (st_dedup): state is
+    bounded by the watermark horizon, so it runs forever at 10^10-URL
+    scale (the EXACT seen-set stays the batch anti-join's job)."""
+    return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(
+        ["url_norm"]
+    )
+
+
+def run_complete_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain the source into an in-memory table in `complete` mode —
+    the deterministic way to observe a windowed aggregation's final
+    state in tests (append mode only emits a window once the watermark
+    passes it, which a drained availableNow run never does for the
+    last windows)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None:
+    """Drain everything currently in the source, exactly-once, then
+    stop — the deterministic test/benchmark driver. Live deployments
+    use .trigger(processingTime='30 seconds') with the same code."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
