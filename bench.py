@@ -1,0 +1,138 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": N, ...extras}.
+
+The headline set covers each engine pillar: columnar agg, shuffled
+join-agg, per-key window top-k (the crawl generate step), MinHash-LSH
+and SimHash dedup, ANN top-k, text quality scoring, the binary image
+decode+phash pipeline, and a real crawl-engine run (urls/sec is the
+north-star throughput form; scaling evidence lives in
+tools/bench_scaling.py → BENCH/SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _mk_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ccbot-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from ccbot_spark import synthweb
+    from ccbot_spark.engine import CrawlEngine
+    from ccbot_spark.functions import multimodal
+
+    spark = _mk_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    def run(df) -> int:
+        """Execute fully; count() forces every partition."""
+        return df.count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # ---- warm the JVM/Python workers once (excluded from timings)
+    run(qs["a_metrics"](spark, SF_DIR))
+
+    bench("q_pricing_agg", lambda: run(qs["a_metrics"](spark, SF_DIR)))
+    bench("q_join_agg", lambda: run(qs["j_host_skew"](spark, SF_DIR)))
+    bench("q_window_topk", lambda: run(qs["w_generate_topk"](spark, SF_DIR)))
+    bench("q_minhash_lsh", lambda: run(qs["dedup_minhash_lsh"](spark, SF_DIR)))
+    bench("q_simhash", lambda: run(qs["dedup_simhash"](spark, SF_DIR)))
+    bench("q_ngram_jaccard", lambda: run(qs["dedup_ngram_jaccard"](spark, SF_DIR)))
+    bench("q_ann_topk", lambda: run(qs["ann_topk"](spark, SF_DIR)))
+    bench("q_text_quality", lambda: run(qs["text_quality"](spark, SF_DIR)))
+
+    def img_pipeline():
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        run(multimodal.decode_features(multimodal.synth_images_from_docs(docs)))
+
+    bench("q_img_pipeline", img_pipeline)
+
+    # ---- crawl-engine throughput (urls fetched+stored / sec).
+    # A small warmup crawl first: the one-time Python-UDF-worker spin-up
+    # (~tens of seconds on 32 cores) is a per-executor-lifetime cost, not
+    # a per-URL cost — steady-state throughput is the honest number.
+    warm_cfg = synthweb.WebConfig(n_hosts=8, pages_per_host=40, hot_frac_pct=0)
+    with tempfile.TemporaryDirectory() as wd:
+        CrawlEngine(spark, warm_cfg, wd, n_buckets=8, hot_host_min=500).crawl(
+            synthweb.seed_urls(warm_cfg, 16), cycles=1
+        )
+
+    cfg = synthweb.WebConfig(n_hosts=200, pages_per_host=300, hot_frac_pct=15)
+    crawl_counts = {}
+
+    def crawl():
+        with tempfile.TemporaryDirectory() as wd:
+            eng = CrawlEngine(
+                spark, cfg, wd, n_buckets=int(CPUS), record_trace=True,
+                hot_host_min=500,
+            )
+            out = eng.crawl(synthweb.seed_urls(cfg, 400), cycles=3)
+            crawl_counts["fetched"] = sum(c["fetched"] for c in out)
+            crawl_counts["stored"] = sum(c["stored_images"] for c in out)
+
+    bench("q_crawl_3cycles", crawl)
+    crawl_urls_per_sec = round(
+        (crawl_counts["fetched"] + crawl_counts["stored"])
+        / timings["q_crawl_3cycles"],
+        2,
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(CPUS),
+                "crawl_urls_per_sec": crawl_urls_per_sec,
+                "crawl_fetched": crawl_counts["fetched"],
+                "crawl_stored_images": crawl_counts["stored"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

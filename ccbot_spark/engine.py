@@ -59,6 +59,9 @@ class CrawlEngine:
         salt_fanout: int = 8,
         hot_host_min: int = 2000,
         bloom_bits: int = 1 << 22,
+        bloom_min_seen: int = 50_000,
+        enforce_delay_wallclock: bool = False,
+        delay_scale: float = 1.0,
     ):
         from .shipping import ensure_shipped
 
@@ -72,6 +75,9 @@ class CrawlEngine:
         self.salt_fanout = salt_fanout
         self.hot_host_min = hot_host_min
         self.bloom_bits = bloom_bits
+        self.bloom_min_seen = bloom_min_seen
+        self.enforce_delay_wallclock = enforce_delay_wallclock
+        self.delay_scale = delay_scale
         os.makedirs(workdir, exist_ok=True)
         self.frontier = TableStore(
             spark, workdir, "frontier", _with_bucket(schemas.FRONTIER), ("bucket",)
@@ -148,10 +154,15 @@ class CrawlEngine:
             pending.select("host").distinct(), cfg
         )
         parts = politeness.generate(pending, robots_df)
+        # denied feeds both the trace and the frontier merge; persist so
+        # the robots-UDF + window stage runs once
+        parts["denied"] = parts["denied"].persist(StorageLevel.MEMORY_AND_DISK)
 
         hot = politeness.topk_hosts(pending, min_count=self.hot_host_min)
         fetched = fetchparse.fetch(
-            parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout
+            parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout,
+            enforce_delay_wallclock=self.enforce_delay_wallclock,
+            delay_scale=self.delay_scale,
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
         # ---- links path (§3.1 step 6)
@@ -162,7 +173,12 @@ class CrawlEngine:
             .withColumn("url_hash", urlops.url_hash(F.col("url_norm")))
         )
         seen_df = self.seen.read()
-        if self.use_bloom:
+        # The Bloom prefilter pays off when seen ≫ per-cycle candidates
+        # (its job is shrinking the anti-join's left side); below the
+        # threshold the build costs more than the join it saves. The
+        # result is identical either way (§7.4 item 2: the filter is a
+        # prefilter, never the decider).
+        if self.use_bloom and seen_df.count() >= self.bloom_min_seen:
             bloom = seenops.build_bloom(seen_df, self.bloom_bits)
             sure_new, maybe = seenops.split_by_bloom(
                 cand, bloom, self.bloom_bits, self.spark
@@ -191,7 +207,6 @@ class CrawlEngine:
         dd = imageops.dedup_by_phash(decoded, self.images.read().select("phash"))
         store = dd["store"].persist(StorageLevel.MEMORY_AND_DISK)
         dups = dd["dups"]
-        self.images.append(store.select(*[f.name for f in schemas.IMAGES.fields]))
 
         # ---- metrics (§3.1 step 7)
         m_fetch = fetched.groupBy("host").agg(
@@ -227,10 +242,10 @@ class CrawlEngine:
                 ).cast("long").alias("bytes"),
             )
         )
-        self.metrics.append(metrics_df)
 
         # ---- trace (§3.1 step 7; phases: denied=0 skipped=1 fetched=2 dup=3)
         n_trace = 0
+        trace_df = None
         if self.record_trace:
             ev_cols = ["url_norm", "host", "sched_slot", "sched_time", "phase", "action"]
 
@@ -269,8 +284,8 @@ class CrawlEngine:
                 "sched_slot",
                 "action",
             )
-            self.trace.append(trace_df)
-            n_trace = self.trace.read().filter(F.col("cycle") == cycle).count()
+            trace_df = trace_df.persist(StorageLevel.MEMORY_AND_DISK)
+            n_trace = trace_df.count()
             self.trace_seq += n_trace
 
         # ---- frontier MERGE INTO: status updates + new-link inserts
@@ -290,15 +305,17 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("cycle_added"),
         ).withColumn("bucket", bucket)
         merge_src = upd_fetched.unionByName(upd_denied).unionByName(new_rows)
-        self.frontier.merge_into(merge_src, on=["url_norm"], update_cols=["status"])
 
         new_seen = new_rows.select(
             "url_norm",
             urlops.url_hash(F.col("url_norm")).alias("url_hash"),
             F.lit(cycle).cast("int").alias("cycle_added"),
         ).withColumn("bucket", urlops.url_bucket(F.col("url_hash"), self.n_buckets))
-        self.seen.append(new_seen)
 
+        # Materialize every persisted intermediate first (single-threaded
+        # actions over cached lineage), then run the five independent
+        # sink jobs CONCURRENTLY — Spark's scheduler overlaps them, so
+        # the cycle pays one job-scheduling latency instead of five.
         counts = {
             "cycle": cycle,
             "fetched": fetched.count(),
@@ -306,8 +323,29 @@ class CrawlEngine:
             "stored_images": store.count(),
             "trace_events": n_trace,
         }
-        for df in (fetched, links, decoded, store, new_rows):
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        sinks = [
+            lambda: self.images.append(
+                store.select(*[f.name for f in schemas.IMAGES.fields])
+            ),
+            lambda: self.metrics.append(metrics_df),
+            lambda: self.frontier.merge_into(
+                merge_src, on=["url_norm"], update_cols=["status"]
+            ),
+            lambda: self.seen.append(new_seen),
+        ]
+        if trace_df is not None:
+            sinks.append(lambda: self.trace.append(trace_df))
+        with ThreadPoolExecutor(max_workers=len(sinks)) as ex:
+            for fut in [ex.submit(s) for s in sinks]:
+                fut.result()  # surface the first failure
+
+        for df in (fetched, links, decoded, store, new_rows, parts["denied"]):
             df.unpersist()
+        if trace_df is not None:
+            trace_df.unpersist()
         self.last_cycle = cycle
         self._save_state(cycle)
         return counts

@@ -54,6 +54,7 @@ def fetch(
     hot_hosts: list[str] | None = None,
     salt_fanout: int = 8,
     enforce_delay_wallclock: bool = False,
+    delay_scale: float = 1.0,
 ) -> DataFrame:
     """batch: generate()['fetch'] → FETCHED DF (html attached).
 
@@ -71,7 +72,11 @@ def fetch(
         last = None
         for url, st in zip(pdf["url_norm"], pdf["sched_time"]):
             if enforce_delay_wallclock and last is not None:
-                delta_ms = st - last
+                # delay_scale compresses the politeness clock for
+                # benchmarks (the real crawl is delay/IO-bound; this
+                # models it at a tunable time scale without changing
+                # the logical schedule or the trace)
+                delta_ms = (st - last) * delay_scale
                 if delta_ms > 0:
                     time.sleep(delta_ms / 1000.0)
             htmls.append(synthweb.fetch(cfg, url))

@@ -66,16 +66,30 @@ def build_bloom(seen: DataFrame, n_bits: int = 1 << 22, depth: int = 2) -> np.nd
     """
     n_words = n_bits // 64
 
-    def part_to_shard(it):
-        hashes = np.fromiter((r[0] for r in it), dtype=np.int64)
+    def part_to_shard(batches):
+        """mapInPandas shard builder: Arrow-batched (no per-row pickling
+        on the JVM→Python hop), one packed shard row per partition."""
         bits = np.zeros(n_words, dtype=np.uint64)
-        if len(hashes):
-            _set_bits(bits, hashes, n_bits)
-        yield bits
+        nonempty = False
+        for pdf in batches:
+            if len(pdf):
+                nonempty = True
+                _set_bits(bits, pdf["url_hash"].to_numpy(dtype=np.int64), n_bits)
+        if nonempty:
+            yield pd.DataFrame({"shard": [bits.tobytes()]})
 
-    rdd = seen.select("url_hash").rdd.mapPartitions(part_to_shard)
+    shards = seen.select("url_hash").mapInPandas(
+        part_to_shard, schema="shard binary"
+    )
     zero = np.zeros(n_words, dtype=np.uint64)
-    return rdd.treeAggregate(zero, np.bitwise_or, np.bitwise_or, depth=depth)
+    return shards.rdd.treeAggregate(
+        zero,
+        lambda acc, row: np.bitwise_or(
+            acc, np.frombuffer(row[0], dtype=np.uint64)
+        ),
+        np.bitwise_or,
+        depth=depth,
+    )
 
 
 def split_by_bloom(

@@ -26,9 +26,10 @@ def simple_plan(df: DataFrame) -> str:
 
 
 def n_exchanges(df: DataFrame) -> int:
-    """Number of shuffle boundaries in the final plan (AQE-resolved
-    plans show 'Exchange'/'AQEShuffleRead'; count origin Exchanges)."""
-    return len(re.findall(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)", formatted_plan(df)))
+    """Number of shuffle boundaries in the plan (formatted mode prints
+    each shuffle as '(n) Exchange'; BroadcastExchange is NOT counted —
+    broadcasts are the point, shuffles are the cost)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -92,9 +92,13 @@ class TableStore:
         writer = df.write.mode("overwrite")
         if self.partition_cols:
             # duplicate partition cols into `_p_*` dirs so the data files
-            # keep the original columns (Iceberg keeps them too)
+            # keep the original columns (Iceberg keeps them too); cluster
+            # rows by partition key first so each task writes whole
+            # buckets (one file per bucket per commit, not tasks×buckets
+            # small files — the standard partitioned-write discipline)
             for c in self.partition_cols:
                 df = df.withColumn(f"_p_{c}", F.col(c))
+            df = df.repartition(*[F.col(f"_p_{c}") for c in self.partition_cols])
             writer = df.write.mode("overwrite").partitionBy(
                 *[f"_p_{c}" for c in self.partition_cols]
             )

@@ -1,0 +1,120 @@
+"""spark-submit entry point (BASELINE.json north_rule: "run via
+spark-submit --py-files").
+
+Cluster usage:
+    python -c "from ccbot_spark.shipping import package_zip; print(package_zip())"
+    spark-submit --py-files /tmp/ccbot_spark_pyfiles.zip main.py \
+        --hosts 200 --pages 300 --seeds 400 --cycles 3 --workdir /data/crawl
+
+Local usage (this sandbox): python main.py --master 'local[32]' ...
+
+Prints one JSON line with per-cycle counts and urls/sec throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--master", default=None, help="override master (else spark-submit's)")
+    p.add_argument("--hosts", type=int, default=200)
+    p.add_argument("--pages", type=int, default=300)
+    p.add_argument("--hot-pct", type=int, default=15)
+    p.add_argument("--seeds", type=int, default=400)
+    p.add_argument("--cycles", type=int, default=3)
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument("--no-coalesce", action="store_true",
+                   help="disable AQE partition coalescing (keep many small "
+                        "fetch tasks balanced across cores — AQE only sees "
+                        "bytes, not the politeness sleep a task carries)")
+    p.add_argument("--no-trace", action="store_true")
+    p.add_argument("--enforce-delay", action="store_true",
+                   help="sleep out per-host crawl-delay in the fetch stage "
+                        "(the delay/IO-bound workload shape of a real crawl)")
+    p.add_argument("--delay-scale", type=float, default=1.0,
+                   help="compress the politeness clock by this factor")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--warmup", action="store_true",
+                   help="run a tiny crawl first to spin up UDF workers")
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("ccbot-spark-crawl")
+    if args.master:
+        b = b.master(args.master)
+    spark = (
+        b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "false" if args.no_coalesce else "true",
+        )
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ccbot_spark import synthweb
+    from ccbot_spark.engine import CrawlEngine
+
+    if args.warmup:
+        import tempfile
+
+        warm = synthweb.WebConfig(n_hosts=8, pages_per_host=40)
+        with tempfile.TemporaryDirectory() as wd:
+            CrawlEngine(spark, warm, wd, n_buckets=8, hot_host_min=500).crawl(
+                synthweb.seed_urls(warm, 16), cycles=1
+            )
+
+    cfg = synthweb.WebConfig(
+        n_hosts=args.hosts, pages_per_host=args.pages, hot_frac_pct=args.hot_pct
+    )
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        args.workdir,
+        n_buckets=args.buckets,
+        record_trace=not args.no_trace,
+        hot_host_min=500,
+        enforce_delay_wallclock=args.enforce_delay,
+        delay_scale=args.delay_scale,
+    )
+    seeds = synthweb.seed_urls(cfg, args.seeds)
+
+    t0 = time.time()
+    if args.resume:
+        start = eng.resume()
+        out = eng.crawl(seeds, cycles=args.cycles, start_cycle=start)
+    else:
+        out = eng.crawl(seeds, cycles=args.cycles)
+    dt = time.time() - t0
+    fetched = sum(c["fetched"] for c in out)
+    stored = sum(c["stored_images"] for c in out)
+    print(
+        json.dumps(
+            {
+                "cycles": out,
+                "wall_sec": round(dt, 2),
+                "fetched": fetched,
+                "stored_images": stored,
+                "urls_per_sec": round((fetched + stored) / dt, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

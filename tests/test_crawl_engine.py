@@ -24,7 +24,7 @@ def oracle_res():
 def engine_res(spark, tmp_path_factory):
     eng = CrawlEngine(
         spark, CFG, str(tmp_path_factory.mktemp("engine")), n_buckets=8,
-        use_bloom=True, record_trace=True, hot_host_min=10,
+        use_bloom=True, record_trace=True, hot_host_min=10, bloom_min_seen=0,
     )
     eng.crawl(SEEDS, cycles=CYCLES)
     return eng
@@ -95,11 +95,11 @@ def test_resume_reproduces_uninterrupted(spark, tmp_path, engine_res, oracle_res
     object, run cycle 2 — final state identical to the uninterrupted
     run (BASELINE.json: 'resumable from Spark checkpoints')."""
     wd = str(tmp_path / "resumed")
-    eng1 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+    eng1 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True, bloom_min_seen=0,
                        record_trace=True, hot_host_min=10)
     eng1.crawl(SEEDS, cycles=1)  # ... then the process "dies"
 
-    eng2 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+    eng2 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True, bloom_min_seen=0,
                        record_trace=True, hot_host_min=10)
     assert eng2.resume() == 1
     eng2.run_cycle(2)
@@ -114,12 +114,12 @@ def test_resume_discards_partial_cycle(spark, tmp_path, oracle_res):
     """A crash mid-cycle leaves newer table versions; resume() rolls
     back to the last tagged cycle and the rerun still matches."""
     wd = str(tmp_path / "partial")
-    eng = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+    eng = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True, bloom_min_seen=0,
                       record_trace=True, hot_host_min=10)
     eng.crawl(SEEDS, cycles=1)
     # simulate a partial cycle-2 write that never reached _save_state
     eng.images.append(eng.images.read().limit(1))
-    eng2 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+    eng2 = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True, bloom_min_seen=0,
                        record_trace=True, hot_host_min=10)
     assert eng2.resume() == 1
     eng2.run_cycle(2)

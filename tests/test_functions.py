@@ -1,0 +1,231 @@
+"""Tests for the training-data pipeline layer (functions/): dedup,
+similarity search, text analysis, multimodal plumbing. Each distributed
+operator is checked against an independent pure-Python/numpy
+recomputation on collected (small) data — the same spec-as-code
+strategy the crawl engine uses with its oracle crawler.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ccbot_spark.functions import dedup, multimodal, similarity, textkit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------ textkit
+
+def test_quality_counts_match_python(spark, docs):
+    got = {r.doc_id: r for r in textkit.quality_columns(docs).collect()}
+    for row in docs.limit(50).collect():
+        toks = row.text.split(" ")
+        low = row.text.lower().split(" ")
+        g = got[row.doc_id]
+        assert g.n_chars_q == len(row.text)
+        assert g.n_tokens == len(toks)
+        assert g.n_stopwords == sum(t in textkit.STOPWORDS for t in low)
+        assert g.n_distinct_tokens == len(set(low))
+
+
+def test_fingerprint_matches_python(spark, docs):
+    got = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", textkit.fingerprint_udf(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for row in docs.limit(30).collect():
+        assert got[row.doc_id] == textkit.fingerprint_py(row.text)
+
+
+# ------------------------------------------------------------ dedup
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_counts(spark):
+    df = _mk_docs(spark, ["a b c", "a b c", "x y z", "a b c", "q"])
+    rows = {r.keeper_id: r.copies for r in dedup.exact_dedup(df).collect()}
+    assert rows == {0: 3, 2: 1, 4: 1}
+
+
+def _py_jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.union_sz)
+        for r in dedup.ngram_jaccard_pairs(docs, t10=1).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # independent recomputation of the full pair set at threshold 0.1
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = _py_jaccard(texts[a], texts[b])
+            if j >= 0.1 and j > 0:
+                toks_a = texts[a].split(" ")
+                toks_b = texts[b].split(" ")
+                A = {" ".join(toks_a[k : k + 3]) for k in range(len(toks_a) - 2)}
+                B = {" ".join(toks_b[k : k + 3]) for k in range(len(toks_b) - 2)}
+                if len(A & B) * 10 >= len(A | B):
+                    want[(a, b)] = (len(A & B), len(A | B))
+    assert got == want
+
+
+def test_minhash_estimates_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    dup = base  # Jaccard 1.0 → every band matches, ALWAYS caught
+    near = base + " extra"  # Jaccard ~0.92 → usually caught (8×8 bands)
+    far = "completely different words in this one with zero overlap at all"
+    df = _mk_docs(spark, [base, dup, near, far])
+    cands = {
+        (r.doc_a, r.doc_b): r.est10
+        for r in dedup.minhash_lsh_candidates(df).collect()
+    }
+    assert cands.get((0, 1)) == 10  # exact dup: estimated Jaccard = 1.0
+    assert (0, 3) not in cands  # disjoint docs share no band
+    if (0, 2) in cands:  # banding is probabilistic below J≈0.95
+        assert abs(cands[(0, 2)] / 10 - _py_jaccard(base, near)) < 0.3
+
+
+def test_minhash_signature_deterministic():
+    sig1 = dedup.minhash_signature_py(["a b c", "b c d"])
+    sig2 = dedup.minhash_signature_py(["b c d", "a b c"])  # order-free
+    assert sig1 == sig2
+    assert len(sig1) == dedup.MH_K
+
+
+def test_simhash_properties(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a.replace("kappa", "lambda")  # one token differs
+    c = "totally unrelated content about spark shuffles and joins"
+    ha, hb, hc = (dedup.simhash64_py(t.split(" ")) for t in (a, b, c))
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(ha, hb) < ham(ha, hc)
+    df = _mk_docs(spark, [a, a, c])
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             dedup.simhash_near_pairs(df, max_ham=3).collect()}
+    assert pairs.get((0, 1)) == 0  # identical docs → hamming 0
+
+
+def test_embedding_near_pairs_match_numpy(spark, embs):
+    rows = embs.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    want = set()
+    for i, a in enumerate(ids):
+        va = vecs[a]
+        for b in ids[i + 1 :]:
+            vb = vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos >= 0.35 - 1e-12:
+                want.add((a, b))
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.embedding_near_pairs(embs, t4=3500).collect()
+    }
+    # numpy pairwise ops reorder fp sums; allow epsilon disagreement
+    only_got, only_want = got - want, want - got
+    assert not only_got and not only_want, (only_got, only_want)
+
+
+# ------------------------------------------------------------ similarity
+
+def test_ann_bruteforce_matches_numpy(spark, embs):
+    rows = embs.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    got = {}
+    for r in similarity.ann_bruteforce_topk(embs, n_queries=5, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid in range(5):
+        vq = vecs[qid]
+        scored = sorted(
+            (
+                (-float(vq @ v / (np.linalg.norm(vq) * np.linalg.norm(v))), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            )
+        )[:3]
+        want = [(i + 1, nid) for i, (_, nid) in enumerate(scored)]
+        assert sorted(got[qid]) == want, qid
+
+
+def test_ann_lsh_structure(spark, embs):
+    buckets = {
+        r.vec_id: r.bucket for r in similarity.lsh_buckets(embs).collect()
+    }
+    res = similarity.ann_lsh_topk(embs, n_queries=5, k=3).collect()
+    for r in res:
+        assert buckets[r.neighbor_id] == buckets[r.query_id]
+        assert 1 <= r.rank <= 3
+    # deterministic across runs
+    res2 = similarity.ann_lsh_topk(embs, n_queries=5, k=3).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+
+
+# ------------------------------------------------------------ multimodal
+
+@pytest.fixture(scope="module")
+def images(spark, docs):
+    return multimodal.synth_images_from_docs(
+        docs.filter(F.col("doc_id") < 160)
+    ).cache()
+
+
+def test_synth_decode_roundtrip(spark, images):
+    feats = {r.image_id: r for r in multimodal.decode_features(images).collect()}
+    meta = {r.image_id: r for r in images.select("image_id", "w", "h", "fmt").collect()}
+    assert set(feats) == set(meta)
+    for k, m in meta.items():
+        assert (feats[k].w, feats[k].h, feats[k].fmt) == (m.w, m.h, m.fmt)
+
+
+def test_resize_shape(spark, images):
+    out = multimodal.resize_nearest(images.limit(8), 32, 24).collect()
+    from ccbot_spark import codecs
+
+    for r in out:
+        px = codecs.decode(bytes(r.bytes), "ppm")
+        assert px.shape == (24, 32, 3)
+
+
+def test_phash_near_finds_duplicate_content(spark, images):
+    # doc_id d and d+150 share pixel content (synth seeds by d % 150)
+    pairs = multimodal.phash_near_pairs(
+        multimodal.decode_features(images), max_ham=6
+    ).collect()
+    got = {frozenset((r.img_a, r.img_b)) for r in pairs}
+    want = {frozenset((f"doc-{d}", f"doc-{d + 150}")) for d in range(10)}
+    assert want <= got
+
+
+def test_frame_sample_raises_for_unknown_codec(spark):
+    df = spark.createDataFrame(
+        [("v1", b"\x00\x01", "mp4")], "image_id string, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.frame_sample(df).collect()

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the plans we ship are the plans we
+want (SURVEY.md §4) — filters pushed to the parquet scan, scans pruned
+to projected columns, small dimensions broadcast, no surprise shuffles.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccbot_spark.plans import explainkit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushed_to_scan(spark, li):
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    pushed = explainkit.pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_scan_prunes_columns(spark, li):
+    df = li.select("l_orderkey", "l_quantity")
+    schemas = explainkit.read_schemas(df)
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_orderkey" in s for s in schemas
+    ), schemas
+
+
+def test_small_dim_broadcasts(spark, li):
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    df = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # let AQE finalize
+    assert explainkit.has_broadcast_join(df)
+
+
+def test_agg_single_shuffle(spark, li):
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    # partial+final hash aggregate → exactly one exchange
+    assert explainkit.n_exchanges(df) == 1, explainkit.formatted_plan(df)
+
+
+def test_generate_topk_single_shuffle(spark):
+    """The crawl generate step's per-host window needs exactly one
+    hash-partitioning exchange (partitionBy host), nothing more."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    df = orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    assert explainkit.n_exchanges(df) == 1, explainkit.formatted_plan(df)

@@ -1,0 +1,92 @@
+"""Structured Streaming metrics-path tests (SURVEY.md §2.8): drive each
+stream with trigger(availableNow) over a fetch-events parquet directory
+and compare against the equivalent batch computation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccbot_spark.streaming import metrics_stream as ms
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """120 fetch events across 3 hosts, 2 files (2 source micro-batches),
+    including a late event and duplicate urls."""
+    d = tmp_path_factory.mktemp("fetch_events")
+    rows = []
+    for i in range(120):
+        host = f"h{i % 3}.test"
+        ts = T0 + dt.timedelta(seconds=7 * i)
+        rows.append((ts, host, f"http://{host}/p/{i % 40}", 100 + i, i % 17 != 0))
+    # a late-arriving event (5 minutes behind the max ts)
+    rows.append((T0 + dt.timedelta(seconds=7 * 120 - 300), "h0.test",
+                 "http://h0.test/late", 1, True))
+    df = spark.createDataFrame(rows, ms.FETCH_EVENTS)
+    df.limit(60).write.mode("overwrite").parquet(str(d / "f1"))
+    # flat dir of parquet files for the file stream
+    import glob
+    import shutil
+
+    out = tmp_path_factory.mktemp("events_flat")
+    df1, df2 = df.limit(60), df.subtract(df.limit(60))
+    df1.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    df2.coalesce(1).write.mode("overwrite").parquet(str(d / "b"))
+    n = 0
+    for sub in ("a", "b"):
+        for f in sorted(glob.glob(str(d / sub / "*.parquet"))):
+            shutil.copy(f, str(out / f"part-{n}.parquet"))
+            n += 1
+    return str(out)
+
+
+def test_metrics_stream_matches_batch(spark, events_dir):
+    stream = ms.st_metrics_stream(ms.read_fetch_events(spark, events_dir))
+    ms.run_complete_to_memory(stream, "agg_out")
+    got = {
+        (r.win_start, r.host): (r.fetched, r.bytes, r.errors)
+        for r in spark.table("agg_out").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 minute").alias("win"), "host")
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum("bytes").alias("bytes"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("errors"),
+        )
+    )
+    want = {
+        (r["win"].start, r.host): (r.fetched, r.bytes, r.errors)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sessions_close_on_gap(spark, events_dir):
+    stream = ms.st_sessions(ms.read_fetch_events(spark, events_dir), gap="1 minute")
+    ms.run_complete_to_memory(stream, "sess_out")
+    rows = spark.table("sess_out").collect()
+    assert rows
+    for r in rows:
+        assert r.sess_end > r.sess_start
+        assert r.fetched >= 1
+
+
+def test_streaming_dedup(spark, events_dir, tmp_path):
+    stream = ms.st_dedup_urls(ms.read_fetch_events(spark, events_dir))
+    ms.run_available_now(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    got = spark.read.parquet(str(tmp_path / "out"))
+    n_unique = (
+        spark.read.parquet(events_dir).select("url_norm").distinct().count()
+    )
+    assert got.count() == n_unique
+    assert got.select("url_norm").distinct().count() == n_unique
