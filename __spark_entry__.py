@@ -34,6 +34,12 @@ from ccbot_spark.sources.tables import src_parquet
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # make ccbot_spark importable on executor Python workers (several
+    # queries carry pandas-UDF closures referencing the package) no
+    # matter what cwd/PYTHONPATH the driver session was built with
+    from ccbot_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     return src_parquet(spark, sf_dir, name)
 
 

@@ -62,6 +62,7 @@ class CrawlEngine:
         bloom_min_seen: int = 50_000,
         enforce_delay_wallclock: bool = False,
         delay_scale: float = 1.0,
+        fetch_partitions: int | None = None,
     ):
         from .shipping import ensure_shipped
 
@@ -78,6 +79,7 @@ class CrawlEngine:
         self.bloom_min_seen = bloom_min_seen
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
+        self.fetch_partitions = fetch_partitions
         os.makedirs(workdir, exist_ok=True)
         self.frontier = TableStore(
             spark, workdir, "frontier", _with_bucket(schemas.FRONTIER), ("bucket",)
@@ -163,7 +165,15 @@ class CrawlEngine:
             parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout,
             enforce_delay_wallclock=self.enforce_delay_wallclock,
             delay_scale=self.delay_scale,
+            fetch_partitions=self.fetch_partitions,
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        fetched_raw = fetched
+        if self.fetch_partitions and self.fetch_partitions > 4 * self.n_buckets:
+            # the fetch stage over-partitions for delay balance; bring
+            # the (byte-bound) downstream stages back to normal width
+            fetched = fetched.repartition(self.n_buckets).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
 
         # ---- links path (§3.1 step 6)
         links = fetchparse.extract_links(fetched).persist(StorageLevel.MEMORY_AND_DISK)
@@ -342,7 +352,8 @@ class CrawlEngine:
             for fut in [ex.submit(s) for s in sinks]:
                 fut.result()  # surface the first failure
 
-        for df in (fetched, links, decoded, store, new_rows, parts["denied"]):
+        for df in (fetched, fetched_raw, links, decoded, store, new_rows,
+                   parts["denied"]):
             df.unpersist()
         if trace_df is not None:
             trace_df.unpersist()

@@ -55,16 +55,27 @@ def fetch(
     salt_fanout: int = 8,
     enforce_delay_wallclock: bool = False,
     delay_scale: float = 1.0,
+    fetch_partitions: int | None = None,
 ) -> DataFrame:
     """batch: generate()['fetch'] → FETCHED DF (html attached).
 
     Shuffle boundary: one repartition by salt key; each group is one
     host (or one hot-host sub-bucket).
+
+    fetch_partitions: explicit parallelism for the fetch stage only.
+    The fetch is delay/IO-bound, so it wants MANY more partitions than
+    cores for balance — while the rest of the cycle's (byte-bound)
+    shuffles stay at spark.sql.shuffle.partitions with AQE coalescing.
+    An explicit repartition(N, key) is never coalesced by AQE, and the
+    following groupBy on the same key reuses the partitioning (no
+    second exchange).
     """
     salted = batch.withColumn(
         "salt_key",
         urlops.host_salt(F.col("host"), F.col("url_norm"), hot_hosts or [], salt_fanout),
     )
+    if fetch_partitions:
+        salted = salted.repartition(fetch_partitions, F.col("salt_key"))
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["sched_time", "url_norm"], kind="mergesort")

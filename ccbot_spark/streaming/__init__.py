@@ -1,1 +1,1 @@
-from . import metrics_stream  # noqa: F401
+from . import metrics_stream, state  # noqa: F401

@@ -1,0 +1,90 @@
+"""Stateful streaming politeness (SURVEY.md §2.8 st_state): per-host
+state maintained across micro-batches with ``applyInPandasWithState``
+— the Structured-Streaming alternative to the cycle loop's
+batch-computed schedule.
+
+Semantics: each host carries (total_fetched, last_ts_us) state. Every
+incoming fetch event is annotated with the host's running total and
+whether it exceeded the per-host budget or violated the min-delay
+since the previous fetch. The cycle engine remains the primary path
+(exact trace reproducibility); this operator exists for deployments
+that want continuous enforcement with bounded state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total_fetched", T.LongType(), False),
+        T.StructField("last_ts_us", T.LongType(), False),
+    ]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("seq_in_host", T.LongType(), False),
+        T.StructField("over_budget", T.BooleanType(), False),
+        T.StructField("delay_violation", T.BooleanType(), False),
+    ]
+)
+
+
+def st_host_politeness_state(
+    events: DataFrame, budget: int = 50, min_delay_ms: int = 0
+) -> DataFrame:
+    """events: FETCH_EVENTS stream → per-event politeness annotations
+    with per-host state carried across micro-batches.
+
+    State is O(1) per host (two longs) — at 10^8 hosts that is a few
+    GB across the cluster's state stores, rebuilt from the checkpoint
+    on restart.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        if state.exists:
+            total, last_us = state.get
+        else:
+            total, last_us = 0, -1
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "url_norm"], kind="mergesort")
+            rows = []
+            for ts, url in zip(pdf["ts"], pdf["url_norm"]):
+                t_us = int(
+                    (ts if isinstance(ts, dt.datetime) else ts.to_pydatetime())
+                    .replace(tzinfo=dt.timezone.utc)
+                    .timestamp()
+                    * 1_000_000
+                )
+                total += 1
+                violation = (
+                    last_us >= 0 and (t_us - last_us) < min_delay_ms * 1000
+                )
+                rows.append(
+                    (host, url, total, total > budget, bool(violation))
+                )
+                last_us = t_us
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in OUT_SCHEMA.fields]
+            )
+        state.update((total, last_us))
+
+    return events.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

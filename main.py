@@ -33,6 +33,10 @@ def parse_args():
                    help="disable AQE partition coalescing (keep many small "
                         "fetch tasks balanced across cores — AQE only sees "
                         "bytes, not the politeness sleep a task carries)")
+    p.add_argument("--fetch-partitions", type=int, default=None,
+                   help="explicit fetch-stage parallelism (delay-bound stage "
+                        "wants many more partitions than cores; other "
+                        "shuffles keep spark.sql.shuffle.partitions)")
     p.add_argument("--no-trace", action="store_true")
     p.add_argument("--enforce-delay", action="store_true",
                    help="sleep out per-host crawl-delay in the fetch stage "
@@ -90,6 +94,7 @@ def main() -> None:
         hot_host_min=500,
         enforce_delay_wallclock=args.enforce_delay,
         delay_scale=args.delay_scale,
+        fetch_partitions=args.fetch_partitions,
     )
     seeds = synthweb.seed_urls(cfg, args.seeds)
 

@@ -90,3 +90,39 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
     )
     assert got.count() == n_unique
     assert got.select("url_norm").distinct().count() == n_unique
+
+
+def test_stateful_politeness_across_batches(spark, events_dir, tmp_path):
+    """applyInPandasWithState: per-host totals must accumulate across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from ccbot_spark.streaming import state as st
+
+    events = (
+        spark.readStream.schema(ms.FETCH_EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = st.st_host_politeness_state(events, budget=30, min_delay_ms=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("state_out").collect()
+    batch = spark.read.parquet(events_dir)
+    per_host = {
+        r.host: r.cnt
+        for r in batch.groupBy("host").agg(F.count("*").alias("cnt")).collect()
+    }
+    got_max = {}
+    for r in rows:
+        got_max[r.host] = max(got_max.get(r.host, 0), r.seq_in_host)
+    # totals accumulated across ALL batches, not reset per batch
+    assert got_max == per_host
+    over = [r for r in rows if r.over_budget]
+    assert all(r.seq_in_host > 30 for r in over)
+    assert any(r.seq_in_host > 30 for r in rows if r.host in per_host)

@@ -40,12 +40,12 @@ def run_one(master: str, workdir: str, args) -> dict:
         "--seeds", str(args.seeds),
         "--cycles", str(args.cycles),
         "--buckets", "32",
-        "--shuffle-partitions", str(args.shuffle_partitions),
-        # same plan at both sizes; many more partitions than the larger
-        # core count so fetch groups balance (no one-wave straggler
-        # tail at 4N, many small waves at N)
-        "--no-coalesce",  # AQE sees bytes, not politeness sleep —
-        # coalescing tiny fetch partitions would serialize the delays
+        "--shuffle-partitions", "32",  # byte-bound shuffles: modest + AQE
+        # fetch stage only: many more partitions than the larger core
+        # count so the delay-bound groups balance (explicit repartition
+        # — AQE never coalesces it; no straggler tail at 4N, many small
+        # waves at N)
+        "--fetch-partitions", str(args.fetch_partitions),
         "--workdir", workdir,
         "--warmup",
         "--enforce-delay",
@@ -79,10 +79,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hosts", type=int, default=480)
     ap.add_argument("--pages", type=int, default=300)
-    ap.add_argument("--seeds", type=int, default=5760)
-    ap.add_argument("--cycles", type=int, default=2)
-    ap.add_argument("--delay-scale", type=float, default=0.2)
-    ap.add_argument("--shuffle-partitions", type=int, default=512)
+    ap.add_argument("--seeds", type=int, default=6240)
+    ap.add_argument("--cycles", type=int, default=1)
+    ap.add_argument("--delay-scale", type=float, default=1.0)
+    ap.add_argument("--fetch-partitions", type=int, default=2048)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "SCALING.md"))
     args = ap.parse_args()
 
