@@ -427,6 +427,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["f_url_normalize"] = f_url_normalize
 
+    def f_host_salt(spark, sf_dir):
+        urls = _doc_urls(_t(spark, sf_dir, "documents"))
+        host = F.parse_url(F.col("url"), F.lit("HOST"))
+        return urls.select(
+            "doc_id",
+            host.alias("host"),
+            F.pmod(F.xxhash64(host), F.lit(32)).cast("int").alias("salt_bucket"),
+        )
+    q["f_host_salt"] = f_host_salt
+
     def dedup_minhash_lsh(spark, sf_dir):
         return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
     q["dedup_minhash_lsh"] = dedup_minhash_lsh

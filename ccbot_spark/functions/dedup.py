@@ -207,10 +207,36 @@ def simhash64_py(token_list: list[str]) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+_BITS64 = np.arange(64, dtype=np.uint64)
+
+
+def simhash64_np(token_list: list[str]) -> int:
+    """Vectorized SimHash (identical output to simhash64_py; the bit
+    votes run as one numpy broadcast instead of a 64-iteration Python
+    loop per token)."""
+    if not token_list:
+        return 0
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in token_list
+        ),
+        dtype=np.uint64,
+        count=len(token_list),
+    )
+    bits = ((h[:, None] >> _BITS64) & np.uint64(1)).astype(np.int64)  # (n, 64)
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for j in np.nonzero(votes > 0)[0]:
+        out |= np.uint64(1) << np.uint64(j)
+    v = int(out)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(token_lists: pd.Series) -> pd.Series:
     return token_lists.map(
-        lambda ls: simhash64_py(list(ls) if ls is not None else [])
+        lambda ls: simhash64_np(list(ls) if ls is not None else [])
     ).astype("int64")
 
 
@@ -265,26 +291,28 @@ def embedding_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
     vectors); similarity.ann_lsh_topk is the sub-quadratic scale path.
     Returns (vec_a, vec_b) id pairs only — no float output columns.
     """
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-    )
-    # norms precomputed per vector (linear work) so the quadratic join
-    # evaluates only the dot product per pair
+    # The pair generation is a JVM-side join; the cosine is ONE
+    # Arrow-vectorized pandas UDF over the pair batches (numpy matmul
+    # semantics per element, double precision) — Catalyst's interpreted
+    # higher-order-function fold is ~20× slower per pair.
+    @F.pandas_udf(T.DoubleType())
+    def cos_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        ma = np.vstack(ea.to_numpy()).astype(np.float64)
+        mb = np.vstack(eb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
     e = df.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-    ).withColumn("nrm", F.sqrt(sq(F.col("emb"))))
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
     a = e.alias("a")
     b = e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= F.lit(t4) / F.lit(10000.0))
+        .withColumn("cos", cos_udf(F.col("a.emb"), F.col("b.emb")))
+        .filter(F.col("cos") >= F.lit(t4) / F.lit(10000.0))
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )

@@ -99,6 +99,98 @@ def lsh_buckets(df: DataFrame, dim: int = 64) -> DataFrame:
     return df.select("vec_id", "embedding", b(F.col("embedding")).alias("bucket"))
 
 
+def ivf_build(
+    df: DataFrame, out_dir: str, n_centroids: int = 16, dim: int = 64
+) -> np.ndarray:
+    """IVF index build: coarse-quantize every vector to its nearest
+    centroid and write the table PARTITIONED BY the centroid id.
+
+    Centroids are a deterministic seeded sample of the data (k-means
+    would drop in here unchanged). At 10^9 vectors the payoff is
+    physical: a query only scans its probed centroids' partitions —
+    Spark partition pruning, visible as PartitionFilters in the plan.
+    Returns the centroid matrix (small; the query side broadcasts it).
+    """
+    sample = df.filter(F.col("vec_id") % 997 < 31).limit(n_centroids).collect()
+    cents = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in sample]
+    )[:n_centroids]
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        sims = mat @ cents.T  # cosine order == dot order after norm
+        sims /= np.linalg.norm(mat, axis=1)[:, None]
+        sims /= np.linalg.norm(cents, axis=1)[None, :]
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    (
+        df.withColumn("centroid", assign(F.col("embedding")))
+        .repartition(F.col("centroid"))
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(out_dir)
+    )
+    return cents
+
+
+def ivf_query(
+    spark,
+    index_dir: str,
+    centroids: np.ndarray,
+    query_vecs: dict[int, np.ndarray],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: probe each query's nprobe nearest centroids, scan
+    ONLY those partitions (pushed partition filter), exact rerank
+    inside. Returns DF[query_id, neighbor_id, rank]."""
+    qids = sorted(query_vecs)
+    qmat = np.vstack([query_vecs[q] for q in qids]).astype(np.float64)
+    sims = qmat @ centroids.T
+    sims /= np.linalg.norm(qmat, axis=1)[:, None]
+    sims /= np.linalg.norm(centroids, axis=1)[None, :]
+    probes = np.argsort(-sims, axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    probe_rows = [
+        (int(q), int(c)) for qi, q in enumerate(qids) for c in probes[qi]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id int, centroid int")
+    wanted = sorted({c for _, c in probe_rows})
+
+    # partition-pruned scan: only the probed centroid dirs are read
+    idx = spark.read.parquet(index_dir).filter(F.col("centroid").isin(wanted))
+    cand = idx.join(F.broadcast(probe_df), "centroid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    qb = {int(q): query_vecs[q] for q in qids}
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_q(qid: pd.Series, embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        qm = np.vstack([qb[int(q)] for q in qid]).astype(np.float64)
+        dots = np.einsum("ij,ij->i", mat, qm)
+        return pd.Series(
+            dots
+            / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qm, axis=1))
+        )
+
+    scored = cand.withColumn("cos", cos_q(F.col("query_id"), F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame, n_queries: int = 10, k: int = 5, dim: int = 64
 ) -> DataFrame:

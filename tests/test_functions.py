@@ -123,6 +123,8 @@ def test_simhash_properties(spark):
     a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     b = a.replace("kappa", "lambda")  # one token differs
     c = "totally unrelated content about spark shuffles and joins"
+    for t in (a, b, c):  # vectorized impl must equal the reference
+        assert dedup.simhash64_np(t.split(" ")) == dedup.simhash64_py(t.split(" "))
     ha, hb, hc = (dedup.simhash64_py(t.split(" ")) for t in (a, b, c))
     ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
     assert ham(ha, hb) < ham(ha, hc)
@@ -229,3 +231,28 @@ def test_frame_sample_raises_for_unknown_codec(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.frame_sample(df).collect()
+
+
+def test_ivf_partition_pruned_search(spark, embs, tmp_path):
+    """IVF: index partitioned by centroid; queries scan only probed
+    partitions (PartitionFilters in the plan) and recall vs brute
+    force is high at nprobe=4/16."""
+    idx_dir = str(tmp_path / "ivf")
+    cents = similarity.ivf_build(embs, idx_dir, n_centroids=16)
+    rows = embs.filter(F.col("vec_id") < 5).collect()
+    qvecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    res = similarity.ivf_query(spark, idx_dir, cents, qvecs, k=5, nprobe=4)
+    from ccbot_spark.plans import explainkit
+
+    plan = explainkit.formatted_plan(res)
+    assert "PartitionFilters" in plan and "centroid" in plan
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    brute = {}
+    for r in similarity.ann_bruteforce_topk(embs, n_queries=5, k=5).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(got.get(q, set()) & brute[q]) / len(brute[q]) for q in brute
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
