@@ -290,6 +290,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return o.select("o_orderkey", pri.alias("priority"))
     q["u_priority"] = u_priority
 
+    def f_string_kit(spark, sf_dir):
+        p = _t(spark, sf_dir, "part")
+        return p.select(
+            "p_partkey",
+            F.lower(F.col("p_brand")).alias("brand_lower"),
+            F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+            F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.length(F.trim(F.col("p_name"))).cast("long").alias("name_len"),
+            F.size(F.split(F.col("p_name"), " ")).cast("long").alias("name_words"),
+        )
+    q["f_string_kit"] = f_string_kit
+
+    def f_date_kit(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        return (
+            o.groupBy(
+                F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("order_month")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(_cents(F.col("o_totalprice"))).alias("sum_total_cents"),
+            )
+        )
+    q["f_date_kit"] = f_date_kit
+
+    def a_cube(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        return o.cube("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").alias("n_orders")
+        )
+    q["a_cube"] = a_cube
+
+    def q_subquery_decorrelate(spark, sf_dir):
+        """Correlated-subquery shape (Catalyst decorrelates to a join):
+        customers whose account balance exceeds their nation's average."""
+        c = _t(spark, sf_dir, "customer")
+        c.createOrReplaceTempView("customer_v")
+        return spark.sql(
+            """
+            SELECT c_custkey, c_nationkey FROM customer_v c
+            WHERE c_acctbal > (
+              SELECT AVG(c2.c_acctbal) FROM customer_v c2
+              WHERE c2.c_nationkey = c.c_nationkey
+            )
+            """
+        )
+    q["q_subquery_decorrelate"] = q_subquery_decorrelate
+
     # ---------------- windows / sorts / limits (§2.5)
     def w_generate_topk(spark, sf_dir):
         o = _t(spark, sf_dir, "orders")
@@ -625,6 +673,36 @@ def oracle_sql() -> dict[str, str]:
                GREATEST(1000 - CAST(FLOOR(o_totalprice / 1000) AS BIGINT) * 10,
                         0) AS priority
         FROM orders
+    """
+
+    o["f_string_kit"] = r"""
+        SELECT p_partkey,
+               lower(p_brand) AS brand_lower,
+               regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+               p_brand || '|' || p_type AS brand_type,
+               CAST(length(trim(p_name)) AS BIGINT) AS name_len,
+               CAST(len(string_split(p_name, ' ')) AS BIGINT) AS name_words
+        FROM part
+    """
+
+    o["f_date_kit"] = """
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_total_cents
+        FROM orders GROUP BY 1
+    """
+
+    o["a_cube"] = """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    o["q_subquery_decorrelate"] = """
+        SELECT c_custkey, c_nationkey FROM customer c
+        WHERE c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
     """
 
     o["w_generate_topk"] = """
