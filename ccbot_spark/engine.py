@@ -174,6 +174,9 @@ class CrawlEngine:
             fetched = fetched.repartition(self.n_buckets).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+        attempts = fetched  # every consumed slot (ok + errored)
+        fetched = attempts.filter(F.col("ok"))
+        errs = attempts.filter(~F.col("ok"))
 
         # ---- links path (§3.1 step 6)
         links = fetchparse.extract_links(fetched).persist(StorageLevel.MEMORY_AND_DISK)
@@ -218,9 +221,11 @@ class CrawlEngine:
         store = dd["store"].persist(StorageLevel.MEMORY_AND_DISK)
         dups = dd["dups"]
 
-        # ---- metrics (§3.1 step 7)
-        m_fetch = fetched.groupBy("host").agg(
-            F.count("*").alias("fetched"),
+        # ---- metrics (§3.1 step 7) — per host over all attempts
+        # (errored fetches carry html="" so the byte sum is ok-only)
+        m_fetch = attempts.groupBy("host").agg(
+            F.sum(F.col("ok").cast("long")).alias("fetched"),
+            F.sum((~F.col("ok")).cast("long")).alias("errors"),
             F.sum(F.octet_length(F.col("html"))).alias("html_bytes"),
         )
         m_links = links.groupBy(F.col("page_host").alias("host")).agg(
@@ -245,7 +250,7 @@ class CrawlEngine:
                 F.coalesce(F.col("parsed_links"), F.lit(0)).cast("long").alias("parsed_links"),
                 F.coalesce(F.col("stored_images"), F.lit(0)).cast("long").alias("stored_images"),
                 F.coalesce(F.col("dedup_hits"), F.lit(0)).cast("long").alias("dedup_hits"),
-                F.lit(0).cast("long").alias("errors"),
+                F.col("errors").cast("long"),
                 (
                     F.coalesce(F.col("html_bytes"), F.lit(0))
                     + F.coalesce(F.col("img_bytes"), F.lit(0))
@@ -253,7 +258,8 @@ class CrawlEngine:
             )
         )
 
-        # ---- trace (§3.1 step 7; phases: denied=0 skipped=1 fetched=2 dup=3)
+        # ---- trace (§3.1 step 7; phases: denied=0 skipped=1
+        #      fetched/fetch_error=2 dup=3)
         n_trace = 0
         trace_df = None
         if self.record_trace:
@@ -281,6 +287,7 @@ class CrawlEngine:
                 evt(parts["denied"], 0, "robots_denied")
                 .unionByName(evt(parts["skipped"], 1, "budget_skipped"))
                 .unionByName(evt(fetched, 2, "fetched", slot=True, sched=True))
+                .unionByName(evt(errs, 2, "fetch_error", slot=True, sched=True))
                 .unionByName(dup_ev)
             )
             w = Window.orderBy("phase", "sched_time", "host", "url_norm")
@@ -307,6 +314,13 @@ class CrawlEngine:
             F.lit("fetched").alias("status"),
             F.lit(0).cast("int").alias("cycle_added"),
         ).withColumn("bucket", bucket)
+        upd_err = errs.select(
+            "url_norm", "host", "priority",
+            F.lit(0).cast("int").alias("dt_cycle"),
+            F.lit(0).cast("long").alias("dt_seq"),
+            F.lit("error").alias("status"),
+            F.lit(0).cast("int").alias("cycle_added"),
+        ).withColumn("bucket", bucket)
         upd_denied = parts["denied"].select(
             "url_norm", "host", "priority",
             F.lit(0).cast("int").alias("dt_cycle"),
@@ -314,7 +328,11 @@ class CrawlEngine:
             F.lit("denied").alias("status"),
             F.lit(0).cast("int").alias("cycle_added"),
         ).withColumn("bucket", bucket)
-        merge_src = upd_fetched.unionByName(upd_denied).unionByName(new_rows)
+        merge_src = (
+            upd_fetched.unionByName(upd_err)
+            .unionByName(upd_denied)
+            .unionByName(new_rows)
+        )
 
         new_seen = new_rows.select(
             "url_norm",
@@ -352,7 +370,7 @@ class CrawlEngine:
             for fut in [ex.submit(s) for s in sinks]:
                 fut.result()  # surface the first failure
 
-        for df in (fetched, fetched_raw, links, decoded, store, new_rows,
+        for df in (attempts, fetched_raw, links, decoded, store, new_rows,
                    parts["denied"]):
             df.unpersist()
         if trace_df is not None:

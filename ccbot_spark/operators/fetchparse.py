@@ -79,7 +79,7 @@ def fetch(
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["sched_time", "url_norm"], kind="mergesort")
-        htmls = []
+        htmls, oks = [], []
         last = None
         for url, st in zip(pdf["url_norm"], pdf["sched_time"]):
             if enforce_delay_wallclock and last is not None:
@@ -90,10 +90,13 @@ def fetch(
                 delta_ms = (st - last) * delay_scale
                 if delta_ms > 0:
                     time.sleep(delta_ms / 1000.0)
-            htmls.append(synthweb.fetch(cfg, url))
+            ok = synthweb.fetch_ok(cfg, url)
+            oks.append(ok)
+            htmls.append(synthweb.fetch(cfg, url) if ok else "")
             last = st
         out = pdf[["url_norm", "host", "priority", "sched_slot", "sched_time"]].copy()
         out["html"] = htmls
+        out["ok"] = pd.Series(oks, index=out.index, dtype=bool)
         return out
 
     return salted.groupBy("salt_key").applyInPandas(fetch_group, schema=schemas.FETCHED)

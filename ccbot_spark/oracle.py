@@ -117,7 +117,8 @@ def crawl(
                     events.append((0, 0, host, e.url_norm, -1, "robots_denied"))
                 elif slot < budget:
                     st = slot * rules.crawl_delay_ms
-                    events.append((2, st, host, e.url_norm, slot, "fetched"))
+                    # phase-2 event emitted by the fetch loop below
+                    # ('fetched' or 'fetch_error' per outcome)
                     fetch_list.append((st, host, e.url_norm, slot, e))
                     slot += 1
                 else:
@@ -137,12 +138,19 @@ def crawl(
 
         discovered: dict[str, int] = {}  # url_norm → max parent priority
         dup_this_cycle: set[str] = set()
-        for _st, host, url, _slot, e in fetch_list:
+        for st, host, url, slot, e in fetch_list:
+            m = hm(host)
+            if not synthweb.fetch_ok(cfg, url):
+                # failed fetch: slot consumed, no parse, error status
+                e.status = "error"
+                m["errors"] += 1
+                events.append((2, st, host, url, slot, "fetch_error"))
+                continue
             html = synthweb.fetch(cfg, url)
             e.status = "fetched"
-            m = hm(host)
             m["fetched"] += 1
             m["bytes"] += len(html.encode("utf-8"))
+            events.append((2, st, host, url, slot, "fetched"))
             # links
             for link in parsekit.extract_links(url, html):
                 m["parsed_links"] += 1

@@ -34,7 +34,7 @@ FRONTIER = T.StructType(
         T.StructField("priority", T.LongType(), False),
         T.StructField("dt_cycle", T.IntegerType(), False),
         T.StructField("dt_seq", T.LongType(), False),
-        T.StructField("status", T.StringType(), False),  # pending|fetched|denied
+        T.StructField("status", T.StringType(), False),  # pending|fetched|denied|error
         T.StructField("cycle_added", T.IntegerType(), False),
     ]
 )
@@ -61,7 +61,7 @@ ROBOTS = T.StructType(
 
 # Golden crawl trace (FIXTURES.md §2.7). Event order within a cycle:
 # (phase, sched_time_ms, host, url_norm); phase:
-# 0=robots_denied, 1=budget_skipped, 2=fetched, 3=dup.
+# 0=robots_denied, 1=budget_skipped, 2=fetched|fetch_error, 3=dup.
 TRACE = T.StructType(
     [
         T.StructField("seq", T.LongType(), False),
@@ -88,7 +88,8 @@ METRICS = T.StructType(
     ]
 )
 
-# Intermediate: fetched page (engine-internal, SURVEY.md §3.1 step 3).
+# Intermediate: fetch attempt (engine-internal, SURVEY.md §3.1 step 3).
+# ok=false → fetch error: slot consumed, html empty, no parse.
 FETCHED = T.StructType(
     [
         T.StructField("url_norm", T.StringType(), False),
@@ -97,5 +98,6 @@ FETCHED = T.StructType(
         T.StructField("sched_slot", T.IntegerType(), False),
         T.StructField("sched_time", T.LongType(), False),
         T.StructField("html", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
     ]
 )

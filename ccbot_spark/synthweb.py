@@ -33,6 +33,7 @@ class WebConfig:
     n_hosts: int = 10
     pages_per_host: int = 200
     hot_frac_pct: int = 0  # % of cross-host links redirected to host 0
+    fail_pct: int = 0  # % of page fetches that deterministically fail
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -167,6 +168,16 @@ def fetch_image(cfg: WebConfig, img_url: str) -> tuple[bytes, int, int, str]:
         fmt = "ppm"
     px = image_pixels(cfg, img_url)
     return codecs.encode(px, fmt), px.shape[1], px.shape[0], fmt
+
+
+def fetch_ok(cfg: WebConfig, url: str) -> bool:
+    """Deterministic fetch outcome: a fail_pct slice of URLs errors
+    (connection reset / 5xx in a real crawl). Pure function of the URL
+    so oracle and engine agree; the failed fetch still consumed its
+    politeness slot."""
+    if not cfg.fail_pct:
+        return True
+    return _digest(f"fail:{cfg.seed}:{url}")[0] % 100 >= cfg.fail_pct
 
 
 def fetch(cfg: WebConfig, url: str) -> str:

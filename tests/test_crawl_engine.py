@@ -65,14 +65,15 @@ def test_stored_images_exact_match(engine_res, oracle_res):
 def test_metrics_match_per_host(engine_res, oracle_res):
     got = {
         (r.cycle, r.host): (
-            r.fetched, r.parsed_links, r.stored_images, r.dedup_hits, r.bytes
+            r.fetched, r.parsed_links, r.stored_images, r.dedup_hits,
+            r.errors, r.bytes,
         )
         for r in engine_res.metrics.read().collect()
     }
     want = {
         (m["cycle"], m["host"]): (
             m["fetched"], m["parsed_links"], m["stored_images"],
-            m["dedup_hits"], m["bytes"],
+            m["dedup_hits"], m["errors"], m["bytes"],
         )
         for m in oracle_res.metrics
     }
@@ -133,3 +134,32 @@ def test_bloom_off_identical(spark, tmp_path, oracle_res):
     )
     eng.crawl(SEEDS, cycles=CYCLES)
     assert _engine_trace(eng) == oracle_res.trace
+
+
+def test_fetch_errors_match_oracle(spark, tmp_path):
+    """fail_pct injects deterministic fetch errors: slot consumed, no
+    parse, status 'error', errors metric — engine must match the
+    oracle on trace (incl. fetch_error events), seen-set, statuses,
+    and per-host error counts."""
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=50, fail_pct=25)
+    seeds = synthweb.seed_urls(cfg, 16)
+    want = oracle.crawl(cfg, seeds, cycles=2)
+    assert any(t[5] == "fetch_error" for t in want.trace)  # fixture bites
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "err"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10)
+    eng.crawl(seeds, cycles=2)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    got_status = {
+        r.url_norm: r.status for r in eng.frontier.read().collect()
+    }
+    want_status = {u: e.status for u, e in want.frontier.items()}
+    assert got_status == want_status
+    got_err = {
+        (r.cycle, r.host): r.errors for r in eng.metrics.read().collect()
+    }
+    want_err = {(m["cycle"], m["host"]): m["errors"] for m in want.metrics}
+    assert got_err == want_err
