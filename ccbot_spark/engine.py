@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from . import schemas, synthweb, urlkit
-from .oracle import PRIORITY_DECAY, SEED_PRIORITY
+from .oracle import MAX_RETRIES, PRIORITY_DECAY, SEED_PRIORITY
 from .operators import fetchparse, images as imageops, politeness, seen as seenops
 from .operators import urlops
 from .tablestore import TableStore
@@ -133,7 +133,7 @@ class CrawlEngine:
             if u is None or u in dedup:
                 continue
             dedup.add(u)
-            rows.append((u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0))
+            rows.append((u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0))
             idx += 1
         df = self.spark.createDataFrame(rows, schemas.FRONTIER).withColumn(
             "bucket", urlops.host_bucket(F.col("host"), self.n_buckets)
@@ -151,7 +151,12 @@ class CrawlEngine:
 
     def run_cycle(self, cycle: int) -> dict:
         cfg = self.cfg
-        pending = self.frontier.read().filter(F.col("status") == "pending")
+        # candidates: pending, plus errored entries with retry budget
+        # left (transient-failure recrawl; mirrors oracle.MAX_RETRIES)
+        pending = self.frontier.read().filter(
+            (F.col("status") == "pending")
+            | ((F.col("status") == "error") & (F.col("retries") < MAX_RETRIES))
+        )
         robots_df = politeness.build_robots_table(
             pending.select("host").distinct(), cfg
         )
@@ -210,6 +215,7 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("dt_seq"),
             F.lit("pending").alias("status"),
             F.lit(cycle).cast("int").alias("cycle_added"),
+            F.lit(0).cast("int").alias("retries"),
         ).withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         new_rows = new_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -313,6 +319,7 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("dt_seq"),
             F.lit("fetched").alias("status"),
             F.lit(0).cast("int").alias("cycle_added"),
+            F.col("retries").cast("int"),
         ).withColumn("bucket", bucket)
         upd_err = errs.select(
             "url_norm", "host", "priority",
@@ -320,6 +327,7 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("dt_seq"),
             F.lit("error").alias("status"),
             F.lit(0).cast("int").alias("cycle_added"),
+            (F.col("retries") + 1).cast("int").alias("retries"),
         ).withColumn("bucket", bucket)
         upd_denied = parts["denied"].select(
             "url_norm", "host", "priority",
@@ -327,6 +335,7 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("dt_seq"),
             F.lit("denied").alias("status"),
             F.lit(0).cast("int").alias("cycle_added"),
+            F.col("retries").cast("int"),
         ).withColumn("bucket", bucket)
         merge_src = (
             upd_fetched.unionByName(upd_err)
@@ -360,7 +369,7 @@ class CrawlEngine:
             ),
             lambda: self.metrics.append(metrics_df),
             lambda: self.frontier.merge_into(
-                merge_src, on=["url_norm"], update_cols=["status"]
+                merge_src, on=["url_norm"], update_cols=["status", "retries"]
             ),
             lambda: self.seen.append(new_seen),
         ]

@@ -81,7 +81,7 @@ def fetch(
         pdf = pdf.sort_values(["sched_time", "url_norm"], kind="mergesort")
         htmls, oks = [], []
         last = None
-        for url, st in zip(pdf["url_norm"], pdf["sched_time"]):
+        for url, st, rt in zip(pdf["url_norm"], pdf["sched_time"], pdf["retries"]):
             if enforce_delay_wallclock and last is not None:
                 # delay_scale compresses the politeness clock for
                 # benchmarks (the real crawl is delay/IO-bound; this
@@ -90,11 +90,11 @@ def fetch(
                 delta_ms = (st - last) * delay_scale
                 if delta_ms > 0:
                     time.sleep(delta_ms / 1000.0)
-            ok = synthweb.fetch_ok(cfg, url)
+            ok = synthweb.fetch_ok(cfg, url, int(rt))
             oks.append(ok)
             htmls.append(synthweb.fetch(cfg, url) if ok else "")
             last = st
-        out = pdf[["url_norm", "host", "priority", "sched_slot", "sched_time"]].copy()
+        out = pdf[["url_norm", "host", "priority", "sched_slot", "sched_time", "retries"]].copy()
         out["html"] = htmls
         out["ok"] = pd.Series(oks, index=out.index, dtype=bool)
         return out

@@ -90,7 +90,7 @@ def generate(pending: DataFrame, robots_df: DataFrame) -> dict[str, DataFrame]:
         "sched_time", (F.col("sched_slot") * F.col("crawl_delay_ms")).cast("long")
     )
     skipped = ok.filter(F.col("sched_slot") >= F.col("budget_per_cycle"))
-    keep = ["url_norm", "host", "priority", "dt_cycle", "dt_seq"]
+    keep = ["url_norm", "host", "priority", "dt_cycle", "dt_seq", "retries"]
     return {
         "denied": denied.select(*keep),
         "fetch": fetch.select(*keep, "sched_slot", "sched_time", "crawl_delay_ms"),

@@ -42,6 +42,7 @@ from . import codecs, parsekit, phash, robots, synthweb, urlkit
 
 SEED_PRIORITY = 1000
 PRIORITY_DECAY = 10
+MAX_RETRIES = 2  # an errored URL is retried in later cycles up to this cap
 
 _PHASE = {"robots_denied": 0, "budget_skipped": 1, "fetched": 2, "dup": 3}
 
@@ -53,8 +54,9 @@ class FrontierEntry:
     priority: int
     dt_cycle: int
     dt_seq: int
-    status: str  # pending | fetched | denied
+    status: str  # pending | fetched | denied | error
     cycle_added: int
+    retries: int = 0
 
 
 @dataclass
@@ -85,7 +87,7 @@ def crawl(
             continue
         seen.add(u)
         frontier[u] = FrontierEntry(
-            u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0
+            u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0
         )
         idx += 1
 
@@ -101,7 +103,11 @@ def crawl(
         # ---- GENERATE: per-host candidate ordering + robots + budget
         by_host: dict[str, list[FrontierEntry]] = {}
         for e in frontier.values():
-            if e.status == "pending":
+            # candidates: pending, plus errored entries with retry
+            # budget left (transient-failure recrawl)
+            if e.status == "pending" or (
+                e.status == "error" and e.retries < MAX_RETRIES
+            ):
                 by_host.setdefault(e.host, []).append(e)
 
         events: list[tuple] = []  # (phase, sched_time, host, url_norm, slot, action)
@@ -140,9 +146,11 @@ def crawl(
         dup_this_cycle: set[str] = set()
         for st, host, url, slot, e in fetch_list:
             m = hm(host)
-            if not synthweb.fetch_ok(cfg, url):
-                # failed fetch: slot consumed, no parse, error status
+            if not synthweb.fetch_ok(cfg, url, e.retries):
+                # failed fetch: slot consumed, no parse, error status;
+                # retried next cycle until MAX_RETRIES
                 e.status = "error"
+                e.retries += 1
                 m["errors"] += 1
                 events.append((2, st, host, url, slot, "fetch_error"))
                 continue
@@ -187,7 +195,7 @@ def crawl(
             pri = max(discovered[link] - PRIORITY_DECAY, 0)
             seen.add(link)
             frontier[link] = FrontierEntry(
-                link, urlkit.host_of(link), pri, cycle, 0, "pending", cycle
+                link, urlkit.host_of(link), pri, cycle, 0, "pending", cycle, 0
             )
 
         # ---- RECORD: global per-cycle event order → trace seq

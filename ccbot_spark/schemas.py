@@ -36,6 +36,7 @@ FRONTIER = T.StructType(
         T.StructField("dt_seq", T.LongType(), False),
         T.StructField("status", T.StringType(), False),  # pending|fetched|denied|error
         T.StructField("cycle_added", T.IntegerType(), False),
+        T.StructField("retries", T.IntegerType(), False),  # failed attempts so far
     ]
 )
 
@@ -99,5 +100,6 @@ FETCHED = T.StructType(
         T.StructField("sched_time", T.LongType(), False),
         T.StructField("html", T.StringType(), False),
         T.StructField("ok", T.BooleanType(), False),
+        T.StructField("retries", T.IntegerType(), False),
     ]
 )

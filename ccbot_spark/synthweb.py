@@ -170,14 +170,15 @@ def fetch_image(cfg: WebConfig, img_url: str) -> tuple[bytes, int, int, str]:
     return codecs.encode(px, fmt), px.shape[1], px.shape[0], fmt
 
 
-def fetch_ok(cfg: WebConfig, url: str) -> bool:
-    """Deterministic fetch outcome: a fail_pct slice of URLs errors
-    (connection reset / 5xx in a real crawl). Pure function of the URL
-    so oracle and engine agree; the failed fetch still consumed its
+def fetch_ok(cfg: WebConfig, url: str, attempt: int = 0) -> bool:
+    """Deterministic fetch outcome: a fail_pct slice of fetches errors
+    (connection reset / 5xx in a real crawl). Pure function of
+    (url, attempt) so oracle and engine agree AND retries can succeed
+    — transient-failure semantics. The failed fetch still consumed its
     politeness slot."""
     if not cfg.fail_pct:
         return True
-    return _digest(f"fail:{cfg.seed}:{url}")[0] % 100 >= cfg.fail_pct
+    return _digest(f"fail:{cfg.seed}:{url}:{attempt}")[0] % 100 >= cfg.fail_pct
 
 
 def fetch(cfg: WebConfig, url: str) -> str:

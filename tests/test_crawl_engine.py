@@ -145,6 +145,12 @@ def test_fetch_errors_match_oracle(spark, tmp_path):
     seeds = synthweb.seed_urls(cfg, 16)
     want = oracle.crawl(cfg, seeds, cycles=2)
     assert any(t[5] == "fetch_error" for t in want.trace)  # fixture bites
+    # fixture also exercises retry-then-success (transient failures):
+    err_urls = {t[2] for t in want.trace if t[5] == "fetch_error"}
+    refetched = {
+        t[2] for t in want.trace if t[5] == "fetched" and t[2] in err_urls
+    }
+    assert refetched, "expected ≥1 URL to succeed on retry"
 
     eng = CrawlEngine(spark, cfg, str(tmp_path / "err"), n_buckets=8,
                       use_bloom=True, bloom_min_seen=0, record_trace=True,
