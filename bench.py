@@ -45,7 +45,6 @@ def _mk_spark():
 
 def main() -> None:
     import __spark_entry__ as entry
-    from pyspark.sql import functions as F
 
     from ccbot_spark import synthweb
     from ccbot_spark.engine import CrawlEngine

@@ -40,7 +40,7 @@ from . import schemas, synthweb, urlkit
 from .oracle import MAX_RETRIES, PRIORITY_DECAY, SEED_PRIORITY
 from .operators import fetchparse, images as imageops, politeness, seen as seenops
 from .operators import urlops
-from .tablestore import TableStore
+from .iceberg import make_table_store
 
 
 def _with_bucket(schema: T.StructType) -> T.StructType:
@@ -81,15 +81,17 @@ class CrawlEngine:
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
         os.makedirs(workdir, exist_ok=True)
-        self.frontier = TableStore(
+        # factory: real Iceberg tables when CCBOT_ICEBERG_CATALOG is
+        # configured (cluster), Parquet-emulated store here (§7.3)
+        self.frontier = make_table_store(
             spark, workdir, "frontier", _with_bucket(schemas.FRONTIER), ("bucket",)
         )
-        self.seen = TableStore(
+        self.seen = make_table_store(
             spark, workdir, "seen", _with_bucket(schemas.SEEN), ("bucket",)
         )
-        self.images = TableStore(spark, workdir, "images", schemas.IMAGES)
-        self.trace = TableStore(spark, workdir, "trace", schemas.TRACE)
-        self.metrics = TableStore(spark, workdir, "metrics", schemas.METRICS)
+        self.images = make_table_store(spark, workdir, "images", schemas.IMAGES)
+        self.trace = make_table_store(spark, workdir, "trace", schemas.TRACE)
+        self.metrics = make_table_store(spark, workdir, "metrics", schemas.METRICS)
         self._tables = [self.frontier, self.seen, self.images, self.trace, self.metrics]
         self.state_path = os.path.join(workdir, "state.json")
         self.trace_seq = 0

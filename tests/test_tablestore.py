@@ -94,3 +94,27 @@ def test_overwrite_sorted(spark, store):
         sort_within_partitions_by=["k"],
     )
     assert sorted(r.k for r in store.read().collect()) == ["y", "z"]
+
+
+def test_backend_factory_falls_back_to_parquet(spark, tmp_path, monkeypatch):
+    """No Iceberg runtime in this sandbox → the factory must return the
+    Parquet-emulated store, both without the env flag and with a flag
+    pointing at an unloadable catalog class."""
+    from ccbot_spark import iceberg
+    from ccbot_spark.tablestore import TableStore as ParquetStore
+    from ccbot_spark import schemas
+
+    st = iceberg.make_table_store(spark, str(tmp_path / "a"), "t", schemas.TRACE)
+    assert isinstance(st, ParquetStore)
+
+    monkeypatch.setenv(iceberg.CATALOG_ENV, "nope")
+    spark.conf.set("spark.sql.catalog.nope",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert not iceberg.iceberg_available(spark)
+        st2 = iceberg.make_table_store(
+            spark, str(tmp_path / "b"), "t", schemas.TRACE
+        )
+        assert isinstance(st2, ParquetStore)
+    finally:
+        spark.conf.unset("spark.sql.catalog.nope")
