@@ -434,6 +434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_ngram_capped(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs_capped(
+            _t(spark, sf_dir, "documents"), n=3, t10=1, max_df=20
+        )
+    q["dedup_ngram_capped"] = dedup_ngram_capped
+
     def dedup_embedding(spark, sf_dir):
         return dedup.embedding_near_pairs(_t(spark, sf_dir, "embeddings"), t4=3500)
     q["dedup_embedding"] = dedup_embedding
@@ -449,6 +455,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_quality(spark, sf_dir):
         return textkit.quality_columns(_t(spark, sf_dir, "documents"))
     q["text_quality"] = text_quality
+
+    def text_tokens_bpe(spark, sf_dir):
+        """Token counting: whitespace split vs a BPE-ish regex
+        (word-pieces + standalone punctuation)."""
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+            F.regexp_count(F.col("text"), F.lit(r"\w+|[^\w\s]"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    q["text_tokens_bpe"] = text_tokens_bpe
+
+    def text_quality_filter(spark, sf_dir):
+        """The downstream keep/drop decision, integer threshold tests
+        only (ratio tests as cross-multiplications)."""
+        qc = textkit.quality_columns(_t(spark, sf_dir, "documents"))
+        return qc.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stopwords") * 100 >= F.col("n_tokens") * 2)
+            & (F.col("n_distinct_tokens") * 10 >= F.col("n_tokens") * 3)
+        ).select("doc_id")
+    q["text_quality_filter"] = text_quality_filter
 
     def text_langid(spark, sf_dir):
         return textkit.langid(_t(spark, sf_dir, "documents"))
@@ -773,6 +803,49 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc_id = doc_a
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+    """
+
+    o["dedup_ngram_capped"] = f"""
+        WITH sh0 AS ({_SHINGLES}),
+        rare AS (
+          SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 20
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+    """
+
+    o["text_tokens_bpe"] = r"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+    """
+
+    o["text_quality_filter"] = f"""
+        WITH qc AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_filter(string_split(lower(text), ' '),
+                     t -> t IN {_STOP_SQL})) AS n_stopwords,
+                 len(list_distinct(string_split(lower(text), ' ')))
+                     AS n_distinct_tokens
+          FROM documents
+        )
+        SELECT doc_id FROM qc
+        WHERE n_tokens >= 20
+          AND n_stopwords * 100 >= n_tokens * 2
+          AND n_distinct_tokens * 10 >= n_tokens * 3
     """
 
     o["dedup_embedding"] = f"""

@@ -107,6 +107,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    df: DataFrame, text: str = "text", n: int = 3, t10: int = 1, max_df: int = 20
+) -> DataFrame:
+    """Web-scale variant of ngram_jaccard_pairs: shingles appearing in
+    more than `max_df` documents are dropped BEFORE any join (they are
+    stop-shingles — at 10^10 docs a single ubiquitous shingle would
+    otherwise create a count²-sized join group). Jaccard is computed
+    over the FILTERED shingle sets on both sides, so the semantics are
+    self-consistent and exactly mirrorable in SQL."""
+    sh = doc_shingles(df, text, n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_ct"))
+        .filter(F.col("df_ct") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 10 >= F.lit(t10) * F.col("union_sz"))
+        .select("doc_a", "doc_b", "inter", "union_sz")
+    )
+
+
 # ------------------------------------------------------------- MinHash
 
 def _shingle_hash_np(shingle_list: list[str]) -> np.ndarray:
