@@ -377,6 +377,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["w_schedule"] = w_schedule
 
+    def w_running_sum(spark, sf_dir):
+        """Explicit window frame (rows unbounded preceding → current):
+        per-customer running spend in exact integer cents."""
+        o = _t(spark, sf_dir, "orders")
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_cents(F.col("o_totalprice"))).over(w).alias("run_cents"),
+        )
+    q["w_running_sum"] = w_running_sum
+
     def w_global_order(spark, sf_dir):
         o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
         w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -750,6 +766,16 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(date_diff('microsecond', LAG(ts) OVER w, ts), -1) AS gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """
+
+    o["w_running_sum"] = """
+        SELECT o_custkey, o_orderkey,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_cents
+        FROM orders
     """
 
     o["w_global_order"] = """
