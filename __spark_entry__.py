@@ -611,10 +611,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["a_metrics"] = """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
-               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                   - CAST(ROUND(l_discount * 100 * 100, 0) AS BIGINT)) AS sum_disc_expr_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   - CAST(ROUND(l_discount * 100 * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_expr_cents,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
@@ -632,7 +632,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["a_rollup_metrics"] = """
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY ROLLUP (lang, source)
     """
 
@@ -644,7 +644,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["j_robots_bcast"] = """
         SELECT c_mktsegment, COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_total_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_cents
         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """
@@ -682,14 +682,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["j_host_skew"] = """
         SELECT o_orderpriority, COUNT(*) AS n_items,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """
 
     o["j_edges_pages"] = """
         SELECT p_brand, COUNT(*) AS n_items,
-               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """
@@ -709,7 +709,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["f_json_props"] = """
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(json_extract_string(props, '$.k')) AS n_k
         FROM events GROUP BY event_type
     """
@@ -734,7 +734,7 @@ def oracle_sql() -> dict[str, str]:
     o["f_date_kit"] = """
         SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
                COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_total_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_cents
         FROM orders GROUP BY 1
     """
 
@@ -770,11 +770,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["w_running_sum"] = """
         SELECT o_custkey, o_orderkey,
-               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
                  PARTITION BY o_custkey
                  ORDER BY o_orderdate ASC, o_orderkey ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS run_cents
+               ) AS BIGINT) AS run_cents
         FROM orders
     """
 

@@ -27,6 +27,11 @@ TABLES = (
 
 
 def norm_val(v):
+    # Unwrap numpy scalars/arrays (fetchdf path) to Python types first, so a
+    # DuckDB HUGEINT column (rendered float64 by fetchdf) normalizes as a
+    # float and MISmatches a Spark int64 — exactly like the driver's hash.
+    if type(v).__module__ == "numpy":
+        v = v.tolist() if hasattr(v, "ndim") and getattr(v, "ndim", 0) else v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -84,13 +89,24 @@ def main():
             continue
         try:
             rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            # fetchdf(), not fetchall(): the driver hashes dataframe values,
+            # so dtype artifacts (HUGEINT -> float64) must fail here too.
+            ddf = rel.fetchdf()
+            dcols = list(ddf.columns)
+            drows = list(ddf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         problems = []
+        float_cols = [c for c, dt in ddf.dtypes.items() if dt.kind == "f"]
+        int_spark = {f.name for f in sdf.schema.fields
+                     if f.dataType.typeName() in ("long", "integer", "short", "byte")}
+        suspect = sorted(set(float_cols) & int_spark)
+        if suspect:
+            problems.append(
+                f"oracle dtype float where Spark is int (HUGEINT? wrap in "
+                f"CAST(... AS BIGINT)): {suspect}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):
