@@ -33,13 +33,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from . import schemas, synthweb, urlkit
 from .oracle import MAX_RETRIES, PRIORITY_DECAY, SEED_PRIORITY
 from .operators import fetchparse, images as imageops, politeness, seen as seenops
-from .operators import urlops
+from .operators import sequencing, urlops
 from .iceberg import make_table_store
 
 
@@ -198,7 +197,9 @@ class CrawlEngine:
         # threshold the build costs more than the join it saves. The
         # result is identical either way (§7.4 item 2: the filter is a
         # prefilter, never the decider).
-        if self.use_bloom and seen_df.count() >= self.bloom_min_seen:
+        # manifest-recorded row count: a metadata read, not a per-cycle
+        # full scan of a 10^10-row table
+        if self.use_bloom and self.seen.row_count() >= self.bloom_min_seen:
             bloom = seenops.build_bloom(seen_df, self.bloom_bits)
             sure_new, maybe = seenops.split_by_bloom(
                 cand, bloom, self.bloom_bits, self.spark
@@ -298,10 +299,17 @@ class CrawlEngine:
                 .unionByName(evt(errs, 2, "fetch_error", slot=True, sched=True))
                 .unionByName(dup_ev)
             )
-            w = Window.orderBy("phase", "sched_time", "host", "url_norm")
-            trace_df = events.withColumn(
-                "seq", (F.row_number().over(w) - 1 + self.trace_seq).cast("long")
-            ).select(
+            # two-phase numbering: range-partition + per-partition
+            # offsets — no single-partition exchange even at 10^8
+            # events/cycle (key (phase, url_norm) is unique per row,
+            # so the numbering is deterministic at any parallelism)
+            numbered, n_trace, trace_cache = sequencing.global_sequence(
+                events,
+                keys=["phase", "sched_time", "host", "url_norm"],
+                num_partitions=self.n_buckets,
+                offset=self.trace_seq,
+            )
+            trace_df = numbered.select(
                 "seq",
                 F.lit(cycle).cast("int").alias("cycle"),
                 "url_norm",
@@ -310,7 +318,6 @@ class CrawlEngine:
                 "action",
             )
             trace_df = trace_df.persist(StorageLevel.MEMORY_AND_DISK)
-            n_trace = trace_df.count()
             self.trace_seq += n_trace
 
         # ---- frontier MERGE INTO: status updates + new-link inserts
@@ -386,6 +393,7 @@ class CrawlEngine:
             df.unpersist()
         if trace_df is not None:
             trace_df.unpersist()
+            trace_cache.unpersist()
         self.last_cycle = cycle
         self._save_state(cycle)
         return counts

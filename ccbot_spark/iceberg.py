@@ -115,6 +115,16 @@ class IcebergTableStore:
         self.spark.sql(stmt)
         return self.version()
 
+    def row_count(self, version=None) -> int:
+        """Exact row count from Iceberg snapshot summary metadata
+        (`total-records`) — no table scan."""
+        pred = f"WHERE snapshot_id = {version}" if version is not None else ""
+        rows = self.spark.sql(
+            f"SELECT summary['total-records'] FROM {self.ident}.snapshots "
+            f"{pred} ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows and rows[0][0] is not None else 0
+
     def version(self) -> int:
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {self.ident}.snapshots "

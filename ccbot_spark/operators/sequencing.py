@@ -1,0 +1,69 @@
+"""Scalable global sequence numbering (SURVEY.md §2.5 w_global_order,
+engine trace sequencing §3.1 step 7).
+
+A `Window.orderBy(...)` with no partitionBy funnels every row through a
+single task — fine for a post-filtered top-k, fatal for a cycle trace
+that can emit 10^8 events at 100 TB scale. This operator assigns the
+exact same sequence numbers with two phases, never collapsing to one
+partition:
+
+  1. range-partition + sort the rows by the explicit key columns, so
+     partition p holds a contiguous, locally-sorted key range;
+  2. count rows per partition (bounded driver collect: one long per
+     partition), prefix-sum the counts into per-partition offsets, and
+     broadcast-join the offsets back;
+  3. seq = partition_offset + (row_number within partition) - 1.
+
+Determinism requires the key tuple to be UNIQUE per row (the engine's
+trace key (phase, sched_time, host, url_norm) is — each url appears at
+most once per phase). Range boundaries may differ across parallelism,
+but ranges are disjoint and the local sort is total, so the global
+numbering is a pure function of the key order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+
+def global_sequence(
+    df: DataFrame,
+    keys: list[str],
+    num_partitions: int,
+    seq_col: str = "seq",
+    offset: int = 0,
+) -> tuple[DataFrame, int, DataFrame]:
+    """Number `df` rows 0..n-1 (+offset) in `keys` order without a
+    single-partition exchange.
+
+    Returns (numbered_df, total_rows, cached_handle); the caller
+    unpersists `cached_handle` when done with `numbered_df` (the count
+    pass materializes the cache, so the numbering pass never re-runs
+    the upstream lineage).
+    """
+    ev = (
+        df.repartitionByRange(num_partitions, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["_pid"]: r["n"] for r in ev.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    total = int(sum(counts.values()))
+    offs, acc = [], offset
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    if offs:
+        off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    else:
+        off_df = spark.createDataFrame([], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    out = (
+        ev.join(F.broadcast(off_df), "_pid")
+        .withColumn(seq_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid", "_off")
+    )
+    return out, total, ev

@@ -34,6 +34,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _footer_rows(path: str) -> int:
+    """Row count from the Parquet footer — metadata only, no data scan
+    (real Iceberg manifests carry ``record_count`` per data file the
+    same way)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 class TableStore:
     def __init__(
         self,
@@ -112,7 +121,10 @@ class TableStore:
                     parts[k[3:]] = val
             for fn in fnames:
                 if fn.endswith(".parquet"):
-                    entries.append({"path": os.path.join(dirpath, fn), "parts": parts})
+                    p = os.path.join(dirpath, fn)
+                    entries.append(
+                        {"path": p, "parts": parts, "rows": _footer_rows(p)}
+                    )
         return entries
 
     def append(self, df: DataFrame) -> int:
@@ -146,6 +158,15 @@ class TableStore:
         if not files:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*[e["path"] for e in files])
+
+    def row_count(self, version: int | None = None) -> int:
+        """Exact table row count from manifest metadata — O(#files)
+        driver-side, zero Spark jobs. Entries written before counts
+        were recorded fall back to a footer read (still no data scan)."""
+        return sum(
+            e["rows"] if "rows" in e else _footer_rows(e["path"])
+            for e in self._files(version)
+        )
 
     # ------------------------------------------------------------ merge
 

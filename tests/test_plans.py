@@ -58,3 +58,44 @@ def test_generate_topk_single_shuffle(spark):
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
     df = orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
     assert explainkit.n_exchanges(df) == 1, explainkit.formatted_plan(df)
+
+
+def test_global_sequence_matches_naive_window_no_single_partition(spark):
+    """Two-phase numbering (sequencing.global_sequence) must assign the
+    exact seq a global Window.orderBy would, WITHOUT the
+    single-partition exchange that window needs."""
+    from pyspark.sql.window import Window
+
+    from ccbot_spark.operators import sequencing
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keys = ["o_totalprice", "o_orderkey"]  # unique per row
+    numbered, total, cache = sequencing.global_sequence(
+        orders, keys=keys, num_partitions=8, offset=100
+    )
+    got = {r.o_orderkey: r.seq for r in numbered.collect()}
+    w = Window.orderBy(*keys)
+    want = {
+        r.o_orderkey: r.seq
+        for r in orders.withColumn(
+            "seq", (F.row_number().over(w) - 1 + 100).cast("long")
+        ).collect()
+    }
+    assert total == len(want)
+    assert got == want
+    plan = explainkit.formatted_plan(numbered)
+    assert "SinglePartition" not in plan, plan
+    cache.unpersist()
+
+
+def test_global_sequence_empty(spark):
+    from ccbot_spark.operators import sequencing
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").filter(F.lit(False))
+    numbered, total, cache = sequencing.global_sequence(
+        orders.select("o_orderkey"), keys=["o_orderkey"], num_partitions=4
+    )
+    assert total == 0 and numbered.count() == 0
+    cache.unpersist()

@@ -118,3 +118,22 @@ def test_backend_factory_falls_back_to_parquet(spark, tmp_path, monkeypatch):
         assert isinstance(st2, ParquetStore)
     finally:
         spark.conf.unset("spark.sql.catalog.nope")
+
+
+def test_row_count_from_manifest_metadata(spark, store):
+    assert store.row_count() == 0
+    store.append(_df(spark, [("a", 0, 1, "p"), ("b", 1, 2, "p")]))
+    assert store.row_count() == 2
+    store.append(_df(spark, [("c", 0, 3, "p")]))
+    assert store.row_count() == 3
+    v2 = store.version()
+    store.merge_into(
+        _df(spark, [("c", 0, 9, "x"), ("d", 1, 4, "p")]),
+        on=["k"],
+        update_cols=["val", "status"],
+    )
+    assert store.row_count() == 4 == store.read().count()
+    # time travel: count at an old version reads that version's manifest
+    assert store.row_count(v2) == 3
+    store.overwrite(_df(spark, [("z", 2, 0, "p")]))
+    assert store.row_count() == 1
