@@ -460,6 +460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.embedding_near_pairs(_t(spark, sf_dir, "embeddings"), t4=3500)
     q["dedup_embedding"] = dedup_embedding
 
+    def dedup_embedding_lsh(spark, sf_dir):
+        return dedup.embedding_lsh_near_pairs(
+            _t(spark, sf_dir, "embeddings"), t4=3500
+        )
+    q["dedup_embedding_lsh"] = dedup_embedding_lsh
+
     # ---------------- similarity search
     def ann_topk(spark, sf_dir):
         return similarity.ann_bruteforce_topk(
@@ -596,6 +602,18 @@ _SHINGLES = (
     "i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS shingle "
     "FROM documents WHERE len(string_split(text,' ')) >= 3"
 )
+def _sql_h64(expr: str) -> str:
+    """DuckDB: first 8 bytes of md5(expr) as a HUGEINT in [0, 2^64) —
+    Horner fold over the 16 hex chars; mirrors dedup._h64 (Spark
+    conv(substr(md5(x),1,16),16,10)) and the python references'
+    int.from_bytes(md5(s).digest()[:8], 'big')."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}),1,16), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)), "
+        "(a,b) -> a*16 + b)"
+    )
+
+
 # exact double cosine, same fold order as the Spark side
 _COS = (
     "list_sum(list_transform(generate_series(1, len(a.emb)), "
@@ -881,6 +899,62 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_COS} >= 3500 / 10000.0
     """
 
+    # --- Bucketed embedding near-dup: md5-seeded sign planes, integer
+    # quantized rerank (10^8·dot² vs t4²·‖a‖²·‖b‖² in int128/decimal38)
+    # — fully integer, so both engines agree bit-for-bit.
+    _pw = dedup.plane_weights(64)
+    planes_vals = ", ".join(
+        f"({p},{c + 1},{_pw[p][c]})" for p in range(dedup.EMB_PLANES) for c in range(64)
+    )
+    pb_vals = ", ".join(
+        f"({p},{p // dedup.EMB_BAND_BITS},{1 << (p % dedup.EMB_BAND_BITS)})"
+        for p in range(dedup.EMB_PLANES)
+    )
+    o["dedup_embedding_lsh"] = f"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, q,
+                 list_sum(list_transform(q, x -> x * x)) AS n2
+          FROM e
+        ),
+        planes(p, c, w) AS (VALUES {planes_vals}),
+        pb(p, band_id, bitw) AS (VALUES {pb_vals}),
+        dots AS (
+          SELECT vec_id, p, SUM(q[c] * w) AS dot
+          FROM e CROSS JOIN planes GROUP BY vec_id, p
+        ),
+        bands AS (
+          SELECT vec_id, band_id,
+                 CAST(SUM(CASE WHEN dot > 0 THEN bitw ELSE 0 END) AS BIGINT)
+                     AS band_val
+          FROM dots JOIN pb USING (p) GROUP BY vec_id, band_id
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id
+        ),
+        rr AS (
+          SELECT c.vec_a, c.vec_b,
+                 list_sum(list_transform(generate_series(1, len(na.q)),
+                          i -> na.q[i] * nb.q[i])) AS dot,
+                 na.n2 AS na2, nb.n2 AS nb2
+          FROM cand c
+          JOIN n na ON na.vec_id = c.vec_a
+          JOIN n nb ON nb.vec_id = c.vec_b
+        )
+        SELECT vec_a, vec_b FROM rr
+        WHERE dot > 0
+          AND CAST(100000000 AS HUGEINT) * dot * dot
+              >= CAST({3500 * 3500} AS HUGEINT) * na2 * nb2
+    """
+
     o["ann_topk"] = f"""
         WITH e AS ({_EMB_D}),
         q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 10),
@@ -910,6 +984,125 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_punct,
                CAST(len(list_distinct(string_split(lower(text), ' ')))
                     AS BIGINT) AS n_distinct_tokens
+        FROM documents
+    """
+
+    # --- MinHash+LSH: engine-neutral because both sides define the
+    # shingle hash as md5-hex-first-16 → uint64 → mod p, and the
+    # signature fold is explicit integer arithmetic (dedup.py:
+    # minhash_signatures does it with JVM min-aggregates).
+    mh_params = ", ".join(
+        f"({i}, {int(dedup.MH_A[i])}, {int(dedup.MH_B[i])})"
+        for i in range(dedup.MH_K)
+    )
+    o["dedup_minhash_lsh"] = f"""
+        WITH sh AS ({_SHINGLES}),
+        hx AS (
+          SELECT doc_id, CAST({_sql_h64('shingle')} % 2147483647 AS BIGINT) AS x
+          FROM sh
+        ),
+        params(i, a, b) AS (VALUES {mh_params}),
+        sigs0 AS (
+          SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS s
+          FROM hx CROSS JOIN params GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT d.doc_id, p.i, COALESCE(s0.s, 2147483647) AS s
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN params p
+          LEFT JOIN sigs0 s0 ON s0.doc_id = d.doc_id AND s0.i = p.i
+        ),
+        bands AS (
+          SELECT doc_id, i // 8 AS band_id,
+                 md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS band_hash
+          FROM sigs GROUP BY doc_id, i // 8
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 COUNT(*) FILTER (WHERE sa.s = sb.s) AS matches
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.doc_a
+          JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(matches * 10.0 / 64) AS BIGINT) AS est10
+        FROM est
+    """
+
+    # --- SimHash: per-token uint64 hash (same md5 construction), bit
+    # votes, sign → bit (weight −2^63 for bit 63), 4×16-bit band join.
+    sh_bits = ", ".join(
+        f"({j}, CAST({1 << j} AS HUGEINT), "
+        f"{(1 << j) if j < 63 else '-9223372036854775807 - 1'})"
+        for j in range(64)
+    )
+    o["dedup_simhash"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        ),
+        h AS (SELECT doc_id, {_sql_h64('tok')} AS hu FROM toks),
+        bits(j, pow, w) AS (VALUES {sh_bits}),
+        votes AS (
+          SELECT doc_id, j, w,
+                 SUM(CASE WHEN (hu // pow) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN bits GROUP BY doc_id, j, w
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN v > 0 THEN w ELSE 0 END) AS BIGINT) AS sh
+          FROM votes GROUP BY doc_id
+        ),
+        ub AS (
+          SELECT doc_id, sh,
+                 CASE WHEN sh < 0
+                      THEN CAST(sh AS HUGEINT)
+                           + CAST(18446744073709551616 AS HUGEINT)
+                      ELSE CAST(sh AS HUGEINT) END AS shu
+          FROM sig
+        ),
+        bands AS (
+          SELECT doc_id, sh, b AS band_id,
+                 CAST((shu // pow16) % 65536 AS BIGINT) AS band_val
+          FROM ub CROSS JOIN (VALUES
+            (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+            (2, CAST(4294967296 AS HUGEINT)),
+            (3, CAST(281474976710656 AS HUGEINT))) t(b, pow16)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sh AS sha, b.sh AS shb
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sha, shb)) AS hamming
+        FROM pairs WHERE bit_count(xor(sha, shb)) <= 16
+    """
+
+    # --- Fingerprint: Horner fold of UTF-8 bytes mod 2^61-1; byte
+    # stream recovered engine-neutrally via hex(encode(text)).
+    o["text_fingerprint"] = """
+        SELECT doc_id,
+               CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                 ELSE list_reduce(
+                   list_transform(
+                     generate_series(1, octet_length(encode(text))),
+                     i -> CAST(
+                       16 * (strpos('0123456789ABCDEF',
+                                    substr(hex(encode(text)), 2*i - 1, 1)) - 1)
+                       + strpos('0123456789ABCDEF',
+                                substr(hex(encode(text)), 2*i, 1)) - 1
+                       AS HUGEINT)),
+                   (a, b) -> (a * 257 + b) % 2305843009213693951)
+               END AS BIGINT) AS fp
         FROM documents
     """
 

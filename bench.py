@@ -65,8 +65,24 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # ---- warm the JVM/Python workers once (excluded from timings)
+    # ---- warm the JVM and EVERY Python UDF worker once (excluded from
+    # timings): local[N] keeps one Python worker per core alive for the
+    # session; spinning all N up costs tens of seconds on first use and
+    # is a per-executor-lifetime cost, not a per-URL cost. A full-width
+    # mapInPandas (2N partitions) guarantees no cold worker bleeds into
+    # the timed section.
     run(qs["a_metrics"](spark, SF_DIR))
+
+    def _noop_batches(it):
+        import pandas as _pd  # noqa: F401  (preload per worker)
+        import numpy as _np  # noqa: F401
+
+        yield from it
+
+    n = int(CPUS)
+    spark.range(n * 8, numPartitions=n * 2).mapInPandas(
+        _noop_batches, "id long"
+    ).count()
 
     bench("q_pricing_agg", lambda: run(qs["a_metrics"](spark, SF_DIR)))
     bench("q_join_agg", lambda: run(qs["j_host_skew"](spark, SF_DIR)))
@@ -74,6 +90,8 @@ def main() -> None:
     bench("q_minhash_lsh", lambda: run(qs["dedup_minhash_lsh"](spark, SF_DIR)))
     bench("q_simhash", lambda: run(qs["dedup_simhash"](spark, SF_DIR)))
     bench("q_ngram_jaccard", lambda: run(qs["dedup_ngram_jaccard"](spark, SF_DIR)))
+    bench("q_ngram_capped", lambda: run(qs["dedup_ngram_capped"](spark, SF_DIR)))
+    bench("q_embedding_lsh", lambda: run(qs["dedup_embedding_lsh"](spark, SF_DIR)))
     bench("q_ann_topk", lambda: run(qs["ann_topk"](spark, SF_DIR)))
     bench("q_text_quality", lambda: run(qs["text_quality"](spark, SF_DIR)))
 
@@ -87,10 +105,10 @@ def main() -> None:
     # A small warmup crawl first: the one-time Python-UDF-worker spin-up
     # (~tens of seconds on 32 cores) is a per-executor-lifetime cost, not
     # a per-URL cost — steady-state throughput is the honest number.
-    warm_cfg = synthweb.WebConfig(n_hosts=8, pages_per_host=40, hot_frac_pct=0)
+    warm_cfg = synthweb.WebConfig(n_hosts=32, pages_per_host=40, hot_frac_pct=0)
     with tempfile.TemporaryDirectory() as wd:
-        CrawlEngine(spark, warm_cfg, wd, n_buckets=8, hot_host_min=500).crawl(
-            synthweb.seed_urls(warm_cfg, 16), cycles=1
+        CrawlEngine(spark, warm_cfg, wd, n_buckets=int(CPUS), hot_host_min=500).crawl(
+            synthweb.seed_urls(warm_cfg, 64), cycles=1
         )
 
     cfg = synthweb.WebConfig(n_hosts=200, pages_per_host=300, hot_frac_pct=15)

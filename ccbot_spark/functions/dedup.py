@@ -19,6 +19,7 @@ Scale design (100 TB of documents):
 from __future__ import annotations
 
 import hashlib
+from decimal import Decimal
 
 import numpy as np
 import pandas as pd
@@ -148,6 +149,41 @@ def ngram_jaccard_pairs_capped(
 
 # ------------------------------------------------------------- MinHash
 
+def _h64(col: Column) -> Column:
+    """First 8 bytes of md5(col) as an unsigned 64-bit value, computed
+    entirely JVM-side (hex → decimal via conv). decimal(20,0) holds the
+    full uint64 range. Matches the pure-python reference
+    int.from_bytes(md5(s).digest()[:8], 'big')."""
+    return F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+
+
+def minhash_signatures(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures with NO Python in
+    the hot path: shingle hashes via built-in md5/conv on the exploded
+    shingle column, the signature fold as 64 JVM min-aggregates
+    (a_i·x + b_i fits int64: both factors < 2^31). Map-side partial
+    aggregation means the shuffle carries 64 longs per doc, not the
+    shingle set. Output is bit-identical to minhash_signature_py
+    (pytest-enforced)."""
+    sh = df.select(
+        "doc_id", F.explode_outer(shingles(F.col(text), n)).alias("shingle")
+    )
+    x = (_h64(F.col("shingle")) % F.lit(_MH_P)).cast("long")
+    sh = sh.withColumn("x", x)
+    aggs = [
+        F.coalesce(
+            F.min((F.lit(int(MH_A[i])) * F.col("x") + F.lit(int(MH_B[i]))) % F.lit(_MH_P)),
+            F.lit(int(_MH_P)),  # empty shingle set → sentinel p (ref parity)
+        ).alias(f"s{i}")
+        for i in range(MH_K)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"s{i}" for i in range(MH_K)]).alias("sig"))
+    )
+
+
 def _shingle_hash_np(shingle_list: list[str]) -> np.ndarray:
     """Stable 32-bit-ish shingle hashes (md5 first 8 bytes mod p)."""
     return np.fromiter(
@@ -171,13 +207,6 @@ def minhash_signature_py(shingle_list: list[str]) -> list[int]:
     return hs.min(axis=1).astype(np.int64).tolist()
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def minhash_udf(shingle_lists: pd.Series) -> pd.Series:
-    return shingle_lists.map(
-        lambda ls: minhash_signature_py(list(ls) if ls is not None else [])
-    )
-
-
 def minhash_lsh_candidates(
     df: DataFrame, text: str = "text", n: int = 3
 ) -> DataFrame:
@@ -186,9 +215,7 @@ def minhash_lsh_candidates(
     join linear in true-pair density — the 100 TB path). Returns
     (doc_a, doc_b, est10) where est10 = 10*estimated-Jaccard rounded
     down (matching signature positions / K)."""
-    sig = df.select(
-        "doc_id", minhash_udf(shingles(F.col(text), n)).alias("sig")
-    )
+    sig = minhash_signatures(df, text, n)
     bands = sig.select(
         "doc_id",
         "sig",
@@ -272,11 +299,42 @@ def simhash64_np(token_list: list[str]) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-@F.pandas_udf(T.LongType())
-def simhash_udf(token_lists: pd.Series) -> pd.Series:
-    return token_lists.map(
-        lambda ls: simhash64_np(list(ls) if ls is not None else [])
-    ).astype("int64")
+def simhash_signatures(df: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, sh: long) SimHash-64 with NO Python in the hot path:
+    per-token 64-bit hash via built-in md5/conv on the exploded token
+    column (two's-complement reinterpretation keeps bit ops on int64),
+    bit votes as 64 conditional JVM sum-aggregates, sign → bit with
+    weight −2^63 for bit 63. Token multiplicity counts (explode, not
+    distinct) — bit-identical to simhash64_py (pytest-enforced)."""
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.lower(F.col(text)), " ")).alias("tok")
+    )
+    u = _h64(F.col("tok"))
+    two63 = Decimal(1 << 63)
+    two64 = Decimal(1 << 64)
+    h = (
+        F.when(u >= F.lit(two63), u - F.lit(two64)).otherwise(u)
+    ).cast("long")
+    tok = tok.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    weights = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    bits_expr = None
+    for j in range(64):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(weights[j])).otherwise(F.lit(0))
+        bits_expr = term if bits_expr is None else bits_expr + term
+    return (
+        tok.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", bits_expr.cast("long").alias("sh"))
+    )
 
 
 def simhash_near_pairs(df: DataFrame, text: str = "text", max_ham: int = 8) -> DataFrame:
@@ -285,9 +343,7 @@ def simhash_near_pairs(df: DataFrame, text: str = "text", max_ham: int = 8) -> D
     ≥1 exact band by pigeonhole; with max_ham > 3 the bands are a recall
     heuristic, as in production SimHash dedup). Join is equi on
     (band_id, band_val) — no cross join at any scale."""
-    sh = df.select(
-        "doc_id", simhash_udf(F.split(F.lower(F.col(text)), " ")).alias("sh")
-    )
+    sh = simhash_signatures(df, text)
     bands = sh.select(
         "doc_id",
         "sh",
@@ -321,14 +377,131 @@ def simhash_near_pairs(df: DataFrame, text: str = "text", max_ham: int = 8) -> D
 
 # ------------------------------------------------------------- embeddings
 
+# Sign-random-projection LSH planes, seeded from md5 so any engine can
+# reproduce them: w[p][c] = (h64(f"plane:{p}:{c}") mod 2001) - 1000,
+# an integer in [-1000, 1000].
+EMB_PLANES = 64
+EMB_BAND_BITS = 8  # 8 bands of 8 sign bits each
+EMB_Q = 10_000  # embedding quantization scale (floor(x * EMB_Q))
+
+
+def plane_weights(d: int, n_planes: int = EMB_PLANES) -> list[list[int]]:
+    return [
+        [
+            int.from_bytes(
+                hashlib.md5(f"plane:{p}:{c}".encode()).digest()[:8], "big"
+            )
+            % 2001
+            - 1000
+            for c in range(d)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def embedding_lsh_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
+    """Sub-quadratic embedding near-dup: LSH-bucket equi-join prefilter
+    → exact integer rerank. This is the 100 TB path (candidates ∝ bucket
+    collision density, never n²); embedding_near_pairs is the small-n
+    exact cross-check.
+
+    Everything is integer-exact and engine-neutral: embeddings quantize
+    to q[c] = floor(emb[c]·10^4); plane weights derive from md5; the
+    cosine threshold cos ≥ t4/10^4 is tested as
+    dot > 0  AND  10^8·dot² ≥ t4²·‖a‖²·‖b‖²  in decimal(38,0) — no
+    float summation order anywhere, so the DuckDB oracle matches
+    bit-for-bit by construction. Pairs must share at least one of the
+    8 8-bit sign bands.
+
+    Recall is the standard sign-LSH amplification 1-(1-p^8)^8 with
+    p = 1 - acos(cos)/π: ≈0.96 at cos 0.92 (true near-dups, the
+    intended regime — pytest asserts ≥0.8 on planted near-dups),
+    falling steeply at permissive thresholds (≈0.15 at cos 0.35);
+    random pairs collide at ≈3% (the 97% join reduction that makes
+    this the scale path). For low-threshold similarity search use
+    similarity.ann_* instead.
+    """
+    d = len(df.select("embedding").first()[0])
+    planes = plane_weights(d)
+    zero = F.lit(0).cast("long")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * EMB_Q).cast("long"),
+    )
+    e = df.select("vec_id", q.alias("q"))
+    e = e.withColumn(
+        "n2",
+        F.aggregate(F.transform("q", lambda x: x * x), zero, lambda a, x: a + x),
+    )
+    dot_p = [
+        F.aggregate(
+            F.zip_with("q", F.array(*[F.lit(w) for w in planes[p]]), lambda a, b: a * b),
+            zero,
+            lambda a, x: a + x,
+        )
+        for p in range(EMB_PLANES)
+    ]
+    band_vals = [
+        sum(
+            (
+                F.when(dot_p[b * EMB_BAND_BITS + j] > 0, F.lit(1 << j)).otherwise(zero)
+                for j in range(EMB_BAND_BITS)
+            ),
+            start=zero,
+        )
+        for b in range(EMB_PLANES // EMB_BAND_BITS)
+    ]
+    bands = e.select(
+        "vec_id",
+        F.posexplode(F.array(*band_vals)).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na2"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb2"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y), zero, lambda acc, x: acc + x)
+    dec = "decimal(38,0)"
+    lhs = (
+        F.lit(EMB_Q).cast(dec) * F.lit(EMB_Q).cast(dec)
+        * F.col("dot").cast(dec) * F.col("dot").cast(dec)
+    )
+    rhs = (
+        F.lit(t4).cast(dec) * F.lit(t4).cast(dec)
+        * F.col("na2").cast(dec) * F.col("nb2").cast(dec)
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("dot", dot)
+        .filter((F.col("dot") > 0) & (lhs >= rhs))
+        .select("vec_a", "vec_b")
+    )
+
 def embedding_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
     """Embedding-cosine near-dup pairs: cosine(a, b) ≥ t4/10000 over the
-    `embeddings` table, exact double arithmetic (cast float→double, then
-    left-fold sums — mirrors the oracle's list_sum formula bit-for-bit).
+    `embeddings` table in double precision.
+
+    Float-epsilon caveat: np.einsum may use pairwise/SIMD summation
+    while the DuckDB oracle's list_sum is a strict left fold, so the
+    two can differ by a few ulp; the oracle match relies on no data
+    cosine sitting within ~1e-9 of the threshold
+    (tests/test_functions.py asserts the margin on the test tables).
+    embedding_lsh_near_pairs is the fully-integer form with no such
+    assumption — and the sub-quadratic scale path.
 
     This is the exact/baseline form (all-pairs join, fine to ~10^5
-    vectors); similarity.ann_lsh_topk is the sub-quadratic scale path.
-    Returns (vec_a, vec_b) id pairs only — no float output columns.
+    vectors). Returns (vec_a, vec_b) id pairs only — no float output
+    columns.
     """
     # The pair generation is a JVM-side join; the cosine is ONE
     # Arrow-vectorized pandas UDF over the pair batches (numpy matmul

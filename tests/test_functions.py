@@ -256,3 +256,78 @@ def test_ivf_partition_pruned_search(spark, embs, tmp_path):
         len(got.get(q, set()) & brute[q]) / len(brute[q]) for q in brute
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_minhash_jvm_matches_python_reference(spark):
+    """minhash_signatures (JVM md5/conv + min-aggregates) must be
+    bit-identical to minhash_signature_py on real documents."""
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    jvm = {r.doc_id: list(r.sig) for r in dedup.minhash_signatures(df).collect()}
+    sh = df.select("doc_id", dedup.shingles(F.col("text")).alias("s")).collect()
+    for r in sh:
+        assert jvm[r.doc_id] == dedup.minhash_signature_py(list(r.s)), r.doc_id
+
+
+def test_simhash_jvm_matches_python_reference(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    jvm = {r.doc_id: r.sh for r in dedup.simhash_signatures(df).collect()}
+    for r in df.select("doc_id", "text").collect():
+        assert jvm[r.doc_id] == dedup.simhash64_py(r.text.lower().split(" ")), r.doc_id
+
+
+def _quantized_truth(vecs: dict[int, np.ndarray], t4: int) -> set[tuple[int, int]]:
+    ids = sorted(vecs)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dot = int(vecs[a] @ vecs[b])
+            na2, nb2 = int(vecs[a] @ vecs[a]), int(vecs[b] @ vecs[b])
+            if dot > 0 and 10**8 * dot * dot >= t4**2 * na2 * nb2:
+                truth.add((a, b))
+    return truth
+
+
+def test_embedding_lsh_no_false_positives(spark):
+    """The exact integer rerank means precision 1 by construction:
+    every returned pair satisfies the quantized threshold."""
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {(r.vec_a, r.vec_b) for r in dedup.embedding_lsh_near_pairs(df, t4=3500).collect()}
+    q = {r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 10000).astype(np.int64)
+         for r in df.collect()}
+    assert got <= _quantized_truth(q, 3500)
+
+
+def test_embedding_lsh_recall_on_planted_near_dups(spark):
+    """Sign-LSH is sized for true near-dups (8 bands of 8 bits →
+    ≈0.96 theoretical recall at cos 0.92): plant perturbed copies and
+    require ≥0.8 recall with the pairs found exactly right."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        w = v + 0.12 * rng.randn(64)  # cos ≈ 0.99 copy
+        rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_a, r.vec_b) for r in dedup.embedding_lsh_near_pairs(df, t4=9000).collect()}
+    q = {vid: np.floor(np.array(emb) * 10000).astype(np.int64) for vid, emb in rows}
+    truth = _quantized_truth(q, 9000)
+    assert got <= truth
+    assert len(truth) >= 30  # the plant worked
+    assert len(got) / len(truth) >= 0.8, (len(got), len(truth))
+
+
+def test_embedding_cosine_threshold_margin():
+    """embedding_near_pairs' oracle match assumes no cosine within
+    ~1e-9 of t4/10000 (einsum vs left-fold can differ by ulps);
+    verify the assumption on the test embeddings."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        tbl = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        m = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ m.T
+        iu = np.triu_indices(len(m), k=1)
+        margin = np.abs(cos[iu] - 0.35).min()
+        assert margin > 1e-9, (sf, margin)
