@@ -394,12 +394,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["w_running_sum"] = w_running_sum
 
     def w_global_order(spark, sf_dir):
+        # scalable form: two-phase numbering (operators/sequencing) —
+        # same seq a global Window.orderBy assigns, but no
+        # single-partition exchange (the engine's trace sequencing
+        # uses the identical operator)
+        from ccbot_spark.operators import sequencing
+
         o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-        w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        return o.select(
-            "o_orderkey",
-            (F.row_number().over(w) - 1).cast("long").alias("seq"),
+        numbered, _n, _cache = sequencing.global_sequence(
+            o,
+            keys=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            num_partitions=16,
         )
+        return numbered.select("o_orderkey", "seq")
     q["w_global_order"] = w_global_order
 
     def s_limit(spark, sf_dir):

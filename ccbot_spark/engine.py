@@ -186,11 +186,13 @@ class CrawlEngine:
 
         # ---- links path (§3.1 step 6)
         links = fetchparse.extract_links(fetched).persist(StorageLevel.MEMORY_AND_DISK)
+        # cand feeds BOTH the new-link chain and the dup-trace chain —
+        # persist so neither recomputes the links aggregation
         cand = (
             links.groupBy("url_norm")
             .agg(F.max("parent_priority").alias("pp"))
             .withColumn("url_hash", urlops.url_hash(F.col("url_norm")))
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         seen_df = self.seen.read()
         # The Bloom prefilter pays off when seen ≫ per-cycle candidates
         # (its job is shrinking the anti-join's left side); below the
@@ -271,6 +273,8 @@ class CrawlEngine:
         #      fetched/fetch_error=2 dup=3)
         n_trace = 0
         trace_df = None
+        trace_cache = None
+        events = None
         if self.record_trace:
             ev_cols = ["url_norm", "host", "sched_slot", "sched_time", "phase", "action"]
 
@@ -299,27 +303,6 @@ class CrawlEngine:
                 .unionByName(evt(errs, 2, "fetch_error", slot=True, sched=True))
                 .unionByName(dup_ev)
             )
-            # two-phase numbering: range-partition + per-partition
-            # offsets — no single-partition exchange even at 10^8
-            # events/cycle (key (phase, url_norm) is unique per row,
-            # so the numbering is deterministic at any parallelism)
-            numbered, n_trace, trace_cache = sequencing.global_sequence(
-                events,
-                keys=["phase", "sched_time", "host", "url_norm"],
-                num_partitions=self.n_buckets,
-                offset=self.trace_seq,
-            )
-            trace_df = numbered.select(
-                "seq",
-                F.lit(cycle).cast("int").alias("cycle"),
-                "url_norm",
-                "host",
-                "sched_slot",
-                "action",
-            )
-            trace_df = trace_df.persist(StorageLevel.MEMORY_AND_DISK)
-            self.trace_seq += n_trace
-
         # ---- frontier MERGE INTO: status updates + new-link inserts
         bucket = urlops.host_bucket(F.col("host"), self.n_buckets)
         upd_fetched = fetched.select(
@@ -358,19 +341,47 @@ class CrawlEngine:
             F.lit(cycle).cast("int").alias("cycle_added"),
         ).withColumn("bucket", urlops.url_bucket(F.col("url_hash"), self.n_buckets))
 
-        # Materialize every persisted intermediate first (single-threaded
-        # actions over cached lineage), then run the five independent
-        # sink jobs CONCURRENTLY — Spark's scheduler overlaps them, so
-        # the cycle pays one job-scheduling latency instead of five.
-        counts = {
-            "cycle": cycle,
-            "fetched": fetched.count(),
-            "new_links": new_rows.count(),
-            "stored_images": store.count(),
-            "trace_events": n_trace,
-        }
-
+        # Materialize the SHARED caches single-threaded first (fetch,
+        # links, cand — every downstream chain reads them; racing
+        # threads could otherwise compute a cached partition twice,
+        # fatal for the wall-clock-delayed fetch), then run the three
+        # independent materialization chains concurrently: new-link
+        # count, image-store count, and the trace two-phase numbering.
         from concurrent.futures import ThreadPoolExecutor
+
+        counts = {"cycle": cycle, "fetched": fetched.count()}
+        links.count()
+        cand.count()
+
+        def build_trace():
+            if events is None:
+                return 0
+            nonlocal trace_df, trace_cache
+            numbered, n, trace_cache = sequencing.global_sequence(
+                events,
+                keys=["phase", "sched_time", "host", "url_norm"],
+                num_partitions=self.n_buckets,
+                offset=self.trace_seq,
+            )
+            trace_df = numbered.select(
+                "seq",
+                F.lit(cycle).cast("int").alias("cycle"),
+                "url_norm",
+                "host",
+                "sched_slot",
+                "action",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            return n
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            fut_new = ex.submit(new_rows.count)
+            fut_store = ex.submit(store.count)
+            fut_trace = ex.submit(build_trace)
+            counts["new_links"] = fut_new.result()
+            counts["stored_images"] = fut_store.result()
+            n_trace = fut_trace.result()
+        counts["trace_events"] = n_trace
+        self.trace_seq += n_trace
 
         sinks = [
             lambda: self.images.append(
@@ -388,8 +399,8 @@ class CrawlEngine:
             for fut in [ex.submit(s) for s in sinks]:
                 fut.result()  # surface the first failure
 
-        for df in (attempts, fetched_raw, links, decoded, store, new_rows,
-                   parts["denied"]):
+        for df in (attempts, fetched_raw, links, cand, decoded, store,
+                   new_rows, parts["denied"]):
             df.unpersist()
         if trace_df is not None:
             trace_df.unpersist()

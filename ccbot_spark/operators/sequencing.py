@@ -30,22 +30,26 @@ from pyspark.storagelevel import StorageLevel
 
 def global_sequence(
     df: DataFrame,
-    keys: list[str],
+    keys: list,
     num_partitions: int,
     seq_col: str = "seq",
     offset: int = 0,
 ) -> tuple[DataFrame, int, DataFrame]:
     """Number `df` rows 0..n-1 (+offset) in `keys` order without a
-    single-partition exchange.
+    single-partition exchange. `keys` entries are column names or sort
+    Columns (e.g. ``F.col("x").desc()``) — range partitioning honors
+    the sort direction, so partition ids ascend in output order either
+    way.
 
     Returns (numbered_df, total_rows, cached_handle); the caller
     unpersists `cached_handle` when done with `numbered_df` (the count
     pass materializes the cache, so the numbering pass never re-runs
     the upstream lineage).
     """
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     ev = (
-        df.repartitionByRange(num_partitions, *[F.col(k) for k in keys])
-        .sortWithinPartitions(*keys)
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -60,7 +64,7 @@ def global_sequence(
         off_df = spark.createDataFrame(offs, "_pid int, _off long")
     else:
         off_df = spark.createDataFrame([], "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*keys)
+    w = Window.partitionBy("_pid").orderBy(*cols)
     out = (
         ev.join(F.broadcast(off_df), "_pid")
         .withColumn(seq_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
