@@ -14,10 +14,15 @@ Design discipline for oracle-matched queries:
   * thresholds as integer cross-multiplications (10*inter >= t*union).
 
 Entries without an oracle (rows-only check) are the genuinely
-non-SQL-expressible ops: xxhash64 / md5-seeded MinHash+SimHash / URL
-normalization / rolling-hash fingerprints / the binary image pipeline.
-Each of those has a stronger dedicated check in tests/ (property tests
-vs pure-Python references; see SURVEY.md §5).
+non-SQL-expressible ops: xxhash64-keyed url hash/salt (xxhash64 is
+Spark-only; the ENGINE keeps it — it is the right hash at scale — so
+the demo queries stay rows-only rather than misrepresenting the
+operator), python-urlkit URL normalization, float-projection ANN LSH,
+and the binary image pipeline. Each of those has a stronger dedicated
+check in tests/ (property tests vs pure-Python references; see
+SURVEY.md §5). The md5-seeded ops (MinHash, SimHash, fingerprint,
+embedding-LSH near-dup) ARE oracled: both engines derive the hash from
+md5 hex with explicit integer arithmetic.
 """
 
 from __future__ import annotations
