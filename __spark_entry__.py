@@ -986,6 +986,55 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
+    # --- ANN LSH: bucket assignment mirrors similarity._bucket_udf
+    # (md5-seeded integer planes over quantized vectors); rerank is the
+    # same left-fold cosine as the ann_topk oracle, restricted to the
+    # query's bucket.
+    _lw = dedup.plane_weights(64, n_planes=6)
+    lsh_planes_vals = ", ".join(
+        f"({p},{c + 1},{_lw[p][c]})" for p in range(6) for c in range(64)
+    )
+    o["ann_lsh"] = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        planes(p, c, w) AS (VALUES {lsh_planes_vals}),
+        pb(p, pow2) AS (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),(5,32)),
+        dots AS (
+          SELECT vec_id, p, SUM(q[c] * w) AS dot
+          FROM e CROSS JOIN planes GROUP BY vec_id, p
+        ),
+        buck AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot > 0 THEN pow2 ELSE 0 END) AS INTEGER)
+                     AS bucket
+          FROM dots JOIN pb USING (p) GROUP BY vec_id
+        ),
+        eb AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buck b USING (vec_id)),
+        qs AS (
+          SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+          FROM eb WHERE vec_id < 10
+        ),
+        scored AS (
+          SELECT qs.query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qs.q_emb)),
+                   i -> qs.q_emb[i] * c.emb[i])) /
+                 (sqrt(list_sum(list_transform(qs.q_emb, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.emb, x -> x*x)))) AS cos
+          FROM qs JOIN eb c
+            ON c.bucket = qs.q_bucket AND c.vec_id <> qs.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
     o["text_quality"] = f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_q,

@@ -24,10 +24,6 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 LSH_PLANES = 6  # 2^6 buckets; scale P with log2(n_vectors / target_bucket_size)
-_rng = np.random.RandomState(7)
-# deterministic hyperplanes for 64-dim embeddings (regenerated lazily
-# for other dims in the UDF closure)
-_PLANES_64 = _rng.standard_normal((LSH_PLANES, 64))
 
 
 def _cos(a: Column, b: Column) -> Column:
@@ -75,14 +71,19 @@ def ann_bruteforce_topk(
 
 
 def _bucket_udf(dim: int):
-    planes = _PLANES_64 if dim == 64 else np.random.RandomState(7).standard_normal(
-        (LSH_PLANES, dim)
-    )
+    """Sign buckets from the md5-seeded INTEGER planes shared with
+    functions/dedup (plane_weights) over floor(emb*10^4)-quantized
+    vectors: exact int64 arithmetic, so the bucket assignment is
+    engine-neutral and the DuckDB oracle reproduces it bit-for-bit."""
+    from .dedup import EMB_Q, plane_weights
+
+    planes = np.array(plane_weights(dim, n_planes=LSH_PLANES), dtype=np.int64)
 
     @F.pandas_udf(T.IntegerType())
     def bucket(embs: pd.Series) -> pd.Series:
-        mat = np.vstack(embs.to_numpy())  # (batch, dim) float32
-        signs = (mat.astype(np.float64) @ planes.T) > 0  # (batch, P)
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * EMB_Q).astype(np.int64)
+        signs = (q @ planes.T) > 0  # (batch, P) — exact integer dots
         vals = np.zeros(len(embs), dtype=np.int32)
         for p in range(LSH_PLANES):
             vals |= signs[:, p].astype(np.int32) << p
