@@ -95,6 +95,14 @@ class CrawlEngine:
         self.state_path = os.path.join(workdir, "state.json")
         self.trace_seq = 0
         self.last_cycle = 0
+        # Engine-resident Bloom filters, maintained INCREMENTALLY: built
+        # from the table once (lazily), then each cycle ORs in only that
+        # cycle's delta — no per-cycle full-table scan. Exactness is
+        # unaffected (prefilter-only: stale/extra bits can only create
+        # false positives, which the exact join resolves). Reset to None
+        # on resume → rebuilt from the rolled-back table.
+        self._seen_bloom = None
+        self._phash_bloom = None
 
     # ------------------------------------------------------------ state
 
@@ -116,6 +124,8 @@ class CrawlEngine:
         cycle = st["last_cycle"]
         self.trace_seq = st["trace_seq"]
         self.last_cycle = cycle
+        self._seen_bloom = None
+        self._phash_bloom = None
         for t in self._tables:
             v = t.tagged_version(f"cycle-{cycle}")
             if v is not None:
@@ -202,9 +212,10 @@ class CrawlEngine:
         # manifest-recorded row count: a metadata read, not a per-cycle
         # full scan of a 10^10-row table
         if self.use_bloom and self.seen.row_count() >= self.bloom_min_seen:
-            bloom = seenops.build_bloom(seen_df, self.bloom_bits)
+            if self._seen_bloom is None:  # first use / post-resume only
+                self._seen_bloom = seenops.build_bloom(seen_df, self.bloom_bits)
             sure_new, maybe = seenops.split_by_bloom(
-                cand, bloom, self.bloom_bits, self.spark
+                cand, self._seen_bloom, self.bloom_bits, self.spark
             )
             new = sure_new.unionByName(seenops.anti_join_seen(maybe, seen_df))
             dup = seenops.semi_join_seen(maybe, seen_df)
@@ -228,7 +239,18 @@ class CrawlEngine:
         decoded = imageops.fetch_decode_phash(
             fetchparse.extract_images(fetched), cfg
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        dd = imageops.dedup_by_phash(decoded, self.images.read().select("phash"))
+        if self.use_bloom and self._phash_bloom is None:
+            # empty table → zero filter; post-resume → rebuilt here
+            self._phash_bloom = seenops.build_bloom(
+                self.images.read().select("phash"), self.bloom_bits, col="phash"
+            )
+        dd = imageops.dedup_by_phash(
+            decoded,
+            self.images.read().select("phash"),
+            bloom=self._phash_bloom if self.use_bloom else None,
+            bloom_bits=self.bloom_bits,
+            spark=self.spark,
+        )
         store = dd["store"].persist(StorageLevel.MEMORY_AND_DISK)
         dups = dd["dups"]
 
@@ -398,6 +420,23 @@ class CrawlEngine:
         with ThreadPoolExecutor(max_workers=len(sinks)) as ex:
             for fut in [ex.submit(s) for s in sinks]:
                 fut.result()  # surface the first failure
+
+        # OR the cycle deltas into the engine-resident filters (small
+        # jobs over the cached cycle outputs — never a table scan)
+        import numpy as np
+
+        if self._seen_bloom is not None:
+            self._seen_bloom = np.bitwise_or(
+                self._seen_bloom,
+                seenops.build_bloom(new_seen, self.bloom_bits),
+            )
+        if self.use_bloom and self._phash_bloom is not None:
+            self._phash_bloom = np.bitwise_or(
+                self._phash_bloom,
+                seenops.build_bloom(
+                    store.select("phash"), self.bloom_bits, col="phash"
+                ),
+            )
 
         for df in (attempts, fetched_raw, links, cand, decoded, store,
                    new_rows, parts["denied"]):

@@ -90,19 +90,49 @@ def fetch_decode_phash(imgs_raw: DataFrame, cfg: synthweb.WebConfig) -> DataFram
     return imgs_raw.mapInPandas(gen, schema=DECODED_SCHEMA)
 
 
-def dedup_by_phash(decoded: DataFrame, stored_phashes: DataFrame) -> dict[str, DataFrame]:
+def dedup_by_phash(
+    decoded: DataFrame,
+    stored_phashes: DataFrame,
+    bloom=None,
+    bloom_bits: int = 0,
+    spark=None,
+) -> dict[str, DataFrame]:
     """Exact phash dedup (first-wins by deterministic page order).
 
     stored_phashes: DF[phash] from the images table (column-pruned scan
     — the manifest/Parquet reader never touches `bytes`).
+
+    With `bloom` (an engine-maintained filter over every stored phash),
+    Bloom-negative rows skip the stored-table join entirely — the
+    prefilter-only discipline of the seen set (§7.4 item 2): a negative
+    is definitely new, positives are verified by the exact join, so the
+    result is identical with or without the filter. At 10^10 stored
+    images this turns the per-cycle join against an 80 GB phash column
+    into a join over the rare Bloom-positive rows.
+
     Returns {'store': new unique rows, 'dups': dedup hits with page_host}.
     """
     w = Window.partitionBy("phash").orderBy(*_order())
     ranked = decoded.withColumn("_rn", F.row_number().over(w))
     firsts = ranked.filter(F.col("_rn") == 1).drop("_rn")
     within_dups = ranked.filter(F.col("_rn") > 1).drop("_rn")
-    new = firsts.join(stored_phashes.select("phash"), on="phash", how="left_anti")
-    seen_again = firsts.join(stored_phashes.select("phash"), on="phash", how="left_semi")
+    if bloom is not None:
+        from . import seen as seenops
+
+        sure_new, maybe = seenops.split_by_bloom(
+            firsts, bloom, bloom_bits, spark, col="phash"
+        )
+        new = sure_new.unionByName(
+            maybe.join(stored_phashes.select("phash"), on="phash", how="left_anti")
+        )
+        seen_again = maybe.join(
+            stored_phashes.select("phash"), on="phash", how="left_semi"
+        )
+    else:
+        new = firsts.join(stored_phashes.select("phash"), on="phash", how="left_anti")
+        seen_again = firsts.join(
+            stored_phashes.select("phash"), on="phash", how="left_semi"
+        )
     return {"store": new, "dups": within_dups.unionByName(seen_again)}
 
 

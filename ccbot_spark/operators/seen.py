@@ -53,7 +53,9 @@ def _test_bits(bits: np.ndarray, hashes: np.ndarray, n_bits: int) -> np.ndarray:
     return out
 
 
-def build_bloom(seen: DataFrame, n_bits: int = 1 << 22, depth: int = 2) -> np.ndarray:
+def build_bloom(
+    seen: DataFrame, n_bits: int = 1 << 22, depth: int = 2, col: str = "url_hash"
+) -> np.ndarray:
     """One Bloom shard per `seen` partition (mapPartitions builds a
     local bit-array from that partition's url_hash values), OR-merged
     via RDD.treeAggregate — the single RDD-level op in the engine
@@ -78,7 +80,7 @@ def build_bloom(seen: DataFrame, n_bits: int = 1 << 22, depth: int = 2) -> np.nd
         if nonempty:
             yield pd.DataFrame({"shard": [bits.tobytes()]})
 
-    shards = seen.select("url_hash").mapInPandas(
+    shards = seen.select(F.col(col).alias("url_hash")).mapInPandas(
         part_to_shard, schema="shard binary"
     )
     zero = np.zeros(n_words, dtype=np.uint64)
@@ -93,10 +95,12 @@ def build_bloom(seen: DataFrame, n_bits: int = 1 << 22, depth: int = 2) -> np.nd
 
 
 def split_by_bloom(
-    links: DataFrame, bloom_bits: np.ndarray, n_bits: int, spark
+    links: DataFrame, bloom_bits: np.ndarray, n_bits: int, spark,
+    col: str = "url_hash",
 ) -> tuple[DataFrame, DataFrame]:
-    """Split candidate links into (definitely_new, maybe_seen) using the
-    broadcast filter. links must carry a JVM-computed `url_hash` column."""
+    """Split candidate rows into (definitely_new, maybe_seen) using the
+    broadcast filter. `col` must be a JVM-computed int64 hash column
+    (url_hash for the seen set, phash for image dedup)."""
     bc = spark.sparkContext.broadcast(bloom_bits)
 
     @F.pandas_udf(T.BooleanType())
@@ -104,7 +108,7 @@ def split_by_bloom(
         vals = url_hash.to_numpy(dtype=np.int64)
         return pd.Series(_test_bits(bc.value, vals, n_bits))
 
-    tagged = links.withColumn("_maybe", maybe_seen_udf(F.col("url_hash")))
+    tagged = links.withColumn("_maybe", maybe_seen_udf(F.col(col)))
     return tagged.filter(~F.col("_maybe")).drop("_maybe"), tagged.filter(
         F.col("_maybe")
     ).drop("_maybe")
