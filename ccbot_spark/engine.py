@@ -239,15 +239,21 @@ class CrawlEngine:
         decoded = imageops.fetch_decode_phash(
             fetchparse.extract_images(fetched), cfg
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        if self.use_bloom and self._phash_bloom is None:
-            # empty table → zero filter; post-resume → rebuilt here
+        # Same pay-off threshold as the seen Bloom: below it the filter
+        # build/maintenance jobs cost more than the join they shrink
+        # (metadata row count — no scan). Result identical either way.
+        use_phash_bloom = (
+            self.use_bloom and self.images.row_count() >= self.bloom_min_seen
+        )
+        if use_phash_bloom and self._phash_bloom is None:
+            # first use / post-resume: one full phash-column scan
             self._phash_bloom = seenops.build_bloom(
                 self.images.read().select("phash"), self.bloom_bits, col="phash"
             )
         dd = imageops.dedup_by_phash(
             decoded,
             self.images.read().select("phash"),
-            bloom=self._phash_bloom if self.use_bloom else None,
+            bloom=self._phash_bloom if use_phash_bloom else None,
             bloom_bits=self.bloom_bits,
             spark=self.spark,
         )
@@ -430,7 +436,7 @@ class CrawlEngine:
                 self._seen_bloom,
                 seenops.build_bloom(new_seen, self.bloom_bits),
             )
-        if self.use_bloom and self._phash_bloom is not None:
+        if self._phash_bloom is not None:
             self._phash_bloom = np.bitwise_or(
                 self._phash_bloom,
                 seenops.build_bloom(
