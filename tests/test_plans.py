@@ -99,3 +99,36 @@ def test_global_sequence_empty(spark):
     )
     assert total == 0 and numbered.count() == 0
     cache.unpersist()
+
+
+def test_minhash_simhash_signatures_are_jvm_only(spark):
+    """Round-2 invariant: the signature pipelines contain NO Python
+    evaluation nodes — shingle/token hashing and the signature folds
+    are whole-stage-codegen JVM (md5/conv/min/sum aggregates)."""
+    from ccbot_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (dedup.minhash_signatures(docs), dedup.simhash_signatures(docs)):
+        df.collect()  # finalize the AQE plan so codegen spans are visible
+        plan = explainkit.formatted_plan(df)
+        assert "EvalPython" not in plan and "Python" not in plan, plan
+        # '*(n)' prefix in the simple plan marks whole-stage-codegen spans
+        assert "*(" in explainkit.simple_plan(df), explainkit.simple_plan(df)
+
+
+def test_global_sequence_stable_across_partition_counts(spark):
+    """Sequence assignment is a pure function of the key order:
+    different num_partitions must give identical seqs."""
+    from ccbot_spark.operators import sequencing
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    outs = []
+    for np_ in (3, 16):
+        numbered, total, cache = sequencing.global_sequence(
+            orders, keys=["o_totalprice", "o_orderkey"], num_partitions=np_
+        )
+        outs.append({r.o_orderkey: r.seq for r in numbered.collect()})
+        cache.unpersist()
+    assert outs[0] == outs[1]
