@@ -406,11 +406,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ccbot_spark.operators import sequencing
 
         o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-        numbered, _n, _cache = sequencing.global_sequence(
+        numbered, _n, cache = sequencing.global_sequence(
             o,
             keys=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
             num_partitions=16,
         )
+        # release the operator's internal cache now: the returned plan
+        # recomputes the (small, post-filter) lineage when collected,
+        # instead of leaking one persisted table per invocation
+        cache.unpersist()
         return numbered.select("o_orderkey", "seq")
     q["w_global_order"] = w_global_order
 

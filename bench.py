@@ -104,6 +104,12 @@ def main() -> None:
     bench("q_ngram_capped", lambda: run(qs["dedup_ngram_capped"](spark, SF_DIR)))
     bench("q_embedding_lsh", lambda: run(qs["dedup_embedding_lsh"](spark, SF_DIR)))
     bench("q_ann_topk", lambda: run(qs["ann_topk"](spark, SF_DIR)))
+
+    # release the dedup functions' internal band/shingle caches (the
+    # timed queries are fully consumed; warm-up copies included)
+    from ccbot_spark.functions import dedup as _dedup
+
+    _dedup.clear_caches()
     bench("q_text_quality", lambda: run(qs["text_quality"](spark, SF_DIR)))
 
     def img_pipeline():

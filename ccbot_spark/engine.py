@@ -156,6 +156,11 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("cycle_added"),
         ).withColumn("bucket", urlops.url_bucket(F.col("url_hash"), self.n_buckets))
         self.seen.overwrite(seen_df)
+        # overwrite invalidates the incremental filters: stale blooms
+        # would MISS the new seed urls (false negatives — the one
+        # direction the prefilter contract cannot absorb)
+        self._seen_bloom = None
+        self._phash_bloom = None
         self._save_state(0)
 
     # ------------------------------------------------------------ cycle

@@ -26,6 +26,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Intermediates persisted by the pair-generating functions (band /
+# shingle / quantized tables reused across self-join sides). They must
+# stay cached while the returned DataFrame is consumed, so the
+# functions cannot unpersist them; callers running many dedup queries
+# in one session call clear_caches() between batches (bench.py does).
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def clear_caches() -> None:
+    """Unpersist every intermediate cached by this module's dedup
+    functions (safe while no returned DataFrame is still in use)."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
+
 # MinHash parameters (mirrored by tests/test_dedup.py's reference impl)
 MH_K = 64  # signature length
 MH_BANDS = 8  # LSH bands
@@ -89,12 +112,10 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, inter, union_sz) with doc_a < doc_b.
     """
-    from pyspark.storagelevel import StorageLevel
-
     # sh feeds three consumers (sizes + both join sides): materialize
     # the exploded shingle table once instead of recomputing the
     # split/zip_with pipeline per consumer
-    sh = doc_shingles(df, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist(doc_shingles(df, text, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -126,16 +147,14 @@ def ngram_jaccard_pairs_capped(
     otherwise create a count²-sized join group). Jaccard is computed
     over the FILTERED shingle sets on both sides, so the semantics are
     self-consistent and exactly mirrorable in SQL."""
-    from pyspark.storagelevel import StorageLevel
-
-    sh = doc_shingles(df, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist(doc_shingles(df, text, n))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df_ct"))
         .filter(F.col("df_ct") <= max_df)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist(sh.join(rare, "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -253,9 +272,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
-    from pyspark.storagelevel import StorageLevel
-
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _persist(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -387,9 +404,7 @@ def simhash_near_pairs(df: DataFrame, text: str = "text", max_ham: int = 8) -> D
             )
         ).alias("band_id", "band_val"),
     )
-    from pyspark.storagelevel import StorageLevel
-
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _persist(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -455,7 +470,18 @@ def embedding_lsh_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
     this the scale path). For low-threshold similarity search use
     similarity.ann_* instead.
     """
-    d = len(df.select("embedding").first()[0])
+    first = df.select("embedding").first()
+    if first is None:  # empty input → empty pair set, no plan needed
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("vec_a", df.schema["vec_id"].dataType, True),
+                    T.StructField("vec_b", df.schema["vec_id"].dataType, True),
+                ]
+            ),
+        )
+    d = len(first[0])
     planes = np.array(plane_weights(d), dtype=np.int64)  # (P, d)
     bitw = np.array([1 << j for j in range(EMB_BAND_BITS)], dtype=np.int64)
     n_bands = EMB_PLANES // EMB_BAND_BITS
@@ -480,11 +506,9 @@ def embedding_lsh_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * EMB_Q).cast("long"),
     )
-    from pyspark.storagelevel import StorageLevel
-
     e = df.select("vec_id", q.alias("q"))
     # e feeds the band build and both rerank sides — materialize once
-    e = e.withColumn("n2", int_dot_udf("q", "q")).persist(StorageLevel.MEMORY_AND_DISK)
+    e = _persist(e.withColumn("n2", int_dot_udf("q", "q")))
     bands = e.select(
         "vec_id",
         F.posexplode(band_vals_udf("q")).alias("band_id", "band_val"),

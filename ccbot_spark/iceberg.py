@@ -117,11 +117,17 @@ class IcebergTableStore:
 
     def row_count(self, version=None) -> int:
         """Exact row count from Iceberg snapshot summary metadata
-        (`total-records`) — no table scan."""
-        pred = f"WHERE snapshot_id = {version}" if version is not None else ""
+        (`total-records`) — no table scan. Resolves the CURRENT
+        snapshot via the main branch ref, not max(committed_at):
+        after rollback_to_snapshot the newer (abandoned) snapshots
+        remain in `.snapshots`, so newest-by-time would over-report."""
+        if version is None:
+            version = self.tagged_version("main")
+            if version is None:
+                return 0
         rows = self.spark.sql(
             f"SELECT summary['total-records'] FROM {self.ident}.snapshots "
-            f"{pred} ORDER BY committed_at DESC LIMIT 1"
+            f"WHERE snapshot_id = {version}"
         ).collect()
         return int(rows[0][0]) if rows and rows[0][0] is not None else 0
 

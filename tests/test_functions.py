@@ -331,3 +331,18 @@ def test_embedding_cosine_threshold_margin():
         iu = np.triu_indices(len(m), k=1)
         margin = np.abs(cos[iu] - 0.35).min()
         assert margin > 1e-9, (sf, margin)
+
+
+def test_embedding_lsh_empty_input(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.lit(False))
+    out = dedup.embedding_lsh_near_pairs(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b"]
+
+
+def test_dedup_clear_caches(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    dedup.minhash_lsh_candidates(df).count()
+    assert dedup._ACTIVE_CACHES
+    dedup.clear_caches()
+    assert not dedup._ACTIVE_CACHES

@@ -107,6 +107,16 @@ def main():
             problems.append(
                 f"oracle dtype float where Spark is int (HUGEINT? wrap in "
                 f"CAST(... AS BIGINT)): {suspect}")
+        # Raw DATE/TIMESTAMP outputs normalize differently between
+        # fetchdf (pd.Timestamp '1995-01-01 00:00:00') and Spark
+        # (datetime.date '1995-01-01') — the repo discipline is to
+        # output strftime strings or epoch micros instead; flag early.
+        dt_cols = sorted(c for c, dt in ddf.dtypes.items() if dt.kind == "M")
+        if dt_cols:
+            problems.append(
+                f"date/timestamp-typed oracle columns {dt_cols}: output "
+                f"strftime strings or epoch microseconds instead "
+                f"(fetchdf vs Spark stringify these differently)")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):
