@@ -167,6 +167,23 @@ class CrawlEngine:
 
     def run_cycle(self, cycle: int) -> dict:
         cfg = self.cfg
+        # opt-in phase timing (CCBOT_CYCLE_TIMINGS=1): records the
+        # wall time of each ACTION group into counts["timings"] —
+        # the per-cycle fixed-cost diagnostic for operators tuning a
+        # deployment (lazy construction costs nothing; actions carry
+        # the time).
+        import time as _time
+
+        _timing = os.environ.get("CCBOT_CYCLE_TIMINGS") == "1"
+        _t: dict[str, float] = {}
+        _t0 = _time.time()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            if _timing:
+                now = _time.time()
+                _t[name] = round(now - _t0, 2)
+                _t0 = now
         # candidates: pending, plus errored entries with retry budget
         # left (transient-failure recrawl; mirrors oracle.MAX_RETRIES)
         pending = self.frontier.read().filter(
@@ -182,6 +199,7 @@ class CrawlEngine:
         parts["denied"] = parts["denied"].persist(StorageLevel.MEMORY_AND_DISK)
 
         hot = politeness.topk_hosts(pending, min_count=self.hot_host_min)
+        _mark("generate_topk")
         fetched = fetchparse.fetch(
             parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout,
             enforce_delay_wallclock=self.enforce_delay_wallclock,
@@ -219,6 +237,7 @@ class CrawlEngine:
         if self.use_bloom and self.seen.row_count() >= self.bloom_min_seen:
             if self._seen_bloom is None:  # first use / post-resume only
                 self._seen_bloom = seenops.build_bloom(seen_df, self.bloom_bits)
+            _mark("seen_bloom_build")
             sure_new, maybe = seenops.split_by_bloom(
                 cand, self._seen_bloom, self.bloom_bits, self.spark
             )
@@ -382,9 +401,13 @@ class CrawlEngine:
         # count, image-store count, and the trace two-phase numbering.
         from concurrent.futures import ThreadPoolExecutor
 
+        if use_phash_bloom and self._phash_bloom is not None:
+            _mark("phash_bloom_build")
         counts = {"cycle": cycle, "fetched": fetched.count()}
+        _mark("fetch")
         links.count()
         cand.count()
+        _mark("links_cand")
 
         def build_trace():
             if events is None:
@@ -415,6 +438,7 @@ class CrawlEngine:
             n_trace = fut_trace.result()
         counts["trace_events"] = n_trace
         self.trace_seq += n_trace
+        _mark("chains")
 
         sinks = [
             lambda: self.images.append(
@@ -431,6 +455,7 @@ class CrawlEngine:
         with ThreadPoolExecutor(max_workers=len(sinks)) as ex:
             for fut in [ex.submit(s) for s in sinks]:
                 fut.result()  # surface the first failure
+        _mark("sinks")
 
         # OR the cycle deltas into the engine-resident filters (small
         # jobs over the cached cycle outputs — never a table scan)
@@ -455,8 +480,12 @@ class CrawlEngine:
         if trace_df is not None:
             trace_df.unpersist()
             trace_cache.unpersist()
+        _mark("bloom_deltas")
         self.last_cycle = cycle
         self._save_state(cycle)
+        _mark("checkpoint")
+        if _timing:
+            counts["timings"] = _t
         return counts
 
     # ------------------------------------------------------------ driver
