@@ -17,12 +17,13 @@ Entries without an oracle (rows-only check) are the genuinely
 non-SQL-expressible ops: xxhash64-keyed url hash/salt (xxhash64 is
 Spark-only; the ENGINE keeps it — it is the right hash at scale — so
 the demo queries stay rows-only rather than misrepresenting the
-operator), python-urlkit URL normalization, float-projection ANN LSH,
-and the binary image pipeline. Each of those has a stronger dedicated
+operator), python-urlkit URL normalization, and the binary image
+decode pipeline (img_pipeline). Each of those has a stronger dedicated
 check in tests/ (property tests vs pure-Python references; see
 SURVEY.md §5). The md5-seeded ops (MinHash, SimHash, fingerprint,
-embedding-LSH near-dup) ARE oracled: both engines derive the hash from
-md5 hex with explicit integer arithmetic.
+embedding-LSH near-dup, ANN LSH, img_phash_near's banded Hamming
+join) ARE oracled: both engines derive the hash from md5 hex with
+explicit integer arithmetic.
 """
 
 from __future__ import annotations
@@ -36,6 +37,26 @@ from pyspark.sql.window import Window
 from ccbot_spark.functions import dedup, multimodal, similarity, textkit
 from ccbot_spark.operators import urlops
 from ccbot_spark.sources.tables import src_parquet
+
+
+# Caches created inside queries() plans that must stay alive until the
+# returned DataFrame is consumed. sequencing.global_sequence computes
+# per-partition offsets from its cached materialization; if the cache
+# were released at plan-construction time, a re-executed
+# repartitionByRange could sample different range boundaries (its
+# sampling seed depends on the fresh RDD id) and the recomputed layout
+# would silently shift every seq. Callers running many queries in one
+# session call clear_caches() between batches (tools/verify_oracle.py
+# and bench.py do); the driver gate runs each query once.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def clear_caches() -> None:
+    """Release plan caches registered by queries() entries (safe once no
+    returned DataFrame is still in use); also clears the dedup module's."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+    dedup.clear_caches()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -172,9 +193,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j_robots_bcast"] = j_robots_bcast
 
     def j_seen_anti(spark, sf_dir):
+        # right side restricted to 'F' orders so the anti-join has
+        # non-trivial survivors at every SF (a vacuous 0-row result
+        # would let filter(false) pass the gate)
         c = _t(spark, sf_dir, "customer")
-        o = _t(spark, sf_dir, "orders").select(
-            F.col("o_custkey").alias("c_custkey")
+        o = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("c_custkey"))
         )
         return c.select("c_custkey", "c_mktsegment").join(o, "c_custkey", "left_anti")
     q["j_seen_anti"] = j_seen_anti
@@ -188,9 +214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j_seen_semi"] = j_seen_semi
 
     def j_phash_dedup(spark, sf_dir):
+        # quantity filter on the right side → non-empty anti-join
+        # survivors (same de-vacuation rationale as j_seen_anti)
         p = _t(spark, sf_dir, "part")
-        li = _t(spark, sf_dir, "lineitem").select(
-            F.col("l_partkey").alias("p_partkey")
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") > 45)
+            .select(F.col("l_partkey").alias("p_partkey"))
         )
         return p.select("p_partkey", "p_brand").join(li, "p_partkey", "left_anti")
     q["j_phash_dedup"] = j_phash_dedup
@@ -411,10 +441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             keys=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
             num_partitions=16,
         )
-        # release the operator's internal cache now: the returned plan
-        # recomputes the (small, post-filter) lineage when collected,
-        # instead of leaking one persisted table per invocation
-        cache.unpersist()
+        # the operator's contract: the cache must outlive the returned
+        # plan (offsets were counted from the cached partition layout;
+        # re-running repartitionByRange could re-sample boundaries).
+        # Registered for clear_caches(), mirroring functions/dedup.
+        _ACTIVE_CACHES.append(cache)
         return numbered.select("o_orderkey", "seq")
     q["w_global_order"] = w_global_order
 
@@ -440,8 +471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["set_union_links"] = set_union_links
 
     def set_except_seen(spark, sf_dir):
+        # supplier side restricted by acctbal so the EXCEPT survives
+        # with rows at every SF (de-vacuation, see j_seen_anti)
         c = _t(spark, sf_dir, "customer")
-        s = _t(spark, sf_dir, "supplier")
+        s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
         return c.select(F.col("c_nationkey").alias("nationkey")).distinct().subtract(
             s.select(F.col("s_nationkey").alias("nationkey")).distinct()
         )
@@ -582,11 +615,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["img_pipeline"] = img_pipeline
 
     def img_phash_near(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-        decoded = multimodal.decode_features(
-            multimodal.synth_images_from_docs(docs)
+        # Exercises multimodal.phash_near_pairs (the banded Hamming
+        # join) through an ORACLED path: phashes are synthesized
+        # JVM-side from md5 so DuckDB reproduces them exactly —
+        # doc_id % 150 gives planted near-dup pairs (one flipped bit),
+        # bypassing only the binary decode step (which keeps its
+        # pixel-exact pytest + the rows-only img_pipeline entry).
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        # two 31-bit halves → base phash < 2^62 (no int64 overflow in
+        # either engine); docs ≥150 repeat an earlier base with ONE
+        # bit flipped → hamming-1 planted pairs
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        ph = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
         )
-        return multimodal.phash_near_pairs(decoded, max_ham=16)
+        return multimodal.phash_near_pairs(ph, max_ham=6)
     q["img_phash_near"] = img_phash_near
 
     return q
@@ -685,7 +735,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["j_seen_anti"] = """
         SELECT c_custkey, c_mktsegment FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
     """
 
     o["j_seen_semi"] = """
@@ -695,7 +747,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["j_phash_dedup"] = """
         SELECT p_partkey, p_brand FROM part p
-        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey
+                            AND l.l_quantity > 45)
     """
 
     o["j_phash_near"] = """
@@ -835,7 +889,7 @@ def oracle_sql() -> dict[str, str]:
     o["set_except_seen"] = """
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
     """
 
     o["set_intersect"] = """
@@ -1110,7 +1164,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_simhash"] = f"""
         WITH toks AS (
-          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          -- COALESCE([NULL]) mirrors Spark's explode_outer: a NULL text
+          -- keeps its doc with one NULL token (every vote then falls to
+          -- the ELSE -1 branch, sh = 0)
+          SELECT doc_id,
+                 unnest(COALESCE(string_split(lower(text), ' '),
+                                 [CAST(NULL AS VARCHAR)])) AS tok
           FROM documents
         ),
         h AS (SELECT doc_id, {_sql_h64('tok')} AS hu FROM toks),
@@ -1178,6 +1237,41 @@ def oracle_sql() -> dict[str, str]:
                          >= len(string_split(text, ' '))
                     THEN 'en' ELSE 'other' END AS lang_pred
         FROM documents
+    """
+
+    # --- img_phash_near: md5-synthesized phashes (two 31-bit halves →
+    # value < 2^62), banded 4×16-bit Hamming join — the same
+    # construction as the Spark side's multimodal.phash_near_pairs
+    # input, reproduced on HUGEINT then narrowed to BIGINT.
+    o["img_phash_near"] = f"""
+        WITH ph AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+                 a.phash AS pa, b.phash AS pb
+          FROM ph a JOIN ph b ON a.image_id < b.image_id
+           AND (
+             (a.phash & 65535) = (b.phash & 65535)
+             OR ((a.phash // 65536) & 65535) = ((b.phash // 65536) & 65535)
+             OR ((a.phash // 4294967296) & 65535)
+                = ((b.phash // 4294967296) & 65535)
+             OR ((a.phash // 281474976710656) & 65535)
+                = ((b.phash // 281474976710656) & 65535)
+           )
+        )
+        SELECT img_a, img_b, bit_count(xor(pa, pb)) AS hamming
+        FROM pairs WHERE bit_count(xor(pa, pb)) <= 6
     """
 
     return o

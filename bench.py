@@ -105,11 +105,10 @@ def main() -> None:
     bench("q_embedding_lsh", lambda: run(qs["dedup_embedding_lsh"](spark, SF_DIR)))
     bench("q_ann_topk", lambda: run(qs["ann_topk"](spark, SF_DIR)))
 
-    # release the dedup functions' internal band/shingle caches (the
-    # timed queries are fully consumed; warm-up copies included)
-    from ccbot_spark.functions import dedup as _dedup
-
-    _dedup.clear_caches()
+    # release the entry-module plan caches (dedup band/shingle tables
+    # etc.) — the timed queries are fully consumed, warm-up copies
+    # included
+    entry.clear_caches()
     bench("q_text_quality", lambda: run(qs["text_quality"](spark, SF_DIR)))
 
     def img_pipeline():

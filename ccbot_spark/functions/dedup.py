@@ -351,8 +351,11 @@ def simhash_signatures(df: DataFrame, text: str = "text") -> DataFrame:
     bit votes as 64 conditional JVM sum-aggregates, sign → bit with
     weight −2^63 for bit 63. Token multiplicity counts (explode, not
     distinct) — bit-identical to simhash64_py (pytest-enforced)."""
+    # explode_outer: a NULL text keeps its doc with one NULL token —
+    # all 64 votes fall to the otherwise(-1) branch → sh = 0, matching
+    # simhash64_py([]) and minhash_signatures' null policy
     tok = df.select(
-        "doc_id", F.explode(F.split(F.lower(F.col(text)), " ")).alias("tok")
+        "doc_id", F.explode_outer(F.split(F.lower(F.col(text)), " ")).alias("tok")
     ).withColumn("hex", F.md5("tok"))
     # two unsigned 32-bit halves keep the bit extraction in long
     # codegen; bit j of the 64-bit hash lives in lo for j<32, hi else
@@ -549,29 +552,32 @@ def embedding_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
     """Embedding-cosine near-dup pairs: cosine(a, b) ≥ t4/10000 over the
     `embeddings` table in double precision.
 
-    Float-epsilon caveat: np.einsum may use pairwise/SIMD summation
-    while the DuckDB oracle's list_sum is a strict left fold, so the
-    two can differ by a few ulp; the oracle match relies on no data
-    cosine sitting within ~1e-9 of the threshold
-    (tests/test_functions.py asserts the margin on the test tables).
-    embedding_lsh_near_pairs is the fully-integer form with no such
-    assumption — and the sub-quadratic scale path.
+    The dot/norm sums are STRICT LEFT FOLDS in index order (np.cumsum,
+    sequential by definition) — the exact summation order of the DuckDB
+    oracle's list_sum fold — so the two engines compute bit-identical
+    doubles and the threshold compare carries no float-epsilon
+    assumption. embedding_lsh_near_pairs is the fully-integer,
+    sub-quadratic scale path.
 
     This is the exact/baseline form (all-pairs join, fine to ~10^5
     vectors). Returns (vec_a, vec_b) id pairs only — no float output
     columns.
     """
     # The pair generation is a JVM-side join; the cosine is ONE
-    # Arrow-vectorized pandas UDF over the pair batches (numpy matmul
-    # semantics per element, double precision) — Catalyst's interpreted
-    # higher-order-function fold is ~20× slower per pair.
+    # Arrow-vectorized pandas UDF over the pair batches — Catalyst's
+    # interpreted higher-order-function fold is ~20× slower per pair.
+    # cumsum (not einsum/sum: those may use pairwise/SIMD summation)
+    # keeps the per-element fold order identical to a left fold.
+    def _lfold_rows(m: np.ndarray) -> np.ndarray:
+        return np.cumsum(m, axis=1)[:, -1]
+
     @F.pandas_udf(T.DoubleType())
     def cos_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
         ma = np.vstack(ea.to_numpy()).astype(np.float64)
         mb = np.vstack(eb.to_numpy()).astype(np.float64)
-        dots = np.einsum("ij,ij->i", ma, mb)
-        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        dots = _lfold_rows(ma * mb)
+        na = np.sqrt(_lfold_rows(ma * ma))
+        nb = np.sqrt(_lfold_rows(mb * mb))
         return pd.Series(dots / (na * nb))
 
     e = df.select(

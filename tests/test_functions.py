@@ -317,20 +317,28 @@ def test_embedding_lsh_recall_on_planted_near_dups(spark):
     assert len(got) / len(truth) >= 0.8, (len(got), len(truth))
 
 
-def test_embedding_cosine_threshold_margin():
-    """embedding_near_pairs' oracle match assumes no cosine within
-    ~1e-9 of t4/10000 (einsum vs left-fold can differ by ulps);
-    verify the assumption on the test embeddings."""
+def test_embedding_cosine_fold_bitwise_matches_duckdb():
+    """embedding_near_pairs computes its dot/norm sums as strict
+    left folds (np.cumsum) — assert the resulting doubles are
+    BIT-IDENTICAL to DuckDB's list_sum fold, so the oracle threshold
+    compare needs no epsilon assumption at all."""
+    import duckdb
     import pyarrow.parquet as pq
 
-    for sf in ("sf0.001", "sf0.01"):
-        tbl = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
-        m = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cos = m @ m.T
-        iu = np.triu_indices(len(m), k=1)
-        margin = np.abs(cos[iu] - 0.35).min()
-        assert margin > 1e-9, (sf, margin)
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    m = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)[:40]
+    # the UDF's fold: cumsum along the vector, sequential by definition
+    dots = np.cumsum(m[:-1] * m[1:], axis=1)[:, -1]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT list_sum(list_transform(generate_series(1, len($a::DOUBLE[])),"
+            " i -> ($a::DOUBLE[])[i] * ($b::DOUBLE[])[i]))",
+            {"a": list(m[i]), "b": list(m[i + 1])},
+        ).fetchone()[0]
+        for i in range(len(m) - 1)
+    ]
+    assert [d.hex() for d in dots] == [float(w).hex() for w in want]
 
 
 def test_embedding_lsh_empty_input(spark):

@@ -72,6 +72,10 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # release the previous query's plan caches (dedup band/shingle
+        # tables, sequencing materializations) — entry-module contract:
+        # callers running many queries clear between batches
+        entrymod.clear_caches()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
