@@ -59,6 +59,8 @@ class CrawlEngine:
         hot_host_min: int = 2000,
         bloom_bits: int = 1 << 22,
         bloom_min_seen: int = 50_000,
+        bloom_sharded: bool | None = None,
+        bloom_broadcast_max_bytes: int = 256 << 20,
         enforce_delay_wallclock: bool = False,
         delay_scale: float = 1.0,
         fetch_partitions: int | None = None,
@@ -76,6 +78,18 @@ class CrawlEngine:
         self.hot_host_min = hot_host_min
         self.bloom_bits = bloom_bits
         self.bloom_min_seen = bloom_min_seen
+        # Sharded (bucket-routed) seen filter when the merged array
+        # would exceed one sane broadcast — at 10^10 URLs a merged
+        # 8-bits/key filter is 10+ GB, so the shards stay distributed
+        # (one per pmod(url_hash, P) bucket) and membership checks
+        # route by bucket. Auto-selected from bloom_bits; tests force
+        # it with bloom_sharded=True.
+        self.bloom_sharded = (
+            bloom_sharded
+            if bloom_sharded is not None
+            else bloom_bits // 8 > bloom_broadcast_max_bytes
+        )
+        self.bloom_shard_bits = seenops.shard_bits_for(bloom_bits, n_buckets)
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -101,10 +115,48 @@ class CrawlEngine:
         # unaffected (prefilter-only: stale/extra bits can only create
         # false positives, which the exact join resolves). Reset to None
         # on resume → rebuilt from the rolled-back table.
+        # Merged form: one np array + ONE broadcast handle per filter
+        # (destroyed when the array changes — re-broadcasting per call
+        # would leak n_bits/8 bytes per cycle). Sharded form: a P-row
+        # (bucket, bits) DataFrame kept executor-resident via
+        # localCheckpoint (lineage-truncated so cycle-over-cycle OR
+        # chains never grow), no driver-resident filter at all.
         self._seen_bloom = None
+        self._seen_bloom_bc = None
+        self._seen_shards = None
         self._phash_bloom = None
+        self._phash_bloom_bc = None
 
     # ------------------------------------------------------------ state
+
+    def _reset_blooms(self) -> None:
+        """Drop every engine-resident filter and its cluster-side
+        resources (broadcasts destroyed, shard table unpersisted) —
+        required whenever the seen/images tables change under us
+        (seed overwrite, checkpoint rollback): stale bits could MISS
+        keys, the one direction the prefilter contract cannot absorb."""
+        self._seen_bloom = None
+        self._phash_bloom = None
+        for attr in ("_seen_bloom_bc", "_phash_bloom_bc"):
+            bc = getattr(self, attr, None)
+            if bc is not None:
+                bc.destroy()
+                setattr(self, attr, None)
+        if self._seen_shards is not None:
+            self._seen_shards.unpersist()
+            self._seen_shards = None
+
+    def _seen_bc(self):
+        """The (cached) broadcast of the merged seen filter; re-made
+        only when the array object changed since the last cycle."""
+        if self._seen_bloom_bc is None:
+            self._seen_bloom_bc = self.spark.sparkContext.broadcast(self._seen_bloom)
+        return self._seen_bloom_bc
+
+    def _phash_bc(self):
+        if self._phash_bloom_bc is None:
+            self._phash_bloom_bc = self.spark.sparkContext.broadcast(self._phash_bloom)
+        return self._phash_bloom_bc
 
     def _save_state(self, cycle: int) -> None:
         for t in self._tables:
@@ -124,8 +176,7 @@ class CrawlEngine:
         cycle = st["last_cycle"]
         self.trace_seq = st["trace_seq"]
         self.last_cycle = cycle
-        self._seen_bloom = None
-        self._phash_bloom = None
+        self._reset_blooms()
         for t in self._tables:
             v = t.tagged_version(f"cycle-{cycle}")
             if v is not None:
@@ -156,11 +207,9 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("cycle_added"),
         ).withColumn("bucket", urlops.url_bucket(F.col("url_hash"), self.n_buckets))
         self.seen.overwrite(seen_df)
-        # overwrite invalidates the incremental filters: stale blooms
-        # would MISS the new seed urls (false negatives — the one
-        # direction the prefilter contract cannot absorb)
-        self._seen_bloom = None
-        self._phash_bloom = None
+        # overwrite invalidates the incremental filters (stale blooms
+        # would MISS the new seed urls)
+        self._reset_blooms()
         self._save_state(0)
 
     # ------------------------------------------------------------ cycle
@@ -234,13 +283,26 @@ class CrawlEngine:
         # prefilter, never the decider).
         # manifest-recorded row count: a metadata read, not a per-cycle
         # full scan of a 10^10-row table
+        split_cache = None
         if self.use_bloom and self.seen.row_count() >= self.bloom_min_seen:
-            if self._seen_bloom is None:  # first use / post-resume only
-                self._seen_bloom = seenops.build_bloom(seen_df, self.bloom_bits)
-            _mark("seen_bloom_build")
-            sure_new, maybe = seenops.split_by_bloom(
-                cand, self._seen_bloom, self.bloom_bits, self.spark
-            )
+            if self.bloom_sharded:
+                # bucket-routed shards: no merged filter, no broadcast;
+                # each probe task holds one bucket's shard only
+                if self._seen_shards is None:  # first use / post-resume
+                    self._seen_shards = seenops.build_bloom_shards(
+                        seen_df, self.n_buckets, self.bloom_shard_bits
+                    ).localCheckpoint()
+                _mark("seen_bloom_build")
+                sure_new, maybe, split_cache = seenops.split_by_bloom_shards(
+                    cand, self._seen_shards, self.bloom_shard_bits, self.n_buckets
+                )
+            else:
+                if self._seen_bloom is None:  # first use / post-resume
+                    self._seen_bloom = seenops.build_bloom(seen_df, self.bloom_bits)
+                _mark("seen_bloom_build")
+                sure_new, maybe = seenops.split_by_bloom(
+                    cand, self._seen_bc(), self.bloom_bits, self.spark
+                )
             new = sure_new.unionByName(seenops.anti_join_seen(maybe, seen_df))
             dup = seenops.semi_join_seen(maybe, seen_df)
         else:
@@ -277,7 +339,7 @@ class CrawlEngine:
         dd = imageops.dedup_by_phash(
             decoded,
             self.images.read().select("phash"),
-            bloom=self._phash_bloom if use_phash_bloom else None,
+            bloom=self._phash_bc() if use_phash_bloom else None,
             bloom_bits=self.bloom_bits,
             spark=self.spark,
         )
@@ -458,7 +520,9 @@ class CrawlEngine:
         _mark("sinks")
 
         # OR the cycle deltas into the engine-resident filters (small
-        # jobs over the cached cycle outputs — never a table scan)
+        # jobs over the cached cycle outputs — never a table scan).
+        # The cycle's jobs are all complete here (sinks done), so the
+        # old broadcasts can be destroyed before re-broadcasting.
         import numpy as np
 
         if self._seen_bloom is not None:
@@ -466,6 +530,20 @@ class CrawlEngine:
                 self._seen_bloom,
                 seenops.build_bloom(new_seen, self.bloom_bits),
             )
+            if self._seen_bloom_bc is not None:
+                self._seen_bloom_bc.destroy()
+                self._seen_bloom_bc = None
+        if self._seen_shards is not None:
+            delta = seenops.build_bloom_shards(
+                new_seen, self.n_buckets, self.bloom_shard_bits
+            )
+            merged = seenops.or_merge_shards(
+                self._seen_shards, delta
+            ).localCheckpoint()  # eager: materialized before the old
+            # checkpoint is released, lineage truncated so the OR chain
+            # never deepens across cycles
+            self._seen_shards.unpersist()
+            self._seen_shards = merged
         if self._phash_bloom is not None:
             self._phash_bloom = np.bitwise_or(
                 self._phash_bloom,
@@ -473,10 +551,15 @@ class CrawlEngine:
                     store.select("phash"), self.bloom_bits, col="phash"
                 ),
             )
+            if self._phash_bloom_bc is not None:
+                self._phash_bloom_bc.destroy()
+                self._phash_bloom_bc = None
 
         for df in (attempts, fetched_raw, links, cand, decoded, store,
                    new_rows, parts["denied"]):
             df.unpersist()
+        if split_cache is not None:
+            split_cache.unpersist()
         if trace_df is not None:
             trace_df.unpersist()
             trace_cache.unpersist()

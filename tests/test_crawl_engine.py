@@ -136,6 +136,41 @@ def test_bloom_off_identical(spark, tmp_path, oracle_res):
     assert _engine_trace(eng) == oracle_res.trace
 
 
+def test_bloom_sharded_identical(spark, tmp_path, oracle_res):
+    """Force the bucket-routed shard path (the 10^10-URL form: no
+    merged filter, no broadcast — membership checks cogroup against
+    per-bucket shards) and assert the crawl trace, seen set, and
+    stored images are byte-identical to the oracle."""
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path / "sharded"), n_buckets=8,
+        use_bloom=True, bloom_min_seen=0, bloom_sharded=True,
+        record_trace=True, hot_host_min=10,
+    )
+    eng.crawl(SEEDS, cycles=CYCLES)
+    assert eng.bloom_sharded and eng._seen_shards is not None
+    assert eng._seen_bloom is None  # no merged filter was ever built
+    assert _engine_trace(eng) == oracle_res.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == oracle_res.seen
+    got_imgs = {r.image_id for r in eng.images.read().select("image_id").collect()}
+    assert got_imgs == {r["image_id"] for r in oracle_res.images}
+
+
+def test_bloom_sharded_auto_threshold(spark, tmp_path):
+    """bloom_sharded=None auto-selects by broadcastability: a filter
+    bigger than bloom_broadcast_max_bytes goes sharded."""
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path / "auto"), n_buckets=8,
+        bloom_bits=1 << 22, bloom_broadcast_max_bytes=1 << 10,
+    )
+    assert eng.bloom_sharded
+    eng2 = CrawlEngine(
+        spark, CFG, str(tmp_path / "auto2"), n_buckets=8,
+        bloom_bits=1 << 22, bloom_broadcast_max_bytes=1 << 30,
+    )
+    assert not eng2.bloom_sharded
+
+
 def test_fetch_errors_match_oracle(spark, tmp_path):
     """fail_pct injects deterministic fetch errors: slot consumed, no
     parse, status 'error', errors metric — engine must match the
