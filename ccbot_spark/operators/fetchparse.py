@@ -18,34 +18,14 @@ execution, not the schedule.
 from __future__ import annotations
 
 import time
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .. import parsekit, schemas, synthweb
+from .. import schemas, synthweb
 from . import urlops
-
-LINKS_SCHEMA = T.StructType(
-    [
-        T.StructField("url_norm", T.StringType(), False),  # the outlink
-        T.StructField("page_host", T.StringType(), False),
-        T.StructField("parent_priority", T.LongType(), False),
-    ]
-)
-
-IMGS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("img_url", T.StringType(), False),
-        T.StructField("caption", T.StringType(), False),
-        T.StructField("page_host", T.StringType(), False),
-        T.StructField("page_url", T.StringType(), False),
-        T.StructField("sched_time", T.LongType(), False),
-        T.StructField("img_idx", T.IntegerType(), False),
-    ]
-)
 
 
 def fetch(
@@ -102,53 +82,128 @@ def fetch(
     return salted.groupBy("salt_key").applyInPandas(fetch_group, schema=schemas.FETCHED)
 
 
+# ---------------------------------------------------------------- parse
+#
+# The regex scans run JVM-SIDE (regexp_extract_all inside whole-stage
+# codegen over the html column); Python sees only the already-extracted
+# href/src/caption strings, in ONE vectorized pandas_udf per stage that
+# does what no JVM builtin can: RFC-3986 relative-URL resolution +
+# normalization (urlkit) with order-preserving within-page dedup.
+# Patterns mirror ccbot_spark.parsekit (the oracle crawler's parser)
+# exactly; trace-equality tests enforce byte-identical extraction.
+
+# <a href> occurrences (parsekit._A_RE, Java-regex inline flags)
+_A_PAT = r'(?is)<a\s[^>]*?href="([^"]*)"'
+# Image blocks in DOCUMENT ORDER via one alternation: a <figure> block
+# (figcaption overrides alt) or a standalone <img alt>. The figure
+# alternative consumes its inner <img>, which reproduces parsekit's
+# span-exclusion rule (standalone imgs inside matched figures are
+# skipped) without position bookkeeping.
+_BLOCK_PAT = (
+    r'(?is)(<figure>\s*<img\s[^>]*?src="[^"]*"[^>]*>\s*'
+    r"<figcaption>.*?</figcaption>\s*</figure>"
+    r'|<img\s[^>]*?src="[^"]*"[^>]*?alt="[^"]*")'
+)
+_FIG_SRC = r'(?is)<figure>\s*<img\s[^>]*?src="([^"]*)"'
+_FIG_CAP = r"(?is)<figcaption>(.*?)</figcaption>"
+_IMG_SRC = r'(?i)<img\s[^>]*?src="([^"]*)"'
+_IMG_ALT = r'(?i)<img\s[^>]*?src="[^"]*"[^>]*?alt="([^"]*)"'
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _resolve_links_udf(page_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """href lists (JVM-extracted) → resolved+normalized outlinks,
+    document order, within-page dedup (parsekit.extract_links
+    semantics, minus the regex — that already ran JVM-side)."""
+    from .. import urlkit
+
+    out = []
+    for pu, hs in zip(page_urls, hrefs):
+        seen: set[str] = set()
+        acc: list[str] = []
+        for href in hs if hs is not None else []:
+            u = urlkit.resolve_link(pu, href)
+            if u is not None and u not in seen:
+                seen.add(u)
+                acc.append(u)
+        out.append(acc)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.ArrayType(T.StringType())))
+def _resolve_imgs_udf(page_urls: pd.Series, pairs: pd.Series) -> pd.Series:
+    """[src, rawcap] lists (JVM-extracted, document order) → resolved
+    [img_url, stripped caption] pairs with within-page dedup by url
+    (parsekit.extract_images semantics)."""
+    from .. import urlkit
+
+    out = []
+    for pu, ps in zip(page_urls, pairs):
+        seen: set[str] = set()
+        acc: list[list[str]] = []
+        for p in ps if ps is not None else []:
+            u = urlkit.resolve_link(pu, p[0])
+            if u is not None and u not in seen:
+                seen.add(u)
+                acc.append([u, (p[1] or "").strip()])
+        out.append(acc)
+    return pd.Series(out)
+
+
 def extract_links(fetched: DataFrame) -> DataFrame:
-    """One row per extracted (already normalized) outlink occurrence."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls, hosts, pris = [], [], []
-            for page_url, host, pri, html in zip(
-                pdf["url_norm"], pdf["host"], pdf["priority"], pdf["html"]
-            ):
-                for link in parsekit.extract_links(page_url, html):
-                    urls.append(link)
-                    hosts.append(host)
-                    pris.append(pri)
-            out = pd.DataFrame(
-                {"url_norm": urls, "page_host": hosts, "parent_priority": pris}
-            )
-            out["parent_priority"] = out["parent_priority"].astype("int64")
-            yield out
-
-    return fetched.mapInPandas(gen, schema=LINKS_SCHEMA)
+    """One row per extracted (already normalized) outlink occurrence.
+    href scan = JVM regexp_extract_all; Python = URL resolution only."""
+    hrefs = F.regexp_extract_all(F.col("html"), F.lit(_A_PAT), F.lit(1))
+    per_page = fetched.select(
+        F.col("host").alias("page_host"),
+        F.col("priority").cast("long").alias("parent_priority"),
+        _resolve_links_udf(F.col("url_norm"), hrefs).alias("_links"),
+    )
+    # explode_outer, NOT explode: for plain explode Catalyst inserts a
+    # size(arr)>0 pre-filter that re-evaluates the resolve UDF a second
+    # time per page (plan-tested). The UDF emits no null elements, so
+    # dropping the outer-placeholder null rows afterwards is exact.
+    return per_page.select(
+        F.explode_outer("_links").alias("url_norm"), "page_host", "parent_priority"
+    ).filter(F.col("url_norm").isNotNull())
 
 
 def extract_images(fetched: DataFrame) -> DataFrame:
     """One row per (img_url, caption) pair with page-order keys for the
-    deterministic phash-dedup tie-break (SURVEY.md §7.5)."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {
-                "img_url": [], "caption": [], "page_host": [],
-                "page_url": [], "sched_time": [], "img_idx": [],
-            }
-            for page_url, host, st, html in zip(
-                pdf["url_norm"], pdf["host"], pdf["sched_time"], pdf["html"]
-            ):
-                for idx, (img_url, cap) in enumerate(
-                    parsekit.extract_images(page_url, html)
-                ):
-                    rows["img_url"].append(img_url)
-                    rows["caption"].append(cap)
-                    rows["page_host"].append(host)
-                    rows["page_url"].append(page_url)
-                    rows["sched_time"].append(st)
-                    rows["img_idx"].append(idx)
-            out = pd.DataFrame(rows)
-            out["sched_time"] = out["sched_time"].astype("int64")
-            out["img_idx"] = out["img_idx"].astype("int32")
-            yield out
-
-    return fetched.mapInPandas(gen, schema=IMGS_RAW_SCHEMA)
+    deterministic phash-dedup tie-break (SURVEY.md §7.5). Block scan =
+    JVM regexp_extract_all alternation; figcaption-over-alt selection =
+    JVM per-element regexp_extract; Python = URL resolution + strip."""
+    blocks = F.regexp_extract_all(F.col("html"), F.lit(_BLOCK_PAT), F.lit(1))
+    is_fig = lambda x: F.lower(F.substring(x, 1, 7)) == "<figure"  # noqa: E731
+    pairs = F.transform(
+        blocks,
+        lambda x: F.array(
+            F.when(is_fig(x), F.regexp_extract(x, _FIG_SRC, 1)).otherwise(
+                F.regexp_extract(x, _IMG_SRC, 1)
+            ),
+            F.when(is_fig(x), F.regexp_extract(x, _FIG_CAP, 1)).otherwise(
+                F.regexp_extract(x, _IMG_ALT, 1)
+            ),
+        ),
+    )
+    per_page = fetched.select(
+        F.col("host").alias("page_host"),
+        F.col("url_norm").alias("page_url"),
+        F.col("sched_time").cast("long").alias("sched_time"),
+        _resolve_imgs_udf(F.col("url_norm"), pairs).alias("_imgs"),
+    )
+    # posexplode_outer + null-drop for the same single-UDF-eval reason
+    # as extract_links
+    return per_page.select(
+        "page_host",
+        "page_url",
+        "sched_time",
+        F.posexplode_outer("_imgs").alias("img_idx", "_pair"),
+    ).filter(F.col("_pair").isNotNull()).select(
+        F.col("_pair").getItem(0).alias("img_url"),
+        F.col("_pair").getItem(1).alias("caption"),
+        "page_host",
+        "page_url",
+        "sched_time",
+        F.col("img_idx").cast("int").alias("img_idx"),
+    )

@@ -116,6 +116,30 @@ def test_minhash_simhash_signatures_are_jvm_only(spark):
         assert "*(" in explainkit.simple_plan(df), explainkit.simple_plan(df)
 
 
+def test_link_image_extraction_regex_is_jvm_side(spark):
+    """Round-3 invariant: the href/img-src/figcaption scans run as
+    JVM regexp_extract_all (whole-stage codegen over html), with
+    exactly ONE Arrow-batched Python node per stage — the urlkit
+    URL-resolution hop, the only part with no JVM equivalent."""
+    import re as _re
+
+    from ccbot_spark.operators import fetchparse
+
+    df = spark.createDataFrame(
+        [("http://h0.test/p/0", "h0.test", 5, 0,
+          '<a href="/x">x</a><img src="/i.png" alt="c">')],
+        "url_norm string, host string, priority long, sched_time long,"
+        " html string",
+    )
+    for out in (fetchparse.extract_links(df), fetchparse.extract_images(df)):
+        plan = explainkit.formatted_plan(out)
+        assert "regexp_extract_all" in plan, plan
+        # one Python eval node (the resolve UDF), and it is Arrow-batched
+        pynodes = _re.findall(r"\(\d+\) ArrowEvalPython", plan)
+        assert len(pynodes) == 1, plan
+        assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDF
+
+
 def test_global_sequence_stable_across_partition_counts(spark):
     """Sequence assignment is a pure function of the key order:
     different num_partitions must give identical seqs."""
