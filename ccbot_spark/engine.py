@@ -61,6 +61,7 @@ class CrawlEngine:
         bloom_min_seen: int = 50_000,
         bloom_sharded: bool | None = None,
         bloom_broadcast_max_bytes: int = 256 << 20,
+        skew_safe_generate: bool = False,
         enforce_delay_wallclock: bool = False,
         delay_scale: float = 1.0,
         fetch_partitions: int | None = None,
@@ -90,6 +91,10 @@ class CrawlEngine:
             else bloom_bits // 8 > bloom_broadcast_max_bytes
         )
         self.bloom_shard_bits = seenops.shard_bits_for(bloom_bits, n_buckets)
+        # two-phase per-host top-k in GENERATE (politeness.generate
+        # skew_safe): identical output, no single window task holding a
+        # pathological host's whole frontier share
+        self.skew_safe_generate = skew_safe_generate
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -242,7 +247,9 @@ class CrawlEngine:
         robots_df = politeness.build_robots_table(
             pending.select("host").distinct(), cfg
         )
-        parts = politeness.generate(pending, robots_df)
+        parts = politeness.generate(
+            pending, robots_df, skew_safe=self.skew_safe_generate
+        )
         # denied feeds both the trace and the frontier merge; persist so
         # the robots-UDF + window stage runs once
         parts["denied"] = parts["denied"].persist(StorageLevel.MEMORY_AND_DISK)

@@ -68,7 +68,9 @@ def robots_allow_udf(
     return pd.Series(out, dtype=bool)
 
 
-def generate(pending: DataFrame, robots_df: DataFrame) -> dict[str, DataFrame]:
+def generate(
+    pending: DataFrame, robots_df: DataFrame, skew_safe: bool = False
+) -> dict[str, DataFrame]:
     """The crawl GENERATE step (§3.1 step 1).
 
     Returns dict with:
@@ -76,6 +78,19 @@ def generate(pending: DataFrame, robots_df: DataFrame) -> dict[str, DataFrame]:
       fetch   — per-host top-budget allowed candidates with
                 sched_slot / sched_time (slot * crawl_delay_ms)
       skipped — allowed candidates beyond the per-host budget
+
+    skew_safe: two-phase per-host top-k for pathological frontier skew.
+    The default path ranks with ONE Window.partitionBy(host) — a host
+    holding 30% of a 10^10-row frontier would funnel 30% of all rows
+    through one window task (AQE cannot split a window partition).
+    The two-phase form first keeps the top-budget rows per host WITHIN
+    each input partition (window keyed by (spark_partition_id, host) —
+    the hot host splits across its input partitions, every window
+    group ≤ its partition's rows), then ranks exactly over the
+    survivors (≤ budget × n_partitions rows per host). Any global
+    top-B row is in its partition's top-B, so fetch/sched_slot are
+    IDENTICAL to the single-window plan (trace-equality enforced);
+    skipped is recovered by anti-join.
     """
     cand = pending.join(F.broadcast(robots_df), on="host", how="left")
     cand = cand.withColumn(
@@ -84,13 +99,39 @@ def generate(pending: DataFrame, robots_df: DataFrame) -> dict[str, DataFrame]:
     )
     denied = cand.filter(~F.col("allowed"))
     ok = cand.filter(F.col("allowed"))
-    w = Window.partitionBy("host").orderBy(*_cand_order())
-    ok = ok.withColumn("sched_slot", (F.row_number().over(w) - 1).cast("int"))
-    fetch = ok.filter(F.col("sched_slot") < F.col("budget_per_cycle")).withColumn(
-        "sched_time", (F.col("sched_slot") * F.col("crawl_delay_ms")).cast("long")
-    )
-    skipped = ok.filter(F.col("sched_slot") >= F.col("budget_per_cycle"))
     keep = ["url_norm", "host", "priority", "dt_cycle", "dt_seq", "retries"]
+    w = Window.partitionBy("host").orderBy(*_cand_order())
+    if skew_safe:
+        w1 = Window.partitionBy("_pid", "host").orderBy(*_cand_order())
+        survivors = (
+            ok.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= F.col("budget_per_cycle"))
+            .drop("_pid", "_rn1")
+        )
+        ranked = survivors.withColumn(
+            "sched_slot", (F.row_number().over(w) - 1).cast("int")
+        )
+        fetch = ranked.filter(
+            F.col("sched_slot") < F.col("budget_per_cycle")
+        ).withColumn(
+            "sched_time",
+            (F.col("sched_slot") * F.col("crawl_delay_ms")).cast("long"),
+        )
+        skipped = ok.join(
+            fetch.select(F.col("url_norm").alias("_fu")),
+            on=F.col("url_norm") == F.col("_fu"),
+            how="left_anti",
+        )
+    else:
+        ok = ok.withColumn("sched_slot", (F.row_number().over(w) - 1).cast("int"))
+        fetch = ok.filter(
+            F.col("sched_slot") < F.col("budget_per_cycle")
+        ).withColumn(
+            "sched_time",
+            (F.col("sched_slot") * F.col("crawl_delay_ms")).cast("long"),
+        )
+        skipped = ok.filter(F.col("sched_slot") >= F.col("budget_per_cycle"))
     return {
         "denied": denied.select(*keep),
         "fetch": fetch.select(*keep, "sched_slot", "sched_time", "crawl_delay_ms"),

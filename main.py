@@ -43,6 +43,9 @@ def parse_args():
                         "(the delay/IO-bound workload shape of a real crawl)")
     p.add_argument("--delay-scale", type=float, default=1.0,
                    help="compress the politeness clock by this factor")
+    p.add_argument("--skew-safe", action="store_true",
+                   help="two-phase per-host top-k in GENERATE (no single "
+                        "window task holds a hot host's whole frontier share)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny crawl first to spin up UDF workers")
@@ -95,6 +98,7 @@ def main() -> None:
         enforce_delay_wallclock=args.enforce_delay,
         delay_scale=args.delay_scale,
         fetch_partitions=args.fetch_partitions,
+        skew_safe_generate=args.skew_safe,
     )
     seeds = synthweb.seed_urls(cfg, args.seeds)
 

@@ -50,7 +50,10 @@ def run_one(master: str, workdir: str, args) -> dict:
         "--warmup",
         "--enforce-delay",
         "--delay-scale", str(args.delay_scale),
+        "--hot-pct", str(args.hot_pct),
     ]
+    if args.skew_safe:
+        cmd.append("--skew-safe")
     t0 = time.time()
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     if out.returncode != 0:
@@ -83,6 +86,11 @@ def main() -> None:
     ap.add_argument("--cycles", type=int, default=1)
     ap.add_argument("--delay-scale", type=float, default=1.0)
     ap.add_argument("--fetch-partitions", type=int, default=2048)
+    ap.add_argument("--hot-pct", type=int, default=15,
+                    help="%% of cross-host links redirected to host 0 "
+                         "(30+ = pathological single-host skew)")
+    ap.add_argument("--skew-safe", action="store_true",
+                    help="use the two-phase GENERATE top-k")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "SCALING.md"))
     args = ap.parse_args()
 
@@ -102,6 +110,7 @@ def main() -> None:
         "workload": {
             "hosts": args.hosts, "pages": args.pages, "seeds": args.seeds,
             "cycles": args.cycles, "delay_scale": args.delay_scale,
+            "hot_pct": args.hot_pct, "skew_safe": args.skew_safe,
         },
         "N=local[8]": {"urls_per_sec": thru_n,
                        "crawl_wall_sec": results["N"]["wall_sec"],
@@ -123,9 +132,11 @@ def main() -> None:
 
 Same crawl job (`main.py`, the spark-submit entry), same input
 (deterministic synthetic web: {args.hosts} hosts x {args.pages} pages,
-{args.seeds} seeds, {args.cycles} cycles, politeness delay enforced at
-wall-clock scale {args.delay_scale}), two parallelism levels in separate
-JVMs, identical plans (`spark.sql.shuffle.partitions=32` both).
+{args.seeds} seeds, {args.cycles} cycles, hot-host link share
+{args.hot_pct}%, skew-safe generate {"ON" if args.skew_safe else "off"},
+politeness delay enforced at wall-clock scale {args.delay_scale}), two
+parallelism levels in separate JVMs, identical plans
+(`spark.sql.shuffle.partitions=32` both).
 
 | Run | Master | Crawl wall (s) | URLs+images stored | Throughput (urls/sec) |
 |---|---|---|---|---|
