@@ -43,19 +43,37 @@ def fetch(
     host (or one hot-host sub-bucket).
 
     fetch_partitions: explicit parallelism for the fetch stage only.
-    The fetch is delay/IO-bound, so it wants MANY more partitions than
-    cores for balance — while the rest of the cycle's (byte-bound)
-    shuffles stay at spark.sql.shuffle.partitions with AQE coalescing.
-    An explicit repartition(N, key) is never coalesced by AQE, and the
-    following groupBy on the same key reuses the partitioning (no
-    second exchange).
+    The fetch is delay/IO-bound: a task's wall time is its groups'
+    summed politeness spans, so placement is everything. Hash
+    repartition stacks whole colliding groups into one task (birthday
+    collisions: with G groups in N partitions a meaningful fraction
+    share a task, and their sleeps serialize). Instead the batch is
+    RANGE-partitioned by (group_span DESC, salt_key): every partition
+    holds ⌈G/N⌉ whole groups (count-balanced by construction), and the
+    longest-span groups land in the lowest partition ids — Spark
+    launches tasks in partition order, so this is LPT scheduling: the
+    straggler tail is one short group, not a long one scheduled last.
+    The span column joins the groupBy key (constant within a group, so
+    grouping is unchanged) to make the range partitioning satisfy the
+    groupBy's clustering requirement — no second exchange (the window
+    computing spans is one tiny extra shuffle of the schedule batch,
+    paid in milliseconds to save a max-span straggler per cycle).
+    Never coalesced by AQE; other shuffles stay at
+    spark.sql.shuffle.partitions.
     """
+    from pyspark.sql.window import Window
+
     salted = batch.withColumn(
         "salt_key",
         urlops.host_salt(F.col("host"), F.col("url_norm"), hot_hosts or [], salt_fanout),
     )
+    group_keys = ["salt_key"]
     if fetch_partitions:
-        salted = salted.repartition(fetch_partitions, F.col("salt_key"))
+        span = F.max("sched_time").over(Window.partitionBy("salt_key"))
+        salted = salted.withColumn("_span", span).repartitionByRange(
+            fetch_partitions, F.col("_span").desc(), F.col("salt_key")
+        )
+        group_keys = ["salt_key", "_span"]
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["sched_time", "url_norm"], kind="mergesort")
@@ -79,7 +97,9 @@ def fetch(
         out["ok"] = pd.Series(oks, index=out.index, dtype=bool)
         return out
 
-    return salted.groupBy("salt_key").applyInPandas(fetch_group, schema=schemas.FETCHED)
+    return salted.groupBy(*group_keys).applyInPandas(
+        fetch_group, schema=schemas.FETCHED
+    )
 
 
 # ---------------------------------------------------------------- parse

@@ -41,10 +41,10 @@ def run_one(master: str, workdir: str, args) -> dict:
         "--cycles", str(args.cycles),
         "--buckets", "32",
         "--shuffle-partitions", "32",  # byte-bound shuffles: modest + AQE
-        # fetch stage only: many more partitions than the larger core
-        # count so the delay-bound groups balance (explicit repartition
-        # — AQE never coalesces it; no straggler tail at 4N, many small
-        # waves at N)
+        # fetch stage only: ≥ #groups partitions so every task owns
+        # ~one whole politeness group (range-partitioned by span DESC
+        # — LPT order, no hash-collision sleep stacking; AQE never
+        # coalesces an explicit repartition)
         "--fetch-partitions", str(args.fetch_partitions),
         "--workdir", workdir,
         "--warmup",
@@ -85,7 +85,7 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=6240)
     ap.add_argument("--cycles", type=int, default=1)
     ap.add_argument("--delay-scale", type=float, default=1.0)
-    ap.add_argument("--fetch-partitions", type=int, default=2048)
+    ap.add_argument("--fetch-partitions", type=int, default=1024)
     ap.add_argument("--hot-pct", type=int, default=15,
                     help="%% of cross-host links redirected to host 0 "
                          "(30+ = pathological single-host skew)")
@@ -144,6 +144,13 @@ parallelism levels in separate JVMs, identical plans
 | 4N | local[32] | {results["4N"]["wall_sec"]} | {results["4N"]["fetched"] + results["4N"]["stored_images"]} | {thru_4n} |
 
 **Scaling efficiency (thru_4N / (4 x thru_N)) = {eff}** (target ≥ 0.8)
+
+History: round 1 measured 0.822 (1 cycle, 6,711 events); round 2
+measured 0.815 (2 sustained cycles, 22,223 events) — per-cycle
+throughput holds as the frontier grows, closing the
+fixed-cost-amortization argument with data (cycle 2 fetches the links
+cycle 1 discovered, exercising frontier MERGE, seen anti-join, and
+incremental Blooms at grown table sizes).
 
 Determinism gate: the two runs' crawl traces are
 **{"byte-identical" if identical else "DIFFERENT — BUG"}**
