@@ -596,6 +596,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_components(spark, sf_dir):
+        # the dedup endgame: pairs → clusters → canonical keeper per
+        # cluster (min doc id), via O(log diameter) label propagation
+        # with pointer jumping (dedup.connected_components)
+        pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+        return dedup.connected_components(pairs)
+    q["dedup_components"] = dedup_components
+
     def ann_lsh(spark, sf_dir):
         return similarity.ann_lsh_topk(
             _t(spark, sf_dir, "embeddings"), n_queries=10, k=5
@@ -1237,6 +1245,25 @@ def oracle_sql() -> dict[str, str]:
                          >= len(string_split(text, ' '))
                     THEN 'en' ELSE 'other' END AS lang_pred
         FROM documents
+    """
+
+    # --- dedup_components: min-reachable-label over the ngram-Jaccard
+    # pair graph (WITH RECURSIVE; UNION-distinct bounds the state) —
+    # the independent fixpoint formulation of the Spark side's
+    # pointer-jumping label propagation.
+    o["dedup_components"] = f"""
+        WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        )
+        SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
     """
 
     # --- img_phash_near: md5-synthesized phashes (two 31-bit halves →

@@ -427,6 +427,84 @@ def simhash_near_pairs(df: DataFrame, text: str = "text", max_ham: int = 8) -> D
     )
 
 
+# ------------------------------------------------------------- clustering
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_rounds: int = 25
+) -> DataFrame:
+    """Near-dup pairs → dedup clusters: (doc_id, cluster_id) with
+    cluster_id = the MIN doc id reachable in the pair graph (the
+    canonical 'keeper' every production dedup pipeline ends with —
+    losers map to their cluster's keeper).
+
+    Min-label propagation with pointer-jumping: each round takes the
+    min label over self+neighbors, then shortcuts lab ← lab(lab), so
+    convergence is O(log diameter) bounded-shuffle rounds instead of
+    O(diameter) — a 10^10-scale near-dup component (celebrity images,
+    boilerplate pages) resolves in ~a dozen equi-join + min-agg rounds,
+    each shuffling one long per node. Deterministic (min is order-free
+    and labels only decrease); raises after max_rounds rather than
+    returning a silently unconverged clustering.
+    """
+    # localCheckpoint (eager) per round, NOT persist: an iterative
+    # DataFrame loop re-references the previous round's plan several
+    # times per round, so the LOGICAL plan grows exponentially and
+    # Catalyst analysis dominates after a handful of rounds (caching
+    # only short-circuits physical execution). Checkpointing truncates
+    # lineage to a LogicalRDD — per-round plan cost stays constant.
+    und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nb = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = labels.join(nb, "node", "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+        )
+        # pointer jump: labels are node ids, so lab(lab) is a self-join;
+        # a label's own label can only be ≤ it (labels never increase)
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("lab"), F.col("lab").alias("_ll")
+                ),
+                "lab",
+            )
+            .select("node", F.least(F.col("lab"), F.col("_ll")).alias("lab"))
+        )
+        new_labels = jumped.localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("lab").alias("_olab")), "node"
+            )
+            .filter(F.col("lab") != F.col("_olab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+
+
 # ------------------------------------------------------------- embeddings
 
 # Sign-random-projection LSH planes, seeded from md5 so any engine can

@@ -348,6 +348,52 @@ def test_embedding_lsh_empty_input(spark):
     assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b"]
 
 
+def test_connected_components_match_union_find(spark):
+    """Pointer-jumping label propagation == plain union-find on the
+    full simhash pair graph (416 nodes, one 396-node component — the
+    shape where O(diameter) propagation would need ~10 rounds and the
+    jumping variant needs ~log of that)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.simhash_near_pairs(docs, max_ham=16)
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {}
+    for n in parent:
+        want.setdefault(find(n), set()).add(n)
+    # canonical: min id per component
+    want_lab = {n: min(members) for root, members in want.items() for n in members}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == want_lab
+    dedup.clear_caches()
+
+
+def test_connected_components_empty_and_chain(spark):
+    rows = [(i, i + 1) for i in range(0, 40)]  # one 41-node chain
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(41)}
+    empty = pairs.filter(F.lit(False))
+    assert dedup.connected_components(empty).count() == 0
+    dedup.clear_caches()
+
+
 def test_dedup_clear_caches(spark):
     df = spark.read.parquet(f"{SF}/documents.parquet")
     dedup.minhash_lsh_candidates(df).count()
