@@ -37,6 +37,7 @@ from pyspark.storagelevel import StorageLevel
 
 from . import schemas, synthweb, urlkit
 from .oracle import MAX_RETRIES, PRIORITY_DECAY, SEED_PRIORITY
+from .operators import cuckoo as cuckooops
 from .operators import fetchparse, images as imageops, politeness, seen as seenops
 from .operators import sequencing, urlops
 from .iceberg import make_table_store
@@ -61,6 +62,7 @@ class CrawlEngine:
         bloom_min_seen: int = 50_000,
         bloom_sharded: bool | None = None,
         bloom_broadcast_max_bytes: int = 256 << 20,
+        seen_filter: str = "bloom",
         skew_safe_generate: bool = False,
         enforce_delay_wallclock: bool = False,
         delay_scale: float = 1.0,
@@ -91,6 +93,19 @@ class CrawlEngine:
             else bloom_bits // 8 > bloom_broadcast_max_bytes
         )
         self.bloom_shard_bits = seenops.shard_bits_for(bloom_bits, n_buckets)
+        # URL-seen prefilter flavor (north_star: "partitioned
+        # Bloom/cuckoo filters"). "cuckoo" sizes the filter to the SAME
+        # memory budget as the Bloom (bloom_bits bits total → 16-bit
+        # fingerprints, 4-slot buckets) and adds deletion support; the
+        # prefilter-exactness contract is identical (overflow degrades
+        # to all-maybe, never a false negative). The phash image-dedup
+        # prefilter stays Bloom in both modes — it is append-only, so
+        # deletion buys nothing there.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo, got {seen_filter!r}")
+        self.seen_filter = seen_filter
+        self.cuckoo_m = cuckooops.cuckoo_m_for(bloom_bits // 16)
+        self.cuckoo_shard_m = cuckooops.shard_m_for(bloom_bits // 16, n_buckets)
         # two-phase per-host top-k in GENERATE (politeness.generate
         # skew_safe): identical output, no single window task holding a
         # pathological host's whole frontier share
@@ -162,6 +177,62 @@ class CrawlEngine:
         if self._phash_bloom_bc is None:
             self._phash_bloom_bc = self.spark.sparkContext.broadcast(self._phash_bloom)
         return self._phash_bloom_bc
+
+    # seen-filter flavor dispatch (self.seen_filter: bloom | cuckoo).
+    # _seen_bloom / _seen_shards hold either flavor's state; the four
+    # helpers below are the only places that care which.
+
+    def _build_seen_filter(self, df: DataFrame):
+        if self.seen_filter == "cuckoo":
+            return cuckooops.build_cuckoo(df, self.cuckoo_m)
+        return seenops.build_bloom(df, self.bloom_bits)
+
+    def _split_seen_merged(self, cand: DataFrame):
+        if self.seen_filter == "cuckoo":
+            return cuckooops.split_by_cuckoo(cand, self._seen_bc(), self.spark)
+        return seenops.split_by_bloom(cand, self._seen_bc(), self.bloom_bits, self.spark)
+
+    def _build_seen_shards(self, df: DataFrame) -> DataFrame:
+        if self.seen_filter == "cuckoo":
+            return cuckooops.build_cuckoo_shards(df, self.n_buckets, self.cuckoo_shard_m)
+        return seenops.build_bloom_shards(df, self.n_buckets, self.bloom_shard_bits)
+
+    def _split_seen_shards(self, cand: DataFrame):
+        if self.seen_filter == "cuckoo":
+            return cuckooops.split_by_cuckoo_shards(cand, self._seen_shards, self.n_buckets)
+        return seenops.split_by_bloom_shards(
+            cand, self._seen_shards, self.bloom_shard_bits, self.n_buckets
+        )
+
+    def _merge_seen_delta(self, new_seen: DataFrame) -> None:
+        """Fold the cycle's new-key delta into the engine-resident seen
+        filter (merged array/filter or shard table), flavor-agnostic."""
+        import numpy as np
+
+        if self._seen_bloom is not None:
+            if self.seen_filter == "cuckoo":
+                self._seen_bloom = self._seen_bloom.merge(
+                    cuckooops.build_cuckoo(new_seen, self.cuckoo_m)
+                )
+            else:
+                self._seen_bloom = np.bitwise_or(
+                    self._seen_bloom,
+                    seenops.build_bloom(new_seen, self.bloom_bits),
+                )
+            if self._seen_bloom_bc is not None:
+                self._seen_bloom_bc.destroy()
+                self._seen_bloom_bc = None
+        if self._seen_shards is not None:
+            delta = self._build_seen_shards(new_seen)
+            if self.seen_filter == "cuckoo":
+                merged = cuckooops.merge_cuckoo_shards(self._seen_shards, delta)
+            else:
+                merged = seenops.or_merge_shards(self._seen_shards, delta)
+            merged = merged.localCheckpoint()  # eager: materialized
+            # before the old checkpoint is released, lineage truncated
+            # so the merge chain never deepens across cycles
+            self._seen_shards.unpersist()
+            self._seen_shards = merged
 
     def _save_state(self, cycle: int) -> None:
         for t in self._tables:
@@ -296,20 +367,16 @@ class CrawlEngine:
                 # bucket-routed shards: no merged filter, no broadcast;
                 # each probe task holds one bucket's shard only
                 if self._seen_shards is None:  # first use / post-resume
-                    self._seen_shards = seenops.build_bloom_shards(
-                        seen_df, self.n_buckets, self.bloom_shard_bits
+                    self._seen_shards = self._build_seen_shards(
+                        seen_df
                     ).localCheckpoint()
                 _mark("seen_bloom_build")
-                sure_new, maybe, split_cache = seenops.split_by_bloom_shards(
-                    cand, self._seen_shards, self.bloom_shard_bits, self.n_buckets
-                )
+                sure_new, maybe, split_cache = self._split_seen_shards(cand)
             else:
                 if self._seen_bloom is None:  # first use / post-resume
-                    self._seen_bloom = seenops.build_bloom(seen_df, self.bloom_bits)
+                    self._seen_bloom = self._build_seen_filter(seen_df)
                 _mark("seen_bloom_build")
-                sure_new, maybe = seenops.split_by_bloom(
-                    cand, self._seen_bc(), self.bloom_bits, self.spark
-                )
+                sure_new, maybe = self._split_seen_merged(cand)
             new = sure_new.unionByName(seenops.anti_join_seen(maybe, seen_df))
             dup = seenops.semi_join_seen(maybe, seen_df)
         else:
@@ -532,25 +599,7 @@ class CrawlEngine:
         # old broadcasts can be destroyed before re-broadcasting.
         import numpy as np
 
-        if self._seen_bloom is not None:
-            self._seen_bloom = np.bitwise_or(
-                self._seen_bloom,
-                seenops.build_bloom(new_seen, self.bloom_bits),
-            )
-            if self._seen_bloom_bc is not None:
-                self._seen_bloom_bc.destroy()
-                self._seen_bloom_bc = None
-        if self._seen_shards is not None:
-            delta = seenops.build_bloom_shards(
-                new_seen, self.n_buckets, self.bloom_shard_bits
-            )
-            merged = seenops.or_merge_shards(
-                self._seen_shards, delta
-            ).localCheckpoint()  # eager: materialized before the old
-            # checkpoint is released, lineage truncated so the OR chain
-            # never deepens across cycles
-            self._seen_shards.unpersist()
-            self._seen_shards = merged
+        self._merge_seen_delta(new_seen)
         if self._phash_bloom is not None:
             self._phash_bloom = np.bitwise_or(
                 self._phash_bloom,

@@ -204,3 +204,38 @@ def test_fetch_errors_match_oracle(spark, tmp_path):
     }
     want_err = {(m["cycle"], m["host"]): m["errors"] for m in want.metrics}
     assert got_err == want_err
+
+
+def test_cuckoo_merged_identical(spark, tmp_path, oracle_res):
+    """seen_filter="cuckoo" (merged/broadcast form): same trace, seen
+    set, and stored images as the oracle — the filter flavor is a
+    prefilter implementation detail, never visible in results."""
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path / "cuckoo"), n_buckets=8,
+        use_bloom=True, bloom_min_seen=0, seen_filter="cuckoo",
+        record_trace=True, hot_host_min=10,
+    )
+    eng.crawl(SEEDS, cycles=CYCLES)
+    from ccbot_spark.operators.cuckoo import CuckooFilter
+
+    assert isinstance(eng._seen_bloom, CuckooFilter)
+    assert not eng._seen_bloom.overflow
+    assert _engine_trace(eng) == oracle_res.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == oracle_res.seen
+
+
+def test_cuckoo_sharded_identical(spark, tmp_path, oracle_res):
+    """seen_filter="cuckoo" with the bucket-routed shard path forced
+    (per-bucket cuckoo shards, cogroup probe, incremental shard merge
+    across cycles) — trace and seen set still exact."""
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path / "cuckoosh"), n_buckets=8,
+        use_bloom=True, bloom_min_seen=0, bloom_sharded=True,
+        seen_filter="cuckoo", record_trace=True, hot_host_min=10,
+    )
+    eng.crawl(SEEDS, cycles=CYCLES)
+    assert eng._seen_shards is not None and eng._seen_bloom is None
+    assert _engine_trace(eng) == oracle_res.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == oracle_res.seen
