@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ccbot_spark.functions import dedup, multimodal, similarity, textkit
+from ccbot_spark.functions import dedup, linkrank, multimodal, similarity, textkit
 from ccbot_spark.operators import urlops
 from ccbot_spark.sources.tables import src_parquet
 
@@ -603,6 +603,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
         return dedup.connected_components(pairs)
     q["dedup_components"] = dedup_components
+
+    def link_pagerank(spark, sf_dir):
+        # frontier-priority recompute: integer-exact PageRank (3
+        # rounds, d=0.85) over the order→part bipartite "link graph"
+        # (endpoint id spaces disambiguated by parity so they never
+        # collide); rank_micro is int64 micro-units — order-free sums,
+        # engine-neutral by construction (linkrank.pagerank_int)
+        li = _t(spark, sf_dir, "lineitem")
+        edges = li.select(
+            (F.col("l_orderkey") * 10).cast("long").alias("src"),
+            (F.col("l_partkey") * 10 + 1).cast("long").alias("dst"),
+        )
+        return linkrank.pagerank_int(edges, iterations=3)
+    q["link_pagerank"] = link_pagerank
 
     def ann_lsh(spark, sf_dir):
         return similarity.ann_lsh_topk(
@@ -1264,6 +1278,35 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """
+
+    # --- link_pagerank: the 3 integer-exact rank rounds unrolled as
+    # CTEs (one per iteration — DuckDB's independent formulation of
+    # the Spark side's checkpointed loop). `//` here and `div` there
+    # both truncate, all values non-negative → bit-identical.
+    _pr_round = """
+        SELECT n.node,
+               CAST(150000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.r // o.outdeg) AS in_sum
+            FROM e
+            JOIN {prev} p ON p.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    """
+    o["link_pagerank"] = f"""
+        WITH e AS (
+          SELECT DISTINCT l_orderkey * 10 AS src, l_partkey * 10 + 1 AS dst
+          FROM lineitem
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        r1 AS ({_pr_round.format(prev="r0")}),
+        r2 AS ({_pr_round.format(prev="r1")}),
+        r3 AS ({_pr_round.format(prev="r2")})
+        SELECT node, r AS rank_micro FROM r3
     """
 
     # --- img_phash_near: md5-synthesized phashes (two 31-bit halves →

@@ -104,6 +104,7 @@ def main() -> None:
     bench("q_ngram_capped", lambda: run(qs["dedup_ngram_capped"](spark, SF_DIR)))
     bench("q_embedding_lsh", lambda: run(qs["dedup_embedding_lsh"](spark, SF_DIR)))
     bench("q_components", lambda: run(qs["dedup_components"](spark, SF_DIR)))
+    bench("q_pagerank", lambda: run(qs["link_pagerank"](spark, SF_DIR)))
     bench("q_ann_topk", lambda: run(qs["ann_topk"](spark, SF_DIR)))
 
     # release the entry-module plan caches (dedup band/shingle tables

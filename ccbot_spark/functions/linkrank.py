@@ -1,0 +1,119 @@
+"""Link-graph priority recompute (frontier priority scoring family,
+SURVEY.md §2.2 u_priority / §2.4): an iterative PageRank over the
+page link graph, the standard crawl-ordering signal (OPIC / PageRank
+frontier prioritization per the Mercator/IRLbot line of crawlers).
+
+Integer-exact by construction — the house oracle discipline: ranks
+live in int64 micro-units (1.0 == 10^6) and every
+update uses only integer division and integer sums, so the result is
+bit-identical regardless of aggregation order or engine (Spark `div`
+and DuckDB `//` both truncate; all values here are non-negative, so
+truncation == floor on both). Float PageRank would hash-mismatch the
+oracle on summation order alone.
+
+Update rule (damping d = num/den, default 85/100):
+
+    contrib(u)   = rank(u) div outdeg(u)          # u with outdeg >= 1
+    rank'(v)     = base + (num * sum contrib(u->v)) div den
+    base         = (scale * (den - num)) div den
+
+Dangling nodes (outdeg 0) keep receiving the base term but their mass
+is not redistributed — the "sink loses mass" PageRank variant, chosen
+because it needs no global dangling-sum reduction per iteration (one
+fewer all-to-one aggregate at 10^10-edge scale) and stays exactly
+SQL-expressible for the oracle.
+
+Scale posture: each iteration is one equi-join (edges ⨝ ranks, shuffle
+on src) + one sum-agg (shuffle on dst) — 8 bytes of rank per node on
+the wire, no driver-side state. The loop localCheckpoints per round
+(eager) so the logical plan stays O(1) deep; persist alone would let
+Catalyst analysis grow exponentially with iterations (same pattern as
+dedup.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DF[node long, rank_micro long] after `iterations` rounds of the
+    integer-exact update above, starting every node at SCALE.
+
+    Nodes are the union of both endpoint columns; edges are directed
+    and deduplicated (a repeated (src,dst) pair counts once, matching
+    a link-graph's set semantics)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint()  # reused every round: truncate lineage once
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # outdeg is loop-invariant: join it onto the edges ONCE, so each
+    # iteration is a single equi-join + one agg instead of two joins
+    e = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .localCheckpoint()
+    )
+    base = (SCALE * (damping_den - damping_num)) // damping_den
+
+    ranks = nodes.withColumn("rank_micro", F.lit(SCALE).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_sum, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint()  # eager: constant-depth plan per round
+        )
+    return ranks
+
+
+def pagerank_int_py(
+    edge_list: list[tuple[int, int]],
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> dict[int, int]:
+    """Pure-python reference of the same integer update rule — the
+    property-test oracle (tests/test_linkrank.py)."""
+    e = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    outdeg: dict[int, int] = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (SCALE * (damping_den - damping_num)) // damping_den
+    rank = {n: SCALE for n in nodes}
+    for _ in range(iterations):
+        in_sum = {n: 0 for n in nodes}
+        for u, v in e:
+            in_sum[v] += rank[u] // outdeg[u]
+        rank = {n: base + (damping_num * in_sum[n]) // damping_den for n in nodes}
+    return rank
