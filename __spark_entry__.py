@@ -34,7 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ccbot_spark.functions import dedup, linkrank, multimodal, similarity, textkit
+from ccbot_spark.functions import (
+    dedup,
+    linkrank,
+    multimodal,
+    sampling,
+    similarity,
+    textkit,
+)
 from ccbot_spark.operators import urlops
 from ccbot_spark.sources.tables import src_parquet
 
@@ -554,6 +561,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_langid(spark, sf_dir):
         return textkit.langid(_t(spark, sf_dir, "documents"))
     q["text_langid"] = text_langid
+
+    def text_vocab_topk(spark, sf_dir):
+        # tokenizer/BPE-build prerequisite: corpus vocabulary head
+        # (one explode + hash-agg + TakeOrdered; textkit.vocab_topk)
+        return textkit.vocab_topk(_t(spark, sf_dir, "documents"), k=30)
+    q["text_vocab_topk"] = text_vocab_topk
+
+    # ---------------- deterministic sampling / quotas (corpus curation;
+    # functions/sampling.py — hash-of-key selection, reproducible by
+    # an independent engine, unlike df.sample's partition-seeded RNG)
+    def sample_hash(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return sampling.hash_sample(d, "doc_id", pct=10).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+    q["sample_hash"] = sample_hash
+
+    def sample_stratified(spark, sf_dir):
+        # per-language rates; strata absent from the dict (es, fr) are
+        # dropped — the downsample-the-head corpus-balancing move
+        d = _t(spark, sf_dir, "documents")
+        return sampling.stratified_sample(
+            d, "lang", "doc_id", rates={"en": 20, "de": 50, "zh": 80}
+        ).select("doc_id", "lang", "source")
+    q["sample_stratified"] = sample_stratified
+
+    def doc_source_cap(spark, sf_dir):
+        # per-source contribution cap (≤ 10 docs per source, by doc_id)
+        d = _t(spark, sf_dir, "documents")
+        return sampling.group_cap(
+            d, "source", order_by=["doc_id"], k=10
+        ).select("doc_id", "source")
+    q["doc_source_cap"] = doc_source_cap
 
     # ---------------- rows-only entries (no SQL equivalent; each has a
     # stronger dedicated pytest check — see module docstring)
@@ -1278,6 +1318,47 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """
+
+    # --- deterministic sampling / quotas: the Spark side hashes
+    # conv(substr(md5(key),1,15),16,10) % mod (60 bits — BIGINT-safe
+    # Horner fold here, no HUGEINT needed)
+    def _sql_hmod(expr: str, mod: int) -> str:
+        return (
+            f"(list_reduce(list_transform(string_split(substr(md5({expr}),1,15), ''), "
+            "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+            f"(a,b) -> a*16 + b) % {mod})"
+        )
+
+    o["sample_hash"] = f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 10
+    """
+
+    o["sample_stratified"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} <
+              CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50
+                        WHEN 'zh' THEN 80 ELSE 0 END
+    """
+
+    o["doc_source_cap"] = """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 10
+    """
+
+    o["text_vocab_topk"] = """
+        SELECT tok, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY n_occurrences DESC, tok
+        LIMIT 30
     """
 
     # --- link_pagerank: the 3 integer-exact rank rounds unrolled as

@@ -1,0 +1,70 @@
+"""Deterministic sampling / quota operators for a training-data
+pipeline (corpus curation over the `documents` table): hash-based
+Bernoulli sampling, per-stratum rates, and per-group caps.
+
+Why hash-based instead of df.sample(): `sample()` draws from a
+per-partition RNG, so the selected set changes with partitioning and
+can never be reproduced by an independent oracle. Hashing the row KEY
+(md5-derived 64-bit integer, house construction shared with the dedup
+oracles) makes selection a pure function of the data — stable across
+engines, partitionings, and reruns, which is what corpus-curation
+lineage ("which docs were in the training set?") actually needs.
+
+Scale posture: sampling is a scan + filter (whole-stage codegen, no
+shuffle); the stratum-rate join broadcasts a tiny dim; group_cap is
+one window per group key — for pathologically hot groups, pre-cap per
+(partition, group) first with the same two-phase trick as the
+politeness GENERATE top-k (operators/politeness.py skew_safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def key_hash_mod(col, mod: int = 100):
+    """Deterministic bucket in [0, mod): first 16 hex chars of md5 as
+    an int64 (non-negative, < 2^63 after the 15-char truncation below
+    — 60 bits — so no sign hazard), mod `mod`. Mirrored exactly by the
+    oracle SQL's md5/Horner-fold construction."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(mod))
+
+
+def hash_sample(df: DataFrame, key: str, pct: int, mod: int = 100) -> DataFrame:
+    """Keep rows whose key hashes into the first `pct` of `mod`
+    buckets — a deterministic ~pct/mod Bernoulli sample."""
+    return df.filter(key_hash_mod(F.col(key), mod) < pct)
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str, key: str, rates: dict[str, int], mod: int = 100
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps ~rates[s]/mod
+    of its rows (strata absent from `rates` are dropped). The rates dim
+    is a handful of rows — broadcast, never a shuffle."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(rates.items())], f"{stratum} string, _pct int"
+    )
+    return (
+        df.join(F.broadcast(dim), stratum)
+        .filter(key_hash_mod(F.col(key), mod) < F.col("_pct"))
+        .drop("_pct")
+    )
+
+
+def group_cap(
+    df: DataFrame, group: str, order_by: list[str], k: int
+) -> DataFrame:
+    """At most `k` rows per group, chosen by the explicit `order_by`
+    key list (deterministic — never arrival order). The per-domain /
+    per-source contribution cap every corpus build applies."""
+    w = Window.partitionBy(group).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -99,3 +99,24 @@ def fingerprint_py(s: str) -> int:
     for b in s.encode("utf-8"):
         h = (h * FP_BASE + b) % FP_MOD
     return h
+
+
+def vocab_topk(df: DataFrame, k: int = 30, text: str = "text") -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by occurrence count with
+    document frequency — the first statistic any tokenizer/BPE build
+    reads off a corpus. One explode + one hash-agg; the top-k is a
+    TakeOrdered (no global sort materialization). Deterministic total
+    order: (n_occurrences DESC, tok) — tok is unique per group, so the
+    LIMIT never ties."""
+    toks = df.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text)))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(k)
+    )
