@@ -67,6 +67,8 @@ class CrawlEngine:
         enforce_delay_wallclock: bool = False,
         delay_scale: float = 1.0,
         fetch_partitions: int | None = None,
+        compact_every: int = 0,
+        record_lineage: bool = True,
     ):
         from .shipping import ensure_shipped
 
@@ -126,6 +128,12 @@ class CrawlEngine:
         self.trace = make_table_store(spark, workdir, "trace", schemas.TRACE)
         self.metrics = make_table_store(spark, workdir, "metrics", schemas.METRICS)
         self._tables = [self.frontier, self.seen, self.images, self.trace, self.metrics]
+        # maintenance / observability knobs
+        self.compact_every = compact_every
+        self.record_lineage_flag = record_lineage
+        # append-only per-partition snapshot lineage; deliberately NOT
+        # in _tables — an audit log must survive checkpoint rollback
+        self.lineage = make_table_store(spark, workdir, "lineage", schemas.LINEAGE)
         self.state_path = os.path.join(workdir, "state.json")
         self.trace_seq = 0
         self.last_cycle = 0
@@ -241,6 +249,33 @@ class CrawlEngine:
         with open(tmp, "w") as f:
             json.dump({"last_cycle": cycle, "trace_seq": self.trace_seq}, f)
         os.replace(tmp, self.state_path)
+
+    def _record_lineage(self, cycle: int) -> None:
+        """One lineage row per (table, partition) for this cycle's
+        committed snapshots — manifest/metadata reads only, zero data
+        scans; the driver-side loop is O(#files), bounded like the
+        other manifest reads."""
+        if not self.record_lineage_flag:
+            return
+        rows = []
+        for t in self._tables:
+            stats_fn = getattr(t, "partition_file_stats", None)
+            if stats_fn is None:
+                continue
+            tname = getattr(t, "name", None) or getattr(t, "ident", "?")
+            v = int(t.version())
+            for s in stats_fn():
+                part = ",".join(f"{k}={v2}" for k, v2 in sorted(s["parts"].items()))
+                rows.append((cycle, tname, v, part, int(s["n_files"]), int(s["n_rows"])))
+        if not rows:
+            return
+        append_rows = getattr(self.lineage, "append_rows", None)
+        if append_rows is not None:  # Parquet store: zero Spark jobs
+            append_rows(rows)
+        else:  # Iceberg backend: a tiny append job
+            self.lineage.append(
+                self.spark.createDataFrame(rows, schemas.LINEAGE).coalesce(1)
+            )
 
     def resume(self) -> int:
         """Roll every table back to the last completed cycle's snapshot
@@ -622,6 +657,13 @@ class CrawlEngine:
         _mark("bloom_deltas")
         self.last_cycle = cycle
         self._save_state(cycle)
+        self._record_lineage(cycle)
+        if self.compact_every and (cycle + 1) % self.compact_every == 0:
+            # bound the COW small-file growth on the churned tables;
+            # results are unaffected (new snapshot, same rows — every
+            # consumer orders by explicit keys, never file order)
+            self.frontier.compact()
+            self.seen.compact()
         _mark("checkpoint")
         if _timing:
             counts["timings"] = _t

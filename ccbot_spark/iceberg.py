@@ -131,6 +131,49 @@ class IcebergTableStore:
         ).collect()
         return int(rows[0][0]) if rows and rows[0][0] is not None else 0
 
+    # ------------------------------------------------- maintenance
+    # (same surface as tablestore.TableStore: the engine calls these
+    # identically on either backend)
+
+    def _file_count(self) -> int:
+        rows = self.spark.sql(f"SELECT COUNT(*) FROM {self.ident}.files").collect()
+        return int(rows[0][0]) if rows else 0
+
+    def compact(self, target_files_per_partition: int = 1) -> tuple[int, int]:
+        """Iceberg rewrite_data_files (bin-packs small files; the
+        per-partition target is Iceberg's own sizing policy)."""
+        catalog, ns, table = self.ident.split(".")
+        before = self._file_count()
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files(table => '{ns}.{table}')"
+        )
+        return before, self._file_count()
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        catalog, ns, table = self.ident.split(".")
+        rows = self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{ns}.{table}', retain_last => {keep_last})"
+        ).collect()
+        return int(rows[0][0]) if rows and rows[0][0] is not None else 0
+
+    def partition_file_stats(self) -> list[dict]:
+        """Per-partition (files, rows) from the `.files` metadata table
+        — no data scan, mirroring TableStore.partition_file_stats."""
+        rows = self.spark.sql(
+            f"SELECT partition, COUNT(*) AS n_files, SUM(record_count) AS n_rows "
+            f"FROM {self.ident}.files GROUP BY partition"
+        ).collect()
+        out = []
+        for r in rows:
+            parts = r[0]
+            parts = dict(parts.asDict()) if hasattr(parts, "asDict") else {}
+            out.append(
+                {"parts": {k: str(v) for k, v in parts.items()},
+                 "n_files": int(r[1]), "n_rows": int(r[2])}
+            )
+        return out
+
     def version(self) -> int:
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {self.ident}.snapshots "

@@ -103,3 +103,19 @@ FETCHED = T.StructType(
         T.StructField("retries", T.IntegerType(), False),
     ]
 )
+
+# Per-partition snapshot lineage: which (table, version) each cycle
+# committed, per partition value — files + rows from manifest metadata
+# only (north rule: "resumable from checkpoint with per-partition
+# lineage + metrics tables"). Append-only audit log: deliberately NOT
+# rolled back on resume.
+LINEAGE = T.StructType(
+    [
+        T.StructField("cycle", T.IntegerType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("version", T.LongType(), False),
+        T.StructField("part", T.StringType(), False),  # '' = unpartitioned
+        T.StructField("n_files", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+)

@@ -131,6 +131,39 @@ class TableStore:
         new = self._write_files(df)
         return self._commit(self._files() + new)
 
+    def append_rows(self, rows: list[tuple]) -> int:
+        """Driver-side append for metadata-sized payloads (lineage /
+        audit rows): one pyarrow parquet write, ZERO Spark jobs — the
+        same discipline as the manifest row counts. Unpartitioned
+        tables only (the audit tables are)."""
+        if self.partition_cols:
+            raise ValueError("append_rows supports unpartitioned tables only")
+        if not rows:
+            return self.version()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as ST
+
+        _PA = {
+            ST.IntegerType: pa.int32(),
+            ST.LongType: pa.int64(),
+            ST.StringType: pa.string(),
+            ST.BooleanType: pa.bool_(),
+            ST.DoubleType: pa.float64(),
+            ST.BinaryType: pa.binary(),
+        }
+        arrays, names = [], []
+        cols = list(zip(*rows))
+        for i, f in enumerate(self.schema.fields):
+            arrays.append(pa.array(cols[i], type=_PA[type(f.dataType)]))
+            names.append(f.name)
+        out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "part-00000.parquet")
+        pq.write_table(pa.Table.from_arrays(arrays, names=names), path)
+        entry = {"path": path, "parts": {}, "rows": len(rows)}
+        return self._commit(self._files() + [entry])
+
     def overwrite(self, df: DataFrame, sort_within_partitions_by: list[str] | None = None) -> int:
         """Full overwrite; optionally sort rows within partitions on write
         (the frontier's `(priority DESC, dt, url_norm)` write order)."""
@@ -245,3 +278,92 @@ class TableStore:
 
     def drop(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)
+
+    # ------------------------------------------------- maintenance
+    #
+    # Iceberg's two standard table-maintenance actions, which a
+    # COW-per-touched-bucket frontier NEEDS at scale: every cycle adds
+    # one file per touched bucket, so after C cycles a hot bucket holds
+    # C small files (read amplification + manifest bloat). compact()
+    # is rewrite_data_files; expire_snapshots() is the matching GC —
+    # compaction alone deletes nothing, because older snapshots and
+    # tags still reference the small files (time travel is preserved
+    # until expiry, exactly Iceberg's contract).
+
+    def compact(self, target_files_per_partition: int = 1) -> tuple[int, int]:
+        """Rewrite partitions holding more than `target` files into
+        bucket-clustered files; commit a new snapshot referencing the
+        compacted files plus the untouched ones. Row ORDER within
+        files is not preserved — every consumer orders by explicit
+        keys (SURVEY.md §7.5), never by file order. Returns
+        (files_before, files_after)."""
+        files = self._files()
+        by_part: dict[tuple, list[dict]] = {}
+        for e in files:
+            by_part.setdefault(tuple(sorted(e["parts"].items())), []).append(e)
+        rewrite = [
+            es for es in by_part.values() if len(es) > target_files_per_partition
+        ]
+        if not rewrite:
+            return (len(files), len(files))
+        keep = [
+            e
+            for es in by_part.values()
+            if len(es) <= target_files_per_partition
+            for e in es
+        ]
+        paths = [e["path"] for es in rewrite for e in es]
+        df = self.spark.read.schema(self.schema).parquet(*paths)
+        if not self.partition_cols:
+            # unpartitioned table: collapse to one file per commit
+            # (this emulation's compaction unit; a real Iceberg
+            # rewrite_data_files bins by target-file-size instead)
+            df = df.coalesce(1)
+        new = self._write_files(df)
+        self._commit(keep + new)
+        return (len(files), len(keep) + len(new))
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop all but the last `keep_last` versions (tagged versions
+        and current always survive), then delete data files no kept
+        version references. Returns the number of files deleted.
+        Mirrors Iceberg expire_snapshots: this is the ONLY place data
+        files are ever removed."""
+        m = self._read_manifest()
+        versions = sorted(int(v) for v in m["versions"])
+        kept = set(versions[-keep_last:]) | {m["current"]} | set(m["tags"].values())
+        m["versions"] = {
+            k: fs for k, fs in m["versions"].items() if int(k) in kept
+        }
+        referenced = {
+            e["path"] for fs in m["versions"].values() for e in fs["files"]
+        }
+        self._write_manifest(m)
+        deleted = 0
+        for dirpath, _dirs, fnames in os.walk(self.data_dir, topdown=False):
+            for fn in fnames:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    deleted += 1
+            if not os.listdir(dirpath) and dirpath != self.data_dir:
+                os.rmdir(dirpath)
+        return deleted
+
+    def partition_file_stats(self) -> list[dict]:
+        """Per-partition (files, rows) from manifest metadata only —
+        the per-partition lineage feed (zero Spark jobs)."""
+        by_part: dict[tuple, list[dict]] = {}
+        for e in self._files():
+            by_part.setdefault(tuple(sorted(e["parts"].items())), []).append(e)
+        return [
+            {
+                "parts": dict(k),
+                "n_files": len(es),
+                "n_rows": sum(
+                    e["rows"] if "rows" in e else _footer_rows(e["path"])
+                    for e in es
+                ),
+            }
+            for k, es in sorted(by_part.items())
+        ]

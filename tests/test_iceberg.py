@@ -178,3 +178,26 @@ def test_engine_on_real_iceberg_matches_parquet_store(spark, tmp_path,
     got = [(r.seq, r.cycle, r.url_norm, r.host, r.sched_slot, r.action)
            for r in rows]
     assert got == want.trace
+
+
+def test_maintenance_statements(store):
+    """compact/expire map to the Iceberg system procedures; stats read
+    the .files metadata table — never a data scan."""
+    fake, st = store
+    st.compact()
+    assert any(
+        s == "CALL cat.system.rewrite_data_files(table => 'crawl.frontier')"
+        for s in fake.stmts
+    )
+    st.expire_snapshots(keep_last=3)
+    assert any(
+        s == "CALL cat.system.expire_snapshots(table => 'crawl.frontier', "
+             "retain_last => 3)"
+        for s in fake.stmts
+    )
+    st.partition_file_stats()
+    assert any(
+        s.startswith("SELECT partition, COUNT(*) AS n_files")
+        and "cat.crawl.frontier.files" in s
+        for s in fake.stmts
+    )

@@ -137,3 +137,75 @@ def test_row_count_from_manifest_metadata(spark, store):
     assert store.row_count(v2) == 3
     store.overwrite(_df(spark, [("z", 2, 0, "p")]))
     assert store.row_count() == 1
+
+
+def test_compact_collapses_small_files(spark, store):
+    """COW churn → many small files per bucket; compact() rewrites to
+    one file per partition with identical contents, and older
+    snapshots still read (nothing is deleted by compaction)."""
+    for i in range(4):
+        store.append(_df(spark, [(f"a{i}", 0, i, "p"), (f"b{i}", 1, i, "p")]))
+    v_before = store.version()
+    before = {tuple(r) for r in store.read().collect()}
+    n_before, n_after = store.compact()
+    assert n_before == 8 and n_after == 2  # one file per bucket
+    assert {tuple(r) for r in store.read().collect()} == before
+    assert store.row_count() == 8
+    # time travel to the pre-compaction snapshot still works
+    assert store.read(version=v_before).count() == 8
+
+
+def test_compact_noop_when_already_compact(spark, store):
+    store.append(_df(spark, [("a", 0, 1, "p"), ("b", 1, 2, "p")]))
+    v = store.version()
+    assert store.compact() == (2, 2)
+    assert store.version() == v  # no new snapshot committed
+
+
+def test_expire_snapshots_gc(spark, store):
+    """expire_snapshots removes unreferenced files of dropped versions;
+    kept versions (last-N, tags, current) still read correctly."""
+    import os
+
+    for i in range(4):
+        store.append(_df(spark, [(f"a{i}", 0, i, "p")]))
+    store.compact()
+    tagged_v = store.version()
+    store.tag("keep-me")
+    store.append(_df(spark, [("z", 1, 9, "p")]))
+    deleted = store.expire_snapshots(keep_last=1)
+    assert deleted > 0
+    # current + tagged still fully readable
+    assert store.read().count() == 5
+    assert store.read(version=store.tagged_version("keep-me")).count() == 4
+    # expired versions are gone from the manifest
+    assert str(1) not in store._read_manifest()["versions"]
+    # and every referenced file still exists on disk
+    for e in store._files():
+        assert os.path.exists(e["path"])
+    assert tagged_v in set(store._read_manifest()["tags"].values())
+
+
+def test_partition_file_stats_metadata_only(spark, store):
+    store.append(_df(spark, [("a", 0, 1, "p"), ("b", 1, 2, "p")]))
+    store.append(_df(spark, [("c", 0, 3, "p")]))
+    stats = {s["parts"]["bucket"]: (s["n_files"], s["n_rows"]) for s in store.partition_file_stats()}
+    assert stats == {"0": (2, 2), "1": (1, 1)}
+
+
+def test_append_rows_driver_side(spark, tmp_path):
+    """Metadata-sized appends go through pyarrow directly — no Spark
+    job — and read back identically through the normal path."""
+    lin_schema = T.StructType(
+        [
+            T.StructField("cycle", T.IntegerType(), False),
+            T.StructField("table", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+    st = TableStore(spark, str(tmp_path), "lin", lin_schema)
+    st.append_rows([(1, "frontier", 10), (1, "seen", 20)])
+    st.append_rows([(2, "frontier", 30)])
+    assert st.row_count() == 3  # manifest metadata
+    got = {(r.cycle, r.table, r.n_rows) for r in st.read().collect()}
+    assert got == {(1, "frontier", 10), (1, "seen", 20), (2, "frontier", 30)}
