@@ -644,6 +644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.connected_components(pairs)
     q["dedup_components"] = dedup_components
 
+    def dedup_keep_best(spark, sf_dir):
+        # pairs → clusters → one keeper per cluster (highest n_chars,
+        # tie-break lowest doc_id); singletons keep themselves — the
+        # complete dedup endgame as a single query
+        docs = _t(spark, sf_dir, "documents")
+        clusters = dedup.connected_components(dedup.ngram_jaccard_pairs(docs))
+        return dedup.keep_best_per_cluster(docs, clusters)
+    q["dedup_keep_best"] = dedup_keep_best
+
     def link_pagerank(spark, sf_dir):
         # frontier-priority recompute: integer-exact PageRank (3
         # rounds, d=0.85) over the order→part bipartite "link graph"
@@ -1318,6 +1327,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """
+
+    # --- dedup_keep_best: the components fixpoint extended with the
+    # keeper window (highest n_chars, then lowest doc_id; singletons
+    # keep themselves)
+    o["dedup_keep_best"] = f"""
+        WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY node
+        ),
+        joined AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster_id, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+          FROM joined
+        ) WHERE rn = 1
     """
 
     # --- deterministic sampling / quotas: the Spark side hashes

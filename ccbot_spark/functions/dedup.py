@@ -505,6 +505,41 @@ def connected_components(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: str = "n_chars",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """The dedup endgame after clustering: one KEEPER per near-dup
+    cluster — the highest-`quality` member (tie-break lowest doc id) —
+    with unclustered docs kept as their own singletons. Output:
+    (doc_id, cluster_id, quality) of the keepers only; the filtered
+    corpus is exactly these doc ids.
+
+    One broadcast-or-shuffle left join (clusters is |graph nodes| ≪
+    |docs|) + one per-cluster window. Hot clusters (boilerplate with
+    millions of members) stay safe: the window ranks within a cluster
+    but only row 1 survives, and the same two-phase pre-cap used by
+    the politeness GENERATE applies if a cluster ever dominates a
+    task."""
+    from pyspark.sql.window import Window
+
+    joined = docs.select(doc_id, quality).join(
+        clusters.withColumnRenamed("doc_id", doc_id), doc_id, "left"
+    )
+    cid = F.coalesce(F.col("cluster_id"), F.col(doc_id)).alias("cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality), F.col(doc_id)
+    )
+    return (
+        joined.select(doc_id, cid, quality)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # ------------------------------------------------------------- embeddings
 
 # Sign-random-projection LSH planes, seeded from md5 so any engine can

@@ -46,6 +46,13 @@ def parse_args():
     p.add_argument("--skew-safe", action="store_true",
                    help="two-phase per-host top-k in GENERATE (no single "
                         "window task holds a hot host's whole frontier share)")
+    p.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default="bloom",
+                   help="URL-seen prefilter flavor (cuckoo adds deletion "
+                        "support at the same memory budget)")
+    p.add_argument("--compact-every", type=int, default=0,
+                   help="compact frontier/seen data files every K cycles "
+                        "(0 = off); bounds COW small-file growth on long "
+                        "crawls")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny crawl first to spin up UDF workers")
@@ -99,6 +106,8 @@ def main() -> None:
         delay_scale=args.delay_scale,
         fetch_partitions=args.fetch_partitions,
         skew_safe_generate=args.skew_safe,
+        seen_filter=args.seen_filter,
+        compact_every=args.compact_every,
     )
     seeds = synthweb.seed_urls(cfg, args.seeds)
 

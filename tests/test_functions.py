@@ -400,3 +400,23 @@ def test_dedup_clear_caches(spark):
     assert dedup._ACTIVE_CACHES
     dedup.clear_caches()
     assert not dedup._ACTIVE_CACHES
+
+
+def test_keep_best_per_cluster(spark):
+    """Keeper = highest quality, tie-break lowest doc_id; docs outside
+    the pair graph survive as their own singletons."""
+    from ccbot_spark.functions.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (9, 7)],
+        "doc_id long, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        # {1,2,3,4} one cluster labeled 1; doc 9 unclustered
+        [(1, 1), (2, 1), (3, 1), (4, 1)], "doc_id long, cluster_id long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.n_chars)
+        for r in keep_best_per_cluster(docs, clusters).collect()
+    }
+    assert got == {(2, 1, 300), (9, 9, 7)}
