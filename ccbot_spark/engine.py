@@ -69,6 +69,7 @@ class CrawlEngine:
         fetch_partitions: int | None = None,
         compact_every: int = 0,
         record_lineage: bool = True,
+        rank_every: int = 0,
     ):
         from .shipping import ensure_shipped
 
@@ -131,6 +132,15 @@ class CrawlEngine:
         # maintenance / observability knobs
         self.compact_every = compact_every
         self.record_lineage_flag = record_lineage
+        # dynamic re-prioritization: every K cycles, integer-exact
+        # PageRank over the accumulated link graph replaces frontier
+        # priorities (priority = rank_micro // 1000) — mirrors
+        # oracle.crawl(rank_every=K) exactly (same integer update
+        # rule, linkrank.pagerank_int == pagerank_int_py)
+        self.rank_every = rank_every
+        if rank_every:
+            self.edges = make_table_store(spark, workdir, "edges", schemas.EDGES)
+            self._tables.append(self.edges)
         # append-only per-partition snapshot lineage; deliberately NOT
         # in _tables — an audit log must survive checkpoint rollback
         self.lineage = make_table_store(spark, workdir, "lineage", schemas.LINEAGE)
@@ -249,6 +259,43 @@ class CrawlEngine:
         with open(tmp, "w") as f:
             json.dump({"last_cycle": cycle, "trace_seq": self.trace_seq}, f)
         os.replace(tmp, self.state_path)
+
+    def _recompute_priorities(self) -> None:
+        """PageRank the accumulated link graph and MERGE the new
+        priorities into the frontier (update-only: URLs the graph
+        doesn't rank keep their decay-based priority). Integer-exact
+        (linkrank.pagerank_int), so it reproduces the oracle's
+        pagerank_int_py bit-for-bit and the crawl trace stays exact.
+        COW cost: the merge touches only buckets holding ranked URLs —
+        at scale that is the actively-crawled slice, not the table."""
+        from .functions import linkrank
+
+        ranks = linkrank.pagerank_int(
+            self.edges.read(), iterations=3, src="src_url", dst="dst_url"
+        )
+        src = (
+            ranks.select(
+                F.col("node").alias("url_norm"),
+                F.expr("rank_micro div 1000").cast("long").alias("priority"),
+            )
+            .withColumn(
+                "host", F.lower(F.parse_url(F.col("url_norm"), F.lit("HOST")))
+            )
+            .select(
+                "url_norm",
+                "host",
+                "priority",
+                F.lit(None).cast("int").alias("dt_cycle"),
+                F.lit(None).cast("long").alias("dt_seq"),
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("int").alias("cycle_added"),
+                F.lit(None).cast("int").alias("retries"),
+            )
+            .withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
+        )
+        self.frontier.merge_into(
+            src, on=["url_norm"], update_cols=["priority"], insert=False
+        )
 
     def _record_lineage(self, cycle: int) -> None:
         """One lineage row per (table, partition) for this cycle's
@@ -623,10 +670,26 @@ class CrawlEngine:
         ]
         if trace_df is not None:
             sinks.append(lambda: self.trace.append(trace_df))
+        if self.rank_every:
+            sinks.append(
+                lambda: self.edges.append(
+                    links.select(
+                        F.col("page_url").alias("src_url"),
+                        F.col("url_norm").alias("dst_url"),
+                    )
+                )
+            )
         with ThreadPoolExecutor(max_workers=len(sinks)) as ex:
             for fut in [ex.submit(s) for s in sinks]:
                 fut.result()  # surface the first failure
         _mark("sinks")
+
+        # ---- RANK: dynamic re-prioritization from the link graph
+        # (post-merge, so this cycle's discoveries are rankable; the
+        # same integer rank the oracle computes → trace-exact)
+        if self.rank_every and cycle % self.rank_every == 0:
+            self._recompute_priorities()
+            _mark("rank")
 
         # OR the cycle deltas into the engine-resident filters (small
         # jobs over the cached cycle outputs — never a table scan).

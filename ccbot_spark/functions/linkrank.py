@@ -97,13 +97,16 @@ def pagerank_int(
 
 
 def pagerank_int_py(
-    edge_list: list[tuple[int, int]],
+    edge_list: list[tuple],
     iterations: int = 3,
     damping_num: int = 85,
     damping_den: int = 100,
-) -> dict[int, int]:
-    """Pure-python reference of the same integer update rule — the
-    property-test oracle (tests/test_linkrank.py)."""
+) -> dict:
+    """Pure-python reference of the same integer update rule, over any
+    orderable node ids (ints in the property tests, url strings in the
+    oracle crawler's re-prioritization) — the property-test oracle
+    (tests/test_linkrank.py) AND the normative rank the crawl oracle
+    uses when rank_every is on."""
     e = sorted(set(edge_list))
     nodes = sorted({u for u, _ in e} | {v for _, v in e})
     outdeg: dict[int, int] = {}

@@ -175,6 +175,7 @@ def extract_links(fetched: DataFrame) -> DataFrame:
     href scan = JVM regexp_extract_all; Python = URL resolution only."""
     hrefs = F.regexp_extract_all(F.col("html"), F.lit(_A_PAT), F.lit(1))
     per_page = fetched.select(
+        F.col("url_norm").alias("page_url"),
         F.col("host").alias("page_host"),
         F.col("priority").cast("long").alias("parent_priority"),
         _resolve_links_udf(F.col("url_norm"), hrefs).alias("_links"),
@@ -184,7 +185,10 @@ def extract_links(fetched: DataFrame) -> DataFrame:
     # time per page (plan-tested). The UDF emits no null elements, so
     # dropping the outer-placeholder null rows afterwards is exact.
     return per_page.select(
-        F.explode_outer("_links").alias("url_norm"), "page_host", "parent_priority"
+        F.explode_outer("_links").alias("url_norm"),
+        "page_url",
+        "page_host",
+        "parent_priority",
     ).filter(F.col("url_norm").isNotNull())
 
 

@@ -72,11 +72,20 @@ def crawl(
     cfg: synthweb.WebConfig,
     seeds: list[str],
     cycles: int,
+    rank_every: int = 0,
 ) -> OracleResult:
+    """rank_every > 0 enables dynamic frontier re-prioritization: every
+    K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
+    rounds) over the accumulated page→link graph replaces the priority
+    of every frontier URL the graph ranks (priority = rank_micro //
+    1000). The OPIC/PageRank crawl-ordering policy of the
+    Mercator/IRLbot line — still fully deterministic, because the rank
+    is a pure integer function of the edge set."""
     res = OracleResult()
     frontier = res.frontier
     seen = res.seen
     phashes: set[int] = set()
+    edges_acc: set[tuple[str, str]] = set()
     seq = 0
 
     # cycle 0: seed the frontier (first occurrence wins; seed order = dt_seq)
@@ -162,6 +171,8 @@ def crawl(
             # links
             for link in parsekit.extract_links(url, html):
                 m["parsed_links"] += 1
+                if rank_every:
+                    edges_acc.add((url, link))
                 if link in seen:
                     if link not in dup_this_cycle:
                         dup_this_cycle.add(link)
@@ -197,6 +208,15 @@ def crawl(
             frontier[link] = FrontierEntry(
                 link, urlkit.host_of(link), pri, cycle, 0, "pending", cycle, 0
             )
+
+        # ---- RANK: dynamic re-prioritization from the link graph
+        if rank_every and cycle % rank_every == 0 and edges_acc:
+            from .functions.linkrank import pagerank_int_py
+
+            rank = pagerank_int_py(sorted(edges_acc), iterations=3)
+            for e in frontier.values():
+                if e.url_norm in rank:
+                    e.priority = rank[e.url_norm] // 1000
 
         # ---- RECORD: global per-cycle event order → trace seq
         events.sort(key=lambda t: (t[0], t[1], t[2], t[3]))

@@ -119,3 +119,13 @@ LINEAGE = T.StructType(
         T.StructField("n_rows", T.LongType(), False),
     ]
 )
+
+# Accumulated page→outlink graph (engine state when dynamic
+# re-prioritization is on; one row per parsed link occurrence from a
+# fetched page — PageRank dedups edges itself).
+EDGES = T.StructType(
+    [
+        T.StructField("src_url", T.StringType(), False),
+        T.StructField("dst_url", T.StringType(), False),
+    ]
+)

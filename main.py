@@ -53,6 +53,10 @@ def parse_args():
                    help="compact frontier/seen data files every K cycles "
                         "(0 = off); bounds COW small-file growth on long "
                         "crawls")
+    p.add_argument("--rank-every", type=int, default=0,
+                   help="every K cycles, re-prioritize the frontier by "
+                        "integer-exact PageRank over the accumulated link "
+                        "graph (0 = static decay priorities)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny crawl first to spin up UDF workers")
@@ -108,6 +112,7 @@ def main() -> None:
         skew_safe_generate=args.skew_safe,
         seen_filter=args.seen_filter,
         compact_every=args.compact_every,
+        rank_every=args.rank_every,
     )
     seeds = synthweb.seed_urls(cfg, args.seeds)
 

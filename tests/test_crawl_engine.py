@@ -265,3 +265,24 @@ def test_lineage_and_compaction(spark, tmp_path, oracle_res):
     assert by[(CYCLES, "frontier")] == eng.frontier.row_count()
     assert by[(CYCLES, "seen")] == eng.seen.row_count()
     assert by[(CYCLES, "images")] == eng.images.row_count()
+
+
+def test_rank_reprioritization_identical(spark, tmp_path, oracle_res):
+    """Dynamic PageRank re-prioritization (rank_every=1): engine and
+    oracle run the same integer rank over the same accumulated link
+    graph, so traces stay byte-identical — and differ from the static
+    decay-priority crawl (the feature provably changes crawl order)."""
+    from ccbot_spark import oracle as omod
+
+    want = omod.crawl(CFG, SEEDS, cycles=CYCLES, rank_every=1)
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path / "ranked"), n_buckets=8,
+        use_bloom=True, bloom_min_seen=0, record_trace=True,
+        hot_host_min=10, rank_every=1,
+    )
+    eng.crawl(SEEDS, cycles=CYCLES)
+    got = _engine_trace(eng)
+    assert got == want.trace
+    assert got != oracle_res.trace  # non-vacuous: ordering changed
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
