@@ -76,6 +76,9 @@ def encode_png(img: np.ndarray) -> bytes:
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters 0-4. raw: (h, 1+stride) uint8."""
+    if not raw[:, 0].any():
+        # All scanlines filter 0 (our own encoder's output): no per-line work.
+        return np.ascontiguousarray(raw[:, 1:])
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = int(raw[y, 0])

@@ -2,7 +2,7 @@ from __future__ import annotations
 
 import urllib.robotparser
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from ccbot_spark import robots
@@ -67,11 +67,26 @@ _rules_st = st.lists(_path_st, min_size=0, max_size=4)
 
 @given(_rules_st, _rules_st, _path_st)
 @settings(max_examples=200, deadline=None)
+@example(allow=["/0"], disallow=["/00"], path="/00")
 def test_matches_urllib_robotparser(allow, disallow, path):
-    """Wildcard-free subset must agree with the stdlib parser."""
+    """Wildcard-free subset must agree with the stdlib parser.
+
+    urllib.robotparser is first-match-in-file-order while we implement
+    RFC 9309 longest-match (tie → Allow), so the two diverge when a
+    shorter rule of one kind precedes a longer rule of the other (e.g.
+    ``Allow: /0`` before ``Disallow: /00`` for path ``/00``). Feeding
+    urllib the rules sorted longest-first — Allow before Disallow on
+    equal length — makes its first-match scan compute exactly the RFC
+    longest-match decision, so the property stays a true cross-check of
+    the semantics we claim.
+    """
     lines = ["User-agent: *"]
-    lines += [f"Allow: {p}" for p in allow if p != "/"]
-    lines += [f"Disallow: {p}" for p in disallow]
+    ranked = sorted(
+        [("Allow", p) for p in allow if p != "/"]
+        + [("Disallow", p) for p in disallow],
+        key=lambda kp: (-len(kp[1]), kp[0] != "Allow"),
+    )
+    lines += [f"{kind}: {p}" for kind, p in ranked]
     rp = urllib.robotparser.RobotFileParser()
     rp.parse(lines)
     r = robots.parse_robots("\n".join(lines))
