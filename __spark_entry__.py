@@ -529,6 +529,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_topk"] = ann_topk
 
+    def ann_ivf(spark, sf_dir):
+        return similarity.ivf_topk_int(
+            _t(spark, sf_dir, "embeddings"),
+            n_centroids=16, nprobe=4, n_queries=10, k=5,
+        )
+    q["ann_ivf"] = ann_ivf
+
     # ---------------- text analysis
     def text_quality(spark, sf_dir):
         return textkit.quality_columns(_t(spark, sf_dir, "documents"))
@@ -1113,6 +1120,57 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    # --- ANN IVF (integer-exact): mirrors similarity.ivf_topk_int —
+    # unit-normalize with the same left-fold norm, quantize to
+    # floor(x·2^20), then centroid assignment / probing / rerank are
+    # all exact int64 dot products with id tie-breaks.
+    o["ann_ivf"] = f"""
+        WITH e AS ({_EMB_D}),
+        nq AS (
+          SELECT vec_id,
+                 list_transform(emb, x -> CAST(FLOOR(
+                   x / sqrt(list_sum(list_transform(emb, y -> y*y)))
+                     * 1048576.0) AS BIGINT)) AS q
+          FROM e
+        ),
+        cents AS (
+          SELECT vec_id AS cid, q AS cq FROM nq
+          WHERE vec_id % 997 < 31 ORDER BY vec_id LIMIT 16
+        ),
+        assign AS (
+          SELECT vec_id, q, cid FROM (
+            SELECT n.vec_id, n.q, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(n.q)),
+                       i -> n.q[i] * c.cq[i])) DESC, c.cid ASC) AS rn
+            FROM nq n CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        qs AS (SELECT vec_id AS query_id, q AS qq FROM nq WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qq, cid FROM (
+            SELECT s.query_id, s.qq, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(s.qq)),
+                       i -> s.qq[i] * c.cq[i])) DESC, c.cid ASC) AS rn
+            FROM qs s CROSS JOIN cents c
+          ) WHERE rn <= 4
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(p.qq)),
+                   i -> p.qq[i] * a.q[i])) AS dot
+          FROM probes p JOIN assign a
+            ON a.cid = p.cid AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id ASC) AS rn
+          FROM cand
+        ) WHERE rn <= 5
     """
 
     # --- ANN LSH: bucket assignment mirrors similarity._bucket_udf

@@ -226,3 +226,111 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ------------------------------------------------------------- integer IVF
+
+IVF_SCALE = 1 << 20  # quantization of unit-normalized coords (exact in int64)
+
+
+def _quantized_unit(df: DataFrame) -> DataFrame:
+    """vec_id → q: array<long>, q[c] = floor((x_c / ||x||) · 2^20).
+
+    The norm is a strict left fold in element order (`F.aggregate`),
+    which DuckDB's `list_sum(list_transform(...))` reproduces
+    bit-for-bit; /, ·2^20, sqrt and floor are correctly-rounded IEEE
+    ops, so the quantized vectors are ENGINE-NEUTRAL — every downstream
+    comparison is on exact int64 arithmetic."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    q = F.transform(v, lambda x: F.floor(x / nrm * F.lit(float(IVF_SCALE))).cast("long"))
+    return df.select("vec_id", q.alias("q"))
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact int64 dot of two quantized vectors (64 · 2^40 < 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk_int(
+    df: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF cosine top-k with fully integer-exact, oracle-able semantics.
+
+    The float IVF (`ivf_build`/`ivf_query`) is the physical-layout
+    variant (index PARTITIONED BY centroid, partition-pruned probes —
+    plan-asserted in tests/test_plans.py); this one fixes every
+    tie-prone comparison in int64 so a DuckDB oracle can replay it:
+
+      * centroids: the n_centroids smallest vec_ids with
+        vec_id % 997 < 31 (deterministic seeded sample stand-in);
+      * assignment: argmax integer dot(q_vec, q_cent), tie → smaller
+        centroid vec_id — the coarse quantizer;
+      * probes: each query's nprobe best centroids by the same order;
+      * rerank: integer dot within probed cells only, tie → smaller
+        neighbor_id.
+
+    On unit-quantized vectors the integer dot is monotone in cosine up
+    to 2^-20 quantization, so recall matches the float IVF; at 10^10
+    vectors the assignment is one broadcast join (centroid table is
+    tiny) and the probe scan touches nprobe/n_centroids of the data —
+    same physical story as ivf_query, with partitionBy(centroid) as the
+    layout when the index is materialized."""
+    q = _quantized_unit(df)
+    cents = (
+        q.filter(F.col("vec_id") % 997 < 31)
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    )
+    scored = q.join(F.broadcast(cents)).withColumn(
+        "dot", _idot(F.col("q"), F.col("cq"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "q", "cid")
+    )
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("dot", _idot(F.col("qq"), F.col("cq")))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("dot").desc(), F.col("cid").asc()
+            )
+        ))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qq", "cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _idot(F.col("qq"), F.col("q")).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -258,6 +258,24 @@ def test_ivf_partition_pruned_search(spark, embs, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_int_recall_and_determinism(spark, embs):
+    """Integer-exact IVF (the oracled variant): recall vs brute force
+    comparable to the float IVF, stable across partition counts."""
+    res = similarity.ivf_topk_int(embs, n_queries=5, k=5)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    brute = {}
+    for r in similarity.ann_bruteforce_topk(embs, n_queries=5, k=5).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(got.get(q, set()) & brute[q]) / len(brute[q]) for q in brute
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    rep = similarity.ivf_topk_int(embs.repartition(7), n_queries=5, k=5)
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, rep.collect()))
+
+
 def test_minhash_jvm_matches_python_reference(spark):
     """minhash_signatures (JVM md5/conv + min-aggregates) must be
     bit-identical to minhash_signature_py on real documents."""
