@@ -512,6 +512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_ngram_capped"] = dedup_ngram_capped
 
+    def text_decontaminate(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.contamination_hits(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=3,
+        )
+    q["text_decontaminate"] = text_decontaminate
+
     def dedup_embedding(spark, sf_dir):
         return dedup.embedding_near_pairs(_t(spark, sf_dir, "embeddings"), t4=3500)
     q["dedup_embedding"] = dedup_embedding
@@ -995,6 +1004,18 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc_id = doc_a
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+    """
+
+    # --- decontamination: corpus docs (doc_id%50 != 0) sharing any
+    # word 3-gram with the eval split (doc_id%50 = 0); per-doc grams
+    # are distinct, so COUNT(*) = distinct contaminated grams.
+    o["text_decontaminate"] = f"""
+        WITH sh AS ({_SHINGLES}),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+        SELECT sh.doc_id, COUNT(*) AS shared_grams
+        FROM sh JOIN ev USING (shingle)
+        WHERE sh.doc_id % 50 <> 0
+        GROUP BY sh.doc_id
     """
 
     o["dedup_ngram_capped"] = f"""

@@ -706,3 +706,33 @@ def embedding_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
     )
+
+
+# ------------------------------------------------------- decontamination
+
+def contamination_hits(
+    corpus: DataFrame, eval_set: DataFrame, n: int = 3
+) -> DataFrame:
+    """Train/eval decontamination: (doc_id, shared_grams) for every
+    corpus doc sharing ≥ 1 word n-gram with the eval/benchmark set.
+
+    The eval side of a decontamination pass is tiny relative to the
+    corpus (benchmarks are 10^3–10^5 docs vs 10^9+ corpus docs), so its
+    distinct gram set is broadcast; the corpus side is one
+    shingle-explode scan + broadcast inner join + per-doc count — no
+    shuffle of corpus grams at 100 TB (the groupBy shuffles only the
+    HIT rows, a vanishing fraction). Per-doc grams are distinct
+    (`shingles`), so the count is the number of distinct contaminated
+    grams; the drop/flag policy stays with the caller."""
+    ev = (
+        eval_set.select(F.explode(shingles(F.col("text"), n)).alias("sh"))
+        .distinct()
+    )
+    cg = corpus.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")
+    )
+    return (
+        cg.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+    )

@@ -155,6 +155,37 @@ def test_embedding_near_pairs_match_numpy(spark, embs):
     assert not only_got and not only_want, (only_got, only_want)
 
 
+def test_contamination_hits_matches_python(spark, docs):
+    """Decontamination: per-doc shared-gram counts equal a pure-python
+    set-intersection reference; eval docs never appear in the output;
+    the eval gram set arrives by broadcast (no corpus-side shuffle)."""
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    res = dedup.contamination_hits(corpus, ev, n=3)
+    from ccbot_spark.plans import explainkit
+
+    assert "BroadcastHashJoin" in explainkit.formatted_plan(res)
+    got = {r.doc_id: r.shared_grams for r in res.collect()}
+    assert got and all(i % 50 != 0 for i in got)
+
+    def grams(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    rows = docs.select("doc_id", "text").collect()
+    ev_grams = set()
+    for r in rows:
+        if r.doc_id % 50 == 0:
+            ev_grams |= grams(r.text)
+    want = {}
+    for r in rows:
+        if r.doc_id % 50 != 0:
+            k = len(grams(r.text) & ev_grams)
+            if k:
+                want[r.doc_id] = k
+    assert got == want
+
+
 # ------------------------------------------------------------ similarity
 
 def test_ann_bruteforce_matches_numpy(spark, embs):
