@@ -92,7 +92,8 @@ def main() -> None:
     if os.path.isdir(warm_sf):
         for qname in ("dedup_minhash_lsh", "dedup_simhash",
                       "dedup_ngram_jaccard", "dedup_ngram_capped",
-                      "dedup_embedding_lsh", "ann_topk"):
+                      "dedup_embedding_lsh", "ann_topk", "ann_ivf",
+                      "text_decontaminate"):
             run(qs[qname](spark, warm_sf))
 
     bench("q_pricing_agg", lambda: run(qs["a_metrics"](spark, SF_DIR)))
@@ -106,6 +107,8 @@ def main() -> None:
     bench("q_components", lambda: run(qs["dedup_components"](spark, SF_DIR)))
     bench("q_pagerank", lambda: run(qs["link_pagerank"](spark, SF_DIR)))
     bench("q_ann_topk", lambda: run(qs["ann_topk"](spark, SF_DIR)))
+    bench("q_ann_ivf", lambda: run(qs["ann_ivf"](spark, SF_DIR)))
+    bench("q_decontaminate", lambda: run(qs["text_decontaminate"](spark, SF_DIR)))
 
     # release the entry-module plan caches (dedup band/shingle tables
     # etc.) — the timed queries are fully consumed, warm-up copies
