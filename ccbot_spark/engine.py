@@ -422,16 +422,26 @@ class CrawlEngine:
             fetched = fetched.repartition(self.n_buckets).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-        attempts = fetched  # every consumed slot (ok + errored)
-        fetched = attempts.filter(F.col("ok"))
+        attempts = fetched  # every consumed slot (ok + redirected + errored)
+        fetched = attempts.filter(F.col("ok") & F.col("redirect").isNull())
+        redirs = attempts.filter(F.col("ok") & F.col("redirect").isNotNull())
         errs = attempts.filter(~F.col("ok"))
 
         # ---- links path (§3.1 step 6)
         links = fetchparse.extract_links(fetched).persist(StorageLevel.MEMORY_AND_DISK)
         # cand feeds BOTH the new-link chain and the dup-trace chain —
         # persist so neither recomputes the links aggregation
+        # redirect Location targets join the same discovered pool as
+        # parsed outlinks (normalized in the fetch stage), carrying the
+        # redirecting page's priority — identical decay/seen/dup rules
+        redir_tgts = redirs.select(
+            F.col("redirect").alias("url_norm"),
+            F.col("priority").cast("long").alias("parent_priority"),
+        )
         cand = (
-            links.groupBy("url_norm")
+            links.select("url_norm", "parent_priority")
+            .unionByName(redir_tgts)
+            .groupBy("url_norm")
             .agg(F.max("parent_priority").alias("pp"))
             .withColumn("url_hash", urlops.url_hash(F.col("url_norm")))
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -505,8 +515,9 @@ class CrawlEngine:
         # ---- metrics (§3.1 step 7) — per host over all attempts
         # (errored fetches carry html="" so the byte sum is ok-only)
         m_fetch = attempts.groupBy("host").agg(
-            F.sum(F.col("ok").cast("long")).alias("fetched"),
+            F.sum((F.col("ok") & F.col("redirect").isNull()).cast("long")).alias("fetched"),
             F.sum((~F.col("ok")).cast("long")).alias("errors"),
+            F.sum((F.col("ok") & F.col("redirect").isNotNull()).cast("long")).alias("redirects"),
             F.sum(F.octet_length(F.col("html"))).alias("html_bytes"),
         )
         m_links = links.groupBy(F.col("page_host").alias("host")).agg(
@@ -536,11 +547,12 @@ class CrawlEngine:
                     F.coalesce(F.col("html_bytes"), F.lit(0))
                     + F.coalesce(F.col("img_bytes"), F.lit(0))
                 ).cast("long").alias("bytes"),
+                F.col("redirects").cast("long"),
             )
         )
 
         # ---- trace (§3.1 step 7; phases: denied=0 skipped=1
-        #      fetched/fetch_error=2 dup=3)
+        #      fetched/fetch_error/redirect=2 dup=3)
         n_trace = 0
         trace_df = None
         trace_cache = None
@@ -571,6 +583,7 @@ class CrawlEngine:
                 .unionByName(evt(parts["skipped"], 1, "budget_skipped"))
                 .unionByName(evt(fetched, 2, "fetched", slot=True, sched=True))
                 .unionByName(evt(errs, 2, "fetch_error", slot=True, sched=True))
+                .unionByName(evt(redirs, 2, "redirect", slot=True, sched=True))
                 .unionByName(dup_ev)
             )
         # ---- frontier MERGE INTO: status updates + new-link inserts
@@ -580,6 +593,14 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("dt_cycle"),  # ignored on update
             F.lit(0).cast("long").alias("dt_seq"),
             F.lit("fetched").alias("status"),
+            F.lit(0).cast("int").alias("cycle_added"),
+            F.col("retries").cast("int"),
+        ).withColumn("bucket", bucket)
+        upd_redir = redirs.select(
+            "url_norm", "host", "priority",
+            F.lit(0).cast("int").alias("dt_cycle"),
+            F.lit(0).cast("long").alias("dt_seq"),
+            F.lit("redirect").alias("status"),  # terminal: never refetched
             F.lit(0).cast("int").alias("cycle_added"),
             F.col("retries").cast("int"),
         ).withColumn("bucket", bucket)
@@ -600,7 +621,8 @@ class CrawlEngine:
             F.col("retries").cast("int"),
         ).withColumn("bucket", bucket)
         merge_src = (
-            upd_fetched.unionByName(upd_err)
+            upd_fetched.unionByName(upd_redir)
+            .unionByName(upd_err)
             .unionByName(upd_denied)
             .unionByName(new_rows)
         )

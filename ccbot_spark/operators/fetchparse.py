@@ -76,8 +76,10 @@ def fetch(
         group_keys = ["salt_key", "_span"]
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .. import urlkit
+
         pdf = pdf.sort_values(["sched_time", "url_norm"], kind="mergesort")
-        htmls, oks = [], []
+        htmls, oks, redirs = [], [], []
         last = None
         for url, st, rt in zip(pdf["url_norm"], pdf["sched_time"], pdf["retries"]):
             if enforce_delay_wallclock and last is not None:
@@ -90,11 +92,16 @@ def fetch(
                     time.sleep(delta_ms / 1000.0)
             ok = synthweb.fetch_ok(cfg, url, int(rt))
             oks.append(ok)
-            htmls.append(synthweb.fetch(cfg, url) if ok else "")
+            # 301: slot consumed, no body; normalized Location target
+            # rides along for the discovered-link path
+            tgt = synthweb.redirect_of(cfg, url) if ok else None
+            redirs.append(urlkit.normalize_url(tgt) if tgt is not None else None)
+            htmls.append(synthweb.fetch(cfg, url) if ok and tgt is None else "")
             last = st
         out = pdf[["url_norm", "host", "priority", "sched_slot", "sched_time", "retries"]].copy()
         out["html"] = htmls
         out["ok"] = pd.Series(oks, index=out.index, dtype=bool)
+        out["redirect"] = pd.Series(redirs, index=out.index, dtype=object)
         return out
 
     return salted.groupBy(*group_keys).applyInPandas(

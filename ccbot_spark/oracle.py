@@ -32,6 +32,13 @@ Deterministic semantics (normative):
     same cycle) is a dedup hit and is not stored.
   * 'dup' = a discovered outlink already in the seen set; traced at
     most once per (cycle, url).
+  * redirects (synthweb.redirect_of, enabled by WebConfig.redirect_pct):
+    a redirected fetch consumes its politeness slot, parses nothing,
+    is traced 'redirect' (phase 2, same sched keys as 'fetched'), and
+    reaches terminal frontier status 'redirect' (never refetched). The
+    normalized Location target joins the discovered-link pool with the
+    redirecting page's priority (so the standard -10 decay applies) and
+    the standard seen/dup handling.
 """
 
 from __future__ import annotations
@@ -147,7 +154,7 @@ def crawl(
             if host not in host_metrics:
                 host_metrics[host] = dict(
                     fetched=0, parsed_links=0, stored_images=0,
-                    dedup_hits=0, errors=0, bytes=0,
+                    dedup_hits=0, errors=0, bytes=0, redirects=0,
                 )
             return host_metrics[host]
 
@@ -162,6 +169,27 @@ def crawl(
                 e.retries += 1
                 m["errors"] += 1
                 events.append((2, st, host, url, slot, "fetch_error"))
+                continue
+            tgt_raw = synthweb.redirect_of(cfg, url)
+            if tgt_raw is not None:
+                # 301: slot consumed, no body parsed, terminal status;
+                # the Location target joins the discovered pool with
+                # the page's own priority (same decay rule as links)
+                e.status = "redirect"
+                m["redirects"] += 1
+                events.append((2, st, host, url, slot, "redirect"))
+                tgt = urlkit.normalize_url(tgt_raw)
+                if tgt is not None:
+                    if tgt in seen:
+                        if tgt not in dup_this_cycle:
+                            dup_this_cycle.add(tgt)
+                            events.append(
+                                (3, 0, urlkit.host_of(tgt), tgt, -1, "dup")
+                            )
+                    else:
+                        prev = discovered.get(tgt)
+                        if prev is None or e.priority > prev:
+                            discovered[tgt] = e.priority
                 continue
             html = synthweb.fetch(cfg, url)
             e.status = "fetched"

@@ -62,7 +62,7 @@ ROBOTS = T.StructType(
 
 # Golden crawl trace (FIXTURES.md §2.7). Event order within a cycle:
 # (phase, sched_time_ms, host, url_norm); phase:
-# 0=robots_denied, 1=budget_skipped, 2=fetched|fetch_error, 3=dup.
+# 0=robots_denied, 1=budget_skipped, 2=fetched|fetch_error|redirect, 3=dup.
 TRACE = T.StructType(
     [
         T.StructField("seq", T.LongType(), False),
@@ -86,11 +86,14 @@ METRICS = T.StructType(
         T.StructField("dedup_hits", T.LongType(), False),
         T.StructField("errors", T.LongType(), False),
         T.StructField("bytes", T.LongType(), False),
+        T.StructField("redirects", T.LongType(), False),
     ]
 )
 
 # Intermediate: fetch attempt (engine-internal, SURVEY.md §3.1 step 3).
 # ok=false → fetch error: slot consumed, html empty, no parse.
+# redirect != null → 301: slot consumed, html empty, target (already
+# normalized) feeds the discovered-link pool.
 FETCHED = T.StructType(
     [
         T.StructField("url_norm", T.StringType(), False),
@@ -101,6 +104,7 @@ FETCHED = T.StructType(
         T.StructField("html", T.StringType(), False),
         T.StructField("ok", T.BooleanType(), False),
         T.StructField("retries", T.IntegerType(), False),
+        T.StructField("redirect", T.StringType(), True),
     ]
 )
 

@@ -34,6 +34,7 @@ class WebConfig:
     pages_per_host: int = 200
     hot_frac_pct: int = 0  # % of cross-host links redirected to host 0
     fail_pct: int = 0  # % of page fetches that deterministically fail
+    redirect_pct: int = 0  # % of odd pages that 301 to the prior page
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -179,6 +180,28 @@ def fetch_ok(cfg: WebConfig, url: str, attempt: int = 0) -> bool:
     if not cfg.fail_pct:
         return True
     return _digest(f"fail:{cfg.seed}:{url}:{attempt}")[0] % 100 >= cfg.fail_pct
+
+
+def redirect_of(cfg: WebConfig, url: str) -> str | None:
+    """HTTP 301 simulation: a deterministic redirect_pct slice of
+    ODD-numbered pages redirects to the previous (even) page on the
+    same host — single-hop by construction (even pages never redirect),
+    no loops. Pure function of (cfg, url) so oracle and engine agree.
+    Returns the raw Location target (caller normalizes), or None."""
+    if not cfg.redirect_pct:
+        return None
+    parts = url.split("/")
+    if len(parts) < 5 or parts[3] != "p":
+        return None  # only page URLs redirect
+    try:
+        j = int(parts[4].split("?")[0].split("#")[0])
+    except ValueError:
+        return None
+    if j % 2 == 0:
+        return None
+    if _digest(f"redir:{cfg.seed}:{url}")[0] % 100 >= cfg.redirect_pct:
+        return None
+    return f"http://{parts[2]}/p/{j - 1}"
 
 
 def fetch(cfg: WebConfig, url: str) -> str:

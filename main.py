@@ -53,6 +53,10 @@ def parse_args():
                    help="compact frontier/seen data files every K cycles "
                         "(0 = off); bounds COW small-file growth on long "
                         "crawls")
+    p.add_argument("--fail-pct", type=int, default=0,
+                   help="%% of fetches that deterministically error (retried)")
+    p.add_argument("--redirect-pct", type=int, default=0,
+                   help="%% of odd pages that 301 to the prior page")
     p.add_argument("--rank-every", type=int, default=0,
                    help="every K cycles, re-prioritize the frontier by "
                         "integer-exact PageRank over the accumulated link "
@@ -97,7 +101,8 @@ def main() -> None:
             )
 
     cfg = synthweb.WebConfig(
-        n_hosts=args.hosts, pages_per_host=args.pages, hot_frac_pct=args.hot_pct
+        n_hosts=args.hosts, pages_per_host=args.pages, hot_frac_pct=args.hot_pct,
+        fail_pct=args.fail_pct, redirect_pct=args.redirect_pct,
     )
     eng = CrawlEngine(
         spark,

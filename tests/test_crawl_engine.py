@@ -66,14 +66,14 @@ def test_metrics_match_per_host(engine_res, oracle_res):
     got = {
         (r.cycle, r.host): (
             r.fetched, r.parsed_links, r.stored_images, r.dedup_hits,
-            r.errors, r.bytes,
+            r.errors, r.bytes, r.redirects,
         )
         for r in engine_res.metrics.read().collect()
     }
     want = {
         (m["cycle"], m["host"]): (
             m["fetched"], m["parsed_links"], m["stored_images"],
-            m["dedup_hits"], m["errors"], m["bytes"],
+            m["dedup_hits"], m["errors"], m["bytes"], m["redirects"],
         )
         for m in oracle_res.metrics
     }
@@ -204,6 +204,68 @@ def test_fetch_errors_match_oracle(spark, tmp_path):
     }
     want_err = {(m["cycle"], m["host"]): m["errors"] for m in want.metrics}
     assert got_err == want_err
+
+
+def test_redirect_of_invariants():
+    """Single-hop by construction: only odd pages redirect, targets are
+    the prior even page on the same host and NEVER redirect themselves;
+    pure function of (cfg, url); off by default."""
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=50, redirect_pct=100)
+    hops = 0
+    for k in range(4):
+        for j in range(50):
+            u = f"http://{cfg.host(k)}/p/{j}"
+            tgt = synthweb.redirect_of(cfg, u)
+            if j % 2 == 0:
+                assert tgt is None
+            else:
+                assert tgt == f"http://{cfg.host(k)}/p/{j - 1}"
+                assert synthweb.redirect_of(cfg, tgt) is None
+                hops += 1
+            assert synthweb.redirect_of(cfg, u) == tgt  # deterministic
+    assert hops == 4 * 25
+    off = synthweb.WebConfig(n_hosts=4, pages_per_host=50)
+    assert synthweb.redirect_of(off, "http://h0.test/p/1") is None
+    assert synthweb.redirect_of(cfg, "http://h0.test/img/abc.png") is None
+
+
+def test_redirects_match_oracle(spark, tmp_path):
+    """redirect_pct makes a deterministic slice of odd pages 301 to the
+    prior page: slot consumed, no parse, terminal status 'redirect',
+    'redirect' trace event; the Location target enters the frontier
+    like a discovered link (fetched in the next cycle) or emits 'dup'
+    if already seen. Engine must match the oracle on all of it."""
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=50, redirect_pct=40)
+    seeds = synthweb.seed_urls(cfg, 16)
+    want = oracle.crawl(cfg, seeds, cycles=2)
+    redir_urls = {t[2] for t in want.trace if t[5] == "redirect"}
+    assert redir_urls, "fixture must produce redirects"
+    # at least one redirect TARGET got fetched in a later cycle
+    import re
+
+    tgts = {re.sub(r"/p/(\d+)$", lambda m: f"/p/{int(m.group(1)) - 1}", u)
+            for u in redir_urls}
+    fetched_later = {t[2] for t in want.trace if t[5] == "fetched"} & tgts
+    assert fetched_later, "expected ≥1 redirect target to be crawled"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "redir"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10)
+    eng.crawl(seeds, cycles=2)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    got_status = {r.url_norm: r.status for r in eng.frontier.read().collect()}
+    assert got_status == {u: e.status for u, e in want.frontier.items()}
+    got_m = {
+        (r.cycle, r.host): (r.redirects, r.fetched)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (m["redirects"], m["fetched"])
+        for m in want.metrics
+    }
+    assert got_m == want_m
 
 
 def test_cuckoo_merged_identical(spark, tmp_path, oracle_res):
