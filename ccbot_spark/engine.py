@@ -343,9 +343,17 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ seeding
 
-    def seed(self, seeds: list[str]) -> None:
+    def seed(self, seeds: list[str], sitemap_seeds: bool = False) -> None:
         """Cycle 0: normalize the (small, driver-resident by definition)
-        seed list preserving order; dt_seq = seed index (§7.5)."""
+        seed list preserving order; dt_seq = seed index (§7.5).
+
+        sitemap_seeds: each seed host's /sitemap.xml is fetched+parsed
+        DISTRIBUTED (one task per host slice — sitemaps can carry 50k
+        URLs each, so their contents never touch the driver) and its
+        URLs append after the explicit seeds: hosts in sorted order,
+        sitemap document order within a host, dt_seq continuing via the
+        two-phase global_sequence operator (no single-partition
+        window). Mirrors oracle.crawl(sitemap_seeds=True) exactly."""
         rows, dedup = [], set()
         idx = 0
         for raw in seeds:
@@ -355,7 +363,50 @@ class CrawlEngine:
             dedup.add(u)
             rows.append((u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0))
             idx += 1
-        df = self.spark.createDataFrame(rows, schemas.FRONTIER).withColumn(
+        df = self.spark.createDataFrame(rows, schemas.FRONTIER)
+        sm_cache = None
+        if sitemap_seeds:
+            import pandas as pd
+
+            from . import parsekit
+
+            cfg = self.cfg
+            hosts = sorted({r[1] for r in rows})
+
+            def gen(batches):
+                for pdf in batches:
+                    hs, us, ps = [], [], []
+                    for h in pdf["host"]:
+                        xml = synthweb.sitemap_xml(cfg, h)
+                        for pos, u in enumerate(
+                            parsekit.extract_sitemap_urls(xml)
+                        ):
+                            hs.append(h)
+                            us.append(u)
+                            ps.append(pos)
+                    yield pd.DataFrame({"host": hs, "url_norm": us, "pos": ps})
+
+            sm = (
+                self.spark.createDataFrame([(h,) for h in hosts], "host string")
+                .repartition(max(1, min(len(hosts), self.n_buckets)))
+                .mapInPandas(gen, "host string, url_norm string, pos long")
+                .join(df.select("url_norm"), "url_norm", "left_anti")
+            )
+            numbered, _, sm_cache = sequencing.global_sequence(
+                sm, ["host", "pos"], self.n_buckets, seq_col="_seq", offset=idx
+            )
+            sm_rows = numbered.select(
+                "url_norm",
+                "host",
+                F.lit(SEED_PRIORITY).cast("long").alias("priority"),
+                F.lit(0).cast("int").alias("dt_cycle"),
+                F.col("_seq").cast("long").alias("dt_seq"),
+                F.lit("pending").alias("status"),
+                F.lit(0).cast("int").alias("cycle_added"),
+                F.lit(0).cast("int").alias("retries"),
+            )
+            df = df.unionByName(sm_rows)
+        df = df.withColumn(
             "bucket", urlops.host_bucket(F.col("host"), self.n_buckets)
         )
         self.frontier.overwrite(df)
@@ -365,6 +416,9 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("cycle_added"),
         ).withColumn("bucket", urlops.url_bucket(F.col("url_hash"), self.n_buckets))
         self.seen.overwrite(seen_df)
+        if sm_cache is not None:
+            # both overwrites above executed the numbered plan; safe now
+            sm_cache.unpersist()
         # overwrite invalidates the incremental filters (stale blooms
         # would MISS the new seed urls)
         self._reset_blooms()
@@ -756,9 +810,15 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ driver
 
-    def crawl(self, seeds: list[str], cycles: int, start_cycle: int = 0) -> list[dict]:
+    def crawl(
+        self,
+        seeds: list[str],
+        cycles: int,
+        start_cycle: int = 0,
+        sitemap_seeds: bool = False,
+    ) -> list[dict]:
         if start_cycle == 0:
-            self.seed(seeds)
+            self.seed(seeds, sitemap_seeds=sitemap_seeds)
         out = []
         for c in range(start_cycle + 1, cycles + 1):
             out.append(self.run_cycle(c))

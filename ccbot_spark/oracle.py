@@ -80,6 +80,7 @@ def crawl(
     seeds: list[str],
     cycles: int,
     rank_every: int = 0,
+    sitemap_seeds: bool = False,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -106,6 +107,23 @@ def crawl(
             u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0
         )
         idx += 1
+
+    # sitemap expansion (normative): each seed host's /sitemap.xml is
+    # fetched once; its URLs append to the seed list AFTER the explicit
+    # seeds, hosts in sorted order, sitemap document order within a
+    # host, dt_seq continuing — same priority/seen rules as seeds.
+    if sitemap_seeds:
+        for host in sorted({e.host for e in frontier.values()}):
+            for u in parsekit.extract_sitemap_urls(
+                synthweb.sitemap_xml(cfg, host)
+            ):
+                if u in seen:
+                    continue
+                seen.add(u)
+                frontier[u] = FrontierEntry(
+                    u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0
+                )
+                idx += 1
 
     robots_cache: dict[str, tuple[robots.RobotsRules, int]] = {}
 

@@ -24,6 +24,20 @@ _FIGURE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _IMG_RE = re.compile(r'<img\s[^>]*?src="([^"]*)"[^>]*?alt="([^"]*)"', re.IGNORECASE)
+_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_sitemap_urls(xml: str) -> list[str]:
+    """sitemap.xml ``<loc>`` entries → normalized URLs, document order,
+    deduped. Non-URL / unfetchable locs drop out in normalization."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _LOC_RE.finditer(xml or ""):
+        u = urlkit.normalize_url(m.group(1))
+        if u is not None and u not in seen:
+            seen.add(u)
+            out.append(u)
+    return out
 
 
 def extract_links(page_url: str, html: str) -> list[str]:

@@ -182,6 +182,22 @@ def fetch_ok(cfg: WebConfig, url: str, attempt: int = 0) -> bool:
     return _digest(f"fail:{cfg.seed}:{url}:{attempt}")[0] % 100 >= cfg.fail_pct
 
 
+def sitemap_xml(cfg: WebConfig, host: str) -> str:
+    """Deterministic /sitemap.xml body: ~1 in 4 of the host's pages
+    listed in ascending page order — pure function of (cfg, host)."""
+    locs = [
+        f"  <url><loc>http://{host}/p/{j}</loc></url>"
+        for j in range(cfg.pages_per_host)
+        if _digest(f"map:{cfg.seed}:{host}:{j}")[0] % 4 == 0
+    ]
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(locs)
+        + "\n</urlset>"
+    )
+
+
 def redirect_of(cfg: WebConfig, url: str) -> str | None:
     """HTTP 301 simulation: a deterministic redirect_pct slice of
     ODD-numbered pages redirects to the previous (even) page on the

@@ -57,6 +57,8 @@ def parse_args():
                    help="%% of fetches that deterministically error (retried)")
     p.add_argument("--redirect-pct", type=int, default=0,
                    help="%% of odd pages that 301 to the prior page")
+    p.add_argument("--sitemap-seeds", action="store_true",
+                   help="expand the seed list from each seed host's sitemap.xml")
     p.add_argument("--rank-every", type=int, default=0,
                    help="every K cycles, re-prioritize the frontier by "
                         "integer-exact PageRank over the accumulated link "
@@ -126,7 +128,7 @@ def main() -> None:
         start = eng.resume()
         out = eng.crawl(seeds, cycles=args.cycles, start_cycle=start)
     else:
-        out = eng.crawl(seeds, cycles=args.cycles)
+        out = eng.crawl(seeds, cycles=args.cycles, sitemap_seeds=args.sitemap_seeds)
     dt = time.time() - t0
     fetched = sum(c["fetched"] for c in out)
     stored = sum(c["stored_images"] for c in out)

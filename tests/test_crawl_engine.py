@@ -268,6 +268,37 @@ def test_redirects_match_oracle(spark, tmp_path):
     assert got_m == want_m
 
 
+def test_sitemap_seeds_match_oracle(spark, tmp_path):
+    """sitemap_seeds expands the frontier from each seed host's
+    /sitemap.xml (distributed fetch+parse, two-phase dt_seq numbering):
+    engine must match the oracle on the seeded frontier (priorities +
+    dt_seq), trace, and seen set — and the expansion must actually add
+    URLs beyond the explicit seed list."""
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=40)
+    seeds = synthweb.seed_urls(cfg, 8)
+    want = oracle.crawl(cfg, seeds, cycles=1, sitemap_seeds=True)
+    plain = oracle.crawl(cfg, seeds, cycles=1)
+    assert len(want.frontier) > len(plain.frontier)
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "sm"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10)
+    eng.crawl(seeds, cycles=1, sitemap_seeds=True)
+    got_seed = {
+        r.url_norm: (r.priority, r.dt_cycle, r.dt_seq)
+        for r in eng.frontier.read().filter("cycle_added = 0").collect()
+    }
+    want_seed = {
+        e.url_norm: (e.priority, e.dt_cycle, e.dt_seq)
+        for e in want.frontier.values()
+        if e.cycle_added == 0
+    }
+    assert got_seed == want_seed
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+
+
 def test_cuckoo_merged_identical(spark, tmp_path, oracle_res):
     """seen_filter="cuckoo" (merged/broadcast form): same trace, seen
     set, and stored images as the oracle — the filter flavor is a
