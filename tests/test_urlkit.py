@@ -68,3 +68,33 @@ def test_vectorized_matches_scalar():
     assert list(out) == [urlkit.normalize_url(u) if u else None for u in urls]
     hosts = urlkit.host_series(pd.Series(["http://A.com/x", None]))
     assert list(hosts) == ["a.com", None]
+
+
+def test_extract_sitemap_urls():
+    from ccbot_spark import parsekit
+
+    xml = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url><loc> http://H0.test/p/3 </loc></url>\n"
+        "  <url><loc>http://h0.test/p/3</loc></url>\n"  # dup after norm
+        "  <url><loc>http://h1.test/p/10?utm=x#f</loc></url>\n"
+        "  <url><loc>mailto:a@b.test</loc></url>\n"  # unfetchable
+        "</urlset>"
+    )
+    got = parsekit.extract_sitemap_urls(xml)
+    assert got[0] == "http://h0.test/p/3"
+    assert len(got) == 2 and got[1].startswith("http://h1.test/p/10")
+    assert parsekit.extract_sitemap_urls("") == []
+
+
+def test_sitemap_xml_deterministic():
+    from ccbot_spark import synthweb, parsekit
+
+    cfg = synthweb.WebConfig(n_hosts=2, pages_per_host=40)
+    a = synthweb.sitemap_xml(cfg, cfg.host(0))
+    assert a == synthweb.sitemap_xml(cfg, cfg.host(0))
+    urls = parsekit.extract_sitemap_urls(a)
+    assert urls and all(u.startswith("http://h0.test/p/") for u in urls)
+    # ascending page order (document order == numeric order)
+    nums = [int(u.rsplit("/", 1)[-1]) for u in urls]
+    assert nums == sorted(nums)
