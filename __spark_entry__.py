@@ -726,6 +726,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.phash_near_pairs(ph, max_ham=6)
     q["img_phash_near"] = img_phash_near
 
+    def img_curation(spark, sf_dir):
+        # LAION-style image-text curation over the input-hint image
+        # table shape (image_id, w, h, caption): dims + captions are
+        # synthesized JVM-side from md5/doc_id so DuckDB reproduces
+        # them exactly; the gates (multimodal.curation_features) are
+        # pure metadata column exprs — resolution floor, integer
+        # aspect-ratio cap, caption word band, boilerplate reject.
+        d = _t(spark, sf_dir, "documents")
+        hx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32).cast("int")
+        h = (F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32).cast("int")
+        cap = F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("IMG_"), F.col("doc_id").cast("string")),
+        ).otherwise(F.expr("substr(text, 1, CAST(doc_id % 120 + 1 AS INT))"))
+        meta = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            w.alias("w"),
+            h.alias("h"),
+            cap.alias("caption"),
+        )
+        return multimodal.curation_features(meta)
+    q["img_curation"] = img_curation
+
+    def img_mm_dedup(spark, sf_dir):
+        # multimodal joint dedup: perceptual phash-band near pairs ∪
+        # exact-caption star edges → connected components (min-id
+        # keeper). Phashes use the img_phash_near md5 synthesis
+        # (doc_id % 150 plants hamming-1 pairs); captions collide on
+        # doc_id % 120 — the two modalities chain DIFFERENT doc pairs,
+        # so clusters only emerge from the joint graph.
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        meta = d.select(
+            F.col("doc_id").cast("long").alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+            F.concat(F.lit("cap-"), (F.col("doc_id") % 120).cast("string")).alias(
+                "caption"
+            ),
+        )
+        edges = multimodal.mm_dedup_edges(meta)
+        return dedup.connected_components(edges, "img_a", "img_b")
+    q["img_mm_dedup"] = img_mm_dedup
+
+    def f_trap_detect(spark, sf_dir):
+        # crawler-trap heuristics over synthesized URLs: every 5th URL
+        # is a calendar loop (repeated segments), every 5th+1 a 10-deep
+        # mirror path, every 5th+2 an over-long session id; the rest
+        # are clean. urlops.trap_features is all JVM array/regexp ops.
+        e = _t(spark, sf_dir, "events")
+        hostp = F.concat(
+            F.lit("https://h"), (F.col("event_id") % 7).cast("string"), F.lit(".test")
+        )
+        sid = F.col("event_id").cast("string")
+        url = (
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.concat(hostp, F.lit("/cal/2024/cal/2024/cal/"), sid),
+            )
+            .when(
+                F.col("event_id") % 5 == 1,
+                F.concat(hostp, F.lit("/a/b/c/d/e/f/g/h/i/"), sid),
+            )
+            .when(
+                F.col("event_id") % 5 == 2,
+                F.concat(hostp, F.lit("/p/"), F.repeat(F.lit("x"), 160), sid),
+            )
+            .otherwise(F.concat(hostp, F.lit("/p/"), sid))
+        )
+        return urlops.trap_features(e.select("event_id", url.alias("url"))).select(
+            "event_id", "depth", "n_repeat", "url_len", "is_trap"
+        )
+    q["f_trap_detect"] = f_trap_detect
+
     return q
 
 
@@ -1542,6 +1622,136 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT img_a, img_b, bit_count(xor(pa, pb)) AS hamming
         FROM pairs WHERE bit_count(xor(pa, pb)) <= 6
+    """
+
+    # --- img_curation: md5-synthesized (w, h) + doc_id-sliced captions,
+    # then the LAION-style metadata gates — integer aspect (×10, floor
+    # division) keeps the threshold engine-exact.
+    o["img_curation"] = f"""
+        WITH meta AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 CAST((h64 // 4294967296) % 481 + 32 AS INTEGER) AS w,
+                 CAST((h64 % 4294967296) % 481 + 32 AS INTEGER) AS h,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN 'IMG_' || CAST(doc_id AS VARCHAR)
+                      ELSE substr(text, 1, CAST(doc_id % 120 + 1 AS INT))
+                 END AS caption
+          FROM (SELECT doc_id, text,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents)
+        ),
+        feat AS (
+          SELECT image_id, w, h, caption,
+                 CAST((greatest(w, h) * 10) // least(w, h) AS BIGINT) AS aspect_x10,
+                 CAST(length(caption) AS BIGINT) AS cap_chars,
+                 CAST(len(list_filter(string_split(caption, ' '), t -> t <> ''))
+                      AS BIGINT) AS cap_words
+          FROM meta
+        )
+        SELECT image_id, w, h, aspect_x10, cap_chars, cap_words,
+               CAST(CASE WHEN least(w, h) >= 64 AND aspect_x10 <= 30
+                          AND cap_words BETWEEN 3 AND 64 AND cap_chars <= 256
+                          AND NOT regexp_matches(lower(caption),
+                               '^(img_[0-9]+|dsc[0-9]+|untitled|no caption)')
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM feat
+    """
+
+    # --- img_mm_dedup: phash-band near pairs (img_phash_near synthesis,
+    # numeric ids) ∪ exact-caption star edges, then the min-reachable
+    # fixpoint — the independent formulation of
+    # multimodal.mm_dedup_edges + dedup.connected_components.
+    o["img_mm_dedup"] = f"""
+        WITH RECURSIVE ph AS (
+          SELECT doc_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash,
+                 'cap-' || CAST(doc_id % 120 AS VARCHAR) AS caption
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        ph_pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           AND (
+             (a.phash & 65535) = (b.phash & 65535)
+             OR ((a.phash // 65536) & 65535) = ((b.phash // 65536) & 65535)
+             OR ((a.phash // 4294967296) & 65535)
+                = ((b.phash // 4294967296) & 65535)
+             OR ((a.phash // 281474976710656) & 65535)
+                = ((b.phash // 281474976710656) & 65535)
+           )
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        cap_pairs AS (
+          SELECT r.a, m.doc_id AS b
+          FROM ph m JOIN (SELECT caption, MIN(doc_id) AS a
+                          FROM ph GROUP BY caption) r
+            ON m.caption = r.caption AND m.doc_id <> r.a
+        ),
+        edges AS (
+          SELECT a, b FROM ph_pairs UNION SELECT a, b FROM cap_pairs
+          UNION SELECT b, a FROM ph_pairs UNION SELECT b, a FROM cap_pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(MIN(lab) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+    # --- f_trap_detect: same synthesized URL mix; repeat detection is
+    # multiset-based (depth − distinct segments), no RE backreferences.
+    o["f_trap_detect"] = """
+        WITH urls AS (
+          SELECT event_id,
+                 CASE
+                   WHEN event_id % 5 = 0 THEN
+                     'https://h' || CAST(event_id % 7 AS VARCHAR)
+                       || '.test/cal/2024/cal/2024/cal/'
+                       || CAST(event_id AS VARCHAR)
+                   WHEN event_id % 5 = 1 THEN
+                     'https://h' || CAST(event_id % 7 AS VARCHAR)
+                       || '.test/a/b/c/d/e/f/g/h/i/'
+                       || CAST(event_id AS VARCHAR)
+                   WHEN event_id % 5 = 2 THEN
+                     'https://h' || CAST(event_id % 7 AS VARCHAR)
+                       || '.test/p/' || repeat('x', 160)
+                       || CAST(event_id AS VARCHAR)
+                   ELSE
+                     'https://h' || CAST(event_id % 7 AS VARCHAR)
+                       || '.test/p/' || CAST(event_id AS VARCHAR)
+                 END AS url
+          FROM events
+        ),
+        segs AS (
+          SELECT event_id, url,
+                 list_filter(string_split(
+                   regexp_replace(url, '^[a-z]+://[^/]+', ''), '/'),
+                   s -> s <> '') AS parts
+          FROM urls
+        ),
+        f AS (
+          SELECT event_id,
+                 CAST(len(parts) AS BIGINT) AS depth,
+                 CAST(len(parts) - len(list_distinct(parts)) AS BIGINT)
+                   AS n_repeat,
+                 CAST(length(url) AS BIGINT) AS url_len
+          FROM segs
+        )
+        SELECT event_id, depth, n_repeat, url_len,
+               CAST(CASE WHEN depth > 8 OR n_repeat > 1 OR url_len > 160
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+        FROM f
     """
 
     return o

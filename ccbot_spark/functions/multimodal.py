@@ -175,6 +175,83 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     return videos.mapInPandas(gen, schema=schema)
 
 
+def curation_features(
+    images: DataFrame,
+    min_side: int = 64,
+    max_aspect_x10: int = 30,
+    min_cap_words: int = 3,
+    max_cap_words: int = 64,
+    max_cap_chars: int = 256,
+) -> DataFrame:
+    """LAION-style image-text curation gates over the metadata columns
+    of the image+caption table (image_id, w, h, caption): resolution
+    floor, aspect-ratio cap, caption length band, and a boilerplate-
+    caption reject (camera-filename captions like IMG_1234 carry no
+    training signal). All gates are JVM column expressions over
+    metadata — zero shuffle, zero Python, and the binary `bytes`
+    column is never touched (column pruning keeps blobs out of the
+    scan), so this filters a 100 TB image corpus at metadata-scan
+    speed. Aspect ratio is kept integer (×10, integer division) so
+    the gate is engine-exact, not float-thresholded."""
+    aspect_x10 = F.expr(
+        "CAST((greatest(w, h) * 10) DIV least(w, h) AS BIGINT)"
+    ).alias("aspect_x10")
+    cap_chars = F.length("caption").cast("long").alias("cap_chars")
+    cap_words = F.size(
+        F.filter(F.split(F.col("caption"), " "), lambda t: t != F.lit(""))
+    ).cast("long").alias("cap_words")
+    boiler = F.lower(F.col("caption")).rlike(
+        "^(img_[0-9]+|dsc[0-9]+|untitled|no caption)"
+    )
+    out = images.select(
+        "image_id", "w", "h", "caption", aspect_x10, cap_chars, cap_words,
+        boiler.alias("_boiler"),
+    )
+    keep = (
+        (F.least("w", "h") >= min_side)
+        & (F.col("aspect_x10") <= max_aspect_x10)
+        & (F.col("cap_words") >= min_cap_words)
+        & (F.col("cap_words") <= max_cap_words)
+        & (F.col("cap_chars") <= max_cap_chars)
+        & ~F.col("_boiler")
+    )
+    return out.select(
+        "image_id",
+        "w",
+        "h",
+        "aspect_x10",
+        "cap_chars",
+        "cap_words",
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )
+
+
+def mm_dedup_edges(meta: DataFrame, max_ham: int = 6) -> DataFrame:
+    """Multimodal duplicate edges over (image_id:long, phash, caption):
+    an image pair is a duplicate candidate if the IMAGES are
+    perceptually near (banded 4×16-bit Hamming join on phash) OR the
+    CAPTIONS are byte-identical. Feed the union into
+    dedup.connected_components to get joint clusters — the standard
+    image+text curation step (near-identical crops re-posted under one
+    caption, one image re-captioned across mirrors) that neither
+    single-modality dedup catches alone.
+
+    Caption equality deliberately emits STAR edges (member → min id of
+    its caption group), not the clique: same components, O(n) edges
+    instead of O(n²) for viral captions — at 10^10 images a
+    1M-duplicate caption group costs 1M edges, not 10^12."""
+    ph_pairs = phash_near_pairs(
+        meta.select("image_id", "phash"), max_ham=max_ham
+    ).select("img_a", "img_b")
+    cap_root = meta.groupBy("caption").agg(F.min("image_id").alias("img_a"))
+    cap_edges = (
+        meta.join(cap_root, "caption")
+        .filter(F.col("image_id") != F.col("img_a"))
+        .select("img_a", F.col("image_id").alias("img_b"))
+    )
+    return ph_pairs.unionByName(cap_edges).dropDuplicates(["img_a", "img_b"])
+
+
 def phash_near_pairs(decoded: DataFrame, max_ham: int = 6) -> DataFrame:
     """Perceptual near-dup pairs over decoded phashes — the banded
     Hamming join (SURVEY.md §2.3 j_phash_near): split 64 bits into 4

@@ -62,3 +62,46 @@ def filter_scheme(df, url_col: str = "url_norm"):
     """Keep fetchable http(s) URLs (normalize_udf already guarantees this
     for its outputs; this is the standalone operator form)."""
     return df.filter(F.col(url_col).rlike("^https?://"))
+
+
+def trap_features(
+    df,
+    url_col: str = "url",
+    max_depth: int = 8,
+    max_repeat: int = 1,
+    max_len: int = 160,
+):
+    """Crawler-trap heuristics (calendar loops, session-id mazes,
+    infinitely deep mirrors): per-URL path depth, repeated-path-segment
+    count, and URL length, plus an `is_trap` verdict. Pure JVM column
+    expressions (regexp + split + higher-order array ops) — the filter
+    runs inside whole-stage codegen on the discovered-link stream, so a
+    10^10-link cycle pays one scan and no Python. Repeat detection is
+    multiset-based (depth − distinct segments ≥ 2 means some segment
+    recurs twice beyond itself) — catches /cal/2024/cal/2024/… without
+    regex backreferences, which neither codegen nor RE2 engines support."""
+    path = F.regexp_replace(F.col(url_col), "^[a-z]+://[^/]+", "")
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    depth = F.size(segs).cast("long")
+    n_repeat = (F.size(segs) - F.size(F.array_distinct(segs))).cast("long")
+    url_len = F.length(F.col(url_col)).cast("long")
+    out = df.withColumns(
+        {"depth": depth, "n_repeat": n_repeat, "url_len": url_len}
+    )
+    is_trap = (
+        (F.col("depth") > max_depth)
+        | (F.col("n_repeat") > max_repeat)
+        | (F.col("url_len") > max_len)
+    )
+    return out.withColumn(
+        "is_trap", F.when(is_trap, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+
+
+def filter_traps(df, url_col: str = "url", **kw):
+    """Drop trap-suspect URLs; the frontier-ingest guard form of
+    trap_features (same gates, verdict column consumed and removed)."""
+    flagged = trap_features(df, url_col=url_col, **kw)
+    return flagged.filter(F.col("is_trap") == 0).drop(
+        "depth", "n_repeat", "url_len", "is_trap"
+    )

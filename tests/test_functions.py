@@ -256,6 +256,78 @@ def test_phash_near_finds_duplicate_content(spark, images):
     assert want <= got
 
 
+def test_curation_features_gates(spark):
+    rows = [
+        ("ok", 200, 300, "a cat on a mat"),
+        ("tiny", 32, 300, "a cat on a mat"),
+        ("stretched", 64, 640, "a cat on a mat"),
+        ("boiler", 200, 300, "IMG_123 from my camera roll"),
+        ("terse", 200, 300, "hi there"),
+        ("rambling", 200, 300, " ".join(["w"] * 80)),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, caption string"
+    )
+    out = {r.image_id: r for r in multimodal.curation_features(df).collect()}
+    assert {k: v.keep for k, v in out.items()} == {
+        "ok": 1, "tiny": 0, "stretched": 0, "boiler": 0,
+        "terse": 0, "rambling": 0,
+    }
+    assert out["ok"].aspect_x10 == 15  # 300*10 div 200
+    assert out["stretched"].aspect_x10 == 100
+    assert out["ok"].cap_words == 5
+    assert out["rambling"].cap_words == 80
+
+
+def test_mm_dedup_edges_joint_clusters(spark):
+    # 1–2 near by phash, 2–3 by exact caption, 4 isolated: the joint
+    # graph (and only the joint graph) yields one {1,2,3} cluster
+    rows = [
+        (1, 0x1111, "c1"),
+        (2, 0x1110, "cap"),
+        (3, 0x0001000200030004, "cap"),
+        (4, 0x0005000600070008, "c4"),
+    ]
+    meta = spark.createDataFrame(
+        rows, "image_id long, phash long, caption string"
+    )
+    edges = {
+        (r.img_a, r.img_b)
+        for r in multimodal.mm_dedup_edges(meta).collect()
+    }
+    assert edges == {(1, 2), (2, 3)}
+    comp = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            multimodal.mm_dedup_edges(meta), "img_a", "img_b"
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_trap_features_and_filter(spark):
+    from ccbot_spark.operators import urlops
+
+    rows = [
+        ("cal", "https://a.test/cal/2024/cal/2024/cal/x"),
+        ("clean", "https://a.test/p/1"),
+        ("deep", "https://a.test/a/b/c/d/e/f/g/h/i"),
+        ("long", "https://a.test/p/" + "x" * 170),
+        ("root", "http://a.test/"),
+    ]
+    df = spark.createDataFrame(rows, "id string, url string")
+    out = {r.id: r for r in urlops.trap_features(df).collect()}
+    assert out["cal"].depth == 6
+    assert out["cal"].n_repeat == 3  # cal ×3 + 2024 ×2 beyond distinct
+    assert out["root"].depth == 0
+    assert {k: v.is_trap for k, v in out.items()} == {
+        "cal": 1, "clean": 0, "deep": 1, "long": 1, "root": 0,
+    }
+    kept = urlops.filter_traps(df)
+    assert {r.id for r in kept.collect()} == {"clean", "root"}
+    assert kept.columns == ["id", "url"]
+
+
 def test_frame_sample_raises_for_unknown_codec(spark):
     df = spark.createDataFrame(
         [("v1", b"\x00\x01", "mp4")], "image_id string, bytes binary, fmt string"
