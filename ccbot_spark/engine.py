@@ -70,6 +70,7 @@ class CrawlEngine:
         compact_every: int = 0,
         record_lineage: bool = True,
         rank_every: int = 0,
+        trap_filter: bool = False,
     ):
         from .shipping import ensure_shipped
 
@@ -113,6 +114,12 @@ class CrawlEngine:
         # skew_safe): identical output, no single window task holding a
         # pathological host's whole frontier share
         self.skew_safe_generate = skew_safe_generate
+        # trap-aware frontier ingest: drop calendar-loop/maze URLs from
+        # the discovered pool BEFORE the dedup shuffle and seen joins —
+        # a trap family never costs more than the one codegen scan that
+        # rejects it (urlops.filter_traps; oracle.crawl mirrors with
+        # urlkit.is_trap so traces stay byte-identical)
+        self.trap_filter = trap_filter
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -492,9 +499,14 @@ class CrawlEngine:
             F.col("redirect").alias("url_norm"),
             F.col("priority").cast("long").alias("parent_priority"),
         )
+        pool = links.select("url_norm", "parent_priority").unionByName(redir_tgts)
+        if self.trap_filter:
+            # pre-shuffle: trap URLs never reach the dedup groupBy, the
+            # seen joins, or the frontier merge (parsed_links metrics
+            # and the rank edge log stay pre-filter, like the oracle)
+            pool = urlops.filter_traps(pool, url_col="url_norm")
         cand = (
-            links.select("url_norm", "parent_priority")
-            .unionByName(redir_tgts)
+            pool
             .groupBy("url_norm")
             .agg(F.max("parent_priority").alias("pp"))
             .withColumn("url_hash", urlops.url_hash(F.col("url_norm")))

@@ -67,9 +67,9 @@ def filter_scheme(df, url_col: str = "url_norm"):
 def trap_features(
     df,
     url_col: str = "url",
-    max_depth: int = 8,
-    max_repeat: int = 1,
-    max_len: int = 160,
+    max_depth: int = urlkit.TRAP_MAX_DEPTH,
+    max_repeat: int = urlkit.TRAP_MAX_REPEAT,
+    max_len: int = urlkit.TRAP_MAX_LEN,
 ):
     """Crawler-trap heuristics (calendar loops, session-id mazes,
     infinitely deep mirrors): per-URL path depth, repeated-path-segment

@@ -81,6 +81,7 @@ def crawl(
     cycles: int,
     rank_every: int = 0,
     sitemap_seeds: bool = False,
+    trap_filter: bool = False,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -197,6 +198,8 @@ def crawl(
                 m["redirects"] += 1
                 events.append((2, st, host, url, slot, "redirect"))
                 tgt = urlkit.normalize_url(tgt_raw)
+                if tgt is not None and trap_filter and urlkit.is_trap(tgt):
+                    tgt = None
                 if tgt is not None:
                     if tgt in seen:
                         if tgt not in dup_this_cycle:
@@ -219,6 +222,10 @@ def crawl(
                 m["parsed_links"] += 1
                 if rank_every:
                     edges_acc.add((url, link))
+                if trap_filter and urlkit.is_trap(link):
+                    # parsed (metric + edge log above), never enqueued —
+                    # mirrors the engine's pre-shuffle filter_traps
+                    continue
                 if link in seen:
                     if link not in dup_this_cycle:
                         dup_this_cycle.add(link)

@@ -35,6 +35,7 @@ class WebConfig:
     hot_frac_pct: int = 0  # % of cross-host links redirected to host 0
     fail_pct: int = 0  # % of page fetches that deterministically fail
     redirect_pct: int = 0  # % of odd pages that 301 to the prior page
+    trap_pct: int = 0  # % of pages that emit one calendar-loop trap link
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -118,6 +119,13 @@ def render_page(cfg: WebConfig, url: str) -> str:
         else:  # malformed / non-fetchable
             href = ["javascript:void(0)", "mailto:a@b.test", "#top", "data:text/plain,x"][b % 4]
         parts.append(f'<a href="{href}">link {i}</a>')
+    if cfg.trap_pct and d[30] % 100 < cfg.trap_pct:
+        # calendar-loop trap: repeated /cal/<x>/ segments — fetchable
+        # (render_page is total over URLs, like a real trap), but any
+        # trap-aware frontier filter should refuse to enqueue it
+        x = d[31] % 12
+        tgt = (d[30] + 256 * d[31]) % cfg.pages_per_host
+        parts.append(f'<a href="/cal/{x}/cal/{x}/cal/p{tgt}">calendar</a>')
     for i in range(n_imgs):
         di = _digest(f"img:{cfg.seed}:{url}:{i}")
         img_id = di.hex()[:12]

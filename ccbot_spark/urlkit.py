@@ -120,6 +120,34 @@ def resolve_link(base_url: str, href: str) -> str | None:
     return normalize_url(absu)
 
 
+# Crawler-trap heuristics (single-sourced: operators/urlops.trap_features
+# mirrors these thresholds JVM-side; oracle.crawl uses this python form).
+TRAP_MAX_DEPTH = 8
+TRAP_MAX_REPEAT = 1
+TRAP_MAX_LEN = 160
+_HOSTPART_RE = re.compile(r"^[a-z]+://[^/]+")
+
+
+def trap_stats(url: str) -> tuple[int, int, int]:
+    """(path depth, repeated-segment count, url length) — the exact
+    integer triple urlops.trap_features computes JVM-side: segments are
+    the non-empty '/'-split parts of the URL after the scheme+authority
+    prefix; repeats are multiset-counted (depth − distinct)."""
+    path = _HOSTPART_RE.sub("", url, count=1)
+    parts = [p for p in path.split("/") if p != ""]
+    return len(parts), len(parts) - len(set(parts)), len(url)
+
+
+def is_trap(
+    url: str,
+    max_depth: int = TRAP_MAX_DEPTH,
+    max_repeat: int = TRAP_MAX_REPEAT,
+    max_len: int = TRAP_MAX_LEN,
+) -> bool:
+    depth, n_repeat, url_len = trap_stats(url)
+    return depth > max_depth or n_repeat > max_repeat or url_len > max_len
+
+
 def is_fetchable(url: str) -> bool:
     return url is not None and bool(_SCHEME_OK_RE.match(url))
 

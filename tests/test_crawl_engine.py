@@ -299,6 +299,41 @@ def test_sitemap_seeds_match_oracle(spark, tmp_path):
     assert got_seen == want.seen
 
 
+def test_trap_filter_matches_oracle(spark, tmp_path):
+    """trap_pct plants calendar-loop links; with trap_filter on, both
+    sides parse them (metrics count pre-filter) but never enqueue them,
+    and the crawl stays byte-identical to the oracle."""
+    from ccbot_spark import urlkit
+
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=50, trap_pct=60)
+    seeds = synthweb.seed_urls(cfg, 16)
+    unfiltered = oracle.crawl(cfg, seeds, cycles=2)
+    trap_urls = {u for u in unfiltered.seen if urlkit.is_trap(u)}
+    assert trap_urls, "fixture must produce trap URLs"
+
+    want = oracle.crawl(cfg, seeds, cycles=2, trap_filter=True)
+    assert not any(urlkit.is_trap(u) for u in want.seen)
+    # not a subset relation: dropping traps frees politeness slots, so
+    # the filtered crawl legitimately reaches different pages — the
+    # invariant is only that no trap URL is ever enqueued
+    assert want.seen != unfiltered.seen
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "trap"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, trap_filter=True)
+    eng.crawl(seeds, cycles=2)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    got_links = {
+        (r.cycle, r.host): r.parsed_links for r in eng.metrics.read().collect()
+    }
+    want_links = {
+        (m["cycle"], m["host"]): m["parsed_links"] for m in want.metrics
+    }
+    assert got_links == want_links
+
+
 def test_cuckoo_merged_identical(spark, tmp_path, oracle_res):
     """seen_filter="cuckoo" (merged/broadcast form): same trace, seen
     set, and stored images as the oracle — the filter flavor is a
