@@ -71,6 +71,7 @@ class CrawlEngine:
         record_lineage: bool = True,
         rank_every: int = 0,
         trap_filter: bool = False,
+        recrawl_every: int = 0,
     ):
         from .shipping import ensure_shipped
 
@@ -120,6 +121,12 @@ class CrawlEngine:
         # rejects it (urlops.filter_traps; oracle.crawl mirrors with
         # urlkit.is_trap so traces stay byte-identical)
         self.trap_filter = trap_filter
+        # revisit policy: every fetched page is re-enqueued once its
+        # last fetch is ≥ recrawl_every cycles old; the conditional-GET
+        # check (content_version epochs) turns unchanged revisits into
+        # 304s that cost a politeness slot but no parse/store work.
+        # Mirrors oracle.crawl(recrawl_every=K) exactly.
+        self.recrawl_every = recrawl_every
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -297,6 +304,7 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("status"),
                 F.lit(None).cast("int").alias("cycle_added"),
                 F.lit(None).cast("int").alias("retries"),
+                F.lit(None).cast("int").alias("last_cycle"),
             )
             .withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         )
@@ -368,7 +376,9 @@ class CrawlEngine:
             if u is None or u in dedup:
                 continue
             dedup.add(u)
-            rows.append((u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0))
+            rows.append(
+                (u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0, -1)
+            )
             idx += 1
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
         sm_cache = None
@@ -411,6 +421,7 @@ class CrawlEngine:
                 F.lit("pending").alias("status"),
                 F.lit(0).cast("int").alias("cycle_added"),
                 F.lit(0).cast("int").alias("retries"),
+                F.lit(-1).cast("int").alias("last_cycle"),
             )
             df = df.unionByName(sm_rows)
         df = df.withColumn(
@@ -453,11 +464,32 @@ class CrawlEngine:
                 _t[name] = round(now - _t0, 2)
                 _t0 = now
         # candidates: pending, plus errored entries with retry budget
-        # left (transient-failure recrawl; mirrors oracle.MAX_RETRIES)
-        pending = self.frontier.read().filter(
-            (F.col("status") == "pending")
-            | ((F.col("status") == "error") & (F.col("retries") < MAX_RETRIES))
+        # left (transient-failure recrawl; mirrors oracle.MAX_RETRIES),
+        # plus — when the revisit policy is on — fetched pages due for
+        # a recrawl (last successful fetch ≥ recrawl_every cycles ago)
+        cand_pred = (F.col("status") == "pending") | (
+            (F.col("status") == "error") & (F.col("retries") < MAX_RETRIES)
         )
+        if self.recrawl_every:
+            cand_pred = cand_pred | (
+                (F.col("status") == "fetched")
+                & (F.col("last_cycle") <= cycle - self.recrawl_every)
+            )
+        pending = self.frontier.read().filter(cand_pred)
+        # conditional-GET verdict, decided JVM-side before the fetch:
+        # a recrawl candidate whose last fetch falls in the current
+        # content epoch will answer 304 (slot consumed, no body)
+        cur_ver = synthweb.content_version(cfg, cycle)
+        if self.recrawl_every:
+            if cfg.change_every:
+                unchanged = (F.col("status") == "fetched") & (
+                    F.expr(f"last_cycle div {cfg.change_every}") == F.lit(cur_ver)
+                )
+            else:
+                unchanged = F.col("status") == "fetched"  # static web
+        else:
+            unchanged = F.lit(False)
+        pending = pending.withColumn("unchanged", unchanged)
         robots_df = politeness.build_robots_table(
             pending.select("host").distinct(), cfg
         )
@@ -475,6 +507,7 @@ class CrawlEngine:
             enforce_delay_wallclock=self.enforce_delay_wallclock,
             delay_scale=self.delay_scale,
             fetch_partitions=self.fetch_partitions,
+            content_ver=cur_ver,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         fetched_raw = fetched
         if self.fetch_partitions and self.fetch_partitions > 4 * self.n_buckets:
@@ -484,7 +517,10 @@ class CrawlEngine:
                 StorageLevel.MEMORY_AND_DISK
             )
         attempts = fetched  # every consumed slot (ok + redirected + errored)
-        fetched = attempts.filter(F.col("ok") & F.col("redirect").isNull())
+        fetched = attempts.filter(
+            F.col("ok") & F.col("redirect").isNull() & ~F.col("not_modified")
+        )
+        notmods = attempts.filter(F.col("ok") & F.col("not_modified"))
         redirs = attempts.filter(F.col("ok") & F.col("redirect").isNotNull())
         errs = attempts.filter(~F.col("ok"))
 
@@ -550,6 +586,7 @@ class CrawlEngine:
             F.lit("pending").alias("status"),
             F.lit(cycle).cast("int").alias("cycle_added"),
             F.lit(0).cast("int").alias("retries"),
+            F.lit(-1).cast("int").alias("last_cycle"),
         ).withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         new_rows = new_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -581,9 +618,14 @@ class CrawlEngine:
         # ---- metrics (§3.1 step 7) — per host over all attempts
         # (errored fetches carry html="" so the byte sum is ok-only)
         m_fetch = attempts.groupBy("host").agg(
-            F.sum((F.col("ok") & F.col("redirect").isNull()).cast("long")).alias("fetched"),
+            F.sum(
+                (
+                    F.col("ok") & F.col("redirect").isNull() & ~F.col("not_modified")
+                ).cast("long")
+            ).alias("fetched"),
             F.sum((~F.col("ok")).cast("long")).alias("errors"),
             F.sum((F.col("ok") & F.col("redirect").isNotNull()).cast("long")).alias("redirects"),
+            F.sum((F.col("ok") & F.col("not_modified")).cast("long")).alias("not_modified"),
             F.sum(F.octet_length(F.col("html"))).alias("html_bytes"),
         )
         m_links = links.groupBy(F.col("page_host").alias("host")).agg(
@@ -614,6 +656,7 @@ class CrawlEngine:
                     + F.coalesce(F.col("img_bytes"), F.lit(0))
                 ).cast("long").alias("bytes"),
                 F.col("redirects").cast("long"),
+                F.col("not_modified").cast("long"),
             )
         )
 
@@ -650,17 +693,23 @@ class CrawlEngine:
                 .unionByName(evt(fetched, 2, "fetched", slot=True, sched=True))
                 .unionByName(evt(errs, 2, "fetch_error", slot=True, sched=True))
                 .unionByName(evt(redirs, 2, "redirect", slot=True, sched=True))
+                .unionByName(evt(notmods, 2, "not_modified", slot=True, sched=True))
                 .unionByName(dup_ev)
             )
         # ---- frontier MERGE INTO: status updates + new-link inserts
         bucket = urlops.host_bucket(F.col("host"), self.n_buckets)
-        upd_fetched = fetched.select(
+        # fetched ∪ not_modified both end the cycle as status 'fetched'
+        # with the revisit clock advanced to this cycle
+        upd_fetched = attempts.filter(
+            F.col("ok") & F.col("redirect").isNull()
+        ).select(
             "url_norm", "host", "priority",
             F.lit(0).cast("int").alias("dt_cycle"),  # ignored on update
             F.lit(0).cast("long").alias("dt_seq"),
             F.lit("fetched").alias("status"),
             F.lit(0).cast("int").alias("cycle_added"),
             F.col("retries").cast("int"),
+            F.lit(cycle).cast("int").alias("last_cycle"),
         ).withColumn("bucket", bucket)
         upd_redir = redirs.select(
             "url_norm", "host", "priority",
@@ -669,6 +718,7 @@ class CrawlEngine:
             F.lit("redirect").alias("status"),  # terminal: never refetched
             F.lit(0).cast("int").alias("cycle_added"),
             F.col("retries").cast("int"),
+            F.col("last_cycle").cast("int"),
         ).withColumn("bucket", bucket)
         upd_err = errs.select(
             "url_norm", "host", "priority",
@@ -677,6 +727,7 @@ class CrawlEngine:
             F.lit("error").alias("status"),
             F.lit(0).cast("int").alias("cycle_added"),
             (F.col("retries") + 1).cast("int").alias("retries"),
+            F.col("last_cycle").cast("int"),
         ).withColumn("bucket", bucket)
         upd_denied = parts["denied"].select(
             "url_norm", "host", "priority",
@@ -685,6 +736,7 @@ class CrawlEngine:
             F.lit("denied").alias("status"),
             F.lit(0).cast("int").alias("cycle_added"),
             F.col("retries").cast("int"),
+            F.col("last_cycle").cast("int"),
         ).withColumn("bucket", bucket)
         merge_src = (
             upd_fetched.unionByName(upd_redir)
@@ -752,7 +804,7 @@ class CrawlEngine:
             ),
             lambda: self.metrics.append(metrics_df),
             lambda: self.frontier.merge_into(
-                merge_src, on=["url_norm"], update_cols=["status", "retries"]
+                merge_src, on=["url_norm"], update_cols=["status", "retries", "last_cycle"]
             ),
             lambda: self.seen.append(new_seen),
         ]

@@ -36,6 +36,7 @@ def fetch(
     enforce_delay_wallclock: bool = False,
     delay_scale: float = 1.0,
     fetch_partitions: int | None = None,
+    content_ver: int = 0,
 ) -> DataFrame:
     """batch: generate()['fetch'] → FETCHED DF (html attached).
 
@@ -79,9 +80,21 @@ def fetch(
         from .. import urlkit
 
         pdf = pdf.sort_values(["sched_time", "url_norm"], kind="mergesort")
-        htmls, oks, redirs = [], [], []
+        unch_in = (
+            pdf["unchanged"]
+            if "unchanged" in pdf
+            else pd.Series(False, index=pdf.index)
+        )
+        lc_in = (
+            pdf["last_cycle"]
+            if "last_cycle" in pdf
+            else pd.Series(-1, index=pdf.index)
+        )
+        htmls, oks, redirs, nms = [], [], [], []
         last = None
-        for url, st, rt in zip(pdf["url_norm"], pdf["sched_time"], pdf["retries"]):
+        for url, st, rt, unch in zip(
+            pdf["url_norm"], pdf["sched_time"], pdf["retries"], unch_in
+        ):
             if enforce_delay_wallclock and last is not None:
                 # delay_scale compresses the politeness clock for
                 # benchmarks (the real crawl is delay/IO-bound; this
@@ -90,18 +103,30 @@ def fetch(
                 delta_ms = (st - last) * delay_scale
                 if delta_ms > 0:
                     time.sleep(delta_ms / 1000.0)
+            last = st
+            if bool(unch):
+                # conditional GET answered 304: slot consumed, no body
+                oks.append(True)
+                redirs.append(None)
+                htmls.append("")
+                nms.append(True)
+                continue
             ok = synthweb.fetch_ok(cfg, url, int(rt))
             oks.append(ok)
             # 301: slot consumed, no body; normalized Location target
             # rides along for the discovered-link path
             tgt = synthweb.redirect_of(cfg, url) if ok else None
             redirs.append(urlkit.normalize_url(tgt) if tgt is not None else None)
-            htmls.append(synthweb.fetch(cfg, url) if ok and tgt is None else "")
-            last = st
+            htmls.append(
+                synthweb.fetch(cfg, url, content_ver) if ok and tgt is None else ""
+            )
+            nms.append(False)
         out = pdf[["url_norm", "host", "priority", "sched_slot", "sched_time", "retries"]].copy()
         out["html"] = htmls
         out["ok"] = pd.Series(oks, index=out.index, dtype=bool)
         out["redirect"] = pd.Series(redirs, index=out.index, dtype=object)
+        out["not_modified"] = pd.Series(nms, index=out.index, dtype=bool)
+        out["last_cycle"] = lc_in.loc[out.index].astype("int32")
         return out
 
     return salted.groupBy(*group_keys).applyInPandas(

@@ -100,6 +100,9 @@ def generate(
     denied = cand.filter(~F.col("allowed"))
     ok = cand.filter(F.col("allowed"))
     keep = ["url_norm", "host", "priority", "dt_cycle", "dt_seq", "retries"]
+    # revisit-policy passthrough (present when the engine calls us; the
+    # standalone operator accepts minimal candidate frames without them)
+    keep += [c for c in ("last_cycle", "unchanged") if c in pending.columns]
     w = Window.partitionBy("host").orderBy(*_cand_order())
     if skew_safe:
         w1 = Window.partitionBy("_pid", "host").orderBy(*_cand_order())

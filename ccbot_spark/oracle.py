@@ -64,6 +64,7 @@ class FrontierEntry:
     status: str  # pending | fetched | denied | error
     cycle_added: int
     retries: int = 0
+    last_cycle: int = -1  # cycle of last successful fetch (revisit clock)
 
 
 @dataclass
@@ -82,6 +83,7 @@ def crawl(
     rank_every: int = 0,
     sitemap_seeds: bool = False,
     trap_filter: bool = False,
+    recrawl_every: int = 0,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -140,8 +142,14 @@ def crawl(
         for e in frontier.values():
             # candidates: pending, plus errored entries with retry
             # budget left (transient-failure recrawl)
-            if e.status == "pending" or (
-                e.status == "error" and e.retries < MAX_RETRIES
+            if (
+                e.status == "pending"
+                or (e.status == "error" and e.retries < MAX_RETRIES)
+                or (
+                    recrawl_every
+                    and e.status == "fetched"
+                    and e.last_cycle <= cycle - recrawl_every
+                )
             ):
                 by_host.setdefault(e.host, []).append(e)
 
@@ -174,13 +182,27 @@ def crawl(
                 host_metrics[host] = dict(
                     fetched=0, parsed_links=0, stored_images=0,
                     dedup_hits=0, errors=0, bytes=0, redirects=0,
+                    not_modified=0,
                 )
             return host_metrics[host]
 
         discovered: dict[str, int] = {}  # url_norm → max parent priority
         dup_this_cycle: set[str] = set()
+        cur_ver = synthweb.content_version(cfg, cycle)
         for st, host, url, slot, e in fetch_list:
             m = hm(host)
+            # conditional GET: a recrawl candidate whose last fetch is
+            # in the current content epoch answers 304 — slot consumed,
+            # no body, revisit clock advanced (mirrors the engine's
+            # JVM-side `unchanged` verdict)
+            if e.status == "fetched" and (
+                cfg.change_every == 0
+                or e.last_cycle // cfg.change_every == cur_ver
+            ):
+                e.last_cycle = cycle
+                m["not_modified"] += 1
+                events.append((2, st, host, url, slot, "not_modified"))
+                continue
             if not synthweb.fetch_ok(cfg, url, e.retries):
                 # failed fetch: slot consumed, no parse, error status;
                 # retried next cycle until MAX_RETRIES
@@ -212,8 +234,9 @@ def crawl(
                         if prev is None or e.priority > prev:
                             discovered[tgt] = e.priority
                 continue
-            html = synthweb.fetch(cfg, url)
+            html = synthweb.fetch(cfg, url, cur_ver)
             e.status = "fetched"
+            e.last_cycle = cycle
             m["fetched"] += 1
             m["bytes"] += len(html.encode("utf-8"))
             events.append((2, st, host, url, slot, "fetched"))

@@ -37,6 +37,11 @@ FRONTIER = T.StructType(
         T.StructField("status", T.StringType(), False),  # pending|fetched|denied|error
         T.StructField("cycle_added", T.IntegerType(), False),
         T.StructField("retries", T.IntegerType(), False),  # failed attempts so far
+        # cycle of the last successful fetch (−1 = never fetched) —
+        # the revisit-policy clock: recrawl_every re-enqueues fetched
+        # pages, content_version(last_cycle) vs the current epoch
+        # decides 304 vs re-fetch
+        T.StructField("last_cycle", T.IntegerType(), False),
     ]
 )
 
@@ -87,6 +92,7 @@ METRICS = T.StructType(
         T.StructField("errors", T.LongType(), False),
         T.StructField("bytes", T.LongType(), False),
         T.StructField("redirects", T.LongType(), False),
+        T.StructField("not_modified", T.LongType(), False),  # 304 recrawls
     ]
 )
 
@@ -105,6 +111,10 @@ FETCHED = T.StructType(
         T.StructField("ok", T.BooleanType(), False),
         T.StructField("retries", T.IntegerType(), False),
         T.StructField("redirect", T.StringType(), True),
+        # 304: recrawled page unchanged since last_cycle's epoch — slot
+        # consumed, html empty, no parse
+        T.StructField("not_modified", T.BooleanType(), False),
+        T.StructField("last_cycle", T.IntegerType(), False),  # pre-fetch value
     ]
 )
 

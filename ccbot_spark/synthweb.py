@@ -36,6 +36,7 @@ class WebConfig:
     fail_pct: int = 0  # % of page fetches that deterministically fail
     redirect_pct: int = 0  # % of odd pages that 301 to the prior page
     trap_pct: int = 0  # % of pages that emit one calendar-loop trap link
+    change_every: int = 0  # content epoch length in cycles (0 = static web)
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -88,9 +89,12 @@ def host_budget(cfg: WebConfig, host: str) -> int:
 
 # ---------------------------------------------------------------- pages
 
-def render_page(cfg: WebConfig, url: str) -> str:
-    """HTML body of a page URL — pure function of (cfg, url)."""
-    d = _digest(f"page:{cfg.seed}:{url}")
+def render_page(cfg: WebConfig, url: str, ver: int = 0) -> str:
+    """HTML body of a page URL — pure function of (cfg, url, ver).
+    ver=0 keeps the historical digest seed (byte-identical pages)."""
+    d = _digest(
+        f"page:{cfg.seed}:{url}" if ver == 0 else f"page:{cfg.seed}:v{ver}:{url}"
+    )
     host = url.split("/")[2]
     k = int(host[1:].split(".")[0])
     n_links = d[0] % 9
@@ -228,6 +232,18 @@ def redirect_of(cfg: WebConfig, url: str) -> str | None:
     return f"http://{parts[2]}/p/{j - 1}"
 
 
-def fetch(cfg: WebConfig, url: str) -> str:
-    """The synthetic 'network': fetch a page URL → HTML body."""
-    return render_page(cfg, url)
+def content_version(cfg: WebConfig, cycle: int) -> int:
+    """Content epoch at a crawl cycle: pages re-render every
+    `change_every` cycles (0 = the web is static). The synthetic
+    analog of a Last-Modified timestamp — a page fetched at epoch v
+    and revisited at the same epoch answers 304."""
+    return cycle // cfg.change_every if cfg.change_every else 0
+
+
+def fetch(cfg: WebConfig, url: str, ver: int = 0) -> str:
+    """The synthetic 'network': fetch a page URL → HTML body.
+    ver is the content epoch (content_version): epoch 0 renders the
+    original page byte-for-byte, later epochs re-render with a new
+    digest seed (different outlinks / image counts) — still a pure
+    function of (cfg, url, ver)."""
+    return render_page(cfg, url, ver)

@@ -334,6 +334,66 @@ def test_trap_filter_matches_oracle(spark, tmp_path):
     assert got_links == want_links
 
 
+def test_recrawl_304_matches_oracle(spark, tmp_path):
+    """Revisit policy: recrawl_every re-enqueues fetched pages; a
+    revisit inside the same content epoch answers 304 (slot consumed,
+    no parse), a revisit across an epoch boundary re-fetches the
+    re-rendered page. Engine must match the oracle event-for-event."""
+    from collections import Counter
+
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=50, change_every=2)
+    seeds = synthweb.seed_urls(cfg, 16)
+    want = oracle.crawl(cfg, seeds, cycles=4, recrawl_every=1)
+    actions = Counter(t[5] for t in want.trace)
+    assert actions["not_modified"] > 0, "fixture must produce 304s"
+    refetches = Counter(t[2] for t in want.trace if t[5] == "fetched")
+    assert any(c >= 2 for c in refetches.values()), (
+        "fixture must re-fetch changed pages"
+    )
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "recrawl"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, recrawl_every=1)
+    eng.crawl(seeds, cycles=4)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    got_m = {
+        (r.cycle, r.host): (r.not_modified, r.fetched)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (m["not_modified"], m["fetched"])
+        for m in want.metrics
+    }
+    assert got_m == want_m
+    # revisit clock persisted: every fetched page's last_cycle is set
+    lc = {r.last_cycle for r in eng.frontier.read()
+          .filter("status = 'fetched'").collect()}
+    assert lc and -1 not in lc
+
+
+def test_recrawl_static_web_all_304(spark, tmp_path):
+    """change_every=0 (static web): every revisit is a 304 — no page is
+    ever parsed twice, stored images don't grow after the first visit."""
+    cfg = synthweb.WebConfig(n_hosts=3, pages_per_host=30)
+    seeds = synthweb.seed_urls(cfg, 9)
+    want = oracle.crawl(cfg, seeds, cycles=3, recrawl_every=1)
+    from collections import Counter
+
+    fetch_counts = Counter(t[2] for t in want.trace if t[5] == "fetched")
+    assert fetch_counts and max(fetch_counts.values()) == 1
+    assert any(t[5] == "not_modified" for t in want.trace)
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "static"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, recrawl_every=1)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+
+
 def test_cuckoo_merged_identical(spark, tmp_path, oracle_res):
     """seen_filter="cuckoo" (merged/broadcast form): same trace, seen
     set, and stored images as the oracle — the filter flavor is a
