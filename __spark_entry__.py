@@ -806,6 +806,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["f_trap_detect"] = f_trap_detect
 
+    def text_repetition(spark, sf_dir):
+        # Gopher-style within-doc repetition gate (duplicate word
+        # 2-gram fraction ≤ 0.2, integer cross-multiplication)
+        return textkit.repetition_features(_t(spark, sf_dir, "documents"))
+    q["text_repetition"] = text_repetition
+
+    def text_pack(spark, sf_dir):
+        # GPT-style sequence packing: per-(source, shard) token-stream
+        # concat cut into 512-token windows; shard bounds the window
+        # partitions so no source funnels through one task
+        return textkit.pack_sequences(
+            _t(spark, sf_dir, "documents"), cap=512, n_shards=8
+        )
+    q["text_pack"] = text_pack
+
     return q
 
 
@@ -1752,6 +1767,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN depth > 8 OR n_repeat > 1 OR url_len > 160
                          THEN 1 ELSE 0 END AS BIGINT) AS is_trap
         FROM f
+    """
+
+    # --- text_repetition: NON-distinct word 2-grams (total vs distinct
+    # counts; the dedup oracles use the distinct form) — the Gopher
+    # duplicate-fraction gate as an integer cross-multiplication.
+    o["text_repetition"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN len(string_split(text, ' ')) >= 2
+                      THEN list_transform(
+                        generate_series(1, len(string_split(text, ' ')) - 1),
+                        i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))
+                      ELSE [] END AS grams
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+               CAST(len(grams) - len(list_distinct(grams)) AS BIGINT)
+                 AS n_dup_grams,
+               CAST(CASE WHEN (len(grams) - len(list_distinct(grams))) * 20
+                              <= len(grams)
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM g
+    """
+
+    # --- text_pack: running token-offset per (source, doc_id % 8)
+    # shard, cut at 512-token boundaries
+    o["text_pack"] = """
+        SELECT doc_id, source,
+               CAST(doc_id % 8 AS INTEGER) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                 PARTITION BY source, doc_id % 8 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_offset,
+               CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                 PARTITION BY source, doc_id % 8 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 512 AS BIGINT) AS pack_id
+        FROM documents
     """
 
     return o

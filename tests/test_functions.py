@@ -256,6 +256,38 @@ def test_phash_near_finds_duplicate_content(spark, images):
     assert want <= got
 
 
+def test_repetition_features_gate(spark):
+    rows = [
+        (1, "a b c d e"),            # 4 distinct 2-grams, no dups
+        (2, "buy now buy now buy now"),  # 5 grams, 2 distinct
+        (3, "hello"),                # too short for a 2-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textkit.repetition_features(df).collect()}
+    assert (out[1].n_grams, out[1].n_dup_grams, out[1].keep) == (4, 0, 1)
+    assert (out[2].n_grams, out[2].n_distinct_grams, out[2].n_dup_grams,
+            out[2].keep) == (5, 2, 3, 0)
+    assert (out[3].n_grams, out[3].keep) == (0, 1)
+
+
+def test_pack_sequences_offsets(spark):
+    rows = [(i, "t o k", "s") for i in range(6)]  # 3 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: (r.start_offset, r.pack_id)
+        for r in textkit.pack_sequences(df, cap=5, n_shards=1).collect()
+    }
+    assert out == {0: (0, 0), 1: (3, 0), 2: (6, 1), 3: (9, 1),
+                   4: (12, 2), 5: (15, 3)}
+    # sharded: packing restarts per shard, deterministic on doc_id
+    sharded = {
+        r.doc_id: (r.shard, r.start_offset)
+        for r in textkit.pack_sequences(df, cap=5, n_shards=2).collect()
+    }
+    assert sharded == {0: (0, 0), 2: (0, 3), 4: (0, 6),
+                       1: (1, 0), 3: (1, 3), 5: (1, 6)}
+
+
 def test_curation_features_gates(spark):
     rows = [
         ("ok", 200, 300, "a cat on a mat"),
