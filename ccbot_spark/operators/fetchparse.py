@@ -144,8 +144,11 @@ def fetch(
 # Patterns mirror ccbot_spark.parsekit (the oracle crawler's parser)
 # exactly; trace-equality tests enforce byte-identical extraction.
 
-# <a href> occurrences (parsekit._A_RE, Java-regex inline flags)
-_A_PAT = r'(?is)<a\s[^>]*?href="([^"]*)"'
+# <a ...> opening tags (parsekit._A_TAG_RE, Java-regex inline flags);
+# rel="nofollow" anchors are filtered tag-level before href extraction
+_A_TAG_PAT = r'(?is)<a\s[^>]*?href="[^"]*"[^>]*?>'
+_NOFOLLOW_PAT = '(?i)rel="nofollow"'
+_HREF_PAT = r'(?is)href="([^"]*)"'
 # Image blocks in DOCUMENT ORDER via one alternation: a <figure> block
 # (figcaption overrides alt) or a standalone <img alt>. The figure
 # alternative consumes its inner <img>, which reproduces parsekit's
@@ -204,8 +207,14 @@ def _resolve_imgs_udf(page_urls: pd.Series, pairs: pd.Series) -> pd.Series:
 
 def extract_links(fetched: DataFrame) -> DataFrame:
     """One row per extracted (already normalized) outlink occurrence.
-    href scan = JVM regexp_extract_all; Python = URL resolution only."""
-    hrefs = F.regexp_extract_all(F.col("html"), F.lit(_A_PAT), F.lit(1))
+    href scan = JVM regexp_extract_all over anchor tags, nofollow
+    filter + href pick = JVM array lambdas; Python = URL resolution
+    only."""
+    tags = F.regexp_extract_all(F.col("html"), F.lit(_A_TAG_PAT), F.lit(0))
+    hrefs = F.transform(
+        F.filter(tags, lambda t: ~t.rlike(_NOFOLLOW_PAT)),
+        lambda t: F.regexp_extract(t, _HREF_PAT, 1),
+    )
     per_page = fetched.select(
         F.col("url_norm").alias("page_url"),
         F.col("host").alias("page_host"),

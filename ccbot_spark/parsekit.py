@@ -4,7 +4,8 @@
 Regex-based, deterministic, shared by the oracle crawler and the Spark
 `mapInPandas` parse stage. Semantics:
 
-  * links: every ``<a href="...">``; resolved against the page URL and
+  * links: every ``<a href="...">`` except ``rel="nofollow"`` anchors
+    (never followed, never counted); resolved against the page URL and
     normalized via ``urlkit.resolve_link`` (drops mailto/js/data/#frag)
   * images: ``<figure><img src=X ...><figcaption>C</figcaption></figure>``
     yields (X, C) — figcaption overrides alt; standalone
@@ -17,7 +18,9 @@ import re
 
 from . import urlkit
 
-_A_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"', re.IGNORECASE | re.DOTALL)
+_A_TAG_RE = re.compile(r'<a\s[^>]*?href="[^"]*"[^>]*?>', re.IGNORECASE | re.DOTALL)
+_HREF_RE = re.compile(r'href="([^"]*)"', re.IGNORECASE | re.DOTALL)
+_NOFOLLOW_RE = re.compile(r'rel="nofollow"', re.IGNORECASE)
 _FIGURE_RE = re.compile(
     r'<figure>\s*<img\s[^>]*?src="([^"]*)"[^>]*>\s*'
     r"<figcaption>(.*?)</figcaption>\s*</figure>",
@@ -44,7 +47,10 @@ def extract_links(page_url: str, html: str) -> list[str]:
     """Resolved+normalized outlinks, document order, within-page dedup."""
     out: list[str] = []
     seen: set[str] = set()
-    for href in _A_RE.findall(html or ""):
+    for tag in _A_TAG_RE.findall(html or ""):
+        if _NOFOLLOW_RE.search(tag):
+            continue
+        href = _HREF_RE.search(tag).group(1)
         u = urlkit.resolve_link(page_url, href)
         if u is not None and u not in seen:
             seen.add(u)

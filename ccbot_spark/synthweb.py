@@ -37,6 +37,7 @@ class WebConfig:
     redirect_pct: int = 0  # % of odd pages that 301 to the prior page
     trap_pct: int = 0  # % of pages that emit one calendar-loop trap link
     change_every: int = 0  # content epoch length in cycles (0 = static web)
+    nofollow_pct: int = 0  # % of links carrying rel="nofollow" (never followed)
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -122,7 +123,13 @@ def render_page(cfg: WebConfig, url: str, ver: int = 0) -> str:
             href = f"http://{host}/p/{tgt_j}?utm_source=x&utm_campaign={i}#frag"
         else:  # malformed / non-fetchable
             href = ["javascript:void(0)", "mailto:a@b.test", "#top", "data:text/plain,x"][b % 4]
-        parts.append(f'<a href="{href}">link {i}</a>')
+        rel = ""
+        if (
+            cfg.nofollow_pct
+            and _digest(f"nf:{cfg.seed}:{url}:{i}")[0] % 100 < cfg.nofollow_pct
+        ):
+            rel = ' rel="nofollow"'
+        parts.append(f'<a href="{href}"{rel}>link {i}</a>')
     if cfg.trap_pct and d[30] % 100 < cfg.trap_pct:
         # calendar-loop trap: repeated /cal/<x>/ segments — fetchable
         # (render_page is total over URLs, like a real trap), but any

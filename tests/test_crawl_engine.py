@@ -334,6 +334,28 @@ def test_trap_filter_matches_oracle(spark, tmp_path):
     assert got_links == want_links
 
 
+def test_nofollow_matches_oracle(spark, tmp_path):
+    """rel=nofollow anchors are never extracted (not followed, not
+    counted) — JVM tag-filter and parsekit agree, and the crawl stays
+    byte-identical to the oracle with nofollow links planted."""
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=50, nofollow_pct=50)
+    seeds = synthweb.seed_urls(cfg, 16)
+    baseline = oracle.crawl(
+        synthweb.WebConfig(n_hosts=4, pages_per_host=50), seeds, cycles=2
+    )
+    want = oracle.crawl(cfg, seeds, cycles=2)
+    # nofollow actually suppressed discoveries vs the same web without it
+    assert want.seen != baseline.seen
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "nf"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10)
+    eng.crawl(seeds, cycles=2)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+
+
 def test_recrawl_304_matches_oracle(spark, tmp_path):
     """Revisit policy: recrawl_every re-enqueues fetched pages; a
     revisit inside the same content epoch answers 304 (slot consumed,

@@ -98,3 +98,37 @@ def test_sitemap_xml_deterministic():
     # ascending page order (document order == numeric order)
     nums = [int(u.rsplit("/", 1)[-1]) for u in urls]
     assert nums == sorted(nums)
+
+
+def test_extract_links_skips_nofollow():
+    from ccbot_spark import parsekit
+
+    html = (
+        '<a href="/a">a</a>'
+        '<a href="/b" rel="nofollow">b</a>'
+        '<A HREF="/c" REL="NOFOLLOW">c</A>'
+        '<a rel="nofollow" href="/d">d</a>'
+        '<a href="/e">e</a>'
+    )
+    got = parsekit.extract_links("http://h0.test/p/0", html)
+    assert got == ["http://h0.test/a", "http://h0.test/e"]
+
+
+def test_jvm_extract_links_matches_parsekit_nofollow(spark):
+    from ccbot_spark import parsekit, synthweb
+    from ccbot_spark.operators import fetchparse
+
+    cfg = synthweb.WebConfig(n_hosts=3, pages_per_host=40, nofollow_pct=50)
+    pages = [f"http://h{k}.test/p/{j}" for k in range(3) for j in range(12)]
+    rows = [(u, u.split("/")[2], 5, 0, synthweb.fetch(cfg, u)) for u in pages]
+    assert any('rel="nofollow"' in r[4] for r in rows), "fixture needs nofollow"
+    df = spark.createDataFrame(
+        rows,
+        "url_norm string, host string, priority long, sched_time long,"
+        " html string",
+    )
+    got: dict[str, list[str]] = {}
+    for r in fetchparse.extract_links(df).collect():
+        got.setdefault(r.page_url, []).append(r.url_norm)
+    for u, _, _, _, html in rows:
+        assert got.get(u, []) == parsekit.extract_links(u, html), u
