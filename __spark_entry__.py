@@ -776,6 +776,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.connected_components(edges, "img_a", "img_b")
     q["img_mm_dedup"] = img_mm_dedup
 
+    def img_mm_keeper(spark, sf_dir):
+        # the multimodal dedup ENDGAME: joint phash∪caption clusters →
+        # one keeper per cluster, highest-resolution member wins
+        # (area = w·h from the img_curation md5 dim synthesis),
+        # unclustered images kept as singletons
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        dx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w_ = F.conv(F.substring(dx, 1, 8), 16, 10).cast("long") % 481 + 32
+        h_ = F.conv(F.substring(dx, 9, 8), 16, 10).cast("long") % 481 + 32
+        meta = d.select(
+            F.col("doc_id").cast("long").alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+            F.concat(F.lit("cap-"), (F.col("doc_id") % 120).cast("string")).alias(
+                "caption"
+            ),
+            (w_ * h_).cast("long").alias("area"),
+        )
+        clusters = dedup.connected_components(
+            multimodal.mm_dedup_edges(meta), "img_a", "img_b"
+        )
+        return dedup.keep_best_per_cluster(
+            meta.withColumnRenamed("image_id", "doc_id"),
+            clusters,
+            quality="area",
+        )
+    q["img_mm_keeper"] = img_mm_keeper
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -1722,6 +1756,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS doc_id,
                CAST(MIN(lab) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """
+
+    # --- img_mm_keeper: the joint-cluster fixpoint extended with the
+    # keeper window (largest md5-synthesized area, then lowest id;
+    # singletons keep themselves) — mirrors keep_best_per_cluster over
+    # mm_dedup_edges clusters.
+    o["img_mm_keeper"] = f"""
+        WITH RECURSIVE ph AS (
+          SELECT doc_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash,
+                 'cap-' || CAST(doc_id % 120 AS VARCHAR) AS caption
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        dims AS (
+          SELECT doc_id,
+                 CAST(((d64 // 4294967296) % 481 + 32)
+                      * ((d64 % 4294967296) % 481 + 32) AS BIGINT) AS area
+          FROM (SELECT doc_id,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS d64
+                FROM documents WHERE doc_id < 200)
+        ),
+        ph_pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           AND (
+             (a.phash & 65535) = (b.phash & 65535)
+             OR ((a.phash // 65536) & 65535) = ((b.phash // 65536) & 65535)
+             OR ((a.phash // 4294967296) & 65535)
+                = ((b.phash // 4294967296) & 65535)
+             OR ((a.phash // 281474976710656) & 65535)
+                = ((b.phash // 281474976710656) & 65535)
+           )
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        cap_pairs AS (
+          SELECT r.a, m.doc_id AS b
+          FROM ph m JOIN (SELECT caption, MIN(doc_id) AS a
+                          FROM ph GROUP BY caption) r
+            ON m.caption = r.caption AND m.doc_id <> r.a
+        ),
+        edges AS (
+          SELECT a, b FROM ph_pairs UNION SELECT a, b FROM cap_pairs
+          UNION SELECT b, a FROM ph_pairs UNION SELECT b, a FROM cap_pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY node
+        ),
+        joined AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.area
+          FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id, area
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY area DESC, doc_id) AS rn
+          FROM joined
+        ) WHERE rn = 1
     """
 
     # --- f_trap_detect: same synthesized URL mix; repeat detection is

@@ -152,6 +152,36 @@ def main() -> None:
         2,
     )
 
+    # ---- revisit-policy throughput: same web, recrawl_every=1 on a
+    # static web, so cycles 2-3 mix new fetches with 304 revisits that
+    # skip parse/decode/store — the slots-per-second number shows the
+    # 304 fast path's cost relative to full fetches.
+    recrawl_counts = {}
+
+    def crawl_recrawl():
+        with tempfile.TemporaryDirectory() as wd:
+            eng = CrawlEngine(
+                spark, cfg, wd, n_buckets=int(CPUS), record_trace=True,
+                hot_host_min=500, recrawl_every=1,
+            )
+            out = eng.crawl(synthweb.seed_urls(cfg, 400), cycles=3)
+            recrawl_counts["fetched"] = sum(c["fetched"] for c in out)
+            recrawl_counts["not_modified"] = sum(
+                c.get("not_modified", 0) for c in out
+            )
+            recrawl_counts["stored"] = sum(c["stored_images"] for c in out)
+
+    bench("q_crawl_recrawl", crawl_recrawl)
+    recrawl_slots_per_sec = round(
+        (
+            recrawl_counts["fetched"]
+            + recrawl_counts["not_modified"]
+            + recrawl_counts["stored"]
+        )
+        / timings["q_crawl_recrawl"],
+        2,
+    )
+
     total = round(sum(timings.values()), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1
     print(
@@ -166,6 +196,8 @@ def main() -> None:
                 "crawl_urls_per_sec": crawl_urls_per_sec,
                 "crawl_fetched": crawl_counts["fetched"],
                 "crawl_stored_images": crawl_counts["stored"],
+                "recrawl_slots_per_sec": recrawl_slots_per_sec,
+                "recrawl_not_modified": recrawl_counts["not_modified"],
             }
         )
     )

@@ -762,6 +762,8 @@ class CrawlEngine:
         if use_phash_bloom and self._phash_bloom is not None:
             _mark("phash_bloom_build")
         counts = {"cycle": cycle, "fetched": fetched.count()}
+        if self.recrawl_every:
+            counts["not_modified"] = notmods.count()  # attempts is cached
         _mark("fetch")
         links.count()
         cand.count()
