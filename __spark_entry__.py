@@ -304,6 +304,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["f_host"] = f_host
 
+    def f_surt(spark, sf_dir):
+        # SURT canonical keys (web-archive CDX key), JVM-side
+        # (urlops.surt_key). URLs synthesized to exercise every rule:
+        # www-strip, host-label reversal, explicit port, sorted
+        # multi-param query, and the no-query/empty-path forms.
+        d = _t(spark, sf_dir, "documents")
+        url = F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("?z="),
+                    F.col("n_chars").cast("string"),
+                    F.lit("&a="),
+                    F.col("lang"),
+                )
+            ),
+        )
+        return d.select("doc_id", urlops.surt_key(url).alias("surt"))
+    q["f_surt"] = f_surt
+
+    def cdx_index(spark, sf_dir):
+        # CDX-style capture index: one row per captured URL with its
+        # SURT key, capture timestamp, content digest, and size,
+        # numbered in (surt, ts) order via the two-phase global
+        # sequence — at 10^10 captures the index build never collapses
+        # to a single-partition exchange, and range partitioning on
+        # surt keeps each domain's captures contiguous.
+        from ccbot_spark.operators import sequencing
+
+        d = _t(spark, sf_dir, "documents")
+        rows = _doc_urls(d).join(d, "doc_id").select(
+            urlops.surt_key(F.col("url")).alias("surt"),
+            (F.lit(20260101000000) + F.col("doc_id").cast("long")).alias(
+                "ts"
+            ),
+            F.md5(F.col("text")).alias("digest"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+        )
+        numbered, _n, cache = sequencing.global_sequence(
+            rows, keys=["surt", "ts"], num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return numbered.select("seq", "surt", "ts", "digest", "n_bytes")
+    q["cdx_index"] = cdx_index
+
+    def g_hostgraph(spark, sf_dir):
+        # Host-level webgraph rollup: page→page link edges aggregated
+        # to (src_host, dst_host) with edge counts and distinct source
+        # pages — the standard crawler export for seed ranking and
+        # domain-budget planning. Edges synthesized deterministically
+        # (doc i links to docs 2i+1 and 3i+2 mod n, host = source
+        # shard), aggregation is one hash-shuffle on the host pair.
+        d = _t(spark, sf_dir, "documents")
+        n = F.lit(500)  # sf0.01 documents row count is immaterial: mod
+        # by a fixed constant keeps the edge set deterministic per row
+        dst1 = (F.col("doc_id") * 2 + 1) % n
+        dst2 = (F.col("doc_id") * 3 + 2) % n
+        edges = (
+            d.select(
+                F.col("source").alias("src_host"),
+                F.col("doc_id").alias("src_page"),
+                F.explode(F.array(dst1, dst2)).alias("dst_page"),
+            )
+            .join(
+                d.select(
+                    F.col("doc_id").alias("dst_page"),
+                    F.col("source").alias("dst_host"),
+                ),
+                "dst_page",
+            )
+        )
+        return edges.groupBy("src_host", "dst_host").agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("src_page").alias("n_src_pages"),
+        )
+    q["g_hostgraph"] = g_hostgraph
+
     def f_filter_scheme(spark, sf_dir):
         urls = _mixed_scheme_urls(_t(spark, sf_dir, "events"))
         return urlops.filter_scheme(urls, "url").select("event_id", "url")
@@ -1002,6 +1086,75 @@ def oracle_sql() -> dict[str, str]:
         SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
                COUNT(*) AS n_urls
         FROM ({_DOC_URLS}) GROUP BY 1
+    """
+
+    # Independent SURT re-derivation: DuckDB string/list functions
+    # applying the same textual rules (host-lowered, www-stripped,
+    # labels reversed with ',', explicit port kept, empty path → '/',
+    # query pairs sorted) — not a transliteration of the Spark plan.
+    o["f_surt"] = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://www.' || source || '.example.com'
+                 || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+                 || '/d/' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 5 = 0 THEN ''
+                         ELSE '?z=' || CAST(n_chars AS VARCHAR)
+                              || '&a=' || lang END AS url
+          FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+                 regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+                 regexp_extract(url, '\?([^#]*)', 1) AS qry
+          FROM u
+        ), h AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                                '^www\.', '') AS host,
+                 regexp_extract(hostport, '(:[0-9]+)$', 1) AS port,
+                 CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+                 COALESCE(array_to_string(list_sort(list_filter(
+                     string_split(qry, '&'), x -> x <> '')), '&'), '') AS sq
+          FROM p
+        )
+        SELECT doc_id,
+               array_to_string(list_reverse(string_split(host, '.')), ',')
+               || port || ')' || pth
+               || CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS surt
+        FROM h
+    """
+
+    o["cdx_index"] = """
+        WITH r AS (
+          SELECT array_to_string(list_reverse(string_split(
+                     source || '.example.com', '.')), ',')
+                 || ')/d/' || CAST(doc_id AS VARCHAR) AS surt,
+                 CAST(20260101000000 AS BIGINT) + CAST(doc_id AS BIGINT) AS ts,
+                 md5(text) AS digest,
+                 CAST(n_chars AS BIGINT) AS n_bytes
+          FROM documents
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY surt, ts) - 1 AS BIGINT) AS seq,
+               surt, ts, digest, n_bytes
+        FROM r
+    """
+
+    o["g_hostgraph"] = """
+        WITH e AS (
+          SELECT d.source AS src_host, d.doc_id AS src_page,
+                 dst.dst_page
+          FROM documents d,
+               LATERAL (VALUES ((d.doc_id * 2 + 1) % 500),
+                               ((d.doc_id * 3 + 2) % 500)) AS dst(dst_page)
+        )
+        SELECT e.src_host, t.source AS dst_host,
+               COUNT(*) AS n_edges,
+               COUNT(DISTINCT e.src_page) AS n_src_pages
+        FROM e JOIN documents t ON t.doc_id = e.dst_page
+        GROUP BY 1, 2
     """
 
     o["f_filter_scheme"] = f"""

@@ -58,6 +58,40 @@ def host_salt(host_col, url_col, hot_hosts: list[str], fanout: int) -> Column:
     ).otherwise(host_col)
 
 
+def surt_key(url_col) -> Column:
+    """SURT canonical sort key (web-archive CDX index key), computed
+    entirely JVM-side — regexp_extract/replace + split/reverse/
+    array_sort/array_join stay inside whole-stage codegen, so a
+    10^10-capture index build pays one scan and no Python. Byte-
+    identical to ``urlkit.surt`` (hypothesis-tested); range-
+    partitioning the index on this key gives per-domain locality."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    hostport = F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    sq = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda s: s != F.lit(""))),
+        "&",
+    )
+    return F.concat(
+        rev,
+        port,
+        F.lit(")"),
+        path,
+        F.when(sq == "", F.lit("")).otherwise(F.concat(F.lit("?"), sq)),
+    )
+
+
 def filter_scheme(df, url_col: str = "url_norm"):
     """Keep fetchable http(s) URLs (normalize_udf already guarantees this
     for its outputs; this is the standalone operator form)."""

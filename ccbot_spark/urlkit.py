@@ -153,6 +153,56 @@ def is_fetchable(url: str) -> bool:
 
 
 # ----------------------------------------------------------------------
+# SURT — Sort-friendly URI Reordering Transform (the web-archive
+# canonical key: reversed host labels make all URLs of a domain
+# contiguous under a plain lexicographic sort, which is what a CDX
+# capture index range-partitions on).
+# ----------------------------------------------------------------------
+
+_SURT_URL_RE = re.compile(
+    r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)([^?#]*)(?:\?([^#]*))?"
+)
+_SURT_PORT_RE = re.compile(r"(:[0-9]+)$")
+
+
+def surt(url: str) -> str | None:
+    """SURT key of a URL: lowercased host with a leading ``www.``
+    stripped, labels reversed and joined with ``,``, explicit port
+    kept, ``)`` separator, path (``/`` if empty), then ``?`` + the
+    query pairs sorted.  ``https://www.news.example.com/a?z=1&a=2`` →
+    ``com,example,news)/a?a=2&z=1``.
+
+    Deliberately textual (regex, no urlsplit): the JVM form
+    (operators/urlops.surt_key — regexp_extract + array ops inside
+    whole-stage codegen) must produce the identical byte string, and
+    both sides implementing the same textual rules is what makes that
+    provable (hypothesis-tested in tests/test_urlkit.py).
+    """
+    if url is None:
+        return None
+    m = _SURT_URL_RE.match(url)
+    if not m:
+        return None
+    hostport = m.group(1).lower()
+    path = m.group(2)
+    query = m.group(3) or ""
+    pm = _SURT_PORT_RE.search(hostport)
+    port = pm.group(1) if pm else ""
+    host = hostport[: len(hostport) - len(port)]
+    if host.startswith("www."):
+        host = host[4:]
+    rev = ",".join(reversed(host.split(".")))
+    if not path:
+        path = "/"
+    q = "&".join(sorted(s for s in query.split("&") if s))
+    return rev + port + ")" + path + (("?" + q) if q else "")
+
+
+def surt_series(urls: pd.Series) -> pd.Series:
+    return urls.map(surt)
+
+
+# ----------------------------------------------------------------------
 # Vectorized pandas wrappers (Arrow batch path; no per-row Python seen by
 # Spark — the loop lives inside one Python worker call per batch).
 # ----------------------------------------------------------------------

@@ -156,3 +156,57 @@ def test_global_sequence_stable_across_partition_counts(spark):
         outs.append({r.o_orderkey: r.seq for r in numbered.collect()})
         cache.unpersist()
     assert outs[0] == outs[1]
+
+
+def test_surt_key_jvm_matches_python_and_stays_jvm(spark):
+    """The SURT key (urlops.surt_key) is byte-identical to the pure
+    python urlkit.surt and contains no Python evaluation node — the
+    CDX index build is one codegen scan."""
+    from ccbot_spark import urlkit
+    from ccbot_spark.operators import urlops
+
+    urls = [
+        "https://www.news.example.com/a?z=1&a=2",
+        "https://www.x.com:8080/a/b?z=1",
+        "http://example.com",
+        "https://host.co/p/q/",
+        "HTTPS://UP.Example.COM/Path?b=2&a=1",
+        "https://example.com/?",
+        "https://a.b.c.d.example.org/x/y/z?k=v&k=u&j=",
+        "http://h0.test:9999/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", urlops.surt_key("url").alias("surt")
+    )
+    got = {r["url"]: r["surt"] for r in df.collect()}
+    for u in urls:
+        assert got[u] == urlkit.surt(u), u
+    plan = explainkit.formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+
+
+def test_surt_key_jvm_matches_python_grid(spark):
+    """Exhaustive component grid (2 schemes x 4 hosts x 3 ports x 4
+    paths x 4 queries = 384 URLs) — JVM and python SURT agree on every
+    combination, not just hand-picked cases."""
+    import itertools
+
+    from ccbot_spark import urlkit
+    from ccbot_spark.operators import urlops
+
+    urls = [
+        f"{s}://{h}{p}{path}{q}"
+        for s, h, p, path, q in itertools.product(
+            ["http", "HTTPS"],
+            ["ex.com", "www.ex.com", "A.B.ex.co.uk", "www.WWW.x.io"],
+            ["", ":8080", ":1"],
+            ["", "/", "/a/b", "/a%20b/c.d/"],
+            ["", "?z=1", "?b=2&a=1&", "?dup=1&dup=0"],
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", urlops.surt_key("url").alias("surt")
+    )
+    got = {r["url"]: r["surt"] for r in df.collect()}
+    for u in urls:
+        assert got[u] == urlkit.surt(u), u

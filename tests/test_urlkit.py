@@ -132,3 +132,33 @@ def test_jvm_extract_links_matches_parsekit_nofollow(spark):
         got.setdefault(r.page_url, []).append(r.url_norm)
     for u, _, _, _, html in rows:
         assert got.get(u, []) == parsekit.extract_links(u, html), u
+
+
+def test_surt_basic():
+    cases = {
+        "https://www.news.example.com/a?z=1&a=2": "com,example,news)/a?a=2&z=1",
+        "https://www.x.com:8080/a/b?z=1": "com,x:8080)/a/b?z=1",
+        "http://example.com": "com,example)/",
+        "https://host.co/p/q/": "co,host)/p/q/",
+        "HTTPS://UP.Example.COM/Path?b=2&a=1": "com,example,up)/Path?a=1&b=2",
+        "https://example.com/?": "com,example)/",
+    }
+    for raw, want in cases.items():
+        assert urlkit.surt(raw) == want, raw
+    assert urlkit.surt("not a url") is None
+    assert urlkit.surt(None) is None
+
+
+@given(_url_st)
+@settings(max_examples=300, deadline=None)
+def test_surt_domain_prefix_property(url):
+    # every URL of a host shares the reversed-host prefix up to ')',
+    # and the key never contains an unsorted query
+    s = urlkit.surt(url)
+    if s is None:
+        return
+    assert ")" in s
+    q = s.split("?", 1)
+    if len(q) == 2:
+        pairs = q[1].split("&")
+        assert pairs == sorted(pairs)
