@@ -72,6 +72,8 @@ class CrawlEngine:
         rank_every: int = 0,
         trap_filter: bool = False,
         recrawl_every: int = 0,
+        warc_dir: str | None = None,
+        warc_segments: int = 4,
     ):
         from .shipping import ensure_shipped
 
@@ -127,6 +129,15 @@ class CrawlEngine:
         # 304s that cost a politeness slot but no parse/store work.
         # Mirrors oracle.crawl(recrawl_every=K) exactly.
         self.recrawl_every = recrawl_every
+        # optional WARC archive sink: every cycle's stored images also
+        # land as {warc_dir}/cycle=NNNNN/segment-*.warc.gz (one gzip
+        # member per record, JVM-built records, caption/fmt carried as
+        # WARC headers — the archive round-trips without the table).
+        # Byte-deterministic: record id is md5(uri, date), date is a
+        # pure function of the cycle, segment bytes are parallelism-
+        # independent (ccbot_spark.warc; tested in test_crawl_engine).
+        self.warc_dir = warc_dir
+        self.warc_segments = warc_segments
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -812,6 +823,29 @@ class CrawlEngine:
         ]
         if trace_df is not None:
             sinks.append(lambda: self.trace.append(trace_df))
+        if self.warc_dir:
+            from . import warc as warcmod
+
+            cyc_dir = os.path.join(self.warc_dir, f"cycle={cycle:05d}")
+            warc_date = f"2026-01-01T00:{cycle // 60:02d}:{cycle % 60:02d}Z"
+            sinks.append(
+                lambda: warcmod.write_segments(
+                    store.select(
+                        F.col("image_id").alias("uri"),
+                        F.lit(warc_date).alias("warc_date"),
+                        F.col("bytes").alias("payload"),
+                        "caption",
+                        "fmt",
+                    ),
+                    cyc_dir,
+                    n_segments=self.warc_segments,
+                    content_type="image/x-synthetic",
+                    extra=[
+                        ("X-Image-Fmt", F.col("fmt")),
+                        ("X-Caption", F.col("caption")),
+                    ],
+                ).collect()
+            )
         if self.rank_every:
             sinks.append(
                 lambda: self.edges.append(

@@ -63,6 +63,13 @@ def parse_args():
                    help="every K cycles, re-prioritize the frontier by "
                         "integer-exact PageRank over the accumulated link "
                         "graph (0 = static decay priorities)")
+    p.add_argument("--warc-dir", default=None,
+                   help="also archive each cycle's stored images as "
+                        "WARC segment files under this directory "
+                        "(cycle=NNNNN/segment-*.warc.gz)")
+    p.add_argument("--warc-segments", type=int, default=4,
+                   help="segment files per cycle (rotation width; "
+                        "~1 GiB per segment at scale)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny crawl first to spin up UDF workers")
@@ -120,6 +127,8 @@ def main() -> None:
         seen_filter=args.seen_filter,
         compact_every=args.compact_every,
         rank_every=args.rank_every,
+        warc_dir=args.warc_dir,
+        warc_segments=args.warc_segments,
     )
     seeds = synthweb.seed_urls(cfg, args.seeds)
 

@@ -496,3 +496,37 @@ def test_rank_reprioritization_identical(spark, tmp_path, oracle_res):
     assert got != oracle_res.trace  # non-vacuous: ordering changed
     got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
     assert got_seen == want.seen
+
+
+def test_warc_archive_matches_images_table(spark, tmp_path):
+    """warc_dir sink: every cycle's stored images also land as
+    .warc.gz segments whose records round-trip byte-exactly to the
+    images table (payload, caption, fmt), with deterministic ids."""
+    from ccbot_spark import warc as warcmod
+
+    wd = str(tmp_path / "we")
+    warc_dir = str(tmp_path / "warc")
+    eng = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+                      bloom_min_seen=0, hot_host_min=10,
+                      warc_dir=warc_dir, warc_segments=3)
+    eng.crawl(SEEDS, cycles=2)
+
+    table = {
+        r.image_id: (bytes(r.bytes), r.caption, r.fmt)
+        for r in eng.images.read().collect()
+    }
+    recs = warcmod.read_segments(
+        spark, warc_dir, pattern="cycle=*/*.warc.gz"
+    ).collect()
+    assert len(recs) == len(table) and len(table) > 0
+    for r in recs:
+        payload, caption, fmt = table[r["target_uri"]]
+        assert bytes(r["payload"]) == payload, r["target_uri"]
+        assert r["headers"]["X-Caption"] == caption
+        assert r["headers"]["X-Image-Fmt"] == fmt
+        assert r["record_id"] == warcmod.record_id_of(
+            r["target_uri"], r["warc_date"]
+        )
+    # trace unaffected by the extra sink
+    want = oracle.crawl(CFG, SEEDS, cycles=2).trace
+    assert _engine_trace(eng) == want
