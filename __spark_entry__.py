@@ -388,6 +388,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["g_hostgraph"] = g_hostgraph
 
+    def text_wet_extract(spark, sf_dir):
+        # WET-style conversion (textkit.wet_text — JVM regexp chain):
+        # markup synthesized around each document's text, then stripped
+        # back out; script/style drop, tag removal, entity decode, and
+        # whitespace collapse all exercised on every row.
+        d = _t(spark, sf_dir, "documents")
+        html = F.concat(
+            F.lit("<html><head><title>"),
+            F.col("source"),
+            F.lit(
+                "</title><style>p{margin:0}</style></head><body>"
+                "<script>var n=1;</script><h1>"
+            ),
+            F.col("lang"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><p>&amp; &lt;tail&gt;</p></body></html>"),
+        )
+        return d.select("doc_id", textkit.wet_text(html).alias("wet_text"))
+    q["text_wet_extract"] = text_wet_extract
+
     def f_filter_scheme(spark, sf_dir):
         urls = _mixed_scheme_urls(_t(spark, sf_dir, "events"))
         return urlops.filter_scheme(urls, "url").select("event_id", "url")
@@ -1155,6 +1176,29 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT e.src_page) AS n_src_pages
         FROM e JOIN documents t ON t.doc_id = e.dst_page
         GROUP BY 1, 2
+    """
+
+    o["text_wet_extract"] = r"""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>' || source
+                 || '</title><style>p{margin:0}</style></head><body>'
+                 || '<script>var n=1;</script><h1>' || lang
+                 || '</h1><p>' || text
+                 || '</p><p>&amp; &lt;tail&gt;</p></body></html>' AS html
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(regexp_replace(regexp_replace(html,
+                     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g')) AS wet_text
+        FROM h
     """
 
     o["f_filter_scheme"] = f"""

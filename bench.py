@@ -115,6 +115,9 @@ def main() -> None:
     # included
     entry.clear_caches()
     bench("q_text_quality", lambda: run(qs["text_quality"](spark, SF_DIR)))
+    bench("q_wet_extract", lambda: run(qs["text_wet_extract"](spark, SF_DIR)))
+    bench("q_cdx_index", lambda: run(qs["cdx_index"](spark, SF_DIR)))
+    entry.clear_caches()  # cdx_index registers a sequencing cache
 
     def img_pipeline():
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))

@@ -33,10 +33,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from . import schemas, synthweb, urlkit
-from .oracle import MAX_RETRIES, PRIORITY_DECAY, SEED_PRIORITY
+from .oracle import (
+    ADAPT_MAX,
+    ADAPT_MIN,
+    MAX_RETRIES,
+    PRIORITY_DECAY,
+    SEED_PRIORITY,
+)
 from .operators import cuckoo as cuckooops
 from .operators import fetchparse, images as imageops, politeness, seen as seenops
 from .operators import sequencing, urlops
@@ -72,8 +79,12 @@ class CrawlEngine:
         rank_every: int = 0,
         trap_filter: bool = False,
         recrawl_every: int = 0,
+        adaptive_recrawl: bool = False,
+        content_dedup: bool = False,
+        age_boost: int = 0,
         warc_dir: str | None = None,
         warc_segments: int = 4,
+        warc_wet: bool = False,
     ):
         from .shipping import ensure_shipped
 
@@ -129,6 +140,17 @@ class CrawlEngine:
         # 304s that cost a politeness slot but no parse/store work.
         # Mirrors oracle.crawl(recrawl_every=K) exactly.
         self.recrawl_every = recrawl_every
+        # adaptive revisit intervals (Cho & Garcia-Molina multiplicative
+        # policy): every URL carries its own interval (= recrawl_every
+        # at insert); an unchanged revisit (304) doubles it (≤
+        # oracle.ADAPT_MAX), a changed revisit halves it (≥
+        # oracle.ADAPT_MIN). Pure integer column arithmetic on the
+        # frontier merge — no extra shuffle; the due-check reads the
+        # per-row interval either way. Mirrors
+        # oracle.crawl(adaptive_recrawl=True) exactly.
+        if adaptive_recrawl and not recrawl_every:
+            raise ValueError("adaptive_recrawl requires recrawl_every > 0")
+        self.adaptive_recrawl = adaptive_recrawl
         # optional WARC archive sink: every cycle's stored images also
         # land as {warc_dir}/cycle=NNNNN/segment-*.warc.gz (one gzip
         # member per record, JVM-built records, caption/fmt carried as
@@ -136,8 +158,22 @@ class CrawlEngine:
         # Byte-deterministic: record id is md5(uri, date), date is a
         # pure function of the cycle, segment bytes are parallelism-
         # independent (ccbot_spark.warc; tested in test_crawl_engine).
+        # content-seen test (Mercator): dedupe fetched pages by body
+        # digest — a page whose md5(html) is already in the digests
+        # table (or elected earlier in this cycle's politeness order)
+        # consumes its slot, is traced 'content_dup', and is never
+        # parsed. Mirrors oracle.crawl(content_dedup=True) exactly.
+        self.content_dedup = content_dedup
+        # starvation-free scheduling: candidates rank on
+        # priority + age_boost × (cycle − cycle_added), so
+        # budget-skipped URLs on busy hosts eventually win a slot. The
+        # stored priority never changes (aging is sort-time only, one
+        # extra projected column — zero shuffles); age_boost=0 is the
+        # historical order exactly. Mirrors oracle.crawl(age_boost=K).
+        self.age_boost = age_boost
         self.warc_dir = warc_dir
         self.warc_segments = warc_segments
+        self.warc_wet = warc_wet
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -166,6 +202,11 @@ class CrawlEngine:
         if rank_every:
             self.edges = make_table_store(spark, workdir, "edges", schemas.EDGES)
             self._tables.append(self.edges)
+        if content_dedup:
+            self.digests = make_table_store(
+                spark, workdir, "digests", _with_bucket(schemas.DIGESTS), ("bucket",)
+            )
+            self._tables.append(self.digests)
         # append-only per-partition snapshot lineage; deliberately NOT
         # in _tables — an audit log must survive checkpoint rollback
         self.lineage = make_table_store(spark, workdir, "lineage", schemas.LINEAGE)
@@ -316,6 +357,7 @@ class CrawlEngine:
                 F.lit(None).cast("int").alias("cycle_added"),
                 F.lit(None).cast("int").alias("retries"),
                 F.lit(None).cast("int").alias("last_cycle"),
+                F.lit(None).cast("int").alias("interval"),
             )
             .withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         )
@@ -388,7 +430,8 @@ class CrawlEngine:
                 continue
             dedup.add(u)
             rows.append(
-                (u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0, -1)
+                (u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending",
+                 0, 0, -1, self.recrawl_every)
             )
             idx += 1
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
@@ -433,6 +476,7 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("cycle_added"),
                 F.lit(0).cast("int").alias("retries"),
                 F.lit(-1).cast("int").alias("last_cycle"),
+                F.lit(self.recrawl_every).cast("int").alias("interval"),
             )
             df = df.unionByName(sm_rows)
         df = df.withColumn(
@@ -482,9 +526,11 @@ class CrawlEngine:
             (F.col("status") == "error") & (F.col("retries") < MAX_RETRIES)
         )
         if self.recrawl_every:
+            # per-row due check: interval == recrawl_every unless the
+            # adaptive policy has moved it
             cand_pred = cand_pred | (
                 (F.col("status") == "fetched")
-                & (F.col("last_cycle") <= cycle - self.recrawl_every)
+                & (F.col("last_cycle") + F.col("interval") <= F.lit(cycle))
             )
         pending = self.frontier.read().filter(cand_pred)
         # conditional-GET verdict, decided JVM-side before the fetch:
@@ -501,6 +547,13 @@ class CrawlEngine:
         else:
             unchanged = F.lit(False)
         pending = pending.withColumn("unchanged", unchanged)
+        if self.age_boost:
+            pending = pending.withColumn(
+                "_eff",
+                F.col("priority")
+                + F.lit(self.age_boost)
+                * (F.lit(cycle) - F.col("cycle_added")),
+            )
         robots_df = politeness.build_robots_table(
             pending.select("host").distinct(), cfg
         )
@@ -534,6 +587,49 @@ class CrawlEngine:
         notmods = attempts.filter(F.col("ok") & F.col("not_modified"))
         redirs = attempts.filter(F.col("ok") & F.col("redirect").isNotNull())
         errs = attempts.filter(~F.col("ok"))
+
+        # ---- content-seen test (Mercator): a fetched page whose body
+        # digest was already stored (mirror site / duplicated content)
+        # consumes its slot but is never parsed — no links, no images.
+        # Shape: digest + within-cycle winner election run over a thin
+        # (url, host, sched_time, digest) projection — the window
+        # shuffle moves 16-byte digests, never page bodies — then the
+        # boolean verdict joins back onto the cached fetch output. The
+        # cross-cycle check is a left join against the digests table,
+        # the same bucket-keyed membership shape as the URL-seen join.
+        # Within-cycle ties elect the FIRST page in the politeness
+        # order (sched_time, host, url_norm) — exactly the order the
+        # oracle processes fetches, so traces stay byte-identical.
+        content_dups = None
+        cdup_cache = None
+        if self.content_dedup:
+            fd = fetched.withColumn("digest", F.md5(F.col("html")))
+            known = (
+                self.digests.read()
+                .select("digest")
+                .dropDuplicates(["digest"])
+                .withColumn("_known", F.lit(True))
+            )
+            wdg = Window.partitionBy("digest").orderBy(
+                "sched_time", "host", "url_norm"
+            )
+            verdict = (
+                fd.select("url_norm", "host", "sched_time", "digest")
+                .join(known, "digest", "left")
+                .withColumn("_rn", F.row_number().over(wdg))
+                .select(
+                    "url_norm",
+                    (
+                        F.col("_known").isNotNull() | (F.col("_rn") > 1)
+                    ).alias("is_cdup"),
+                )
+            )
+            fd = fd.join(verdict, "url_norm").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            cdup_cache = fd
+            content_dups = fd.filter(F.col("is_cdup"))
+            fetched = fd.filter(~F.col("is_cdup"))
 
         # ---- links path (§3.1 step 6)
         links = fetchparse.extract_links(fetched).persist(StorageLevel.MEMORY_AND_DISK)
@@ -598,6 +694,7 @@ class CrawlEngine:
             F.lit(cycle).cast("int").alias("cycle_added"),
             F.lit(0).cast("int").alias("retries"),
             F.lit(-1).cast("int").alias("last_cycle"),
+            F.lit(self.recrawl_every).cast("int").alias("interval"),
         ).withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         new_rows = new_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -649,10 +746,19 @@ class CrawlEngine:
         m_dups = dups.groupBy(F.col("page_host").alias("host")).agg(
             F.count("*").alias("dedup_hits")
         )
+        if content_dups is not None:
+            m_cdup = content_dups.groupBy("host").agg(
+                F.count("*").alias("content_dup")
+            )
+        else:
+            m_cdup = self.spark.createDataFrame(
+                [], "host string, content_dup long"
+            )
         metrics_df = (
             m_fetch.join(m_links, "host", "left")
             .join(m_store, "host", "left")
             .join(m_dups, "host", "left")
+            .join(m_cdup, "host", "left")
             .select(
                 F.lit(cycle).cast("int").alias("cycle"),
                 urlops.host_bucket(F.col("host"), self.n_buckets).alias("partition_id"),
@@ -668,6 +774,9 @@ class CrawlEngine:
                 ).cast("long").alias("bytes"),
                 F.col("redirects").cast("long"),
                 F.col("not_modified").cast("long"),
+                F.coalesce(F.col("content_dup"), F.lit(0))
+                .cast("long")
+                .alias("content_dup"),
             )
         )
 
@@ -707,10 +816,34 @@ class CrawlEngine:
                 .unionByName(evt(notmods, 2, "not_modified", slot=True, sched=True))
                 .unionByName(dup_ev)
             )
+            if content_dups is not None:
+                events = events.unionByName(
+                    evt(content_dups, 2, "content_dup", slot=True, sched=True)
+                )
         # ---- frontier MERGE INTO: status updates + new-link inserts
         bucket = urlops.host_bucket(F.col("host"), self.n_buckets)
         # fetched ∪ not_modified both end the cycle as status 'fetched'
-        # with the revisit clock advanced to this cycle
+        # with the revisit clock advanced to this cycle. Adaptive
+        # policy: 304 → interval doubles (≤ ADAPT_MAX); changed revisit
+        # (pre-fetch last_cycle ≥ 0, re-fetched) → halves (≥ ADAPT_MIN);
+        # first fetch keeps the base. Mirrors oracle.crawl.
+        if self.adaptive_recrawl:
+            iv = F.col("interval")
+            new_iv = (
+                F.when(
+                    F.col("not_modified"),
+                    F.least(iv * 2, F.lit(ADAPT_MAX)),
+                )
+                .when(
+                    F.col("last_cycle") >= 0,
+                    F.greatest(F.expr("interval div 2"), F.lit(ADAPT_MIN)),
+                )
+                .otherwise(iv)
+                .cast("int")
+                .alias("interval")
+            )
+        else:
+            new_iv = F.col("interval").cast("int")
         upd_fetched = attempts.filter(
             F.col("ok") & F.col("redirect").isNull()
         ).select(
@@ -721,6 +854,7 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("cycle_added"),
             F.col("retries").cast("int"),
             F.lit(cycle).cast("int").alias("last_cycle"),
+            new_iv,
         ).withColumn("bucket", bucket)
         upd_redir = redirs.select(
             "url_norm", "host", "priority",
@@ -730,6 +864,7 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("cycle_added"),
             F.col("retries").cast("int"),
             F.col("last_cycle").cast("int"),
+            F.col("interval").cast("int"),
         ).withColumn("bucket", bucket)
         upd_err = errs.select(
             "url_norm", "host", "priority",
@@ -739,6 +874,7 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("cycle_added"),
             (F.col("retries") + 1).cast("int").alias("retries"),
             F.col("last_cycle").cast("int"),
+            F.col("interval").cast("int"),
         ).withColumn("bucket", bucket)
         upd_denied = parts["denied"].select(
             "url_norm", "host", "priority",
@@ -748,6 +884,7 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("cycle_added"),
             F.col("retries").cast("int"),
             F.col("last_cycle").cast("int"),
+            F.col("interval").cast("int"),
         ).withColumn("bucket", bucket)
         merge_src = (
             upd_fetched.unionByName(upd_redir)
@@ -775,6 +912,8 @@ class CrawlEngine:
         counts = {"cycle": cycle, "fetched": fetched.count()}
         if self.recrawl_every:
             counts["not_modified"] = notmods.count()  # attempts is cached
+        if content_dups is not None:
+            counts["content_dup"] = content_dups.count()  # fd is cached
         _mark("fetch")
         links.count()
         cand.count()
@@ -817,17 +956,50 @@ class CrawlEngine:
             ),
             lambda: self.metrics.append(metrics_df),
             lambda: self.frontier.merge_into(
-                merge_src, on=["url_norm"], update_cols=["status", "retries", "last_cycle"]
+                merge_src, on=["url_norm"],
+                update_cols=["status", "retries", "last_cycle", "interval"]
             ),
             lambda: self.seen.append(new_seen),
         ]
+        if self.content_dedup:
+            # winners' digests are unique by construction (row_number 1
+            # per digest ∧ not already known)
+            new_digests = fetched.select(
+                "digest", F.lit(cycle).cast("int").alias("cycle_added")
+            ).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col("digest")), F.lit(self.n_buckets)).cast(
+                    "int"
+                ),
+            )
+            sinks.append(lambda: self.digests.append(new_digests))
         if trace_df is not None:
             sinks.append(lambda: self.trace.append(trace_df))
         if self.warc_dir:
             from . import warc as warcmod
+            from .functions import textkit
 
             cyc_dir = os.path.join(self.warc_dir, f"cycle={cycle:05d}")
             warc_date = f"2026-01-01T00:{cycle // 60:02d}:{cycle % 60:02d}Z"
+            if self.warc_wet:
+                # WET companion: one "conversion" record per fetched
+                # page, body = JVM-extracted page text (textkit.wet_text
+                # — codegen regexp chain over the already-cached html)
+                sinks.append(
+                    lambda: warcmod.write_segments(
+                        fetched.select(
+                            F.col("url_norm").alias("uri"),
+                            F.lit(warc_date).alias("warc_date"),
+                            F.encode(
+                                textkit.wet_text(F.col("html")), "UTF-8"
+                            ).alias("payload"),
+                        ),
+                        os.path.join(cyc_dir, "wet"),
+                        n_segments=self.warc_segments,
+                        warc_type="conversion",
+                        content_type="text/plain",
+                    ).collect()
+                )
             sinks.append(
                 lambda: warcmod.write_segments(
                     store.select(
@@ -888,6 +1060,8 @@ class CrawlEngine:
         for df in (attempts, fetched_raw, links, cand, decoded, store,
                    new_rows, parts["denied"]):
             df.unpersist()
+        if cdup_cache is not None:
+            cdup_cache.unpersist()
         if split_cache is not None:
             split_cache.unpersist()
         if trace_df is not None:

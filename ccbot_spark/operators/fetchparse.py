@@ -90,6 +90,11 @@ def fetch(
             if "last_cycle" in pdf
             else pd.Series(-1, index=pdf.index)
         )
+        iv_in = (
+            pdf["interval"]
+            if "interval" in pdf
+            else pd.Series(0, index=pdf.index)
+        )
         htmls, oks, redirs, nms = [], [], [], []
         last = None
         for url, st, rt, unch in zip(
@@ -127,6 +132,7 @@ def fetch(
         out["redirect"] = pd.Series(redirs, index=out.index, dtype=object)
         out["not_modified"] = pd.Series(nms, index=out.index, dtype=bool)
         out["last_cycle"] = lc_in.loc[out.index].astype("int32")
+        out["interval"] = iv_in.loc[out.index].astype("int32")
         return out
 
     return salted.groupBy(*group_keys).applyInPandas(

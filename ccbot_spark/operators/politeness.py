@@ -22,9 +22,18 @@ from pyspark.sql.window import Window
 from .. import robots as robots_mod
 from .. import schemas, synthweb
 
-def _cand_order():
+def _cand_order(df: DataFrame | None = None):
+    """Candidate ranking keys. When the engine attaches an `_eff`
+    column (priority + age_boost × cycles-waited — starvation-free
+    scheduling), the window ranks on it; the stored priority column
+    is untouched and still flows to the frontier merge."""
+    pri = (
+        F.col("_eff")
+        if df is not None and "_eff" in df.columns
+        else F.col("priority")
+    )
     return [
-        F.col("priority").desc(),
+        pri.desc(),
         F.col("dt_cycle").asc(),
         F.col("dt_seq").asc(),
         F.col("url_norm").asc(),
@@ -102,10 +111,13 @@ def generate(
     keep = ["url_norm", "host", "priority", "dt_cycle", "dt_seq", "retries"]
     # revisit-policy passthrough (present when the engine calls us; the
     # standalone operator accepts minimal candidate frames without them)
-    keep += [c for c in ("last_cycle", "unchanged") if c in pending.columns]
-    w = Window.partitionBy("host").orderBy(*_cand_order())
+    keep += [
+        c for c in ("last_cycle", "interval", "unchanged")
+        if c in pending.columns
+    ]
+    w = Window.partitionBy("host").orderBy(*_cand_order(cand))
     if skew_safe:
-        w1 = Window.partitionBy("_pid", "host").orderBy(*_cand_order())
+        w1 = Window.partitionBy("_pid", "host").orderBy(*_cand_order(cand))
         survivors = (
             ok.withColumn("_pid", F.spark_partition_id())
             .withColumn("_rn1", F.row_number().over(w1))

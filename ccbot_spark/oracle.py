@@ -51,6 +51,13 @@ SEED_PRIORITY = 1000
 PRIORITY_DECAY = 10
 MAX_RETRIES = 2  # an errored URL is retried in later cycles up to this cap
 
+# Adaptive revisit-interval bounds (Cho & Garcia-Molina-style
+# multiplicative policy): an unchanged revisit (304) doubles the
+# page's interval up to ADAPT_MAX; a changed revisit halves it down to
+# ADAPT_MIN. First fetches keep the base interval (recrawl_every).
+ADAPT_MIN = 1
+ADAPT_MAX = 64
+
 _PHASE = {"robots_denied": 0, "budget_skipped": 1, "fetched": 2, "dup": 3}
 
 
@@ -65,6 +72,7 @@ class FrontierEntry:
     cycle_added: int
     retries: int = 0
     last_cycle: int = -1  # cycle of last successful fetch (revisit clock)
+    interval: int = 0  # per-URL revisit interval in cycles (adaptive policy)
 
 
 @dataclass
@@ -84,6 +92,9 @@ def crawl(
     sitemap_seeds: bool = False,
     trap_filter: bool = False,
     recrawl_every: int = 0,
+    adaptive_recrawl: bool = False,
+    content_dedup: bool = False,
+    age_boost: int = 0,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -97,6 +108,7 @@ def crawl(
     seen = res.seen
     phashes: set[int] = set()
     edges_acc: set[tuple[str, str]] = set()
+    content_digests: set[str] = set()  # md5 hex of stored page bodies
     seq = 0
 
     # cycle 0: seed the frontier (first occurrence wins; seed order = dt_seq)
@@ -107,7 +119,8 @@ def crawl(
             continue
         seen.add(u)
         frontier[u] = FrontierEntry(
-            u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0
+            u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0,
+            interval=recrawl_every,
         )
         idx += 1
 
@@ -124,7 +137,8 @@ def crawl(
                     continue
                 seen.add(u)
                 frontier[u] = FrontierEntry(
-                    u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending", 0, 0
+                    u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending",
+                    0, 0, interval=recrawl_every,
                 )
                 idx += 1
 
@@ -148,7 +162,9 @@ def crawl(
                 or (
                     recrawl_every
                     and e.status == "fetched"
-                    and e.last_cycle <= cycle - recrawl_every
+                    # per-URL due check: e.interval == recrawl_every
+                    # unless the adaptive policy has moved it
+                    and e.last_cycle <= cycle - e.interval
                 )
             ):
                 by_host.setdefault(e.host, []).append(e)
@@ -157,7 +173,18 @@ def crawl(
         fetch_list: list[tuple] = []  # (sched_time, host, url_norm, slot, entry)
         for host, entries in by_host.items():
             rules, budget = host_rules(host)
-            entries.sort(key=lambda e: (-e.priority, e.dt_cycle, e.dt_seq, e.url_norm))
+            # age_boost > 0: starvation-free scheduling — a candidate's
+            # effective priority grows by age_boost per cycle it has
+            # waited since discovery, so budget-skipped URLs on busy
+            # hosts eventually outrank fresh high-priority ones. The
+            # stored priority is NEVER mutated (aging is sort-time
+            # only); age_boost=0 is the historical order exactly.
+            entries.sort(
+                key=lambda e: (
+                    -(e.priority + age_boost * (cycle - e.cycle_added)),
+                    e.dt_cycle, e.dt_seq, e.url_norm,
+                )
+            )
             slot = 0
             for e in entries:
                 path = robots.path_of(e.url_norm)
@@ -182,7 +209,7 @@ def crawl(
                 host_metrics[host] = dict(
                     fetched=0, parsed_links=0, stored_images=0,
                     dedup_hits=0, errors=0, bytes=0, redirects=0,
-                    not_modified=0,
+                    not_modified=0, content_dup=0,
                 )
             return host_metrics[host]
 
@@ -200,6 +227,9 @@ def crawl(
                 or e.last_cycle // cfg.change_every == cur_ver
             ):
                 e.last_cycle = cycle
+                if adaptive_recrawl:
+                    # unchanged revisit: back off this URL's interval
+                    e.interval = min(e.interval * 2, ADAPT_MAX)
                 m["not_modified"] += 1
                 events.append((2, st, host, url, slot, "not_modified"))
                 continue
@@ -235,7 +265,30 @@ def crawl(
                             discovered[tgt] = e.priority
                 continue
             html = synthweb.fetch(cfg, url, cur_ver)
+            if content_dedup:
+                # content-seen test (Mercator): an already-stored body
+                # digest consumes its slot but is never parsed — the
+                # fetch-list order (sched_time, host, url) elects the
+                # within-cycle winner, exactly like the engine's window
+                import hashlib as _hl
+
+                dig = _hl.md5(html.encode("utf-8")).hexdigest()
+                if dig in content_digests:
+                    e.status = "fetched"
+                    if adaptive_recrawl and e.last_cycle >= 0:
+                        e.interval = max(e.interval // 2, ADAPT_MIN)
+                    e.last_cycle = cycle
+                    m["fetched"] += 1
+                    m["content_dup"] += 1
+                    m["bytes"] += len(html.encode("utf-8"))
+                    events.append((2, st, host, url, slot, "content_dup"))
+                    continue
+                content_digests.add(dig)
             e.status = "fetched"
+            if adaptive_recrawl and e.last_cycle >= 0:
+                # changed revisit: the page moved epochs since the last
+                # fetch — tighten the interval
+                e.interval = max(e.interval // 2, ADAPT_MIN)
             e.last_cycle = cycle
             m["fetched"] += 1
             m["bytes"] += len(html.encode("utf-8"))
@@ -282,7 +335,8 @@ def crawl(
             pri = max(discovered[link] - PRIORITY_DECAY, 0)
             seen.add(link)
             frontier[link] = FrontierEntry(
-                link, urlkit.host_of(link), pri, cycle, 0, "pending", cycle, 0
+                link, urlkit.host_of(link), pri, cycle, 0, "pending", cycle,
+                0, interval=recrawl_every,
             )
 
         # ---- RANK: dynamic re-prioritization from the link graph

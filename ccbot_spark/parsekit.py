@@ -79,3 +79,32 @@ def extract_images(page_url: str, html: str) -> list[tuple[str, str]]:
             seen.add(u)
             out.append((u, cap))
     return out
+
+
+# WET-style text extraction (the web-archive "conversion" record body:
+# page text with markup removed). Two explicit block passes (script,
+# style) instead of a backreference so the same pattern set runs under
+# Java regex (Spark), RE2 (DuckDB oracle), and Python `re` — the three
+# engines must agree byte-for-byte (textkit.wet_text is the JVM twin).
+_SCRIPT_RE = re.compile(r"<script[^>]*>.*?</script>", re.IGNORECASE | re.DOTALL)
+_STYLE_RE = re.compile(r"<style[^>]*>.*?</style>", re.IGNORECASE | re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]*>", re.DOTALL)
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text(html: str) -> str | None:
+    """Markup-stripped page text: script/style blocks dropped, tags →
+    spaces, the five standard entities decoded (&amp; last, so
+    double-encoded text decodes one level like a streaming decoder),
+    whitespace collapsed, ends trimmed."""
+    if html is None:
+        return None
+    t = _SCRIPT_RE.sub(" ", html)
+    t = _STYLE_RE.sub(" ", t)
+    t = _TAG_RE.sub(" ", t)
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = t.replace(ent, ch)
+    return _WS_RE.sub(" ", t).strip()

@@ -42,6 +42,10 @@ FRONTIER = T.StructType(
         # pages, content_version(last_cycle) vs the current epoch
         # decides 304 vs re-fetch
         T.StructField("last_cycle", T.IntegerType(), False),
+        # per-URL revisit interval in cycles (= recrawl_every at insert;
+        # the adaptive policy doubles it on unchanged revisits and
+        # halves it on changed ones, bounded by oracle.ADAPT_MIN/MAX)
+        T.StructField("interval", T.IntegerType(), False),
     ]
 )
 
@@ -93,6 +97,19 @@ METRICS = T.StructType(
         T.StructField("bytes", T.LongType(), False),
         T.StructField("redirects", T.LongType(), False),
         T.StructField("not_modified", T.LongType(), False),  # 304 recrawls
+        # pages whose body digest was already seen (content-seen test)
+        T.StructField("content_dup", T.LongType(), False),
+    ]
+)
+
+# Content-seen digests (Mercator content-seen test, enabled by
+# engine(content_dedup=True)): md5 hex of every DISTINCT page body
+# stored so far. Bucketed by pmod(xxhash64(digest), P) — the per-cycle
+# membership join routes by digest hash exactly like the URL-seen set.
+DIGESTS = T.StructType(
+    [
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("cycle_added", T.IntegerType(), False),
     ]
 )
 
@@ -115,6 +132,7 @@ FETCHED = T.StructType(
         # consumed, html empty, no parse
         T.StructField("not_modified", T.BooleanType(), False),
         T.StructField("last_cycle", T.IntegerType(), False),  # pre-fetch value
+        T.StructField("interval", T.IntegerType(), False),  # pre-fetch value
     ]
 )
 

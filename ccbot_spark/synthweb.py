@@ -38,6 +38,7 @@ class WebConfig:
     trap_pct: int = 0  # % of pages that emit one calendar-loop trap link
     change_every: int = 0  # content epoch length in cycles (0 = static web)
     nofollow_pct: int = 0  # % of links carrying rel="nofollow" (never followed)
+    mirror_pct: int = 0  # % of non-h0 pages that mirror their h0 twin's body
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -247,10 +248,30 @@ def content_version(cfg: WebConfig, cycle: int) -> int:
     return cycle // cfg.change_every if cfg.change_every else 0
 
 
+def mirror_of(cfg: WebConfig, url: str) -> str | None:
+    """Mirror-site injection (enabled by mirror_pct): a deterministic
+    slice of non-h0 ``/p/N`` pages serves the byte-identical body of
+    its h0 twin (``http://h0.test/p/N``) — the duplicated-content shape
+    the Mercator content-seen test exists for. Returns the canonical
+    URL whose body this URL mirrors, or None."""
+    if not cfg.mirror_pct:
+        return None
+    parts = url.split("/")
+    if len(parts) != 5 or parts[3] != "p":
+        return None
+    canon = f"http://{cfg.host(0)}/p/{parts[4]}"
+    if canon == url:
+        return None
+    if _digest(f"mir:{cfg.seed}:{url}")[0] % 100 < cfg.mirror_pct:
+        return canon
+    return None
+
+
 def fetch(cfg: WebConfig, url: str, ver: int = 0) -> str:
     """The synthetic 'network': fetch a page URL → HTML body.
     ver is the content epoch (content_version): epoch 0 renders the
     original page byte-for-byte, later epochs re-render with a new
     digest seed (different outlinks / image counts) — still a pure
     function of (cfg, url, ver)."""
-    return render_page(cfg, url, ver)
+    canon = mirror_of(cfg, url)
+    return render_page(cfg, canon if canon is not None else url, ver)

@@ -63,6 +63,22 @@ def parse_args():
                    help="every K cycles, re-prioritize the frontier by "
                         "integer-exact PageRank over the accumulated link "
                         "graph (0 = static decay priorities)")
+    p.add_argument("--age-boost", type=int, default=0,
+                   help="starvation-free scheduling: candidates rank on "
+                        "priority + K x cycles-waited (stored priority "
+                        "untouched)")
+    p.add_argument("--content-dedup", action="store_true",
+                   help="content-seen test: skip parsing pages whose "
+                        "body digest was already stored (mirror sites)")
+    p.add_argument("--mirror-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of non-h0 pages that "
+                        "mirror their h0 twin's body byte-for-byte")
+    p.add_argument("--recrawl-every", type=int, default=0,
+                   help="revisit policy: re-enqueue fetched pages every "
+                        "K cycles (0 = crawl each page once)")
+    p.add_argument("--adaptive-recrawl", action="store_true",
+                   help="per-URL adaptive revisit intervals: 304 doubles "
+                        "a page's interval, a changed revisit halves it")
     p.add_argument("--warc-dir", default=None,
                    help="also archive each cycle's stored images as "
                         "WARC segment files under this directory "
@@ -70,6 +86,10 @@ def parse_args():
     p.add_argument("--warc-segments", type=int, default=4,
                    help="segment files per cycle (rotation width; "
                         "~1 GiB per segment at scale)")
+    p.add_argument("--warc-wet", action="store_true",
+                   help="also write WET companion segments (one "
+                        "'conversion' record per fetched page, body = "
+                        "extracted page text) under each cycle dir")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny crawl first to spin up UDF workers")
@@ -112,6 +132,7 @@ def main() -> None:
     cfg = synthweb.WebConfig(
         n_hosts=args.hosts, pages_per_host=args.pages, hot_frac_pct=args.hot_pct,
         fail_pct=args.fail_pct, redirect_pct=args.redirect_pct,
+        mirror_pct=args.mirror_pct,
     )
     eng = CrawlEngine(
         spark,
@@ -127,8 +148,13 @@ def main() -> None:
         seen_filter=args.seen_filter,
         compact_every=args.compact_every,
         rank_every=args.rank_every,
+        recrawl_every=args.recrawl_every,
+        adaptive_recrawl=args.adaptive_recrawl,
+        content_dedup=args.content_dedup,
+        age_boost=args.age_boost,
         warc_dir=args.warc_dir,
         warc_segments=args.warc_segments,
+        warc_wet=args.warc_wet,
     )
     seeds = synthweb.seed_urls(cfg, args.seeds)
 

@@ -508,7 +508,7 @@ def test_warc_archive_matches_images_table(spark, tmp_path):
     warc_dir = str(tmp_path / "warc")
     eng = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
                       bloom_min_seen=0, hot_host_min=10,
-                      warc_dir=warc_dir, warc_segments=3)
+                      warc_dir=warc_dir, warc_segments=3, warc_wet=True)
     eng.crawl(SEEDS, cycles=2)
 
     table = {
@@ -527,6 +527,141 @@ def test_warc_archive_matches_images_table(spark, tmp_path):
         assert r["record_id"] == warcmod.record_id_of(
             r["target_uri"], r["warc_date"]
         )
-    # trace unaffected by the extra sink
-    want = oracle.crawl(CFG, SEEDS, cycles=2).trace
-    assert _engine_trace(eng) == want
+    # WET companion: one "conversion" record per fetched page, body ==
+    # the python extract_text of the (static-web) page html
+    from ccbot_spark import parsekit, synthweb
+
+    wet = warcmod.read_segments(
+        spark, warc_dir, pattern="cycle=*/wet/*.warc.gz"
+    ).collect()
+    want_res = oracle.crawl(CFG, SEEDS, cycles=2)
+    fetched_urls = {t[2] for t in want_res.trace if t[5] == "fetched"}
+    assert {r["target_uri"] for r in wet} == fetched_urls and wet
+    for r in wet:
+        assert r["warc_type"] == "conversion"
+        want_text = parsekit.extract_text(
+            synthweb.fetch(CFG, r["target_uri"], 0)
+        )
+        assert bytes(r["payload"]).decode("utf-8") == want_text, r["target_uri"]
+    # trace unaffected by the extra sinks
+    assert _engine_trace(eng) == want_res.trace
+
+
+def test_adaptive_recrawl_matches_oracle(spark, tmp_path):
+    """Adaptive revisit intervals: a 304 doubles a URL's interval, a
+    changed revisit halves it (bounded by ADAPT_MIN/MAX). The engine's
+    integer column arithmetic must match the oracle event-for-event,
+    the policy must actually move intervals (non-vacuous), and it must
+    waste fewer revisits than the fixed policy on the same web."""
+    from collections import Counter
+
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=40, change_every=3)
+    seeds = synthweb.seed_urls(cfg, 12)
+    want = oracle.crawl(cfg, seeds, cycles=7, recrawl_every=1,
+                        adaptive_recrawl=True)
+    fixed = oracle.crawl(cfg, seeds, cycles=7, recrawl_every=1)
+    ca = Counter(t[5] for t in want.trace)
+    cf = Counter(t[5] for t in fixed.trace)
+    assert ca["not_modified"] > 0 and ca["fetched"] > 0
+    assert want.trace != fixed.trace, "fixture must separate the policies"
+    # the policy's point: backed-off intervals waste fewer 304 slots
+    assert ca["not_modified"] < cf["not_modified"]
+    want_ivs = {e.url_norm: e.interval for e in want.frontier.values()
+                if e.status == "fetched"}
+    assert {1, 2} <= set(want_ivs.values()), "intervals must diverge"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "adapt"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, recrawl_every=1,
+                      adaptive_recrawl=True)
+    eng.crawl(seeds, cycles=7)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    got_m = {
+        (r.cycle, r.host): (r.not_modified, r.fetched)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (m["not_modified"], m["fetched"])
+        for m in want.metrics
+    }
+    assert got_m == want_m
+    # per-URL intervals persisted in the frontier match the oracle's
+    got_ivs = {r.url_norm: r.interval for r in eng.frontier.read()
+               .filter("status = 'fetched'").collect()}
+    assert got_ivs == want_ivs
+
+
+def test_content_dedup_matches_oracle(spark, tmp_path):
+    """Content-seen test (Mercator): pages whose body digest was
+    already stored consume their slot, are traced 'content_dup', and
+    are never parsed — so mirror-site link trees are pruned from the
+    crawl. Engine (digest window + digests-table join) must match the
+    oracle's sequential digest set event-for-event."""
+    from collections import Counter
+
+    cfg = synthweb.WebConfig(n_hosts=5, pages_per_host=50, mirror_pct=40)
+    seeds = synthweb.seed_urls(cfg, 15)
+    want = oracle.crawl(cfg, seeds, cycles=3, content_dedup=True)
+    ca = Counter(t[5] for t in want.trace)
+    assert ca["content_dup"] > 0, "fixture must produce content dups"
+    off = oracle.crawl(cfg, seeds, cycles=3)
+    assert want.trace != off.trace, "dedup must change the crawl"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "cdup"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, content_dedup=True)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    got_m = {
+        (r.cycle, r.host): (r.content_dup, r.fetched, r.parsed_links, r.bytes)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (
+            m["content_dup"], m["fetched"], m["parsed_links"], m["bytes"]
+        )
+        for m in want.metrics
+    }
+    assert got_m == want_m
+    # digests table: one row per DISTINCT stored body, all unique
+    digs = [r.digest for r in eng.digests.read().collect()]
+    assert len(digs) == len(set(digs))
+    n_content_new = sum(
+        1 for t in want.trace if t[5] == "fetched"
+    )
+    assert len(digs) == n_content_new
+
+
+def test_age_boost_matches_oracle(spark, tmp_path):
+    """Starvation-free scheduling: candidates rank on priority +
+    age_boost x cycles-waited (stored priority untouched). Combined
+    with PageRank re-prioritization (which creates the old-low vs
+    new-high inversions aging exists for), previously budget-starved
+    URLs provably win slots — and the engine's sort-time `_eff` column
+    must reproduce the oracle's aged ordering event-for-event."""
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=80, hot_frac_pct=40)
+    seeds = synthweb.seed_urls(cfg, 16)
+    want = oracle.crawl(cfg, seeds, cycles=4, rank_every=1, age_boost=200)
+    base = oracle.crawl(cfg, seeds, cycles=4, rank_every=1)
+    assert want.trace != base.trace, "fixture: aging must change the crawl"
+    fetched_aged = {t[2] for t in want.trace if t[5] == "fetched"}
+    fetched_base = {t[2] for t in base.trace if t[5] == "fetched"}
+    assert fetched_aged - fetched_base, (
+        "fixture: some starved URL must be fetched only with aging"
+    )
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "aged"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, rank_every=1, age_boost=200)
+    eng.crawl(seeds, cycles=4)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    # stored priorities are the PageRank values, never the aged ones
+    got_pri = {r.url_norm: r.priority for r in eng.frontier.read().collect()}
+    want_pri = {e.url_norm: e.priority for e in want.frontier.values()}
+    assert got_pri == want_pri

@@ -573,3 +573,31 @@ def test_keep_best_per_cluster(spark):
         for r in keep_best_per_cluster(docs, clusters).collect()
     }
     assert got == {(2, 1, 300), (9, 9, 7)}
+
+
+def test_wet_text_jvm_matches_python(spark):
+    """textkit.wet_text (JVM regexp chain) is byte-identical to
+    parsekit.extract_text on markup covering every rule: script/style
+    drop, tag removal, entity decode order, whitespace collapse."""
+    from ccbot_spark import parsekit
+    from ccbot_spark.functions import textkit
+    from ccbot_spark.plans import explainkit
+
+    cases = [
+        '<html><head><style>p{x}</style></head><body>'
+        '<script>var s="</p>";</script><h1>T</h1>'
+        "<p>a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;</p></body></html>",
+        "<p>multi\n  line\ttext</p>",
+        "no tags at all",
+        "<SCRIPT a=b>x</SCRIPT>keep<STYLE>y</STYLE>",
+        "&amp;amp; one-level decode",
+        "",
+        "  <div> lead/trail  </div>  ",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "html string").select(
+        "html", textkit.wet_text("html").alias("t")
+    )
+    got = {r["html"]: r["t"] for r in df.collect()}
+    for c in cases:
+        assert got[c] == parsekit.extract_text(c), repr(c)
+    assert "EvalPython" not in explainkit.formatted_plan(df)
