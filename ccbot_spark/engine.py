@@ -85,6 +85,7 @@ class CrawlEngine:
         warc_dir: str | None = None,
         warc_segments: int = 4,
         warc_wet: bool = False,
+        warc_cdx: bool = False,
     ):
         from .shipping import ensure_shipped
 
@@ -174,6 +175,13 @@ class CrawlEngine:
         self.warc_dir = warc_dir
         self.warc_segments = warc_segments
         self.warc_wet = warc_wet
+        # CDX capture index over the WARC archive: the segment writer
+        # emits one (path, offset, length) row per gzip member, which
+        # lands (with SURT key + payload digest) in a `cdx` table —
+        # any archived record is then retrievable by seek+read+gunzip.
+        if warc_cdx and not warc_dir:
+            raise ValueError("warc_cdx requires warc_dir")
+        self.warc_cdx = warc_cdx
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -207,6 +215,9 @@ class CrawlEngine:
                 spark, workdir, "digests", _with_bucket(schemas.DIGESTS), ("bucket",)
             )
             self._tables.append(self.digests)
+        if warc_cdx:
+            self.cdx = make_table_store(spark, workdir, "cdx", schemas.CDX)
+            self._tables.append(self.cdx)
         # append-only per-partition snapshot lineage; deliberately NOT
         # in _tables — an audit log must survive checkpoint rollback
         self.lineage = make_table_store(spark, workdir, "lineage", schemas.LINEAGE)
@@ -1000,24 +1011,39 @@ class CrawlEngine:
                         content_type="text/plain",
                     ).collect()
                 )
-            sinks.append(
-                lambda: warcmod.write_segments(
-                    store.select(
-                        F.col("image_id").alias("uri"),
-                        F.lit(warc_date).alias("warc_date"),
-                        F.col("bytes").alias("payload"),
-                        "caption",
-                        "fmt",
-                    ),
-                    cyc_dir,
-                    n_segments=self.warc_segments,
-                    content_type="image/x-synthetic",
-                    extra=[
-                        ("X-Image-Fmt", F.col("fmt")),
-                        ("X-Caption", F.col("caption")),
-                    ],
-                ).collect()
+            warc_src = store.select(
+                F.col("image_id").alias("uri"),
+                F.lit(warc_date).alias("warc_date"),
+                F.col("bytes").alias("payload"),
+                "caption",
+                "fmt",
+                F.md5(F.col("bytes")).alias("digest"),
             )
+            warc_out = warcmod.write_segments(
+                warc_src,
+                cyc_dir,
+                n_segments=self.warc_segments,
+                content_type="image/x-synthetic",
+                extra=[
+                    ("X-Image-Fmt", F.col("fmt")),
+                    ("X-Caption", F.col("caption")),
+                ],
+                record_index=self.warc_cdx,
+                carry_cols=("digest",) if self.warc_cdx else (),
+            )
+            if self.warc_cdx:
+                cdx_rows = warc_out.select(
+                    F.lit(cycle).cast("int").alias("cycle"),
+                    urlops.surt_key(F.col("uri")).alias("surt"),
+                    "uri",
+                    "digest",
+                    "path",
+                    F.col("offset").cast("long"),
+                    F.col("length").cast("long"),
+                )
+                sinks.append(lambda: self.cdx.append(cdx_rows))
+            else:
+                sinks.append(lambda: warc_out.collect())
         if self.rank_every:
             sinks.append(
                 lambda: self.edges.append(

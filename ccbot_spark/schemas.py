@@ -152,6 +152,22 @@ LINEAGE = T.StructType(
     ]
 )
 
+# CDX capture index over the WARC archive (engine warc_cdx=True): one
+# row per archived record with its seekable (path, offset, length)
+# gzip-member span, SURT sort key, and payload digest — retrieval is
+# seek+read+gunzip, never a segment scan.
+CDX = T.StructType(
+    [
+        T.StructField("cycle", T.IntegerType(), False),
+        T.StructField("surt", T.StringType(), False),
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+    ]
+)
+
 # Accumulated page→outlink graph (engine state when dynamic
 # re-prioritization is on; one row per parsed link occurrence from a
 # fetched page — PageRank dedups edges itself).

@@ -44,6 +44,10 @@ WARC_VERSION = "WARC/1.1"
 # Manifest row per written segment file.
 MANIFEST_SCHEMA = "segment int, path string, n_records long, n_bytes long"
 
+# Per-record index row (record_index=True): the CDX promise — a record
+# is retrievable by seek(offset) + read(length) + gunzip, no scan.
+INDEX_SCHEMA = "segment int, path string, uri string, offset long, length long"
+
 RECORD_SCHEMA = (
     "path string, warc_type string, record_id string, warc_date string,"
     " target_uri string, headers map<string,string>, payload binary"
@@ -185,12 +189,20 @@ def write_segments(
     warc_type: str = "response",
     content_type: str = "application/octet-stream",
     extra: list[tuple[str, Column]] | None = None,
+    record_index: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Write df as ``{out_dir}/{prefix}-{seg:05d}.warc.gz`` segment
     files, one per ``pmod(xxhash64(uri), n_segments)`` bucket, records
-    sorted by URI within each segment.  Returns the (lazy) manifest
-    DataFrame — consuming it performs the write; exactly one manifest
-    row per non-empty segment."""
+    sorted by URI within each segment.  Returns a LAZY DataFrame —
+    consuming it performs the write.
+
+    record_index=False: one manifest row per non-empty segment
+    (MANIFEST_SCHEMA).  record_index=True: one row PER RECORD with its
+    (path, offset, length) gzip-member span — the CDX index promise:
+    any record is retrievable with seek+read+gunzip, no segment scan.
+    ``carry_cols`` names df columns to pass through onto index rows
+    (e.g. a JVM-computed content digest)."""
     os.makedirs(out_dir, exist_ok=True)
     rec = record_col(
         uri_col,
@@ -205,6 +217,7 @@ def write_segments(
         seg.alias("segment"),
         F.col(uri_col).alias("uri"),
         rec.alias("record"),
+        *[F.col(c) for c in carry_cols],
     )
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -212,12 +225,25 @@ def write_segments(
         segid = int(pdf["segment"].iloc[0])
         path = os.path.join(out_dir, f"{prefix}-{segid:05d}.warc.gz")
         buf = bytearray()
-        for r in pdf["record"]:
-            buf += gzip_member(bytes(r))
+        rows = []
+        for _, row in pdf.iterrows():
+            member = gzip_member(bytes(row["record"]))
+            if record_index:
+                out_row = {
+                    "segment": segid,
+                    "path": path,
+                    "uri": row["uri"],
+                    "offset": len(buf),
+                    "length": len(member),
+                }
+                for c in carry_cols:
+                    out_row[c] = row[c]
+                rows.append(out_row)
+            buf += member
         with open(path, "wb") as fh:
             fh.write(bytes(buf))
-        return pd.DataFrame(
-            [
+        if not record_index:
+            rows = [
                 {
                     "segment": segid,
                     "path": path,
@@ -225,9 +251,18 @@ def write_segments(
                     "n_bytes": len(buf),
                 }
             ]
-        )
+        return pd.DataFrame(rows)
 
-    return data.groupBy("segment").applyInPandas(write_group, MANIFEST_SCHEMA)
+    if record_index:
+        carry_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name in carry_cols
+        )
+        schema = INDEX_SCHEMA + (", " + carry_fields if carry_fields else "")
+    else:
+        schema = MANIFEST_SCHEMA
+    return data.groupBy("segment").applyInPandas(write_group, schema)
 
 
 def read_segments(spark: SparkSession, out_dir: str, pattern: str = "*.warc.gz") -> DataFrame:

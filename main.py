@@ -86,6 +86,10 @@ def parse_args():
     p.add_argument("--warc-segments", type=int, default=4,
                    help="segment files per cycle (rotation width; "
                         "~1 GiB per segment at scale)")
+    p.add_argument("--warc-cdx", action="store_true",
+                   help="index the WARC archive into a cdx table: one "
+                        "row per record with seekable (path, offset, "
+                        "length), SURT key, and payload digest")
     p.add_argument("--warc-wet", action="store_true",
                    help="also write WET companion segments (one "
                         "'conversion' record per fetched page, body = "
@@ -155,6 +159,7 @@ def main() -> None:
         warc_dir=args.warc_dir,
         warc_segments=args.warc_segments,
         warc_wet=args.warc_wet,
+        warc_cdx=args.warc_cdx,
     )
     seeds = synthweb.seed_urls(cfg, args.seeds)
 

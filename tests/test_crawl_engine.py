@@ -665,3 +665,48 @@ def test_age_boost_matches_oracle(spark, tmp_path):
     got_pri = {r.url_norm: r.priority for r in eng.frontier.read().collect()}
     want_pri = {e.url_norm: e.priority for e in want.frontier.values()}
     assert got_pri == want_pri
+
+
+def test_warc_cdx_random_access(spark, tmp_path):
+    """warc_cdx: the cdx table indexes every archived record with a
+    seekable (path, offset, length) span — seek+read+gunzip retrieves
+    exactly that record, digest and SURT key match, and the spans tile
+    each segment file completely."""
+    import gzip as _gz
+    import hashlib as _hl
+    from collections import defaultdict
+
+    from ccbot_spark import urlkit, warc as warcmod
+
+    wd = str(tmp_path / "wcdx")
+    warc_dir = str(tmp_path / "warc")
+    eng = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+                      bloom_min_seen=0, hot_host_min=10,
+                      warc_dir=warc_dir, warc_segments=3, warc_cdx=True)
+    eng.crawl(SEEDS, cycles=2)
+
+    n_images = eng.images.read().count()
+    rows = eng.cdx.read().collect()
+    assert len(rows) == n_images and n_images > 0
+    spans = defaultdict(list)
+    for r in rows:
+        with open(r.path, "rb") as fh:
+            fh.seek(r.offset)
+            member = fh.read(r.length)
+        recs = warcmod.parse_records(_gz.decompress(member))
+        assert len(recs) == 1
+        rec = recs[0]
+        assert rec["target_uri"] == r.uri
+        assert _hl.md5(rec["payload"]).hexdigest() == r.digest
+        assert urlkit.surt(r.uri) == r.surt
+        spans[r.path].append((r.offset, r.length))
+    # spans tile each file: contiguous from 0 to file size, no gaps
+    import os as _os
+
+    for path, sp in spans.items():
+        sp.sort()
+        pos = 0
+        for off, ln in sp:
+            assert off == pos, (path, off, pos)
+            pos += ln
+        assert pos == _os.path.getsize(path)

@@ -109,3 +109,44 @@ def test_segment_bytes_parallelism_independent(spark, tmp_path):
     for fa, fb in zip(a, b):
         with open(fa, "rb") as f1, open(fb, "rb") as f2:
             assert f1.read() == f2.read(), fa
+
+
+def test_build_parse_roundtrip_hypothesis():
+    """Property: any sequence of records with arbitrary binary payloads
+    (including embedded record trailers) round-trips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec_st = st.tuples(
+        st.from_regex(r"http://h[0-9]\.test/[a-z0-9/]{0,20}", fullmatch=True),
+        st.binary(max_size=200),
+    )
+
+    @given(st.lists(rec_st, max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def check(recs):
+        blob = b"".join(
+            warc.build_record(u, DATE, p, extra=[("X-N", str(i))])
+            for i, (u, p) in enumerate(recs)
+        )
+        parsed = warc.parse_records(blob)
+        assert len(parsed) == len(recs)
+        for i, ((u, p), r) in enumerate(zip(recs, parsed)):
+            assert r["target_uri"] == u
+            assert r["payload"] == p
+            assert r["headers"]["X-N"] == str(i)
+
+    check()
+
+
+def test_gzip_members_concatenate():
+    """A segment is N independent gzip members; a whole-file decompress
+    recovers the concatenated records (what read_segments relies on)."""
+    import gzip as _gz
+
+    recs = [warc.build_record(f"http://h0.test/{i}", DATE, bytes([i]) * i)
+            for i in range(5)]
+    seg = b"".join(warc.gzip_member(r) for r in recs)
+    assert _gz.decompress(seg) == b"".join(recs)
+    # and mtime pinning makes members byte-stable
+    assert warc.gzip_member(recs[0]) == warc.gzip_member(recs[0])
