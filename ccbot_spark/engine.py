@@ -241,6 +241,7 @@ class CrawlEngine:
         self._seen_shards = None
         self._phash_bloom = None
         self._phash_bloom_bc = None
+        self._phash_shards = None
 
     # ------------------------------------------------------------ state
 
@@ -260,6 +261,9 @@ class CrawlEngine:
         if self._seen_shards is not None:
             self._seen_shards.unpersist()
             self._seen_shards = None
+        if self._phash_shards is not None:
+            self._phash_shards.unpersist()
+            self._phash_shards = None
 
     def _seen_bc(self):
         """The (cached) broadcast of the merged seen filter; re-made
@@ -719,20 +723,38 @@ class CrawlEngine:
         use_phash_bloom = (
             self.use_bloom and self.images.row_count() >= self.bloom_min_seen
         )
-        if use_phash_bloom and self._phash_bloom is None:
+        # phash filter flavor follows the seen set's: merged broadcast
+        # while broadcastable, bucket-routed shards at 10^10 stored
+        # images (bloom_sharded — same auto-threshold)
+        if use_phash_bloom and not self.bloom_sharded and self._phash_bloom is None:
             # first use / post-resume: one full phash-column scan
             self._phash_bloom = seenops.build_bloom(
                 self.images.read().select("phash"), self.bloom_bits, col="phash"
             )
+        if use_phash_bloom and self.bloom_sharded and self._phash_shards is None:
+            self._phash_shards = seenops.build_bloom_shards(
+                self.images.read().select("phash"),
+                self.n_buckets,
+                self.bloom_shard_bits,
+                col="phash",
+            ).localCheckpoint()
         dd = imageops.dedup_by_phash(
             decoded,
             self.images.read().select("phash"),
-            bloom=self._phash_bc() if use_phash_bloom else None,
+            bloom=(
+                self._phash_bc()
+                if use_phash_bloom and not self.bloom_sharded
+                else None
+            ),
             bloom_bits=self.bloom_bits,
             spark=self.spark,
+            shards=self._phash_shards if use_phash_bloom and self.bloom_sharded else None,
+            shard_bits=self.bloom_shard_bits,
+            n_buckets=self.n_buckets,
         )
         store = dd["store"].persist(StorageLevel.MEMORY_AND_DISK)
         dups = dd["dups"]
+        phash_split_cache = dd["cache"]
 
         # ---- metrics (§3.1 step 7) — per host over all attempts
         # (errored fetches carry html="" so the byte sum is ok-only)
@@ -1082,12 +1104,26 @@ class CrawlEngine:
             if self._phash_bloom_bc is not None:
                 self._phash_bloom_bc.destroy()
                 self._phash_bloom_bc = None
+        if self._phash_shards is not None:
+            delta = seenops.build_bloom_shards(
+                store.select("phash"),
+                self.n_buckets,
+                self.bloom_shard_bits,
+                col="phash",
+            )
+            merged = seenops.or_merge_shards(
+                self._phash_shards, delta
+            ).localCheckpoint()
+            self._phash_shards.unpersist()
+            self._phash_shards = merged
 
         for df in (attempts, fetched_raw, links, cand, decoded, store,
                    new_rows, parts["denied"]):
             df.unpersist()
         if cdup_cache is not None:
             cdup_cache.unpersist()
+        if phash_split_cache is not None:
+            phash_split_cache.unpersist()
         if split_cache is not None:
             split_cache.unpersist()
         if trace_df is not None:

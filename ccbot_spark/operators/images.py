@@ -96,6 +96,9 @@ def dedup_by_phash(
     bloom=None,
     bloom_bits: int = 0,
     spark=None,
+    shards: DataFrame | None = None,
+    shard_bits: int = 0,
+    n_buckets: int = 0,
 ) -> dict[str, DataFrame]:
     """Exact phash dedup (first-wins by deterministic page order).
 
@@ -116,7 +119,25 @@ def dedup_by_phash(
     ranked = decoded.withColumn("_rn", F.row_number().over(w))
     firsts = ranked.filter(F.col("_rn") == 1).drop("_rn")
     within_dups = ranked.filter(F.col("_rn") > 1).drop("_rn")
-    if bloom is not None:
+    cache = None
+    if shards is not None:
+        # bucket-routed shard form (the 10^10-stored-images path — the
+        # same no-merged-filter discipline as the seen set: at 8
+        # bits/key a merged phash filter would be 10+ GB, too big for
+        # one broadcast; shards stay distributed and candidates route
+        # by pmod(phash, P))
+        from . import seen as seenops
+
+        sure_new, maybe, cache = seenops.split_by_bloom_shards(
+            firsts, shards, shard_bits, n_buckets, col="phash"
+        )
+        new = sure_new.unionByName(
+            maybe.join(stored_phashes.select("phash"), on="phash", how="left_anti")
+        )
+        seen_again = maybe.join(
+            stored_phashes.select("phash"), on="phash", how="left_semi"
+        )
+    elif bloom is not None:
         from . import seen as seenops
 
         sure_new, maybe = seenops.split_by_bloom(
@@ -133,7 +154,14 @@ def dedup_by_phash(
         seen_again = firsts.join(
             stored_phashes.select("phash"), on="phash", how="left_semi"
         )
-    return {"store": new, "dups": within_dups.unionByName(seen_again)}
+    return {
+        "store": new,
+        "dups": within_dups.unionByName(seen_again),
+        # persisted cogroup handle from the sharded split (None
+        # otherwise); the caller unpersists it once store/dups are
+        # fully consumed
+        "cache": cache,
+    }
 
 
 def phash_near_dup(

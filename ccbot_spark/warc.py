@@ -292,3 +292,39 @@ def read_segments(spark: SparkSession, out_dir: str, pattern: str = "*.warc.gz")
                 yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(parse, RECORD_SCHEMA)
+
+
+def fetch_records(spark: SparkSession, cdx: DataFrame) -> DataFrame:
+    """Random-access record retrieval driven by a CDX index subset:
+    group the requested spans by segment file (one task per file, one
+    open per task), seek+read+gunzip each member — cost ∝ records
+    requested, never a segment scan.  This is the read path a
+    100 TB archive serves point lookups with: filter the cdx table
+    (partition-pruned / predicate-pushed) down to the captures you
+    want, then fetch exactly those byte ranges."""
+
+    def read_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset", kind="mergesort")
+        path = pdf["path"].iloc[0]
+        rows = []
+        with open(path, "rb") as fh:
+            for off, ln in zip(pdf["offset"], pdf["length"]):
+                fh.seek(int(off))
+                member = fh.read(int(ln))
+                for r in parse_records(gzip.decompress(member)):
+                    rows.append(
+                        {
+                            "path": path,
+                            "warc_type": r["warc_type"],
+                            "record_id": r["record_id"],
+                            "warc_date": r["warc_date"],
+                            "target_uri": r["target_uri"],
+                            "headers": r["headers"],
+                            "payload": r["payload"],
+                        }
+                    )
+        return pd.DataFrame(rows)
+
+    return cdx.select("path", "offset", "length").groupBy("path").applyInPandas(
+        read_group, RECORD_SCHEMA
+    )

@@ -149,6 +149,10 @@ def test_bloom_sharded_identical(spark, tmp_path, oracle_res):
     eng.crawl(SEEDS, cycles=CYCLES)
     assert eng.bloom_sharded and eng._seen_shards is not None
     assert eng._seen_bloom is None  # no merged filter was ever built
+    # the phash prefilter follows the same flavor: sharded, no merged
+    # array, no broadcast
+    assert eng._phash_shards is not None and eng._phash_bloom is None
+    assert eng._phash_bloom_bc is None
     assert _engine_trace(eng) == oracle_res.trace
     got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
     assert got_seen == oracle_res.seen
@@ -710,3 +714,35 @@ def test_warc_cdx_random_access(spark, tmp_path):
             assert off == pos, (path, off, pos)
             pos += ln
         assert pos == _os.path.getsize(path)
+
+
+def test_warc_fetch_records_point_lookup(spark, tmp_path):
+    """warc.fetch_records: a filtered cdx subset retrieves exactly those
+    records by seek+read — equal to what a full segment scan returns
+    for the same URIs."""
+    from pyspark.sql import functions as F
+
+    from ccbot_spark import warc as warcmod
+
+    wd = str(tmp_path / "wfr")
+    warc_dir = str(tmp_path / "warc")
+    eng = CrawlEngine(spark, CFG, wd, n_buckets=8, use_bloom=True,
+                      bloom_min_seen=0, hot_host_min=10,
+                      warc_dir=warc_dir, warc_segments=3, warc_cdx=True)
+    eng.crawl(SEEDS, cycles=1)
+
+    # point-lookup: only h0's captures, via a cdx filter
+    want_cdx = eng.cdx.read().filter(F.col("surt").startswith("test,h0)"))
+    n_want = want_cdx.count()
+    assert 0 < n_want < eng.cdx.read().count()
+    got = warcmod.fetch_records(spark, want_cdx).collect()
+    assert len(got) == n_want
+    full = {
+        r["target_uri"]: bytes(r["payload"])
+        for r in warcmod.read_segments(
+            spark, warc_dir, pattern="cycle=*/*.warc.gz"
+        ).collect()
+    }
+    for r in got:
+        assert r["target_uri"].startswith("http://h0.test/")
+        assert bytes(r["payload"]) == full[r["target_uri"]]
