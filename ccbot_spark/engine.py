@@ -426,7 +426,7 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ seeding
 
-    def seed(self, seeds: list[str], sitemap_seeds: bool = False) -> None:
+    def seed(self, seeds: list[str], sitemap_seeds: bool | str = False) -> None:
         """Cycle 0: normalize the (small, driver-resident by definition)
         seed list preserving order; dt_seq = seed index (§7.5).
 
@@ -436,7 +436,12 @@ class CrawlEngine:
         URLs append after the explicit seeds: hosts in sorted order,
         sitemap document order within a host, dt_seq continuing via the
         two-phase global_sequence operator (no single-partition
-        window). Mirrors oracle.crawl(sitemap_seeds=True) exactly."""
+        window). Mirrors oracle.crawl(sitemap_seeds=True) exactly.
+
+        sitemap_seeds="robots": spec-compliant discovery — only
+        sitemaps DECLARED by a `Sitemap:` directive in the host's
+        robots.txt are fetched (in declared order); undeclaring hosts
+        are never expanded. Mirrors oracle.crawl(sitemap_seeds="robots")."""
         rows, dedup = [], set()
         idx = 0
         for raw in seeds:
@@ -460,16 +465,30 @@ class CrawlEngine:
             hosts = sorted({r[1] for r in rows})
 
             def gen(batches):
+                from . import robots as robots_mod
+
                 for pdf in batches:
                     hs, us, ps = [], [], []
                     for h in pdf["host"]:
-                        xml = synthweb.sitemap_xml(cfg, h)
-                        for pos, u in enumerate(
-                            parsekit.extract_sitemap_urls(xml)
-                        ):
-                            hs.append(h)
-                            us.append(u)
-                            ps.append(pos)
+                        if sitemap_seeds == "robots":
+                            declared = robots_mod.parse_robots(
+                                synthweb.robots_txt(cfg, h)
+                            ).sitemaps
+                            xmls = [
+                                synthweb.sitemap_xml(
+                                    cfg, urlkit.host_of(sm) or h
+                                )
+                                for sm in declared
+                            ]
+                        else:
+                            xmls = [synthweb.sitemap_xml(cfg, h)]
+                        pos = 0
+                        for xml in xmls:
+                            for u in parsekit.extract_sitemap_urls(xml):
+                                hs.append(h)
+                                us.append(u)
+                                ps.append(pos)
+                                pos += 1
                     yield pd.DataFrame({"host": hs, "url_norm": us, "pos": ps})
 
             sm = (
@@ -1151,7 +1170,7 @@ class CrawlEngine:
         seeds: list[str],
         cycles: int,
         start_cycle: int = 0,
-        sitemap_seeds: bool = False,
+        sitemap_seeds: bool | str = False,
     ) -> list[dict]:
         if start_cycle == 0:
             self.seed(seeds, sitemap_seeds=sitemap_seeds)

@@ -129,18 +129,31 @@ def crawl(
     # seeds, hosts in sorted order, sitemap document order within a
     # host, dt_seq continuing — same priority/seen rules as seeds.
     if sitemap_seeds:
+        # sitemap_seeds=True: every seed host's conventional
+        # /sitemap.xml. sitemap_seeds="robots": only sitemaps DECLARED
+        # by a `Sitemap:` directive in the host's robots.txt (the
+        # spec-compliant discovery path), fetched in declared order.
         for host in sorted({e.host for e in frontier.values()}):
-            for u in parsekit.extract_sitemap_urls(
-                synthweb.sitemap_xml(cfg, host)
-            ):
-                if u in seen:
-                    continue
-                seen.add(u)
-                frontier[u] = FrontierEntry(
-                    u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending",
-                    0, 0, interval=recrawl_every,
-                )
-                idx += 1
+            if sitemap_seeds == "robots":
+                declared = robots.parse_robots(
+                    synthweb.robots_txt(cfg, host)
+                ).sitemaps
+                xmls = [
+                    synthweb.sitemap_xml(cfg, urlkit.host_of(sm) or host)
+                    for sm in declared
+                ]
+            else:
+                xmls = [synthweb.sitemap_xml(cfg, host)]
+            for xml in xmls:
+                for u in parsekit.extract_sitemap_urls(xml):
+                    if u in seen:
+                        continue
+                    seen.add(u)
+                    frontier[u] = FrontierEntry(
+                        u, urlkit.host_of(u), SEED_PRIORITY, 0, idx,
+                        "pending", 0, 0, interval=recrawl_every,
+                    )
+                    idx += 1
 
     robots_cache: dict[str, tuple[robots.RobotsRules, int]] = {}
 

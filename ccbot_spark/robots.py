@@ -29,6 +29,9 @@ class RobotsRules:
     allow: list[str] = field(default_factory=list)
     disallow: list[str] = field(default_factory=list)
     crawl_delay_ms: int = 0
+    # `Sitemap:` directives are group-independent per RFC 9309 §2.3/
+    # sitemaps.org: they apply to every agent, wherever they appear
+    sitemaps: list[str] = field(default_factory=list)
 
     def to_row(self, host: str, budget: int) -> dict:
         return {
@@ -44,6 +47,7 @@ def parse_robots(body: str) -> RobotsRules:
     """Parse a robots.txt body into rules for our agent ('*' fallback)."""
     groups: dict[str, RobotsRules] = {}
     current_agents: list[str] = []
+    sitemaps: list[str] = []
     last_was_agent = False
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -52,6 +56,12 @@ def parse_robots(body: str) -> RobotsRules:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
+        if key == "sitemap":
+            # group-independent; may appear before any User-agent line
+            if val:
+                sitemaps.append(val)
+            last_was_agent = False
+            continue
         if key == "user-agent":
             if not last_was_agent:
                 current_agents = []
@@ -77,9 +87,9 @@ def parse_robots(body: str) -> RobotsRules:
                 except ValueError:
                     pass
     # most-specific agent match: exact agent name, else '*'
-    if AGENT in groups:
-        return groups[AGENT]
-    return groups.get("*", RobotsRules())
+    rules = groups.get(AGENT) or groups.get("*") or RobotsRules()
+    rules.sitemaps = sitemaps
+    return rules
 
 
 def _pattern_len(pat: str) -> int:

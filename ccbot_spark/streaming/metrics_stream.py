@@ -114,3 +114,36 @@ def run_available_now(stream_df: DataFrame, out_dir: str, ckpt_dir: str) -> None
         .start()
     )
     q.awaitTermination()
+
+
+def st_trending_hosts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "1 minute",
+    late: str = "10 minutes",
+    min_fetches: int = 5,
+) -> DataFrame:
+    """Sliding-window trending-host detection (the window shape the
+    tumbling metrics job can't express): per host, fetch count and
+    bytes over the last `window`, re-evaluated every `slide` — the
+    continuous feed for the hot-host salting decision (a_topk_hosts is
+    its batch twin). State is bounded by window/slide x watermark, so
+    it runs forever at any event rate; the output is already
+    per-(window, host) aggregated, orders of magnitude smaller than
+    the event stream."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", window, slide).alias("win"), "host")
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum("bytes").alias("bytes"),
+        )
+        .filter(F.col("fetched") >= min_fetches)
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "fetched",
+            "bytes",
+        )
+    )

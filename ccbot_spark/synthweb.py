@@ -80,6 +80,10 @@ def robots_txt(cfg: WebConfig, host: str) -> str:
         lines.append("Disallow: /private/")
     if delay_s:
         lines.append(f"Crawl-delay: {delay_s}")
+    if d[5] % 2 == 0:
+        # half the hosts declare their sitemap (sitemaps.org directive;
+        # group-independent) — exercised by sitemap_seeds="robots"
+        lines.append(f"Sitemap: http://{host}/sitemap.xml")
     return "\n".join(lines) + "\n"
 
 

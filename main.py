@@ -57,6 +57,10 @@ def parse_args():
                    help="%% of fetches that deterministically error (retried)")
     p.add_argument("--redirect-pct", type=int, default=0,
                    help="%% of odd pages that 301 to the prior page")
+    p.add_argument("--sitemap-from-robots", action="store_true",
+                   help="spec-compliant sitemap discovery: expand only "
+                        "hosts whose robots.txt declares a Sitemap: "
+                        "directive")
     p.add_argument("--sitemap-seeds", action="store_true",
                    help="expand the seed list from each seed host's sitemap.xml")
     p.add_argument("--rank-every", type=int, default=0,
@@ -168,7 +172,8 @@ def main() -> None:
         start = eng.resume()
         out = eng.crawl(seeds, cycles=args.cycles, start_cycle=start)
     else:
-        out = eng.crawl(seeds, cycles=args.cycles, sitemap_seeds=args.sitemap_seeds)
+        sm = "robots" if args.sitemap_from_robots else args.sitemap_seeds
+        out = eng.crawl(seeds, cycles=args.cycles, sitemap_seeds=sm)
     dt = time.time() - t0
     fetched = sum(c["fetched"] for c in out)
     stored = sum(c["stored_images"] for c in out)

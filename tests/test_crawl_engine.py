@@ -746,3 +746,50 @@ def test_warc_fetch_records_point_lookup(spark, tmp_path):
     for r in got:
         assert r["target_uri"].startswith("http://h0.test/")
         assert bytes(r["payload"]) == full[r["target_uri"]]
+
+
+def test_sitemap_robots_discovery_matches_oracle(spark, tmp_path):
+    """sitemap_seeds="robots": only hosts whose robots.txt carries a
+    `Sitemap:` directive are expanded (spec-compliant discovery).
+    Expansion sits strictly between no-sitemaps and all-hosts, and the
+    engine matches the oracle on frontier/trace/seen."""
+    from ccbot_spark import robots
+
+    cfg = synthweb.WebConfig(n_hosts=6, pages_per_host=40)
+    seeds = synthweb.seed_urls(cfg, 12)
+    declaring = [
+        cfg.host(k) for k in range(6)
+        if robots.parse_robots(
+            synthweb.robots_txt(cfg, cfg.host(k))
+        ).sitemaps
+    ]
+    assert 0 < len(declaring) < 6, "fixture must mix declaring hosts"
+    want = oracle.crawl(cfg, seeds, cycles=1, sitemap_seeds="robots")
+    allm = oracle.crawl(cfg, seeds, cycles=1, sitemap_seeds=True)
+    off = oracle.crawl(cfg, seeds, cycles=1)
+    assert len(off.seen) < len(want.seen) < len(allm.seen)
+    # every robots-discovered seed URL is on a declaring host
+    extra = {
+        e.url_norm for e in want.frontier.values() if e.cycle_added == 0
+    } - {e.url_norm for e in off.frontier.values() if e.cycle_added == 0}
+    assert extra and all(
+        any(u.startswith(f"http://{h}/") for h in declaring) for u in extra
+    )
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "smr"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10)
+    eng.crawl(seeds, cycles=1, sitemap_seeds="robots")
+    got_seed = {
+        r.url_norm: (r.priority, r.dt_cycle, r.dt_seq)
+        for r in eng.frontier.read().filter("cycle_added = 0").collect()
+    }
+    want_seed = {
+        e.url_norm: (e.priority, e.dt_cycle, e.dt_seq)
+        for e in want.frontier.values()
+        if e.cycle_added == 0
+    }
+    assert got_seed == want_seed
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen

@@ -186,3 +186,34 @@ def test_tws_politeness_matches_applyinpandaswithstate(spark, events_dir, tmp_pa
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_trending_hosts_sliding_matches_batch(spark, events_dir):
+    """st_trending_hosts: sliding 4-minute/1-minute per-host counts ==
+    the same sliding-window aggregation run in batch; each event lands
+    in 4 overlapping windows; the min_fetches gate prunes cold hosts."""
+    stream = ms.st_trending_hosts(
+        ms.read_fetch_events(spark, events_dir),
+        window="4 minutes", slide="1 minute", min_fetches=3,
+    )
+    ms.run_complete_to_memory(stream, "trend_out")
+    got = {
+        (r.win_start, r.host): (r.fetched, r.bytes)
+        for r in spark.table("trend_out").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "4 minutes", "1 minute").alias("win"), "host")
+        .agg(F.count("*").alias("fetched"), F.sum("bytes").alias("bytes"))
+        .filter(F.col("fetched") >= 3)
+    )
+    want = {
+        (r["win"].start, r.host): (r.fetched, r.bytes)
+        for r in batch.collect()
+    }
+    assert got == want and got
+    # sliding (not tumbling): some event contributes to >1 window
+    from collections import Counter
+
+    per_host_windows = Counter(h for (_, h) in got)
+    assert max(per_host_windows.values()) > 1
