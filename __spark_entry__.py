@@ -409,6 +409,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", textkit.wet_text(html).alias("wet_text"))
     q["text_wet_extract"] = text_wet_extract
 
+    def recrawl_schedule(spark, sf_dir):
+        # the adaptive revisit-interval fold (engine adaptive_recrawl /
+        # oracle ADAPT_MIN/MAX) as a pure relational query: per entity,
+        # fold the visit history in (ts, event_id) order — changed
+        # visit halves the interval (floor 1), unchanged doubles it
+        # (cap 64). JVM-side ordered fold via sort_array + F.aggregate
+        # with shift arithmetic (whole-stage codegen, no Python); the
+        # oracle folds the same list with DuckDB list_reduce.
+        e = _t(spark, sf_dir, "events")
+        chg = (F.col("event_id") % 3 == 0).cast("long")
+        per = e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), chg.alias("chg")
+            ).alias("v"),
+        )
+        agg = per.groupBy("user_id").agg(
+            F.sort_array(F.collect_list("v")).alias("vs")
+        )
+        flags = F.transform(F.col("vs"), lambda v: v.getField("chg"))
+        folded = F.aggregate(
+            flags,
+            F.lit(4).cast("long"),
+            lambda acc, x: F.when(
+                x == 1, F.greatest(F.shiftright(acc, 1), F.lit(1).cast("long"))
+            ).otherwise(F.least(F.shiftleft(acc, 1), F.lit(64).cast("long"))),
+        )
+        return agg.select(
+            "user_id",
+            F.size("vs").cast("long").alias("n_visits"),
+            folded.cast("long").alias("next_interval"),
+        )
+    q["recrawl_schedule"] = recrawl_schedule
+
     def f_filter_scheme(spark, sf_dir):
         urls = _mixed_scheme_urls(_t(spark, sf_dir, "events"))
         return urlops.filter_scheme(urls, "url").select("event_id", "url")
@@ -1199,6 +1233,19 @@ def oracle_sql() -> dict[str, str]:
                  '&#39;', ''''), '&amp;', '&'),
                  '\s+', ' ', 'g')) AS wet_text
         FROM h
+    """
+
+    o["recrawl_schedule"] = """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_visits,
+               CAST(list_reduce(
+                 list_prepend(CAST(4 AS BIGINT),
+                   list(CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END
+                             AS BIGINT) ORDER BY ts, event_id)),
+                 (acc, x) -> CASE WHEN x = 1 THEN greatest(acc // 2, 1)
+                                  ELSE least(acc * 2, 64) END
+               ) AS BIGINT) AS next_interval
+        FROM events GROUP BY user_id
     """
 
     o["f_filter_scheme"] = f"""
