@@ -60,10 +60,13 @@ _ACTIVE_CACHES: list[DataFrame] = []
 
 def clear_caches() -> None:
     """Release plan caches registered by queries() entries (safe once no
-    returned DataFrame is still in use); also clears the dedup module's."""
+    returned DataFrame is still in use); also clears the dedup and
+    linkrank modules' — including their localCheckpoint blocks, which
+    plain unpersist cannot free (ccbot_spark.storagekit)."""
     while _ACTIVE_CACHES:
         _ACTIVE_CACHES.pop().unpersist()
     dedup.clear_caches()
+    linkrank.clear_caches()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -308,7 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SURT canonical keys (web-archive CDX key), JVM-side
         # (urlops.surt_key). URLs synthesized to exercise every rule:
         # www-strip, host-label reversal, explicit port, sorted
-        # multi-param query, and the no-query/empty-path forms.
+        # multi-param query, no-query/empty-path forms, fragments with
+        # embedded '?' (never a query — r3 ADVICE fix), and non-URL
+        # strings (NULL key on both sides).
         d = _t(spark, sf_dir, "documents")
         url = F.concat(
             F.lit("https://www."),
@@ -327,6 +332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("lang"),
                 )
             ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#f?x=1")).otherwise(
+                F.lit("")
+            ),
+        )
+        url = F.when(F.col("doc_id") % 11 == 0, F.lit("not a url")).otherwise(
+            url
         )
         return d.select("doc_id", urlops.surt_key(url).alias("surt"))
     q["f_surt"] = f_surt
@@ -1150,23 +1161,28 @@ def oracle_sql() -> dict[str, str]:
     o["f_surt"] = r"""
         WITH u AS (
           SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN 'not a url' ELSE
                  'https://www.' || source || '.example.com'
                  || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
                  || '/d/' || CAST(doc_id AS VARCHAR)
                  || CASE WHEN doc_id % 5 = 0 THEN ''
                          ELSE '?z=' || CAST(n_chars AS VARCHAR)
-                              || '&a=' || lang END AS url
+                              || '&a=' || lang END
+                 || CASE WHEN doc_id % 3 = 0 THEN '#f?x=1' ELSE '' END
+                 END AS url
           FROM documents
         ), p AS (
-          SELECT doc_id,
+          SELECT doc_id, url,
                  lower(regexp_extract(url,
                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
                  regexp_extract(url,
                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
-                 regexp_extract(url, '\?([^#]*)', 1) AS qry
+                 regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+[^?#]*\?([^#]*)',
+                       1) AS qry
           FROM u
         ), h AS (
-          SELECT doc_id,
+          SELECT doc_id, url,
                  regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
                                 '^www\.', '') AS host,
                  regexp_extract(hostport, '(:[0-9]+)$', 1) AS port,
@@ -1176,9 +1192,13 @@ def oracle_sql() -> dict[str, str]:
           FROM p
         )
         SELECT doc_id,
+               CASE WHEN NOT regexp_matches(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+') THEN NULL
+               ELSE
                array_to_string(list_reverse(string_split(host, '.')), ',')
                || port || ')' || pth
-               || CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS surt
+               || CASE WHEN sq = '' THEN '' ELSE '?' || sq END
+               END AS surt
         FROM h
     """
 

@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from . import schemas, synthweb, urlkit
+from . import schemas, storagekit, synthweb, urlkit
 from .oracle import (
     ADAPT_MAX,
     ADAPT_MIN,
@@ -70,7 +70,8 @@ class CrawlEngine:
         bloom_sharded: bool | None = None,
         bloom_broadcast_max_bytes: int = 256 << 20,
         seen_filter: str = "bloom",
-        skew_safe_generate: bool = False,
+        skew_safe_generate: bool | None = None,
+        auto_skew_pct: int = 20,
         enforce_delay_wallclock: bool = False,
         delay_scale: float = 1.0,
         fetch_partitions: int | None = None,
@@ -86,6 +87,7 @@ class CrawlEngine:
         warc_segments: int = 4,
         warc_wet: bool = False,
         warc_cdx: bool = False,
+        fetcher=None,
     ):
         from .shipping import ensure_shipped
 
@@ -127,8 +129,16 @@ class CrawlEngine:
         self.cuckoo_shard_m = cuckooops.shard_m_for(bloom_bits // 16, n_buckets)
         # two-phase per-host top-k in GENERATE (politeness.generate
         # skew_safe): identical output, no single window task holding a
-        # pathological host's whole frontier share
+        # pathological host's whole frontier share. Default None = AUTO:
+        # each cycle's pending host histogram (computed anyway for the
+        # salting decision) flips it on when the top host holds ≥
+        # auto_skew_pct % of pending candidates (and ≥ hot_host_min
+        # rows); likewise fetch_partitions=None auto-selects the LPT
+        # range-partitioned fetch width under detected skew. Both paths
+        # are trace-identical to the defaults (pytest-enforced), so
+        # auto-selection changes plans only, never results.
         self.skew_safe_generate = skew_safe_generate
+        self.auto_skew_pct = auto_skew_pct
         # trap-aware frontier ingest: drop calendar-loop/maze URLs from
         # the discovered pool BEFORE the dedup shuffle and seen joins —
         # a trap family never costs more than the one codegen scan that
@@ -185,6 +195,11 @@ class CrawlEngine:
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
+        # transport seam (fetchparse.fetch fetcher): None = the
+        # deterministic synthetic-web pure function; a picklable
+        # (url, retries) -> (ok, redirect, html) callable swaps in a
+        # real HTTP client (loopback-tested in tests/test_http_fetch.py)
+        self.fetcher = fetcher
         os.makedirs(workdir, exist_ok=True)
         # factory: real Iceberg tables when CCBOT_ICEBERG_CATALOG is
         # configured (cluster), Parquet-emulated store here (§7.3)
@@ -259,10 +274,10 @@ class CrawlEngine:
                 bc.destroy()
                 setattr(self, attr, None)
         if self._seen_shards is not None:
-            self._seen_shards.unpersist()
+            storagekit.release(self._seen_shards)
             self._seen_shards = None
         if self._phash_shards is not None:
-            self._phash_shards.unpersist()
+            storagekit.release(self._phash_shards)
             self._phash_shards = None
 
     def _seen_bc(self):
@@ -327,10 +342,12 @@ class CrawlEngine:
                 merged = cuckooops.merge_cuckoo_shards(self._seen_shards, delta)
             else:
                 merged = seenops.or_merge_shards(self._seen_shards, delta)
-            merged = merged.localCheckpoint()  # eager: materialized
-            # before the old checkpoint is released, lineage truncated
-            # so the merge chain never deepens across cycles
-            self._seen_shards.unpersist()
+            # eager: materialized before the old checkpoint is
+            # released, lineage truncated so the merge chain never
+            # deepens across cycles; storagekit so the old blocks are
+            # actually freed (plain unpersist is a no-op for them)
+            merged = storagekit.local_checkpoint(merged)
+            storagekit.release(self._seen_shards)
             self._seen_shards = merged
 
     def _save_state(self, cycle: int) -> None:
@@ -591,24 +608,75 @@ class CrawlEngine:
         robots_df = politeness.build_robots_table(
             pending.select("host").distinct(), cfg
         )
-        parts = politeness.generate(
-            pending, robots_df, skew_safe=self.skew_safe_generate
+        # ---- skew observation (one pending scan, three tiny jobs on
+        # the cached |hosts|-row histogram): feeds the hot-host salt
+        # list AND the auto skew decision. When the top host holds ≥
+        # auto_skew_pct % of pending candidates, the cycle flips to the
+        # two-phase GENERATE (no single window task owns the hot host's
+        # whole frontier share) and the LPT range-partitioned fetch
+        # (no hash-collision sleep stacking) — unless the user forced
+        # either flag. Output is identical on every path; this picks
+        # the plan a 100×-scale operator would have picked by hand.
+        host_counts = (
+            pending.groupBy("host")
+            .agg(F.count("*").alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        stats = host_counts.agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("top"),
+            F.count("*").alias("n_hosts"),
+        ).first()
+        total_pending = int(stats["total"] or 0)
+        top_host_n = int(stats["top"] or 0)
+        n_hosts = int(stats["n_hosts"] or 0)
+        hot = [
+            r["host"]
+            for r in host_counts.filter(F.col("n") >= self.hot_host_min)
+            .orderBy(F.col("n").desc(), F.col("host"))
+            .limit(16)
+            .collect()
+        ]
+        host_counts.unpersist()
+        skew_detected = (
+            total_pending > 0
+            and top_host_n >= self.hot_host_min
+            and top_host_n * 100 >= self.auto_skew_pct * total_pending
+        )
+        skew_safe = (
+            self.skew_safe_generate
+            if self.skew_safe_generate is not None
+            else skew_detected
+        )
+        fetch_parts = self.fetch_partitions
+        if fetch_parts is None and skew_detected:
+            # LPT width: ≥ one whole politeness group per task (hosts
+            # with candidates + the hot host's salt fan-out), above the
+            # 4×buckets threshold so downstream byte-bound stages
+            # re-coalesce, capped so the task count stays sane when the
+            # frontier spans millions of hosts
+            fetch_parts = int(
+                min(
+                    max(n_hosts + self.salt_fanout, 4 * self.n_buckets + 1),
+                    32 * self.n_buckets,
+                )
+            )
+        parts = politeness.generate(pending, robots_df, skew_safe=skew_safe)
         # denied feeds both the trace and the frontier merge; persist so
         # the robots-UDF + window stage runs once
         parts["denied"] = parts["denied"].persist(StorageLevel.MEMORY_AND_DISK)
 
-        hot = politeness.topk_hosts(pending, min_count=self.hot_host_min)
         _mark("generate_topk")
         fetched = fetchparse.fetch(
             parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout,
             enforce_delay_wallclock=self.enforce_delay_wallclock,
             delay_scale=self.delay_scale,
-            fetch_partitions=self.fetch_partitions,
+            fetch_partitions=fetch_parts,
             content_ver=cur_ver,
+            fetcher=self.fetcher,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         fetched_raw = fetched
-        if self.fetch_partitions and self.fetch_partitions > 4 * self.n_buckets:
+        if fetch_parts and fetch_parts > 4 * self.n_buckets:
             # the fetch stage over-partitions for delay balance; bring
             # the (byte-bound) downstream stages back to normal width
             fetched = fetched.repartition(self.n_buckets).persist(
@@ -702,9 +770,9 @@ class CrawlEngine:
                 # bucket-routed shards: no merged filter, no broadcast;
                 # each probe task holds one bucket's shard only
                 if self._seen_shards is None:  # first use / post-resume
-                    self._seen_shards = self._build_seen_shards(
-                        seen_df
-                    ).localCheckpoint()
+                    self._seen_shards = storagekit.local_checkpoint(
+                        self._build_seen_shards(seen_df)
+                    )
                 _mark("seen_bloom_build")
                 sure_new, maybe, split_cache = self._split_seen_shards(cand)
             else:
@@ -751,12 +819,14 @@ class CrawlEngine:
                 self.images.read().select("phash"), self.bloom_bits, col="phash"
             )
         if use_phash_bloom and self.bloom_sharded and self._phash_shards is None:
-            self._phash_shards = seenops.build_bloom_shards(
-                self.images.read().select("phash"),
-                self.n_buckets,
-                self.bloom_shard_bits,
-                col="phash",
-            ).localCheckpoint()
+            self._phash_shards = storagekit.local_checkpoint(
+                seenops.build_bloom_shards(
+                    self.images.read().select("phash"),
+                    self.n_buckets,
+                    self.bloom_shard_bits,
+                    col="phash",
+                )
+            )
         dd = imageops.dedup_by_phash(
             decoded,
             self.images.read().select("phash"),
@@ -962,6 +1032,10 @@ class CrawlEngine:
         if use_phash_bloom and self._phash_bloom is not None:
             _mark("phash_bloom_build")
         counts = {"cycle": cycle, "fetched": fetched.count()}
+        # observability: which skew plan this cycle actually ran
+        counts["skew_safe"] = bool(skew_safe)
+        if fetch_parts:
+            counts["fetch_partitions"] = int(fetch_parts)
         if self.recrawl_every:
             counts["not_modified"] = notmods.count()  # attempts is cached
         if content_dups is not None:
@@ -1032,7 +1106,14 @@ class CrawlEngine:
             from .functions import textkit
 
             cyc_dir = os.path.join(self.warc_dir, f"cycle={cycle:05d}")
-            warc_date = f"2026-01-01T00:{cycle // 60:02d}:{cycle % 60:02d}Z"
+            # deterministic logical timestamp: one second per cycle from
+            # a fixed epoch, rolled through full ISO fields so day-long
+            # crawls (cycle ≥ 3600) never emit an invalid :60+: minute
+            # (r3 ADVICE fix). datetime arithmetic caps/rolls days too.
+            import datetime as _dt
+
+            _d = _dt.datetime(2026, 1, 1) + _dt.timedelta(seconds=cycle)
+            warc_date = _d.strftime("%Y-%m-%dT%H:%M:%SZ")
             if self.warc_wet:
                 # WET companion: one "conversion" record per fetched
                 # page, body = JVM-extracted page text (textkit.wet_text
@@ -1130,10 +1211,10 @@ class CrawlEngine:
                 self.bloom_shard_bits,
                 col="phash",
             )
-            merged = seenops.or_merge_shards(
-                self._phash_shards, delta
-            ).localCheckpoint()
-            self._phash_shards.unpersist()
+            merged = storagekit.local_checkpoint(
+                seenops.or_merge_shards(self._phash_shards, delta)
+            )
+            storagekit.release(self._phash_shards)
             self._phash_shards = merged
 
         for df in (attempts, fetched_raw, links, cand, decoded, store,

@@ -44,9 +44,13 @@ def _persist(df: DataFrame) -> DataFrame:
 
 def clear_caches() -> None:
     """Unpersist every intermediate cached by this module's dedup
-    functions (safe while no returned DataFrame is still in use)."""
+    functions (safe while no returned DataFrame is still in use).
+    Routed through storagekit.release: connected_components registers
+    localCheckpoint frames whose blocks plain unpersist cannot free."""
+    from .. import storagekit
+
     while _ACTIVE_CACHES:
-        _ACTIVE_CACHES.pop().unpersist()
+        storagekit.release(_ACTIVE_CACHES.pop())
 
 
 # MinHash parameters (mirrored by tests/test_dedup.py's reference impl)
@@ -452,15 +456,22 @@ def connected_components(
     # Catalyst analysis dominates after a handful of rounds (caching
     # only short-circuits physical execution). Checkpointing truncates
     # lineage to a LogicalRDD — per-round plan cost stays constant.
+    # Checkpoints go through storagekit so their blocks are actually
+    # freed (DataFrame.unpersist is a no-op for checkpoint storage):
+    # each round releases the prior round's labels, and the final
+    # labels frame is registered for clear_caches().
+    from .. import storagekit
+
     und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    edges = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    edges = storagekit.local_checkpoint(
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = storagekit.local_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
         nb = (
@@ -484,7 +495,7 @@ def connected_components(
             )
             .select("node", F.least(F.col("lab"), F.col("_ll")).alias("lab"))
         )
-        new_labels = jumped.localCheckpoint()
+        new_labels = storagekit.local_checkpoint(jumped)
         changed = (
             new_labels.join(
                 labels.select("node", F.col("lab").alias("_olab")), "node"
@@ -492,7 +503,7 @@ def connected_components(
             .filter(F.col("lab") != F.col("_olab"))
             .count()
         )
-        labels.unpersist()
+        storagekit.release(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -500,6 +511,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
+    storagekit.release(edges)
+    _ACTIVE_CACHES.append(labels)  # final: freed by clear_caches()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )

@@ -36,7 +36,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import storagekit
+
 SCALE = 1_000_000
+
+# The returned ranks frame is a localCheckpoint whose blocks stay
+# executor-resident until explicitly freed (DataFrame.unpersist is a
+# no-op for checkpoint blocks — see storagekit). Long sessions running
+# many queries (bench.py, notebooks) call clear_caches() once the
+# result is consumed; intermediates are freed inside pagerank_int
+# itself, round by round.
+_ACTIVE_CHECKPOINTS: list[DataFrame] = []
+
+
+def clear_caches() -> None:
+    """Free the checkpoint blocks of every ranks frame returned by
+    pagerank_int (safe once no returned DataFrame is still in use)."""
+    while _ACTIVE_CHECKPOINTS:
+        storagekit.release(_ACTIVE_CHECKPOINTS.pop())
 
 
 def pagerank_int(
@@ -53,23 +70,23 @@ def pagerank_int(
     Nodes are the union of both endpoint columns; edges are directed
     and deduplicated (a repeated (src,dst) pair counts once, matching
     a link-graph's set semantics)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint()  # reused every round: truncate lineage once
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e0 = storagekit.local_checkpoint(e0)  # reused below: truncate lineage once
+    nodes = storagekit.local_checkpoint(
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     # outdeg is loop-invariant: join it onto the edges ONCE, so each
     # iteration is a single equi-join + one agg instead of two joins
-    e = (
-        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
-        .localCheckpoint()
+    e = storagekit.local_checkpoint(
+        e0.join(e0.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
     )
+    storagekit.release(e0)  # nodes and e are materialized; e0 is done
     base = (SCALE * (damping_den - damping_num)) // damping_den
 
     ranks = nodes.withColumn("rank_micro", F.lit(SCALE).cast("long"))
+    prev = None
     for _ in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -80,7 +97,7 @@ def pagerank_int(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = (
+        ranks = storagekit.local_checkpoint(  # eager: constant-depth plan
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -91,8 +108,13 @@ def pagerank_int(
                     )
                 ).cast("long").alias("rank_micro"),
             )
-            .localCheckpoint()  # eager: constant-depth plan per round
         )
+        storagekit.release(prev)  # prior round's blocks, no longer referenced
+        prev = ranks
+    storagekit.release(e)
+    if iterations > 0:  # 0 rounds: ranks still reads from the nodes blocks
+        storagekit.release(nodes)
+    _ACTIVE_CHECKPOINTS.append(ranks)  # final result: freed by clear_caches()
     return ranks
 
 

@@ -28,6 +28,24 @@ from .. import schemas, synthweb
 from . import urlops
 
 
+def default_fetcher(cfg: synthweb.WebConfig, content_ver: int):
+    """The synthetic-web fetcher: a pure function of the URL (the test
+    oracle's twin). Returns the seam signature below."""
+
+    def do_fetch(url: str, retries: int):
+        from .. import urlkit
+
+        ok = synthweb.fetch_ok(cfg, url, retries)
+        if not ok:
+            return False, None, ""
+        tgt = synthweb.redirect_of(cfg, url)
+        if tgt is not None:
+            return True, urlkit.normalize_url(tgt), ""
+        return True, None, synthweb.fetch(cfg, url, content_ver)
+
+    return do_fetch
+
+
 def fetch(
     batch: DataFrame,
     cfg: synthweb.WebConfig,
@@ -37,6 +55,7 @@ def fetch(
     delay_scale: float = 1.0,
     fetch_partitions: int | None = None,
     content_ver: int = 0,
+    fetcher=None,
 ) -> DataFrame:
     """batch: generate()['fetch'] → FETCHED DF (html attached).
 
@@ -61,8 +80,20 @@ def fetch(
     paid in milliseconds to save a max-span straggler per cycle).
     Never coalesced by AQE; other shuffles stay at
     spark.sql.shuffle.partitions.
+
+    fetcher: the transport seam — a picklable callable
+    ``(url, retries) -> (ok, redirect_or_None, html)`` executed inside
+    the Arrow worker. Defaults to the deterministic synthetic-web pure
+    function; production swaps in a real HTTP client, and
+    tests/test_http_fetch.py drives this exact seam over loopback
+    stdlib http.server sockets (proving the applyInPandas stage,
+    wall-clock politeness, and grouping survive a real transport).
+    A returned redirect target must already be normalized.
     """
     from pyspark.sql.window import Window
+
+    if fetcher is None:
+        fetcher = default_fetcher(cfg, content_ver)
 
     salted = batch.withColumn(
         "salt_key",
@@ -77,8 +108,6 @@ def fetch(
         group_keys = ["salt_key", "_span"]
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .. import urlkit
-
         pdf = pdf.sort_values(["sched_time", "url_norm"], kind="mergesort")
         unch_in = (
             pdf["unchanged"]
@@ -116,15 +145,14 @@ def fetch(
                 htmls.append("")
                 nms.append(True)
                 continue
-            ok = synthweb.fetch_ok(cfg, url, int(rt))
-            oks.append(ok)
+            # transport seam: synthetic pure function by default, real
+            # sockets in production / the loopback test
+            ok, tgt, html = fetcher(url, int(rt))
+            oks.append(bool(ok))
             # 301: slot consumed, no body; normalized Location target
             # rides along for the discovered-link path
-            tgt = synthweb.redirect_of(cfg, url) if ok else None
-            redirs.append(urlkit.normalize_url(tgt) if tgt is not None else None)
-            htmls.append(
-                synthweb.fetch(cfg, url, content_ver) if ok and tgt is None else ""
-            )
+            redirs.append(tgt)
+            htmls.append(html if ok and tgt is None else "")
             nms.append(False)
         out = pdf[["url_norm", "host", "priority", "sched_slot", "sched_time", "retries"]].copy()
         out["html"] = htmls

@@ -78,17 +78,26 @@ def surt_key(url_col) -> Column:
         c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    # query extraction anchored through scheme://host/path, exactly
+    # like urlkit._SURT_URL_RE — an unanchored `\?` would misread a
+    # '?' inside a fragment (…#f?x=1) as a query (round-3 ADVICE fix)
+    query = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+[^?#]*\?([^#]*)", 1
+    )
     sq = F.array_join(
         F.array_sort(F.filter(F.split(query, "&"), lambda s: s != F.lit(""))),
         "&",
     )
-    return F.concat(
-        rev,
-        port,
-        F.lit(")"),
-        path,
-        F.when(sq == "", F.lit("")).otherwise(F.concat(F.lit("?"), sq)),
+    # non-URL strings → NULL, matching urlkit.surt (not ')/'-garbage)
+    return F.when(
+        c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+"),
+        F.concat(
+            rev,
+            port,
+            F.lit(")"),
+            path,
+            F.when(sq == "", F.lit("")).otherwise(F.concat(F.lit("?"), sq)),
+        ),
     )
 
 

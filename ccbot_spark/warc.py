@@ -240,8 +240,15 @@ def write_segments(
                     out_row[c] = row[c]
                 rows.append(out_row)
             buf += member
-        with open(path, "wb") as fh:
+        # temp-name + atomic rename: a retried or speculative duplicate
+        # of this task writes its own temp file and the last completed
+        # os.replace wins whole — never an interleaved/truncated
+        # segment (r3 ADVICE fix; intended bytes are deterministic, so
+        # either winner is byte-identical)
+        tmp = f"{path}.tmp.{os.getpid()}.{id(buf)}"
+        with open(tmp, "wb") as fh:
             fh.write(bytes(buf))
+        os.replace(tmp, path)
         if not record_index:
             rows = [
                 {

@@ -174,6 +174,13 @@ def test_surt_key_jvm_matches_python_and_stays_jvm(spark):
         "https://example.com/?",
         "https://a.b.c.d.example.org/x/y/z?k=v&k=u&j=",
         "http://h0.test:9999/",
+        # fragment-bearing: a '?' after '#' is NOT a query (r3 ADVICE)
+        "http://ex.com/path#f?x=1",
+        "http://ex.com/p?real=1#frag?fake=2",
+        # non-URL strings → NULL on both sides, never ')/'-garbage
+        "not a url",
+        "",
+        "http://",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string").select(
         "url", urlops.surt_key("url").alias("surt")
@@ -187,21 +194,24 @@ def test_surt_key_jvm_matches_python_and_stays_jvm(spark):
 
 def test_surt_key_jvm_matches_python_grid(spark):
     """Exhaustive component grid (2 schemes x 4 hosts x 3 ports x 4
-    paths x 4 queries = 384 URLs) — JVM and python SURT agree on every
-    combination, not just hand-picked cases."""
+    paths x 4 queries x 3 fragments = 1152 URLs) — JVM and python SURT
+    agree on every combination, not just hand-picked cases. The
+    fragment dimension pins the r3 ADVICE fix: '#f?x=1' must never be
+    read as a query."""
     import itertools
 
     from ccbot_spark import urlkit
     from ccbot_spark.operators import urlops
 
     urls = [
-        f"{s}://{h}{p}{path}{q}"
-        for s, h, p, path, q in itertools.product(
+        f"{s}://{h}{p}{path}{q}{frag}"
+        for s, h, p, path, q, frag in itertools.product(
             ["http", "HTTPS"],
             ["ex.com", "www.ex.com", "A.B.ex.co.uk", "www.WWW.x.io"],
             ["", ":8080", ":1"],
             ["", "/", "/a/b", "/a%20b/c.d/"],
             ["", "?z=1", "?b=2&a=1&", "?dup=1&dup=0"],
+            ["", "#frag", "#f?x=1"],
         )
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string").select(

@@ -58,6 +58,54 @@ def test_path_of():
     assert robots.path_of("http://h.test") == "/"
 
 
+def test_vectorized_block_matches_scalar_allowed():
+    """The politeness UDF's per-rule vectorized matcher must be
+    verdict-identical to robots.allowed on every rule shape (plain
+    prefix, * wildcard, $ anchor, ties, empty sets) — it is the same
+    semantics executed one-pass-per-rule instead of one-call-per-URL."""
+    import pandas as pd
+
+    from ccbot_spark.operators import politeness
+
+    rule_sets = [
+        ([], []),
+        (["/private/ok"], ["/private/"]),
+        (["/p"], ["/p"]),
+        ([], ["/*/secret$"]),
+        ([], ["/a*b"]),
+        (["/a/*/c"], ["/a/"]),
+        (["/x$"], ["/x"]),
+    ]
+    paths = [
+        "/", "/private/ok/page", "/private/other", "/page", "/a/secret",
+        "/a/secret/x", "/aXXXb", "/a/b/c", "/a/zz/c", "/x", "/x/y", "/xy",
+    ]
+    for allow, disallow in rule_sets:
+        rules = politeness._compile_rules(tuple(allow), tuple(disallow))
+        got = politeness._allowed_block(rules, pd.Series(paths))
+        want = [robots.allowed(allow, disallow, p) for p in paths]
+        assert list(got) == want, (allow, disallow)
+
+
+@given(_rules := st.lists(
+    st.from_regex(r"[a-z0-9*$/]{1,8}", fullmatch=True).map(lambda s: "/" + s),
+    min_size=0, max_size=4,
+), _rules, st.lists(
+    st.from_regex(r"[a-z0-9/]{0,10}", fullmatch=True).map(lambda s: "/" + s),
+    min_size=1, max_size=8,
+))
+@settings(max_examples=150, deadline=None)
+def test_vectorized_block_property(allow, disallow, paths):
+    import pandas as pd
+
+    from ccbot_spark.operators import politeness
+
+    rules = politeness._compile_rules(tuple(allow), tuple(disallow))
+    got = politeness._allowed_block(rules, pd.Series(paths))
+    want = [robots.allowed(allow, disallow, p) for p in paths]
+    assert list(got) == want, (allow, disallow, paths)
+
+
 _path_seg = st.from_regex(r"[a-z0-9]{1,6}", fullmatch=True)
 _path_st = st.lists(_path_seg, min_size=0, max_size=4).map(
     lambda segs: "/" + "/".join(segs)

@@ -118,6 +118,45 @@ def test_skew_safe_generate_identical_plan_shape(spark, skewed_fetch):
     assert "SPARK_PARTITION_ID" in plan.upper(), plan
 
 
+def test_auto_skew_defaults_engage_and_match_oracle(spark, tmp_path):
+    """VERDICT r3 item 2: a DEFAULT-config engine (skew_safe_generate
+    and fetch_partitions unset) must itself detect hot-host skew from
+    the pending histogram, flip the two-phase GENERATE + LPT fetch on,
+    and still reproduce the oracle trace byte-for-byte — the scale-
+    critical knobs are auto-selected, not opt-in."""
+    cfg = synthweb.WebConfig(n_hosts=5, pages_per_host=60, hot_frac_pct=30)
+    seeds = synthweb.seed_urls(cfg, 20)
+    want = oracle.crawl(cfg, seeds, cycles=2)
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "autoskew"), n_buckets=8,
+        use_bloom=True, bloom_min_seen=0, record_trace=True,
+        hot_host_min=10,  # sandbox-sized web; production default 2000
+    )
+    out = eng.crawl(seeds, cycles=2)
+    # auto detection engaged on at least one cycle (the hot host owns
+    # ~30% of discovered links, far above the 20% default threshold)
+    assert any(c["skew_safe"] for c in out), out
+    assert any(c.get("fetch_partitions", 0) > 4 * 8 for c in out), out
+    rows = eng.trace.read().orderBy("seq").collect()
+    got = [(r.seq, r.cycle, r.url_norm, r.host, r.sched_slot, r.action)
+           for r in rows]
+    assert got == want.trace
+
+
+def test_auto_skew_stays_off_on_uniform_web(spark, tmp_path):
+    """No host dominates → the default engine keeps the single-window
+    GENERATE and hash fetch partitioning (no pointless extra phase)."""
+    cfg = synthweb.WebConfig(n_hosts=8, pages_per_host=20, hot_frac_pct=0)
+    seeds = synthweb.seed_urls(cfg, 16)
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "uniform"), n_buckets=8,
+        bloom_min_seen=0, record_trace=False, hot_host_min=10,
+    )
+    out = eng.crawl(seeds, cycles=1)
+    assert not any(c["skew_safe"] for c in out), out
+    assert not any("fetch_partitions" in c for c in out), out
+
+
 def test_skew_safe_engine_trace_identical(spark, tmp_path):
     """Full-engine gate: skew-safe generate + a hot-host web (25% of
     cross-host links on host 0) reproduce the oracle trace exactly."""
