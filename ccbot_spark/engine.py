@@ -88,6 +88,7 @@ class CrawlEngine:
         warc_wet: bool = False,
         warc_cdx: bool = False,
         fetcher=None,
+        fetch_checkpoint: bool = False,
     ):
         from .shipping import ensure_shipped
 
@@ -200,6 +201,17 @@ class CrawlEngine:
         # (url, retries) -> (ok, redirect, html) callable swaps in a
         # real HTTP client (loopback-tested in tests/test_http_fetch.py)
         self.fetcher = fetcher
+        # mid-cycle checkpoint: at 100 TB a cycle is hours and FETCH is
+        # the stage that consumes politeness slots — a crash after it
+        # must NOT re-fetch. With fetch_checkpoint on, the fetch output
+        # (attempts + the generate verdicts that feed trace/merge) is
+        # snapshotted to the workdir as soon as it materializes; a
+        # resumed run finds the snapshot and re-enters the cycle at
+        # PARSE, byte-identical to the uninterrupted run (pytest-gated
+        # kill-after-fetch test). Off by default: it doubles the fetch
+        # stage's write IO.
+        self.fetch_checkpoint = fetch_checkpoint
+        self._crash_after_fetch = False  # test hook: die post-snapshot
         os.makedirs(workdir, exist_ok=True)
         # factory: real Iceberg tables when CCBOT_ICEBERG_CATALOG is
         # configured (cluster), Parquet-emulated store here (§7.3)
@@ -350,6 +362,64 @@ class CrawlEngine:
             storagekit.release(self._seen_shards)
             self._seen_shards = merged
 
+    # ------------------------------------------------- fetch snapshot
+
+    def _fetch_snap_dir(self) -> str:
+        return os.path.join(self.workdir, "fetch_snapshot")
+
+    def _write_fetch_snapshot(self, cycle: int, attempts, parts) -> None:
+        """Persist the fetch stage's output mid-cycle: attempts (every
+        consumed politeness slot, html attached) plus the GENERATE
+        verdicts the rest of the cycle needs (denied → trace + merge,
+        skipped → trace). Parquet writes are the materializing action —
+        the wall-clock politeness sleeps happen here — and the marker
+        lands atomically last, so a crash mid-write leaves no usable
+        snapshot (the resumed run simply re-fetches)."""
+        import shutil
+
+        d = self._fetch_snap_dir()
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        frames = {"attempts": attempts, "denied": parts["denied"],
+                  "skipped": parts["skipped"]}
+        schemas_json = {}
+        for name, df in frames.items():
+            df.write.mode("overwrite").parquet(os.path.join(d, name))
+            # stored schema: an empty frame writes no part files, and
+            # only an explicit schema lets the read return it as empty
+            schemas_json[name] = df.schema.json()
+        tmp = os.path.join(d, "marker.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"cycle": cycle, "schemas": schemas_json}, f)
+        os.replace(tmp, os.path.join(d, "marker.json"))
+
+    def _load_fetch_snapshot(self, cycle: int):
+        """The cycle's committed fetch snapshot, or None. Stale markers
+        (different cycle) are ignored; resume() prunes them."""
+        if not self.fetch_checkpoint:
+            return None
+        marker = os.path.join(self._fetch_snap_dir(), "marker.json")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            m = json.load(f)
+        if m["cycle"] != cycle:
+            return None
+        out = {}
+        for name, sj in m["schemas"].items():
+            schema = T.StructType.fromJson(json.loads(sj))
+            out[name] = self.spark.read.schema(schema).parquet(
+                os.path.join(self._fetch_snap_dir(), name)
+            )
+        return out
+
+    def _drop_fetch_snapshot(self) -> None:
+        import shutil
+
+        d = self._fetch_snap_dir()
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
     def _save_state(self, cycle: int) -> None:
         for t in self._tables:
             t.tag(f"cycle-{cycle}")
@@ -439,6 +509,14 @@ class CrawlEngine:
             v = t.tagged_version(f"cycle-{cycle}")
             if v is not None:
                 t.rollback(v)
+        # prune a fetch snapshot the committed state already covers
+        # (crash between commit and snapshot cleanup); a snapshot for
+        # cycle+1 is the crash-after-FETCH case and stays
+        marker = os.path.join(self._fetch_snap_dir(), "marker.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if json.load(f)["cycle"] <= cycle:
+                    self._drop_fetch_snapshot()
         return cycle
 
     # ------------------------------------------------------------ seeding
@@ -546,6 +624,7 @@ class CrawlEngine:
         # overwrite invalidates the incremental filters (stale blooms
         # would MISS the new seed urls)
         self._reset_blooms()
+        self._drop_fetch_snapshot()  # a reseed invalidates mid-cycle state
         self._save_state(0)
 
     # ------------------------------------------------------------ cycle
@@ -569,120 +648,136 @@ class CrawlEngine:
                 now = _time.time()
                 _t[name] = round(now - _t0, 2)
                 _t0 = now
-        # candidates: pending, plus errored entries with retry budget
-        # left (transient-failure recrawl; mirrors oracle.MAX_RETRIES),
-        # plus — when the revisit policy is on — fetched pages due for
-        # a recrawl (last successful fetch ≥ recrawl_every cycles ago)
-        cand_pred = (F.col("status") == "pending") | (
-            (F.col("status") == "error") & (F.col("retries") < MAX_RETRIES)
-        )
-        if self.recrawl_every:
-            # per-row due check: interval == recrawl_every unless the
-            # adaptive policy has moved it
-            cand_pred = cand_pred | (
-                (F.col("status") == "fetched")
-                & (F.col("last_cycle") + F.col("interval") <= F.lit(cycle))
-            )
-        pending = self.frontier.read().filter(cand_pred)
-        # conditional-GET verdict, decided JVM-side before the fetch:
-        # a recrawl candidate whose last fetch falls in the current
-        # content epoch will answer 304 (slot consumed, no body)
-        cur_ver = synthweb.content_version(cfg, cycle)
-        if self.recrawl_every:
-            if cfg.change_every:
-                unchanged = (F.col("status") == "fetched") & (
-                    F.expr(f"last_cycle div {cfg.change_every}") == F.lit(cur_ver)
-                )
-            else:
-                unchanged = F.col("status") == "fetched"  # static web
+        # ---- mid-cycle resume: a committed fetch snapshot for this
+        # cycle means a prior run crashed after FETCH — re-enter at
+        # PARSE with the snapshotted politeness outcomes so no slot
+        # is consumed twice (fetch_checkpoint).
+        snap = self._load_fetch_snapshot(cycle)
+        if snap is not None:
+            attempts = snap["attempts"]
+            fetched_raw = attempts
+            parts = {"denied": snap["denied"], "skipped": snap["skipped"]}
+            skew_safe, fetch_parts = False, None  # bookkeeping only
+            _mark("generate_topk")
         else:
-            unchanged = F.lit(False)
-        pending = pending.withColumn("unchanged", unchanged)
-        if self.age_boost:
-            pending = pending.withColumn(
-                "_eff",
-                F.col("priority")
-                + F.lit(self.age_boost)
-                * (F.lit(cycle) - F.col("cycle_added")),
+            # candidates: pending, plus errored entries with retry budget
+            # left (transient-failure recrawl; mirrors oracle.MAX_RETRIES),
+            # plus — when the revisit policy is on — fetched pages due for
+            # a recrawl (last successful fetch ≥ recrawl_every cycles ago)
+            cand_pred = (F.col("status") == "pending") | (
+                (F.col("status") == "error") & (F.col("retries") < MAX_RETRIES)
             )
-        robots_df = politeness.build_robots_table(
-            pending.select("host").distinct(), cfg
-        )
-        # ---- skew observation (one pending scan, three tiny jobs on
-        # the cached |hosts|-row histogram): feeds the hot-host salt
-        # list AND the auto skew decision. When the top host holds ≥
-        # auto_skew_pct % of pending candidates, the cycle flips to the
-        # two-phase GENERATE (no single window task owns the hot host's
-        # whole frontier share) and the LPT range-partitioned fetch
-        # (no hash-collision sleep stacking) — unless the user forced
-        # either flag. Output is identical on every path; this picks
-        # the plan a 100×-scale operator would have picked by hand.
-        host_counts = (
-            pending.groupBy("host")
-            .agg(F.count("*").alias("n"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        stats = host_counts.agg(
-            F.sum("n").alias("total"),
-            F.max("n").alias("top"),
-            F.count("*").alias("n_hosts"),
-        ).first()
-        total_pending = int(stats["total"] or 0)
-        top_host_n = int(stats["top"] or 0)
-        n_hosts = int(stats["n_hosts"] or 0)
-        hot = [
-            r["host"]
-            for r in host_counts.filter(F.col("n") >= self.hot_host_min)
-            .orderBy(F.col("n").desc(), F.col("host"))
-            .limit(16)
-            .collect()
-        ]
-        host_counts.unpersist()
-        skew_detected = (
-            total_pending > 0
-            and top_host_n >= self.hot_host_min
-            and top_host_n * 100 >= self.auto_skew_pct * total_pending
-        )
-        skew_safe = (
-            self.skew_safe_generate
-            if self.skew_safe_generate is not None
-            else skew_detected
-        )
-        fetch_parts = self.fetch_partitions
-        if fetch_parts is None and skew_detected:
-            # LPT width: ≥ one whole politeness group per task (hosts
-            # with candidates + the hot host's salt fan-out), above the
-            # 4×buckets threshold so downstream byte-bound stages
-            # re-coalesce, capped so the task count stays sane when the
-            # frontier spans millions of hosts
-            fetch_parts = int(
-                min(
-                    max(n_hosts + self.salt_fanout, 4 * self.n_buckets + 1),
-                    32 * self.n_buckets,
+            if self.recrawl_every:
+                # per-row due check: interval == recrawl_every unless the
+                # adaptive policy has moved it
+                cand_pred = cand_pred | (
+                    (F.col("status") == "fetched")
+                    & (F.col("last_cycle") + F.col("interval") <= F.lit(cycle))
                 )
+            pending = self.frontier.read().filter(cand_pred)
+            # conditional-GET verdict, decided JVM-side before the fetch:
+            # a recrawl candidate whose last fetch falls in the current
+            # content epoch will answer 304 (slot consumed, no body)
+            cur_ver = synthweb.content_version(cfg, cycle)
+            if self.recrawl_every:
+                if cfg.change_every:
+                    unchanged = (F.col("status") == "fetched") & (
+                        F.expr(f"last_cycle div {cfg.change_every}") == F.lit(cur_ver)
+                    )
+                else:
+                    unchanged = F.col("status") == "fetched"  # static web
+            else:
+                unchanged = F.lit(False)
+            pending = pending.withColumn("unchanged", unchanged)
+            if self.age_boost:
+                pending = pending.withColumn(
+                    "_eff",
+                    F.col("priority")
+                    + F.lit(self.age_boost)
+                    * (F.lit(cycle) - F.col("cycle_added")),
+                )
+            robots_df = politeness.build_robots_table(
+                pending.select("host").distinct(), cfg
             )
-        parts = politeness.generate(pending, robots_df, skew_safe=skew_safe)
-        # denied feeds both the trace and the frontier merge; persist so
-        # the robots-UDF + window stage runs once
-        parts["denied"] = parts["denied"].persist(StorageLevel.MEMORY_AND_DISK)
+            # ---- skew observation (one pending scan, three tiny jobs on
+            # the cached |hosts|-row histogram): feeds the hot-host salt
+            # list AND the auto skew decision. When the top host holds ≥
+            # auto_skew_pct % of pending candidates, the cycle flips to the
+            # two-phase GENERATE (no single window task owns the hot host's
+            # whole frontier share) and the LPT range-partitioned fetch
+            # (no hash-collision sleep stacking) — unless the user forced
+            # either flag. Output is identical on every path; this picks
+            # the plan a 100×-scale operator would have picked by hand.
+            host_counts = (
+                pending.groupBy("host")
+                .agg(F.count("*").alias("n"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            stats = host_counts.agg(
+                F.sum("n").alias("total"),
+                F.max("n").alias("top"),
+                F.count("*").alias("n_hosts"),
+            ).first()
+            total_pending = int(stats["total"] or 0)
+            top_host_n = int(stats["top"] or 0)
+            n_hosts = int(stats["n_hosts"] or 0)
+            hot = [
+                r["host"]
+                for r in host_counts.filter(F.col("n") >= self.hot_host_min)
+                .orderBy(F.col("n").desc(), F.col("host"))
+                .limit(16)
+                .collect()
+            ]
+            host_counts.unpersist()
+            skew_detected = (
+                total_pending > 0
+                and top_host_n >= self.hot_host_min
+                and top_host_n * 100 >= self.auto_skew_pct * total_pending
+            )
+            skew_safe = (
+                self.skew_safe_generate
+                if self.skew_safe_generate is not None
+                else skew_detected
+            )
+            fetch_parts = self.fetch_partitions
+            if fetch_parts is None and skew_detected:
+                # LPT width: ≥ one whole politeness group per task (hosts
+                # with candidates + the hot host's salt fan-out), above the
+                # 4×buckets threshold so downstream byte-bound stages
+                # re-coalesce, capped so the task count stays sane when the
+                # frontier spans millions of hosts
+                fetch_parts = int(
+                    min(
+                        max(n_hosts + self.salt_fanout, 4 * self.n_buckets + 1),
+                        32 * self.n_buckets,
+                    )
+                )
+            parts = politeness.generate(pending, robots_df, skew_safe=skew_safe)
+            # denied feeds both the trace and the frontier merge; persist so
+            # the robots-UDF + window stage runs once
+            parts["denied"] = parts["denied"].persist(StorageLevel.MEMORY_AND_DISK)
 
-        _mark("generate_topk")
-        fetched = fetchparse.fetch(
-            parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout,
-            enforce_delay_wallclock=self.enforce_delay_wallclock,
-            delay_scale=self.delay_scale,
-            fetch_partitions=fetch_parts,
-            content_ver=cur_ver,
-            fetcher=self.fetcher,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        fetched_raw = fetched
-        if fetch_parts and fetch_parts > 4 * self.n_buckets:
-            # the fetch stage over-partitions for delay balance; bring
-            # the (byte-bound) downstream stages back to normal width
-            fetched = fetched.repartition(self.n_buckets).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-        attempts = fetched  # every consumed slot (ok + redirected + errored)
+            _mark("generate_topk")
+            fetched = fetchparse.fetch(
+                parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout,
+                enforce_delay_wallclock=self.enforce_delay_wallclock,
+                delay_scale=self.delay_scale,
+                fetch_partitions=fetch_parts,
+                content_ver=cur_ver,
+                fetcher=self.fetcher,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            fetched_raw = fetched
+            if fetch_parts and fetch_parts > 4 * self.n_buckets:
+                # the fetch stage over-partitions for delay balance; bring
+                # the (byte-bound) downstream stages back to normal width
+                fetched = fetched.repartition(self.n_buckets).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+            attempts = fetched  # every consumed slot (ok + redirected + errored)
+            if self.fetch_checkpoint:
+                self._write_fetch_snapshot(cycle, attempts, parts)
+                if self._crash_after_fetch:
+                    raise RuntimeError("test hook: crash after fetch snapshot")
         fetched = attempts.filter(
             F.col("ok") & F.col("redirect").isNull() & ~F.col("not_modified")
         )
@@ -1232,6 +1327,9 @@ class CrawlEngine:
         _mark("bloom_deltas")
         self.last_cycle = cycle
         self._save_state(cycle)
+        if self.fetch_checkpoint:
+            # the cycle is committed; its mid-cycle snapshot is spent
+            self._drop_fetch_snapshot()
         self._record_lineage(cycle)
         if self.compact_every and (cycle + 1) % self.compact_every == 0:
             # bound the COW small-file growth on the churned tables;

@@ -44,8 +44,14 @@ def parse_args():
     p.add_argument("--delay-scale", type=float, default=1.0,
                    help="compress the politeness clock by this factor")
     p.add_argument("--skew-safe", action="store_true",
-                   help="two-phase per-host top-k in GENERATE (no single "
-                        "window task holds a hot host's whole frontier share)")
+                   help="force the two-phase per-host top-k in GENERATE on "
+                        "every cycle (default: AUTO — the engine flips it on "
+                        "when the pending host histogram shows one host "
+                        "holding >= 20%% of candidates)")
+    p.add_argument("--fetch-checkpoint", action="store_true",
+                   help="snapshot the fetch output mid-cycle so a crash "
+                        "after FETCH resumes at PARSE without re-spending "
+                        "politeness slots (doubles fetch-stage write IO)")
     p.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default="bloom",
                    help="URL-seen prefilter flavor (cuckoo adds deletion "
                         "support at the same memory budget)")
@@ -152,7 +158,8 @@ def main() -> None:
         enforce_delay_wallclock=args.enforce_delay,
         delay_scale=args.delay_scale,
         fetch_partitions=args.fetch_partitions,
-        skew_safe_generate=args.skew_safe,
+        skew_safe_generate=True if args.skew_safe else None,
+        fetch_checkpoint=args.fetch_checkpoint,
         seen_filter=args.seen_filter,
         compact_every=args.compact_every,
         rank_every=args.rank_every,

@@ -41,17 +41,19 @@ def run_one(master: str, workdir: str, args) -> dict:
         "--cycles", str(args.cycles),
         "--buckets", "32",
         "--shuffle-partitions", "32",  # byte-bound shuffles: modest + AQE
-        # fetch stage only: ≥ #groups partitions so every task owns
-        # ~one whole politeness group (range-partitioned by span DESC
-        # — LPT order, no hash-collision sleep stacking; AQE never
-        # coalesces an explicit repartition)
-        "--fetch-partitions", str(args.fetch_partitions),
         "--workdir", workdir,
         "--warmup",
         "--enforce-delay",
         "--delay-scale", str(args.delay_scale),
         "--hot-pct", str(args.hot_pct),
     ]
+    if args.fetch_partitions:
+        # fetch stage only: ≥ #groups partitions so every task owns
+        # ~one whole politeness group (range-partitioned by span DESC
+        # — LPT order, no hash-collision sleep stacking; AQE never
+        # coalesces an explicit repartition). 0 = let the engine's
+        # auto-skew detection pick the width itself.
+        cmd += ["--fetch-partitions", str(args.fetch_partitions)]
     if args.skew_safe:
         cmd.append("--skew-safe")
     t0 = time.time()
@@ -133,7 +135,10 @@ def main() -> None:
 Same crawl job (`main.py`, the spark-submit entry), same input
 (deterministic synthetic web: {args.hosts} hosts x {args.pages} pages,
 {args.seeds} seeds, {args.cycles} cycles, hot-host link share
-{args.hot_pct}%, skew-safe generate {"ON" if args.skew_safe else "off"},
+{args.hot_pct}%, skew-safe generate
+{"ON (forced)" if args.skew_safe else "AUTO (engine-detected per cycle from the pending host histogram)"},
+fetch partitioning
+{f"LPT over {args.fetch_partitions} range partitions (forced)" if args.fetch_partitions else "AUTO (engine-selected LPT width under detected skew)"},
 politeness delay enforced at wall-clock scale {args.delay_scale}), two
 parallelism levels in separate JVMs, identical plans
 (`spark.sql.shuffle.partitions=32` both).
@@ -146,11 +151,12 @@ parallelism levels in separate JVMs, identical plans
 **Scaling efficiency (thru_4N / (4 x thru_N)) = {eff}** (target ≥ 0.8)
 
 History: round 1 measured 0.822 (1 cycle, 6,711 events); round 2
-measured 0.815 (2 sustained cycles, 22,223 events) — per-cycle
-throughput holds as the frontier grows, closing the
-fixed-cost-amortization argument with data (cycle 2 fetches the links
-cycle 1 discovered, exercising frontier MERGE, seen anti-join, and
-incremental Blooms at grown table sizes).
+measured 0.815 (2 sustained cycles, 22,223 events); round 3 measured
+0.897 uniform / 0.929 under 30% single-host skew with salting +
+skew-safe GENERATE forced on — per-cycle throughput holds as the
+frontier grows, closing the fixed-cost-amortization argument with data
+(cycle 2 fetches the links cycle 1 discovered, exercising frontier
+MERGE, seen anti-join, and incremental Blooms at grown table sizes).
 
 Determinism gate: the two runs' crawl traces are
 **{"byte-identical" if identical else "DIFFERENT — BUG"}**
