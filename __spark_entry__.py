@@ -960,6 +960,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_mm_keeper"] = img_mm_keeper
 
+    def img_header_meta(spark, sf_dir):
+        # JVM-side binary header parse: container sniffed and dims
+        # pulled from the blob's first bytes (PNG IHDR big-endian /
+        # PPM ASCII header) with zero Python and zero decode. The
+        # synth blobs are a pure function of doc_id (dims =
+        # 16 + (doc_id%150)*{7,11} % 97, fmt cycles ppm/png/qpng), so
+        # DuckDB re-derives the ENCODED dims arithmetically — a green
+        # row proves the binary parse reads back exactly what the
+        # codec wrote. qpng is a PNG container, hence 2/3 'png'.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(docs)
+        return multimodal.header_meta(imgs).select(
+            "image_id", "container", "hdr_w", "hdr_h"
+        )
+    q["img_header_meta"] = img_header_meta
+
+    def img_size_hist(spark, sf_dir):
+        # corpus resolution profile chained ON the header parse (one
+        # metadata-speed scan + one tiny hash-agg) — class bounds over
+        # the max side, pixel totals summed as int64
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        meta = multimodal.header_meta(multimodal.synth_images_from_docs(docs))
+        return multimodal.size_histogram(meta)
+    q["img_size_hist"] = img_size_hist
+
+    def img_exact_dedup(spark, sf_dir):
+        # byte-exact image dedup via JVM md5 over the binary column:
+        # blobs reduce to 16-byte digests map-side, the shuffle moves
+        # digests, not pixels. Synth images are byte-identical iff
+        # doc_id % 150 collides (same pixel seed; fmt cycle period 3
+        # divides 150, so the container matches too) — the oracle
+        # groups on that arithmetic instead of the digest.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        return multimodal.exact_dup_groups(
+            multimodal.synth_images_from_docs(docs)
+        )
+    q["img_exact_dedup"] = img_exact_dedup
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -1968,6 +2006,50 @@ def oracle_sql() -> dict[str, str]:
                                '^(img_[0-9]+|dsc[0-9]+|untitled|no caption)')
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM feat
+    """
+
+    # --- img_header_meta: the synth images encode dims that are a pure
+    # function of doc_id, so the oracle re-derives WHAT THE CODEC WROTE
+    # arithmetically; Spark must read the same numbers back out of the
+    # binary headers (PNG IHDR / PPM ASCII) to hash-match.
+    o["img_header_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'png' END AS container,
+               CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS hdr_w,
+               CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS hdr_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_size_hist: same dim arithmetic folded to the class
+    # histogram (sums cast to BIGINT — DuckDB SUM is HUGEINT).
+    o["img_size_hist"] = """
+        WITH dims AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'png' END AS container,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h
+          FROM documents WHERE doc_id < 450
+        )
+        SELECT container,
+               CASE WHEN greatest(w, h) < 32 THEN 'icon'
+                    WHEN greatest(w, h) < 64 THEN 'small'
+                    WHEN greatest(w, h) < 96 THEN 'medium'
+                    ELSE 'large' END AS size_class,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(w * h) AS BIGINT) AS total_px
+        FROM dims GROUP BY 1, 2
+    """
+
+    # --- img_exact_dedup: byte-identity groups are doc_id % 150
+    # classes by construction (same pixel seed, same container);
+    # Spark groups on md5(bytes) and must land on the same keepers.
+    o["img_exact_dedup"] = """
+        WITH g AS (
+          SELECT doc_id % 150 AS grp,
+                 MIN('doc-' || CAST(doc_id AS VARCHAR)) AS keeper,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM documents WHERE doc_id < 450 GROUP BY 1
+        )
+        SELECT keeper, n_copies FROM g WHERE n_copies >= 2
     """
 
     # --- img_mm_dedup: phash-band near pairs (img_phash_near synthesis,

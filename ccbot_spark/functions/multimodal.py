@@ -175,6 +175,99 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     return videos.mapInPandas(gen, schema=schema)
 
 
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def header_meta(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Container sniff + dimension parse from the BINARY column alone —
+    entirely JVM column expressions (substring/hex/conv/regexp inside
+    whole-stage codegen): no decode, no Python, no trust in carried
+    metadata. This is the shape a crawler needs at 100 TB: unlabeled
+    blobs arrive, and resolution gates must run at scan speed without
+    inflating a single pixel.
+
+      * PNG (and qpng, which is a PNG container): 8-byte signature,
+        then the IHDR chunk puts big-endian width at byte 17 and
+        height at byte 21 (1-based) — `conv(hex(substring(b)),16,10)`.
+      * PPM P6: ASCII header `P6 <w> <h> <maxval>`; the first 32 bytes
+        decode as ISO-8859-1 (total — every byte maps, unlike UTF-8)
+        and a regexp pulls the dims. Comment-bearing headers (`#`,
+        legal in PPM but never emitted by ccbot_spark.codecs) parse
+        as NULL rather than wrong.
+
+    Output keeps every input column except the blob, plus
+    (container, hdr_w, hdr_h, nbytes); unknown magic → all NULL.
+    Pixel-exactness vs the real decoders is pytest-gated; the
+    img_header_meta oracle re-derives the dims arithmetically in
+    DuckDB, so the binary parse is value-checked end-to-end."""
+    b = F.col(bytes_col)
+    is_png = F.hex(F.substring(b, 1, 8)) == F.lit(PNG_MAGIC_HEX)
+    hdr = F.decode(F.substring(b, 1, 32), "ISO-8859-1")
+    is_ppm = hdr.rlike(r"^P6\s+[0-9]+\s+[0-9]+\s")
+    png_w = F.conv(F.hex(F.substring(b, 17, 4)), 16, 10).cast("long")
+    png_h = F.conv(F.hex(F.substring(b, 21, 4)), 16, 10).cast("long")
+    ppm_w = F.regexp_extract(hdr, r"^P6\s+([0-9]+)\s+([0-9]+)\s", 1).cast("long")
+    ppm_h = F.regexp_extract(hdr, r"^P6\s+([0-9]+)\s+([0-9]+)\s", 2).cast("long")
+    container = F.when(is_png, F.lit("png")).when(is_ppm, F.lit("ppm"))
+    keep = [c for c in images.columns if c != bytes_col]
+    return images.select(
+        *keep,
+        container.alias("container"),
+        F.when(is_png, png_w).when(is_ppm, ppm_w).alias("hdr_w"),
+        F.when(is_png, png_h).when(is_ppm, ppm_h).alias("hdr_h"),
+        F.length(b).cast("long").alias("nbytes"),
+    )
+
+
+def size_histogram(meta: DataFrame) -> DataFrame:
+    """Corpus profile over header-parsed dims: (container, size_class)
+    → image count + total pixels. Chained on header_meta this profiles
+    a 100 TB image corpus with one metadata-speed scan and one tiny
+    hash-agg (map-side partial; output rows = #containers ×
+    #classes) — the report a curation run consults before choosing
+    resolution gates. Class bounds follow the max side."""
+    side = F.greatest("hdr_w", "hdr_h")
+    size_class = (
+        F.when(side < 32, F.lit("icon"))
+        .when(side < 64, F.lit("small"))
+        .when(side < 96, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        meta.filter(F.col("container").isNotNull())
+        .groupBy("container", size_class.alias("size_class"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("hdr_w") * F.col("hdr_h")).alias("total_px"),
+        )
+    )
+
+
+def exact_dup_groups(
+    images: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
+) -> DataFrame:
+    """Byte-exact image dedup — the content-addressable-store step that
+    runs BEFORE any perceptual pass (mirrors and hotlinked re-posts are
+    byte-identical; at web scale they are the bulk of image duplicates).
+    `md5(bytes)` is a JVM built-in over binary, so the blob is read
+    once, reduced to a 16-byte digest map-side, and the shuffle moves
+    digests, not pixels; the groupBy partial-aggregates before the
+    exchange. Returns one row per duplicate group: lexicographic-min
+    id as keeper + copy count (groups of one are not duplicates and
+    are filtered pre-shuffle-read)."""
+    g = (
+        images.select(
+            F.col(id_col), F.md5(F.col(bytes_col)).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    return g.filter(F.col("n_copies") >= 2).select("keeper", "n_copies")
+
+
 def curation_features(
     images: DataFrame,
     min_side: int = 64,

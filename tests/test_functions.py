@@ -256,6 +256,58 @@ def test_phash_near_finds_duplicate_content(spark, images):
     assert want <= got
 
 
+def test_header_meta_reads_back_encoded_dims(spark, images):
+    # the JVM binary parse (no decode, no Python) must agree with the
+    # metadata the encoder was given, for all three container formats
+    rows = multimodal.header_meta(images).collect()
+    meta = {
+        r.image_id: r for r in images.select("image_id", "w", "h", "fmt").collect()
+    }
+    assert len(rows) == len(meta)
+    for r in rows:
+        m = meta[r.image_id]
+        want_container = "ppm" if m.fmt == "ppm" else "png"  # qpng = PNG container
+        assert (r.container, r.hdr_w, r.hdr_h) == (want_container, m.w, m.h)
+        assert r.nbytes > 0
+    raw = {r.image_id: len(bytes(r.bytes)) for r in images.collect()}
+    assert all(r.nbytes == raw[r.image_id] for r in rows)
+
+
+def test_header_meta_unknown_magic_and_jvm_only_plan(spark, tmp_path):
+    # unknown blobs parse to NULL, never to garbage; and the whole
+    # operator stays JVM-side (binary blobs never cross into Python)
+    df = spark.createDataFrame(
+        [("a", b"\xff\xd8\xff\xe0 not a supported container"),
+         ("b", b""), ("c", b"P6 garbage")],
+        "image_id string, bytes binary",
+    )
+    out = {r.image_id: r for r in multimodal.header_meta(df).collect()}
+    for k in ("a", "b", "c"):
+        assert out[k].container is None
+        assert out[k].hdr_w is None and out[k].hdr_h is None
+    from ccbot_spark.plans import explainkit
+
+    p = str(tmp_path / "imgs")
+    df.write.parquet(p)
+    plan = explainkit.formatted_plan(multimodal.header_meta(spark.read.parquet(p)))
+    for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert pynode not in plan, plan
+
+
+def test_exact_dup_groups_finds_byte_identical_reposts(spark, images):
+    # d and d+150 share pixel seed AND container (fmt cycle period 3
+    # divides 150) → byte-identical blobs; nothing else collides
+    got = {
+        r.keeper: r.n_copies
+        for r in multimodal.exact_dup_groups(images).collect()
+    }
+    want = {
+        min(f"doc-{d}", f"doc-{d + 150}"): 2 for d in range(10)
+    }
+    assert got == want
+
+
 def test_repetition_features_gate(spark):
     rows = [
         (1, "a b c d e"),            # 4 distinct 2-grams, no dups
