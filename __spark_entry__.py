@@ -1043,6 +1043,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_pack"] = text_pack
 
+    def text_curation_pipeline(spark, sf_dir):
+        # The end-to-end curation story a training-data user actually
+        # runs, composed as ONE declarative plan: quality gate (length /
+        # stopword / distinct-token ratios) → Gopher repetition gate →
+        # exact-dedup keeper (md5 digest, min doc_id wins) → language
+        # tag over the survivors. Catalyst collapses the three gates'
+        # column expressions into the same corpus scan; the only
+        # shuffles are the digest hash-agg and the keeper semi-join,
+        # both over (digest, doc_id) pairs — never the text bytes at
+        # width. The oracle chains the proven per-stage CTEs.
+        d = _t(spark, sf_dir, "documents")
+        ok = textkit.quality_columns(d).filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stopwords") * 100 >= F.col("n_tokens") * 2)
+            & (F.col("n_distinct_tokens") * 10 >= F.col("n_tokens") * 3)
+        ).select("doc_id", "n_tokens")
+        rep = (
+            textkit.repetition_features(d)
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        survivors = d.join(ok, "doc_id").join(rep, "doc_id")
+        keepers = survivors.groupBy(F.md5("text").alias("digest")).agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        kept = survivors.join(keepers.select("doc_id"), "doc_id")
+        return textkit.langid(kept).join(
+            kept.select("doc_id", "n_tokens"), "doc_id"
+        )
+    q["text_curation_pipeline"] = text_curation_pipeline
+
     return q
 
 
@@ -2262,6 +2293,55 @@ def oracle_sql() -> dict[str, str]:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  // 512 AS BIGINT) AS pack_id
         FROM documents
+    """
+
+    # --- text_curation_pipeline: the composed end-to-end run — the
+    # proven per-stage CTEs (quality gate, Gopher repetition gate,
+    # md5-digest keeper, stopword lang-ID) chained exactly as the
+    # Spark plan chains the operators.
+    o["text_curation_pipeline"] = f"""
+        WITH qc AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 len(list_filter(string_split(lower(text), ' '),
+                     t -> t IN {_STOP_SQL})) AS n_stopwords,
+                 len(list_distinct(string_split(lower(text), ' ')))
+                     AS n_distinct_tokens
+          FROM documents
+        ),
+        ok AS (
+          SELECT doc_id, n_tokens FROM qc
+          WHERE n_tokens >= 20
+            AND n_stopwords * 100 >= n_tokens * 2
+            AND n_distinct_tokens * 10 >= n_tokens * 3
+        ),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(string_split(text, ' ')) >= 2
+                      THEN list_transform(
+                        generate_series(1, len(string_split(text, ' ')) - 1),
+                        i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))
+                      ELSE [] END AS grams
+          FROM documents
+        ),
+        rep AS (
+          SELECT doc_id FROM g
+          WHERE (len(grams) - len(list_distinct(grams))) * 20 <= len(grams)
+        ),
+        surv AS (
+          SELECT d.doc_id, d.text, d.lang, ok.n_tokens
+          FROM documents d JOIN ok USING (doc_id) JOIN rep USING (doc_id)
+        ),
+        keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text)
+        )
+        SELECT s.doc_id, s.lang AS lang_tagged,
+               CASE WHEN len(list_filter(string_split(lower(s.text), ' '),
+                         t -> t IN {_STOP_SQL})) * 20
+                         >= len(string_split(s.text, ' '))
+                    THEN 'en' ELSE 'other' END AS lang_pred,
+               s.n_tokens
+        FROM surv s JOIN keepers USING (doc_id)
     """
 
     return o

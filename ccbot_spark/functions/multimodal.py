@@ -219,6 +219,19 @@ def header_meta(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     )
 
 
+def size_class_col(w_col="hdr_w", h_col="hdr_h"):
+    """Resolution class from the max side — shared by the batch
+    histogram and the streaming ingest profile so both report the
+    same buckets."""
+    side = F.greatest(w_col, h_col)
+    return (
+        F.when(side < 32, F.lit("icon"))
+        .when(side < 64, F.lit("small"))
+        .when(side < 96, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+
+
 def size_histogram(meta: DataFrame) -> DataFrame:
     """Corpus profile over header-parsed dims: (container, size_class)
     → image count + total pixels. Chained on header_meta this profiles
@@ -226,13 +239,7 @@ def size_histogram(meta: DataFrame) -> DataFrame:
     hash-agg (map-side partial; output rows = #containers ×
     #classes) — the report a curation run consults before choosing
     resolution gates. Class bounds follow the max side."""
-    side = F.greatest("hdr_w", "hdr_h")
-    size_class = (
-        F.when(side < 32, F.lit("icon"))
-        .when(side < 64, F.lit("small"))
-        .when(side < 96, F.lit("medium"))
-        .otherwise(F.lit("large"))
-    )
+    size_class = size_class_col()
     return (
         meta.filter(F.col("container").isNotNull())
         .groupBy("container", size_class.alias("size_class"))

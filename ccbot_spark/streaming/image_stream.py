@@ -1,0 +1,92 @@
+"""Streaming image ingest (SURVEY.md §2.8 × the image axis).
+
+Binary blobs land in a directory as parquet — the crawler's image-sink
+shape — and these jobs profile and dedup them continuously. The header
+parse is the SAME pure-JVM expression set the batch path uses
+(`multimodal.header_meta`): container sniff + dimensions straight from
+the first bytes, so no blob ever crosses into Python inside the
+stream, and state never holds pixels:
+
+  * `st_image_profile` — per-minute (container × size-class) ingest
+    profile with a late-data watermark. The aggregation state is a
+    handful of counter rows per window; the blobs themselves are
+    projected away before the stateful operator.
+  * `st_image_dedup` — byte-exact repost suppression within the
+    watermark horizon: blobs reduce to 16-byte md5 digests in the
+    stateless projection, and `dropDuplicatesWithinWatermark` keys on
+    the digest — state is bounded by the watermark and holds digests,
+    not images (the EXACT forever-seen set stays the batch anti-join's
+    job, same division of labor as st_dedup_urls).
+
+Tests drive both with trigger(availableNow) and compare against the
+batch twins (`multimodal.size_histogram` grouping / distinct digest
+count); on a live cluster the same code tails the sink directory
+forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import multimodal
+
+# Image-ingest stream schema: one row per stored image, event-time ts.
+IMAGE_EVENTS = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+    ]
+)
+
+
+def read_image_events(spark: SparkSession, images_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(IMAGE_EVENTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(images_dir)
+    )
+
+
+def st_image_profile(images: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-minute ingest profile: JVM header parse → (container,
+    size_class) counts + byte totals per window. Unparseable blobs are
+    counted under container NULL→'unknown' so ingest anomalies (codec
+    drift, truncation) surface in the same report."""
+    meta = multimodal.header_meta(images)
+    return (
+        meta.withWatermark("ts", late)
+        .groupBy(
+            F.window("ts", "1 minute").alias("win"),
+            F.coalesce("container", F.lit("unknown")).alias("container"),
+            F.when(F.col("container").isNull(), F.lit("n/a"))
+            .otherwise(multimodal.size_class_col())
+            .alias("size_class"),
+        )
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("nbytes").alias("total_bytes"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "container",
+            "size_class",
+            "n_images",
+            "total_bytes",
+        )
+    )
+
+
+def st_image_dedup(images: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Streaming byte-exact image dedup: md5 digest computed in the
+    stateless projection (JVM, over the blob), blob dropped by the
+    header parse, state keyed on the 16-byte digest within the
+    watermark. Emits each distinct blob once with its parsed header
+    metadata attached."""
+    with_digest = images.withColumn("digest", F.md5("bytes"))
+    meta = multimodal.header_meta(with_digest)  # keeps digest, drops blob
+    return meta.withWatermark("ts", late).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )

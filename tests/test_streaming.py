@@ -217,3 +217,95 @@ def test_trending_hosts_sliding_matches_batch(spark, events_dir):
 
     per_host_windows = Counter(h for (_, h) in got)
     assert max(per_host_windows.values()) > 1
+
+
+# ------------------------------------------------------- image ingest
+
+@pytest.fixture(scope="module")
+def images_dir(spark, tmp_path_factory):
+    """90 synth images (ppm/png/qpng cycle; doc_id % 150 never repeats
+    so no accidental byte-dups) + 6 planted byte-identical reposts and
+    one unparseable blob, spread over 2 files (2 micro-batches)."""
+    from ccbot_spark.functions import multimodal
+    from ccbot_spark.streaming import image_stream as ims
+
+    docs = spark.range(90).withColumnRenamed("id", "doc_id")
+    imgs = multimodal.synth_images_from_docs(docs).collect()
+    rows = []
+    for i, r in enumerate(imgs):
+        ts = T0 + dt.timedelta(seconds=11 * i)
+        rows.append((ts, r.image_id, bytes(r.bytes)))
+    # byte-identical reposts of the first 6 blobs, later event times
+    for j in range(6):
+        rows.append(
+            (T0 + dt.timedelta(seconds=1200 + j), f"repost-{j}", bytes(imgs[j].bytes))
+        )
+    rows.append((T0 + dt.timedelta(seconds=1300), "junk", b"\x00\x01not-an-image"))
+    df = spark.createDataFrame(rows, ims.IMAGE_EVENTS)
+    import glob
+    import shutil
+
+    d = tmp_path_factory.mktemp("img_events")
+    out = tmp_path_factory.mktemp("img_flat")
+    df1, df2 = df.limit(48), df.subtract(df.limit(48))
+    df1.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    df2.coalesce(1).write.mode("overwrite").parquet(str(d / "b"))
+    n = 0
+    for sub in ("a", "b"):
+        for f in sorted(glob.glob(str(d / sub / "*.parquet"))):
+            shutil.copy(f, str(out / f"part-{n}.parquet"))
+            n += 1
+    return str(out)
+
+
+def test_image_profile_stream_matches_batch(spark, images_dir):
+    """st_image_profile: the JVM header parse runs INSIDE the stream;
+    per-minute (container, size_class) counts == the same grouping in
+    batch, and the unparseable blob lands in ('unknown', 'n/a')."""
+    from ccbot_spark.functions import multimodal
+    from ccbot_spark.streaming import image_stream as ims
+
+    stream = ims.st_image_profile(ims.read_image_events(spark, images_dir))
+    ms.run_complete_to_memory(stream, "img_prof")
+    got = {
+        (r.win_start, r.container, r.size_class): (r.n_images, r.total_bytes)
+        for r in spark.table("img_prof").collect()
+    }
+    meta = multimodal.header_meta(spark.read.parquet(images_dir))
+    batch = (
+        meta.groupBy(
+            F.window("ts", "1 minute").alias("win"),
+            F.coalesce("container", F.lit("unknown")).alias("container"),
+            F.when(F.col("container").isNull(), F.lit("n/a"))
+            .otherwise(multimodal.size_class_col())
+            .alias("size_class"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("nbytes").alias("b"))
+    )
+    want = {
+        (r["win"].start, r.container, r.size_class): (r.n, r.b)
+        for r in batch.collect()
+    }
+    assert got == want and got
+    assert any(c == "unknown" and s == "n/a" for (_, c, s) in got)
+    assert {c for (_, c, _) in got} == {"ppm", "png", "unknown"}
+
+
+def test_image_stream_dedup_drops_byte_identical_reposts(spark, images_dir, tmp_path):
+    """st_image_dedup: 97 events → 91 distinct blobs (6 reposts
+    suppressed); survivors carry parsed header metadata, digest state
+    only (blob column projected away before the stateful operator)."""
+    from ccbot_spark.streaming import image_stream as ims
+
+    stream = ims.st_image_dedup(ims.read_image_events(spark, images_dir))
+    ms.run_available_now(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = spark.read.parquet(images_dir)
+    n_distinct = batch.select(F.md5("bytes")).distinct().count()
+    assert got.count() == n_distinct == 91
+    assert "bytes" not in got.columns and "digest" in got.columns
+    # every survivor that is a real container parsed its dims
+    parsed = got.filter(F.col("container").isNotNull())
+    assert parsed.filter(
+        F.col("hdr_w").isNull() | F.col("hdr_h").isNull()
+    ).count() == 0
