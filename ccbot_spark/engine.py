@@ -89,6 +89,7 @@ class CrawlEngine:
         warc_cdx: bool = False,
         fetcher=None,
         fetch_checkpoint: bool = False,
+        canonical_dedup: bool = False,
     ):
         from .shipping import ensure_shipped
 
@@ -212,6 +213,13 @@ class CrawlEngine:
         # stage's write IO.
         self.fetch_checkpoint = fetch_checkpoint
         self._crash_after_fetch = False  # test hook: die post-snapshot
+        # rel=canonical handling: a fetched page declaring a canonical
+        # target other than itself is an alias — slot consumed, body
+        # never parsed/stored (no links, no images, no digest), status
+        # 'canonical' terminal, and the target joins the discovered
+        # pool with the page's own priority (a parse-time soft
+        # redirect; mirrors oracle.crawl(canonical_dedup=True))
+        self.canonical_dedup = canonical_dedup
         os.makedirs(workdir, exist_ok=True)
         # factory: real Iceberg tables when CCBOT_ICEBERG_CATALOG is
         # configured (cluster), Parquet-emulated store here (§7.3)
@@ -785,6 +793,27 @@ class CrawlEngine:
         redirs = attempts.filter(F.col("ok") & F.col("redirect").isNotNull())
         errs = attempts.filter(~F.col("ok"))
 
+        # ---- rel=canonical aliases (before the content-seen test: a
+        # canonicalized page is never parsed, so its digest must not
+        # enter the digests table or the within-cycle election). The
+        # html scan is one JVM regexp; only the extracted href crosses
+        # to Python for RFC-3986 resolution.
+        canons = None
+        canon_cache = None
+        if self.canonical_dedup:
+            fc = fetchparse.with_canonical(fetched).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            canon_cache = fc
+            is_canon = F.col("canonical").isNotNull() & (
+                F.col("canonical") != F.col("url_norm")
+            )
+            canons = fc.filter(is_canon)
+            fetched = fc.filter(
+                F.col("canonical").isNull()
+                | (F.col("canonical") == F.col("url_norm"))
+            ).drop("canonical")
+
         # ---- content-seen test (Mercator): a fetched page whose body
         # digest was already stored (mirror site / duplicated content)
         # consumes its slot but is never parsed — no links, no images.
@@ -840,6 +869,15 @@ class CrawlEngine:
             F.col("priority").cast("long").alias("parent_priority"),
         )
         pool = links.select("url_norm", "parent_priority").unionByName(redir_tgts)
+        if canons is not None:
+            # canonical targets: same discovered-pool rules as redirect
+            # Location targets (already normalized in the resolve UDF)
+            pool = pool.unionByName(
+                canons.select(
+                    F.col("canonical").alias("url_norm"),
+                    F.col("priority").cast("long").alias("parent_priority"),
+                )
+            )
         if self.trap_filter:
             # pre-shuffle: trap URLs never reach the dedup groupBy, the
             # seen joins, or the frontier merge (parsed_links metrics
@@ -971,11 +1009,20 @@ class CrawlEngine:
             m_cdup = self.spark.createDataFrame(
                 [], "host string, content_dup long"
             )
+        if canons is not None:
+            m_canon = canons.groupBy("host").agg(
+                F.count("*").alias("canonicals")
+            )
+        else:
+            m_canon = self.spark.createDataFrame(
+                [], "host string, canonicals long"
+            )
         metrics_df = (
             m_fetch.join(m_links, "host", "left")
             .join(m_store, "host", "left")
             .join(m_dups, "host", "left")
             .join(m_cdup, "host", "left")
+            .join(m_canon, "host", "left")
             .select(
                 F.lit(cycle).cast("int").alias("cycle"),
                 urlops.host_bucket(F.col("host"), self.n_buckets).alias("partition_id"),
@@ -994,6 +1041,9 @@ class CrawlEngine:
                 F.coalesce(F.col("content_dup"), F.lit(0))
                 .cast("long")
                 .alias("content_dup"),
+                F.coalesce(F.col("canonicals"), F.lit(0))
+                .cast("long")
+                .alias("canonicals"),
             )
         )
 
@@ -1037,6 +1087,10 @@ class CrawlEngine:
                 events = events.unionByName(
                     evt(content_dups, 2, "content_dup", slot=True, sched=True)
                 )
+            if canons is not None:
+                events = events.unionByName(
+                    evt(canons, 2, "canonical", slot=True, sched=True)
+                )
         # ---- frontier MERGE INTO: status updates + new-link inserts
         bucket = urlops.host_bucket(F.col("host"), self.n_buckets)
         # fetched ∪ not_modified both end the cycle as status 'fetched'
@@ -1061,9 +1115,15 @@ class CrawlEngine:
             )
         else:
             new_iv = F.col("interval").cast("int")
-        upd_fetched = attempts.filter(
-            F.col("ok") & F.col("redirect").isNull()
-        ).select(
+        upd_base = attempts.filter(F.col("ok") & F.col("redirect").isNull())
+        if canons is not None:
+            # canonicalized pages leave the 'fetched' update path (they
+            # get their own terminal status below); anti-join on the
+            # small canons side (AQE broadcasts it)
+            upd_base = upd_base.join(
+                canons.select("url_norm"), "url_norm", "left_anti"
+            )
+        upd_fetched = upd_base.select(
             "url_norm", "host", "priority",
             F.lit(0).cast("int").alias("dt_cycle"),  # ignored on update
             F.lit(0).cast("long").alias("dt_seq"),
@@ -1109,6 +1169,18 @@ class CrawlEngine:
             .unionByName(upd_denied)
             .unionByName(new_rows)
         )
+        if canons is not None:
+            upd_canon = canons.select(
+                "url_norm", "host", "priority",
+                F.lit(0).cast("int").alias("dt_cycle"),
+                F.lit(0).cast("long").alias("dt_seq"),
+                F.lit("canonical").alias("status"),  # terminal alias
+                F.lit(0).cast("int").alias("cycle_added"),
+                F.col("retries").cast("int"),
+                F.col("last_cycle").cast("int"),
+                F.col("interval").cast("int"),
+            ).withColumn("bucket", bucket)
+            merge_src = merge_src.unionByName(upd_canon)
 
         new_seen = new_rows.select(
             "url_norm",
@@ -1317,6 +1389,8 @@ class CrawlEngine:
             df.unpersist()
         if cdup_cache is not None:
             cdup_cache.unpersist()
+        if canon_cache is not None:
+            canon_cache.unpersist()
         if phash_split_cache is not None:
             phash_split_cache.unpersist()
         if split_cache is not None:

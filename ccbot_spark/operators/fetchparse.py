@@ -239,6 +239,39 @@ def _resolve_imgs_udf(page_urls: pd.Series, pairs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# rel=canonical declaration (parsekit._CANON_RE, Java-regex inline
+# flags) — first declaration wins, like the python twin's .search()
+_CANON_PAT = r'(?is)<link\s[^>]*?rel="canonical"[^>]*?href="([^"]*)"'
+
+
+@F.pandas_udf(T.StringType())
+def _resolve_one_udf(page_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """Single JVM-extracted href per page → resolved+normalized URL (or
+    None). Python sees one short string per page, never the html."""
+    from .. import urlkit
+
+    return pd.Series(
+        [
+            urlkit.resolve_link(pu, h) if h else None
+            for pu, h in zip(page_urls, hrefs)
+        ],
+        dtype=object,
+    )
+
+
+def with_canonical(fetched: DataFrame) -> DataFrame:
+    """`fetched` + a `canonical` column: the page's resolved+normalized
+    rel=canonical target, NULL when the page declares none. The html
+    scan is one JVM regexp_extract inside whole-stage codegen
+    (parsekit.extract_canonical semantics); the Arrow UDF resolves only
+    the already-extracted href."""
+    href = F.regexp_extract(F.col("html"), _CANON_PAT, 1)
+    href = F.when(href == "", F.lit(None).cast("string")).otherwise(href)
+    return fetched.withColumn(
+        "canonical", _resolve_one_udf(F.col("url_norm"), href)
+    )
+
+
 def extract_links(fetched: DataFrame) -> DataFrame:
     """One row per extracted (already normalized) outlink occurrence.
     href scan = JVM regexp_extract_all over anchor tags, nofollow

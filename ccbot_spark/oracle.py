@@ -95,6 +95,7 @@ def crawl(
     adaptive_recrawl: bool = False,
     content_dedup: bool = False,
     age_boost: int = 0,
+    canonical_dedup: bool = False,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -222,7 +223,7 @@ def crawl(
                 host_metrics[host] = dict(
                     fetched=0, parsed_links=0, stored_images=0,
                     dedup_hits=0, errors=0, bytes=0, redirects=0,
-                    not_modified=0, content_dup=0,
+                    not_modified=0, content_dup=0, canonicals=0,
                 )
             return host_metrics[host]
 
@@ -278,6 +279,33 @@ def crawl(
                             discovered[tgt] = e.priority
                 continue
             html = synthweb.fetch(cfg, url, cur_ver)
+            if canonical_dedup:
+                # rel=canonical alias (before the content-seen test: a
+                # canonicalized page is never parsed, and its digest
+                # never enters the stored set). Slot consumed, body
+                # counted in bytes (it WAS transferred), terminal
+                # status; the target joins the discovered pool with
+                # the page's own priority — redirect-target rules.
+                canon = parsekit.extract_canonical(url, html)
+                if canon is not None and canon != url:
+                    e.status = "canonical"
+                    m["fetched"] += 1
+                    m["canonicals"] += 1
+                    m["bytes"] += len(html.encode("utf-8"))
+                    events.append((2, st, host, url, slot, "canonical"))
+                    if trap_filter and urlkit.is_trap(canon):
+                        continue
+                    if canon in seen:
+                        if canon not in dup_this_cycle:
+                            dup_this_cycle.add(canon)
+                            events.append(
+                                (3, 0, urlkit.host_of(canon), canon, -1, "dup")
+                            )
+                    else:
+                        prev = discovered.get(canon)
+                        if prev is None or e.priority > prev:
+                            discovered[canon] = e.priority
+                    continue
             if content_dedup:
                 # content-seen test (Mercator): an already-stored body
                 # digest consumes its slot but is never parsed — the

@@ -58,6 +58,21 @@ def extract_links(page_url: str, html: str) -> list[str]:
     return out
 
 
+_CANON_RE = re.compile(
+    r'<link\s[^>]*?rel="canonical"[^>]*?href="([^"]*)"', re.IGNORECASE | re.DOTALL
+)
+
+
+def extract_canonical(page_url: str, html: str) -> str | None:
+    """Resolved+normalized rel=canonical target (first declaration
+    wins, per the common-crawler convention), or None. The JVM twin is
+    fetchparse.with_canonical — same pattern, trace-equality-tested."""
+    m = _CANON_RE.search(html or "")
+    if not m:
+        return None
+    return urlkit.resolve_link(page_url, m.group(1))
+
+
 def extract_images(page_url: str, html: str) -> list[tuple[str, str]]:
     """(img_url, caption) pairs, document order, within-page dedup by url."""
     html = html or ""

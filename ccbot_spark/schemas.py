@@ -99,6 +99,9 @@ METRICS = T.StructType(
         T.StructField("not_modified", T.LongType(), False),  # 304 recrawls
         # pages whose body digest was already seen (content-seen test)
         T.StructField("content_dup", T.LongType(), False),
+        # pages that declared rel="canonical" to a DIFFERENT url
+        # (canonical_dedup=True): slot consumed, never parsed/stored
+        T.StructField("canonicals", T.LongType(), False),
     ]
 )
 

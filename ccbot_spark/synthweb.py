@@ -39,6 +39,7 @@ class WebConfig:
     change_every: int = 0  # content epoch length in cycles (0 = static web)
     nofollow_pct: int = 0  # % of links carrying rel="nofollow" (never followed)
     mirror_pct: int = 0  # % of non-h0 pages that mirror their h0 twin's body
+    canonical_pct: int = 0  # % of odd pages declaring rel=canonical → even twin
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -105,8 +106,23 @@ def render_page(cfg: WebConfig, url: str, ver: int = 0) -> str:
     k = int(host[1:].split(".")[0])
     n_links = d[0] % 9
     n_imgs = d[1] % 4
+    # rel=canonical (enabled by canonical_pct): a deterministic slice
+    # of ODD /p/<j> pages declares the even twin /p/<j-1> canonical via
+    # a RELATIVE href (exercises resolution). canonical_pct=0 keeps
+    # pages byte-identical to the historical bodies.
+    canon_tag = ""
+    if cfg.canonical_pct:
+        segs = url.split("/")
+        if len(segs) == 5 and segs[3] == "p" and segs[4].isdigit():
+            j = int(segs[4])
+            if (
+                j % 2 == 1
+                and _digest(f"canon:{cfg.seed}:{url}")[0] % 100
+                < cfg.canonical_pct
+            ):
+                canon_tag = f'<link rel="canonical" href="/p/{j - 1}">'
     parts = [
-        f"<html><head><title>Page {url}</title></head><body>",
+        f"<html><head><title>Page {url}</title>{canon_tag}</head><body>",
         f"<h1>host {host}</h1><p>lorem {d.hex()[:16]}</p>",
     ]
     for i in range(n_links):

@@ -83,6 +83,13 @@ def parse_args():
     p.add_argument("--mirror-pct", type=int, default=0,
                    help="synthetic-web knob: %% of non-h0 pages that "
                         "mirror their h0 twin's body byte-for-byte")
+    p.add_argument("--canonical", action="store_true",
+                   help="rel=canonical handling: a page declaring a "
+                        "different canonical URL is a terminal alias — "
+                        "never parsed/stored; the target is enqueued")
+    p.add_argument("--canonical-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of odd pages declaring "
+                        "their even twin canonical")
     p.add_argument("--recrawl-every", type=int, default=0,
                    help="revisit policy: re-enqueue fetched pages every "
                         "K cycles (0 = crawl each page once)")
@@ -147,6 +154,7 @@ def main() -> None:
         n_hosts=args.hosts, pages_per_host=args.pages, hot_frac_pct=args.hot_pct,
         fail_pct=args.fail_pct, redirect_pct=args.redirect_pct,
         mirror_pct=args.mirror_pct,
+        canonical_pct=args.canonical_pct,
     )
     eng = CrawlEngine(
         spark,
@@ -166,6 +174,7 @@ def main() -> None:
         recrawl_every=args.recrawl_every,
         adaptive_recrawl=args.adaptive_recrawl,
         content_dedup=args.content_dedup,
+        canonical_dedup=args.canonical,
         age_boost=args.age_boost,
         warc_dir=args.warc_dir,
         warc_segments=args.warc_segments,

@@ -793,3 +793,76 @@ def test_sitemap_robots_discovery_matches_oracle(spark, tmp_path):
     assert _engine_trace(eng) == want.trace
     got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
     assert got_seen == want.seen
+
+
+def test_canonical_matches_oracle(spark, tmp_path):
+    """rel=canonical handling: a page declaring a different canonical
+    URL consumes its slot, is traced 'canonical', reaches terminal
+    frontier status 'canonical' and is never parsed/stored; the target
+    joins the discovered pool with the page's own priority. Engine
+    (JVM regexp scan + one-href resolve UDF) must match the oracle's
+    parsekit-parsed run event-for-event — combined here with fail/
+    redirect injection so the alias path composes with retries and
+    301s."""
+    from collections import Counter
+
+    cfg = synthweb.WebConfig(
+        n_hosts=5, pages_per_host=60, canonical_pct=60, fail_pct=10,
+        redirect_pct=10,
+    )
+    seeds = synthweb.seed_urls(cfg, 20)
+    want = oracle.crawl(cfg, seeds, cycles=3, canonical_dedup=True)
+    ca = Counter(t[5] for t in want.trace)
+    assert ca["canonical"] > 0, "fixture must produce canonical aliases"
+    off = oracle.crawl(cfg, seeds, cycles=3)
+    assert want.trace != off.trace, "canonical handling must change the crawl"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "canon"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, canonical_dedup=True)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    # terminal alias status: never re-fetched, and the canonical
+    # TARGETS got enqueued (pending or already fetched)
+    fr = {r.url_norm: r.status for r in eng.frontier.read().collect()}
+    want_fr = {e.url_norm: e.status for e in want.frontier.values()}
+    assert fr == want_fr
+    assert "canonical" in set(fr.values())
+    got_m = {
+        (r.cycle, r.host): (r.canonicals, r.fetched, r.parsed_links, r.bytes)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (
+            m["canonicals"], m["fetched"], m["parsed_links"], m["bytes"]
+        )
+        for m in want.metrics
+    }
+    assert got_m == want_m
+
+
+def test_canonical_extraction_jvm_matches_parsekit(spark):
+    """fetchparse.with_canonical (JVM regexp + one-href resolve UDF)
+    == parsekit.extract_canonical (python re) on every page of a
+    canonical-bearing web, including pages with no declaration."""
+    from ccbot_spark import parsekit
+    from ccbot_spark.operators import fetchparse
+
+    cfg = synthweb.WebConfig(n_hosts=3, pages_per_host=40, canonical_pct=50)
+    urls = [
+        f"http://{cfg.host(k)}/p/{j}"
+        for k in range(cfg.n_hosts)
+        for j in range(cfg.pages_per_host)
+    ]
+    rows = [(u, synthweb.render_page(cfg, u)) for u in urls]
+    want = {u: parsekit.extract_canonical(u, h) for u, h in rows}
+    assert any(v is not None for v in want.values())
+    assert any(v is None for v in want.values())
+    df = spark.createDataFrame(rows, "url_norm string, html string")
+    got = {
+        r.url_norm: r.canonical
+        for r in fetchparse.with_canonical(df).collect()
+    }
+    assert got == want
