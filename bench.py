@@ -198,6 +198,10 @@ def main() -> None:
     # pagerank/components localCheckpoint blocks — storagekit frees the
     # checkpoint storage plain unpersist cannot touch)
     entry.clear_caches()
+    bench("q_curation_pipeline",
+          lambda: run(qs["text_curation_pipeline"](spark, SF_DIR)))
+    bench("q_img_header_meta", lambda: run(qs["img_header_meta"](spark, SF_DIR)))
+    bench("q_img_exact_dedup", lambda: run(qs["img_exact_dedup"](spark, SF_DIR)))
     bench("q_text_quality", lambda: run(qs["text_quality"](spark, SF_DIR)))
     bench("q_wet_extract", lambda: run(qs["text_wet_extract"](spark, SF_DIR)))
     bench("q_cdx_index", lambda: run(qs["cdx_index"](spark, SF_DIR)))

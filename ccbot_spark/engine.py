@@ -748,12 +748,26 @@ class CrawlEngine:
                 else skew_detected
             )
             fetch_parts = self.fetch_partitions
-            if fetch_parts is None and skew_detected:
-                # LPT width: ≥ one whole politeness group per task (hosts
-                # with candidates + the hot host's salt fan-out), above the
-                # 4×buckets threshold so downstream byte-bound stages
-                # re-coalesce, capped so the task count stays sane when the
-                # frontier spans millions of hosts
+            # LPT fetch partitioning is picked automatically in TWO
+            # situations, because they have different failure modes:
+            #   * skew_detected — one hot host's salt fan-out must not
+            #     hash-collide into a neighbor's sleeps;
+            #   * wall-clock politeness with more groups than the
+            #     default fetch width — hash partitioning stacks ~
+            #     groups/width politeness schedules per task and the
+            #     slowest task serializes their sleeps (measured: a
+            #     480-host wall-clock crawl at local[32] lost 26% N→4N
+            #     efficiency to stacking alone, no skew needed).
+            # Both pick the same width: ≥ one whole politeness group
+            # per task (hosts with candidates + the hot host's salt
+            # fan-out), above the 4×buckets threshold so downstream
+            # byte-bound stages re-coalesce, capped so the task count
+            # stays sane when the frontier spans millions of hosts.
+            delay_stacking = (
+                self.enforce_delay_wallclock
+                and n_hosts + self.salt_fanout > 4 * self.n_buckets
+            )
+            if fetch_parts is None and (skew_detected or delay_stacking):
                 fetch_parts = int(
                     min(
                         max(n_hosts + self.salt_fanout, 4 * self.n_buckets + 1),
