@@ -705,7 +705,8 @@ class CrawlEngine:
                     * (F.lit(cycle) - F.col("cycle_added")),
                 )
             robots_df = politeness.build_robots_table(
-                pending.select("host").distinct(), cfg
+                pending.select("host").distinct(), cfg,
+                ver=synthweb.robots_version(cfg, cycle),
             )
             # ---- skew observation (one pending scan, three tiny jobs on
             # the cached |hosts|-row histogram): feeds the hot-host salt

@@ -40,18 +40,26 @@ def _cand_order(df: DataFrame | None = None):
     ]
 
 
-def build_robots_table(hosts: DataFrame, cfg: synthweb.WebConfig) -> DataFrame:
+def build_robots_table(
+    hosts: DataFrame, cfg: synthweb.WebConfig, ver: int = 0
+) -> DataFrame:
     """hosts: DF[host] → ROBOTS-schema DF, built executor-side.
 
     In production the fetch of /robots.txt is a real HTTP call inside
     the same batch function; here it is the deterministic synthetic web.
+    `ver` is the robots epoch (synthweb.robots_version): the engine
+    rebuilds this table every cycle, so passing the current epoch makes
+    the crawl follow mid-crawl robots.txt edits — rules and
+    crawl-delays both shift when the epoch rolls.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for host in pdf["host"]:
-                rules = robots_mod.parse_robots(synthweb.robots_txt(cfg, host))
+                rules = robots_mod.parse_robots(
+                    synthweb.robots_txt(cfg, host, ver)
+                )
                 rows.append(rules.to_row(host, synthweb.host_budget(cfg, host)))
             yield pd.DataFrame(
                 rows,

@@ -156,13 +156,17 @@ def crawl(
                     )
                     idx += 1
 
-    robots_cache: dict[str, tuple[robots.RobotsRules, int]] = {}
+    # cache keyed on (host, robots epoch): with robots_change_every the
+    # rules a cycle must follow are the CURRENT epoch's (the engine
+    # rebuilds its robots table every cycle with the same epoch)
+    robots_cache: dict[tuple[str, int], tuple[robots.RobotsRules, int]] = {}
 
-    def host_rules(host: str) -> tuple[robots.RobotsRules, int]:
-        if host not in robots_cache:
-            rules = robots.parse_robots(synthweb.robots_txt(cfg, host))
-            robots_cache[host] = (rules, synthweb.host_budget(cfg, host))
-        return robots_cache[host]
+    def host_rules(host: str, rob_ver: int) -> tuple[robots.RobotsRules, int]:
+        key = (host, rob_ver)
+        if key not in robots_cache:
+            rules = robots.parse_robots(synthweb.robots_txt(cfg, host, rob_ver))
+            robots_cache[key] = (rules, synthweb.host_budget(cfg, host))
+        return robots_cache[key]
 
     for cycle in range(1, cycles + 1):
         # ---- GENERATE: per-host candidate ordering + robots + budget
@@ -185,8 +189,9 @@ def crawl(
 
         events: list[tuple] = []  # (phase, sched_time, host, url_norm, slot, action)
         fetch_list: list[tuple] = []  # (sched_time, host, url_norm, slot, entry)
+        rob_ver = synthweb.robots_version(cfg, cycle)
         for host, entries in by_host.items():
-            rules, budget = host_rules(host)
+            rules, budget = host_rules(host, rob_ver)
             # age_boost > 0: starvation-free scheduling — a candidate's
             # effective priority grows by age_boost per cycle it has
             # waited since discovery, so budget-skipped URLs on busy

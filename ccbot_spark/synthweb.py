@@ -40,6 +40,7 @@ class WebConfig:
     nofollow_pct: int = 0  # % of links carrying rel="nofollow" (never followed)
     mirror_pct: int = 0  # % of non-h0 pages that mirror their h0 twin's body
     canonical_pct: int = 0  # % of odd pages declaring rel=canonical → even twin
+    robots_change_every: int = 0  # robots.txt epoch length in cycles (0 = static)
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -62,9 +63,21 @@ def seed_urls(cfg: WebConfig, n_seeds: int) -> list[str]:
 
 # ---------------------------------------------------------------- robots
 
-def robots_txt(cfg: WebConfig, host: str) -> str:
-    """Deterministic robots.txt body for a host; exercises RFC 9309 edges."""
-    d = _digest(f"robots:{cfg.seed}:{host}")
+def robots_version(cfg: WebConfig, cycle: int) -> int:
+    """Robots epoch at a crawl cycle: robots.txt re-renders every
+    `robots_change_every` cycles (0 = rules never change). Models a
+    site editing its robots.txt mid-crawl — a polite crawler re-reads
+    the rules each cycle and must follow the CURRENT epoch's rules
+    (allow/deny sets AND crawl-delays shift between epochs)."""
+    return cycle // cfg.robots_change_every if cfg.robots_change_every else 0
+
+
+def robots_txt(cfg: WebConfig, host: str, ver: int = 0) -> str:
+    """Deterministic robots.txt body for a host; exercises RFC 9309 edges.
+    `ver` is the robots epoch (robots_version); ver=0 reproduces the
+    static-web bytes exactly, so every existing trace is unchanged."""
+    key = f"robots:{cfg.seed}:{host}"
+    d = _digest(key if ver == 0 else f"{key}:v{ver}")
     kind = d[0] % 5
     delay_s = d[1] % 4  # 0..3 s
     lines = [f"# robots for {host}", "User-agent: *"]

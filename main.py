@@ -111,6 +111,10 @@ def parse_args():
                    help="also write WET companion segments (one "
                         "'conversion' record per fetched page, body = "
                         "extracted page text) under each cycle dir")
+    p.add_argument("--robots-change-every", type=int, default=0,
+                   help="robots.txt epoch length in cycles: rules and "
+                        "crawl-delays re-render every K cycles and the "
+                        "crawl follows the current epoch (0 = static)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny crawl first to spin up UDF workers")
@@ -155,6 +159,7 @@ def main() -> None:
         fail_pct=args.fail_pct, redirect_pct=args.redirect_pct,
         mirror_pct=args.mirror_pct,
         canonical_pct=args.canonical_pct,
+        robots_change_every=args.robots_change_every,
     )
     eng = CrawlEngine(
         spark,

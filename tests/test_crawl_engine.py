@@ -866,3 +866,60 @@ def test_canonical_extraction_jvm_matches_parsekit(spark):
         for r in fetchparse.with_canonical(df).collect()
     }
     assert got == want
+
+
+def test_robots_change_matches_oracle(spark, tmp_path):
+    """robots_change_every: robots.txt re-renders every K cycles and
+    the crawl must follow the CURRENT epoch's rules — allow/deny sets
+    AND crawl-delays shift, so denied events, budgets-after-denial,
+    and sched slots all move between epochs. The engine rebuilds its
+    robots dimension table every cycle (one mapInPandas over the
+    pending hosts) with the cycle's epoch; the oracle keys its rules
+    cache on (host, epoch). Both must stay byte-identical."""
+    cfg = synthweb.WebConfig(
+        n_hosts=5, pages_per_host=60, robots_change_every=1
+    )
+    seeds = synthweb.seed_urls(cfg, 20)
+
+    # fixture non-vacuity: epochs actually change bytes for some host,
+    # and epoch 0 (the static web) is reproduced exactly by ver=0
+    assert any(
+        synthweb.robots_txt(cfg, cfg.host(k), 1)
+        != synthweb.robots_txt(cfg, cfg.host(k), 0)
+        for k in range(cfg.n_hosts)
+    )
+    assert all(
+        synthweb.robots_txt(cfg, cfg.host(k))
+        == synthweb.robots_txt(cfg, cfg.host(k), 0)
+        for k in range(cfg.n_hosts)
+    )
+    assert synthweb.robots_version(cfg, 2) == 2
+    static = oracle.crawl(
+        synthweb.WebConfig(n_hosts=5, pages_per_host=60), seeds, cycles=3
+    )
+    want = oracle.crawl(cfg, seeds, cycles=3)
+    assert want.trace != static.trace, "changing robots must change the crawl"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "robch"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    got_m = {
+        (r.cycle, r.host): (r.fetched, r.parsed_links)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (m["fetched"], m["parsed_links"])
+        for m in want.metrics
+    }
+    assert got_m == want_m
+    # non-vacuity on the traced deny path itself: some cycle's denied
+    # set differs from the static web's (rules actually moved)
+    denied = {(t[1], t[2]) for t in want.trace if t[5] == "robots_denied"}
+    denied_static = {
+        (t[1], t[2]) for t in static.trace if t[5] == "robots_denied"
+    }
+    assert denied != denied_static
