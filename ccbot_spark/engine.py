@@ -468,6 +468,7 @@ class CrawlEngine:
                 F.lit(None).cast("int").alias("retries"),
                 F.lit(None).cast("int").alias("last_cycle"),
                 F.lit(None).cast("int").alias("interval"),
+                F.lit(None).cast("int").alias("not_before"),
             )
             .withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         )
@@ -554,7 +555,7 @@ class CrawlEngine:
             dedup.add(u)
             rows.append(
                 (u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending",
-                 0, 0, -1, self.recrawl_every)
+                 0, 0, -1, self.recrawl_every, 0)
             )
             idx += 1
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
@@ -614,6 +615,7 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("retries"),
                 F.lit(-1).cast("int").alias("last_cycle"),
                 F.lit(self.recrawl_every).cast("int").alias("interval"),
+                F.lit(0).cast("int").alias("not_before"),
             )
             df = df.unionByName(sm_rows)
         df = df.withColumn(
@@ -682,6 +684,9 @@ class CrawlEngine:
                     (F.col("status") == "fetched")
                     & (F.col("last_cycle") + F.col("interval") <= F.lit(cycle))
                 )
+            # 429 Retry-After deferral: a deferred URL is invisible to
+            # GENERATE (any status branch) until not_before is reached
+            cand_pred = cand_pred & (F.col("not_before") <= F.lit(cycle))
             pending = self.frontier.read().filter(cand_pred)
             # conditional-GET verdict, decided JVM-side before the fetch:
             # a recrawl candidate whose last fetch falls in the current
@@ -788,6 +793,7 @@ class CrawlEngine:
                 fetch_partitions=fetch_parts,
                 content_ver=cur_ver,
                 fetcher=self.fetcher,
+                cycle=cycle,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             fetched_raw = fetched
             if fetch_parts and fetch_parts > 4 * self.n_buckets:
@@ -802,11 +808,17 @@ class CrawlEngine:
                 if self._crash_after_fetch:
                     raise RuntimeError("test hook: crash after fetch snapshot")
         fetched = attempts.filter(
-            F.col("ok") & F.col("redirect").isNull() & ~F.col("not_modified")
+            F.col("ok")
+            & F.col("redirect").isNull()
+            & ~F.col("not_modified")
+            & ~F.col("rate_limited")
         )
         notmods = attempts.filter(F.col("ok") & F.col("not_modified"))
         redirs = attempts.filter(F.col("ok") & F.col("redirect").isNotNull())
         errs = attempts.filter(~F.col("ok"))
+        # 429 deferrals: slot consumed, nothing served; the frontier
+        # entry keeps its pre-fetch status and gains a not_before gate
+        rls = attempts.filter(F.col("rate_limited"))
 
         # ---- rel=canonical aliases (before the content-seen test: a
         # canonicalized page is never parsed, so its digest must not
@@ -945,6 +957,7 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("retries"),
             F.lit(-1).cast("int").alias("last_cycle"),
             F.lit(self.recrawl_every).cast("int").alias("interval"),
+            F.lit(0).cast("int").alias("not_before"),
         ).withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         new_rows = new_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -998,12 +1011,16 @@ class CrawlEngine:
         m_fetch = attempts.groupBy("host").agg(
             F.sum(
                 (
-                    F.col("ok") & F.col("redirect").isNull() & ~F.col("not_modified")
+                    F.col("ok")
+                    & F.col("redirect").isNull()
+                    & ~F.col("not_modified")
+                    & ~F.col("rate_limited")
                 ).cast("long")
             ).alias("fetched"),
             F.sum((~F.col("ok")).cast("long")).alias("errors"),
             F.sum((F.col("ok") & F.col("redirect").isNotNull()).cast("long")).alias("redirects"),
             F.sum((F.col("ok") & F.col("not_modified")).cast("long")).alias("not_modified"),
+            F.sum(F.col("rate_limited").cast("long")).alias("rate_limited"),
             F.sum(F.octet_length(F.col("html"))).alias("html_bytes"),
         )
         m_links = links.groupBy(F.col("page_host").alias("host")).agg(
@@ -1053,6 +1070,7 @@ class CrawlEngine:
                 ).cast("long").alias("bytes"),
                 F.col("redirects").cast("long"),
                 F.col("not_modified").cast("long"),
+                F.col("rate_limited").cast("long"),
                 F.coalesce(F.col("content_dup"), F.lit(0))
                 .cast("long")
                 .alias("content_dup"),
@@ -1096,6 +1114,7 @@ class CrawlEngine:
                 .unionByName(evt(errs, 2, "fetch_error", slot=True, sched=True))
                 .unionByName(evt(redirs, 2, "redirect", slot=True, sched=True))
                 .unionByName(evt(notmods, 2, "not_modified", slot=True, sched=True))
+                .unionByName(evt(rls, 2, "rate_limited", slot=True, sched=True))
                 .unionByName(dup_ev)
             )
             if content_dups is not None:
@@ -1130,7 +1149,9 @@ class CrawlEngine:
             )
         else:
             new_iv = F.col("interval").cast("int")
-        upd_base = attempts.filter(F.col("ok") & F.col("redirect").isNull())
+        upd_base = attempts.filter(
+            F.col("ok") & F.col("redirect").isNull() & ~F.col("rate_limited")
+        )
         if canons is not None:
             # canonicalized pages leave the 'fetched' update path (they
             # get their own terminal status below); anti-join on the
@@ -1147,6 +1168,7 @@ class CrawlEngine:
             F.col("retries").cast("int"),
             F.lit(cycle).cast("int").alias("last_cycle"),
             new_iv,
+            F.lit(0).cast("int").alias("not_before"),
         ).withColumn("bucket", bucket)
         upd_redir = redirs.select(
             "url_norm", "host", "priority",
@@ -1157,6 +1179,7 @@ class CrawlEngine:
             F.col("retries").cast("int"),
             F.col("last_cycle").cast("int"),
             F.col("interval").cast("int"),
+            F.lit(0).cast("int").alias("not_before"),
         ).withColumn("bucket", bucket)
         upd_err = errs.select(
             "url_norm", "host", "priority",
@@ -1167,6 +1190,7 @@ class CrawlEngine:
             (F.col("retries") + 1).cast("int").alias("retries"),
             F.col("last_cycle").cast("int"),
             F.col("interval").cast("int"),
+            F.lit(0).cast("int").alias("not_before"),
         ).withColumn("bucket", bucket)
         upd_denied = parts["denied"].select(
             "url_norm", "host", "priority",
@@ -1177,11 +1201,28 @@ class CrawlEngine:
             F.col("retries").cast("int"),
             F.col("last_cycle").cast("int"),
             F.col("interval").cast("int"),
+            F.lit(0).cast("int").alias("not_before"),
+        ).withColumn("bucket", bucket)
+        # 429-deferred: everything restored from the pre-fetch row
+        # (status passthrough via the fetch stage), only not_before
+        # moves — to cycle + Retry-After, computed where the 429 was
+        # observed (the fetch worker)
+        upd_rl = rls.select(
+            "url_norm", "host", "priority",
+            F.lit(0).cast("int").alias("dt_cycle"),
+            F.lit(0).cast("long").alias("dt_seq"),
+            F.col("status"),
+            F.lit(0).cast("int").alias("cycle_added"),
+            F.col("retries").cast("int"),
+            F.col("last_cycle").cast("int"),
+            F.col("interval").cast("int"),
+            F.col("not_before").cast("int"),
         ).withColumn("bucket", bucket)
         merge_src = (
             upd_fetched.unionByName(upd_redir)
             .unionByName(upd_err)
             .unionByName(upd_denied)
+            .unionByName(upd_rl)
             .unionByName(new_rows)
         )
         if canons is not None:
@@ -1194,6 +1235,7 @@ class CrawlEngine:
                 F.col("retries").cast("int"),
                 F.col("last_cycle").cast("int"),
                 F.col("interval").cast("int"),
+                F.lit(0).cast("int").alias("not_before"),
             ).withColumn("bucket", bucket)
             merge_src = merge_src.unionByName(upd_canon)
 
@@ -1220,6 +1262,8 @@ class CrawlEngine:
             counts["fetch_partitions"] = int(fetch_parts)
         if self.recrawl_every:
             counts["not_modified"] = notmods.count()  # attempts is cached
+        if cfg.rate_limit_pct:
+            counts["rate_limited"] = rls.count()  # attempts is cached
         if content_dups is not None:
             counts["content_dup"] = content_dups.count()  # fd is cached
         _mark("fetch")
@@ -1265,7 +1309,7 @@ class CrawlEngine:
             lambda: self.metrics.append(metrics_df),
             lambda: self.frontier.merge_into(
                 merge_src, on=["url_norm"],
-                update_cols=["status", "retries", "last_cycle", "interval"]
+                update_cols=["status", "retries", "last_cycle", "interval", "not_before"]
             ),
             lambda: self.seen.append(new_seen),
         ]

@@ -56,6 +56,7 @@ def fetch(
     fetch_partitions: int | None = None,
     content_ver: int = 0,
     fetcher=None,
+    cycle: int = 0,
 ) -> DataFrame:
     """batch: generate()['fetch'] → FETCHED DF (html attached).
 
@@ -124,10 +125,21 @@ def fetch(
             if "interval" in pdf
             else pd.Series(0, index=pdf.index)
         )
-        htmls, oks, redirs, nms = [], [], [], []
+        st_in = (
+            pdf["status"]
+            if "status" in pdf
+            else pd.Series("pending", index=pdf.index)
+        )
+        # HTTP 429 model: the group is one host (or a hot-host salt
+        # sub-bucket), so one rate_limit_of lookup covers every row;
+        # the verdict itself is per-slot (slot >= cap), making it
+        # identical across any grouping/salting of the host's URLs.
+        rl = synthweb.rate_limit_of(cfg, str(pdf["host"].iloc[0]))
+        htmls, oks, redirs, nms, rls, nbs = [], [], [], [], [], []
         last = None
-        for url, st, rt, unch in zip(
-            pdf["url_norm"], pdf["sched_time"], pdf["retries"], unch_in
+        for url, st, rt, unch, slot in zip(
+            pdf["url_norm"], pdf["sched_time"], pdf["retries"], unch_in,
+            pdf["sched_slot"],
         ):
             if enforce_delay_wallclock and last is not None:
                 # delay_scale compresses the politeness clock for
@@ -138,6 +150,20 @@ def fetch(
                 if delta_ms > 0:
                     time.sleep(delta_ms / 1000.0)
             last = st
+            if rl is not None and int(slot) >= rl[0]:
+                # HTTP 429: the host's per-cycle cap refuses this slot
+                # BEFORE it could answer 304 or fail. Slot consumed
+                # (the request was made), no body; the URL defers to
+                # cycle + Retry-After. Mirrors oracle.crawl exactly.
+                oks.append(True)
+                redirs.append(None)
+                htmls.append("")
+                nms.append(False)
+                rls.append(True)
+                nbs.append(cycle + rl[1])
+                continue
+            rls.append(False)
+            nbs.append(0)
             if bool(unch):
                 # conditional GET answered 304: slot consumed, no body
                 oks.append(True)
@@ -161,6 +187,9 @@ def fetch(
         out["not_modified"] = pd.Series(nms, index=out.index, dtype=bool)
         out["last_cycle"] = lc_in.loc[out.index].astype("int32")
         out["interval"] = iv_in.loc[out.index].astype("int32")
+        out["status"] = st_in.loc[out.index].astype(str)
+        out["rate_limited"] = pd.Series(rls, index=out.index, dtype=bool)
+        out["not_before"] = pd.Series(nbs, index=out.index, dtype="int32")
         return out
 
     return salted.groupBy(*group_keys).applyInPandas(

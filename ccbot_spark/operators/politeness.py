@@ -187,10 +187,12 @@ def generate(
     denied = cand.filter(~F.col("allowed"))
     ok = cand.filter(F.col("allowed"))
     keep = ["url_norm", "host", "priority", "dt_cycle", "dt_seq", "retries"]
-    # revisit-policy passthrough (present when the engine calls us; the
-    # standalone operator accepts minimal candidate frames without them)
+    # revisit-policy + status passthrough (present when the engine
+    # calls us; the standalone operator accepts minimal candidate
+    # frames without them). status rides to the fetch stage so a
+    # 429-deferred attempt can restore it unchanged at merge time.
     keep += [
-        c for c in ("last_cycle", "interval", "unchanged")
+        c for c in ("last_cycle", "interval", "unchanged", "status")
         if c in pending.columns
     ]
     w = Window.partitionBy("host").orderBy(*_cand_order(cand))

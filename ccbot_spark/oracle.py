@@ -73,6 +73,7 @@ class FrontierEntry:
     retries: int = 0
     last_cycle: int = -1  # cycle of last successful fetch (revisit clock)
     interval: int = 0  # per-URL revisit interval in cycles (adaptive policy)
+    not_before: int = 0  # 429 Retry-After deferral: earliest eligible cycle
 
 
 @dataclass
@@ -172,6 +173,10 @@ def crawl(
         # ---- GENERATE: per-host candidate ordering + robots + budget
         by_host: dict[str, list[FrontierEntry]] = {}
         for e in frontier.values():
+            # 429 Retry-After deferral: not eligible again until
+            # not_before (regardless of status branch)
+            if e.not_before > cycle:
+                continue
             # candidates: pending, plus errored entries with retry
             # budget left (transient-failure recrawl)
             if (
@@ -209,6 +214,7 @@ def crawl(
                 path = robots.path_of(e.url_norm)
                 if not robots.allowed(rules.allow, rules.disallow, path):
                     e.status = "denied"
+                    e.not_before = 0  # terminal: any stale deferral clears
                     events.append((0, 0, host, e.url_norm, -1, "robots_denied"))
                 elif slot < budget:
                     st = slot * rules.crawl_delay_ms
@@ -228,7 +234,8 @@ def crawl(
                 host_metrics[host] = dict(
                     fetched=0, parsed_links=0, stored_images=0,
                     dedup_hits=0, errors=0, bytes=0, redirects=0,
-                    not_modified=0, content_dup=0, canonicals=0,
+                    not_modified=0, rate_limited=0, content_dup=0,
+                    canonicals=0,
                 )
             return host_metrics[host]
 
@@ -237,6 +244,21 @@ def crawl(
         cur_ver = synthweb.content_version(cfg, cycle)
         for st, host, url, slot, e in fetch_list:
             m = hm(host)
+            # HTTP 429: a rate-limiting host refuses every request at
+            # slot >= its per-cycle cap — BEFORE it could answer 304 or
+            # fail (the server never serves the request at all). Slot
+            # consumed, no body, status/retries untouched; the URL is
+            # deferred to cycle + Retry-After (synthweb.rate_limit_of).
+            rl = synthweb.rate_limit_of(cfg, host)
+            if rl is not None and slot >= rl[0]:
+                e.not_before = cycle + rl[1]
+                m["rate_limited"] += 1
+                events.append((2, st, host, url, slot, "rate_limited"))
+                continue
+            # any served attempt (200/304/301/error/...) clears a stale
+            # expired deferral — mirrors the engine's merge branches,
+            # which all write not_before = 0 except the 429 one
+            e.not_before = 0
             # conditional GET: a recrawl candidate whose last fetch is
             # in the current content epoch answers 304 — slot consumed,
             # no body, revisit clock advanced (mirrors the engine's

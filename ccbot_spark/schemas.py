@@ -46,6 +46,10 @@ FRONTIER = T.StructType(
         # the adaptive policy doubles it on unchanged revisits and
         # halves it on changed ones, bounded by oracle.ADAPT_MIN/MAX)
         T.StructField("interval", T.IntegerType(), False),
+        # earliest cycle this URL may be scheduled again (HTTP 429
+        # Retry-After deferral; 0 = no deferral). A deferred URL is
+        # simply not a GENERATE candidate until cycle >= not_before.
+        T.StructField("not_before", T.IntegerType(), False),
     ]
 )
 
@@ -97,6 +101,9 @@ METRICS = T.StructType(
         T.StructField("bytes", T.LongType(), False),
         T.StructField("redirects", T.LongType(), False),
         T.StructField("not_modified", T.LongType(), False),  # 304 recrawls
+        # requests the host refused with HTTP 429 (slot consumed, URL
+        # deferred to cycle + Retry-After)
+        T.StructField("rate_limited", T.LongType(), False),
         # pages whose body digest was already seen (content-seen test)
         T.StructField("content_dup", T.LongType(), False),
         # pages that declared rel="canonical" to a DIFFERENT url
@@ -136,6 +143,14 @@ FETCHED = T.StructType(
         T.StructField("not_modified", T.BooleanType(), False),
         T.StructField("last_cycle", T.IntegerType(), False),  # pre-fetch value
         T.StructField("interval", T.IntegerType(), False),  # pre-fetch value
+        # pre-fetch frontier status (pending|error|fetched): a
+        # 429-deferred attempt must restore it unchanged at merge time
+        T.StructField("status", T.StringType(), False),
+        # 429: the host's per-cycle request cap refused this slot —
+        # slot consumed, html empty, no parse, URL deferred
+        T.StructField("rate_limited", T.BooleanType(), False),
+        # cycle + Retry-After for rate-limited rows, else 0
+        T.StructField("not_before", T.IntegerType(), False),
     ]
 )
 

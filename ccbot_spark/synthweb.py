@@ -41,6 +41,7 @@ class WebConfig:
     mirror_pct: int = 0  # % of non-h0 pages that mirror their h0 twin's body
     canonical_pct: int = 0  # % of odd pages declaring rel=canonical → even twin
     robots_change_every: int = 0  # robots.txt epoch length in cycles (0 = static)
+    rate_limit_pct: int = 0  # % of hosts that answer HTTP 429 past a slot cap
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -105,6 +106,25 @@ def host_budget(cfg: WebConfig, host: str) -> int:
     """Per-host per-cycle fetch budget (politeness budget, BASELINE.json:2)."""
     d = _digest(f"budget:{cfg.seed}:{host}")
     return 5 + d[0] % 16  # 5..20
+
+
+def rate_limit_of(cfg: WebConfig, host: str) -> tuple[int, int] | None:
+    """HTTP 429 model: hash-selected hosts (rate_limit_pct) enforce a
+    per-cycle request cap T below their robots budget — every request
+    at slot >= T is answered 429 with a Retry-After of R cycles.
+    Returns (T, R) for limiting hosts, None otherwise.
+
+    Slot-deterministic by design: the verdict is a pure function of
+    (host, sched_slot), so the engine's salted/partitioned fetch
+    workers and the sequential oracle compute identical outcomes with
+    no cross-worker state — the property every other synthetic-web
+    behavior (fetch_ok, redirect_of, mirror_of) relies on too."""
+    if cfg.rate_limit_pct <= 0:
+        return None
+    d = _digest(f"ratelimit:{cfg.seed}:{host}")
+    if d[0] % 100 >= cfg.rate_limit_pct:
+        return None
+    return 2 + d[1] % 4, 1 + d[2] % 2  # cap 2..5 slots; Retry-After 1..2 cycles
 
 
 # ---------------------------------------------------------------- pages

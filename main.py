@@ -111,6 +111,10 @@ def parse_args():
                    help="also write WET companion segments (one "
                         "'conversion' record per fetched page, body = "
                         "extracted page text) under each cycle dir")
+    p.add_argument("--rate-limit-pct", type=int, default=0,
+                   help="percent of hosts that answer HTTP 429 past a "
+                        "per-cycle request cap; refused URLs defer to "
+                        "cycle + Retry-After (1-2 cycles)")
     p.add_argument("--robots-change-every", type=int, default=0,
                    help="robots.txt epoch length in cycles: rules and "
                         "crawl-delays re-render every K cycles and the "
@@ -160,6 +164,7 @@ def main() -> None:
         mirror_pct=args.mirror_pct,
         canonical_pct=args.canonical_pct,
         robots_change_every=args.robots_change_every,
+        rate_limit_pct=args.rate_limit_pct,
     )
     eng = CrawlEngine(
         spark,

@@ -923,3 +923,84 @@ def test_robots_change_matches_oracle(spark, tmp_path):
         (t[1], t[2]) for t in static.trace if t[5] == "robots_denied"
     }
     assert denied != denied_static
+
+
+def test_rate_limit_429_matches_oracle(spark, tmp_path):
+    """HTTP 429 Retry-After deferral: hash-selected hosts
+    (WebConfig.rate_limit_pct) refuse every request at sched_slot >=
+    their per-cycle cap. A refused slot is consumed (it WAS a request),
+    nothing is served — no 304, no parse, no error — and the URL
+    becomes invisible to GENERATE until cycle + Retry-After. The
+    verdict is slot-deterministic (synthweb.rate_limit_of), so the
+    engine's salted applyInPandas fetch workers and the sequential
+    oracle agree with no cross-worker state; traces must stay
+    byte-identical, and deferred URLs must come back and be fetched."""
+    cfg = synthweb.WebConfig(
+        n_hosts=12, pages_per_host=40, rate_limit_pct=60,
+        fail_pct=10, redirect_pct=10,
+    )
+    seeds = synthweb.seed_urls(cfg, 24)
+
+    # fixture non-vacuity: some host rate-limits, some doesn't, and
+    # every cap is below that host's robots budget (429s actually fire)
+    rls = {
+        h: synthweb.rate_limit_of(cfg, h)
+        for h in (cfg.host(k) for k in range(cfg.n_hosts))
+    }
+    assert any(v is not None for v in rls.values())
+    assert any(v is None for v in rls.values())
+    assert all(
+        v[0] < synthweb.host_budget(cfg, h)
+        for h, v in rls.items()
+        if v is not None
+    )
+
+    want = oracle.crawl(cfg, seeds, cycles=4)
+    rl_events = [t for t in want.trace if t[5] == "rate_limited"]
+    assert rl_events, "fixture must produce 429s"
+    # the deferral is not terminal: some refused URL is fetched later
+    rl_urls = {t[2] for t in rl_events}
+    assert any(
+        t[2] in rl_urls and t[5] == "fetched" for t in want.trace
+    ), "some deferred URL must come back and be fetched"
+    # and the deferral is real: after a 429 at cycle c, the URL's next
+    # attempt of any kind happens no earlier than c + Retry-After
+    attempt_kinds = (
+        "fetched", "fetch_error", "redirect", "not_modified", "rate_limited"
+    )
+    by_url: dict[str, list[tuple[int, str]]] = {}
+    for t in want.trace:
+        if t[5] in attempt_kinds:
+            by_url.setdefault(t[2], []).append((t[1], t[3]))
+    for t in rl_events:
+        url, c0, host = t[2], t[1], t[3]
+        retry_after = synthweb.rate_limit_of(cfg, host)[1]
+        nxt = [c for c, _ in by_url[url] if c > c0]
+        assert all(c >= c0 + retry_after for c in nxt), (url, c0, nxt)
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "rl"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10)
+    eng.crawl(seeds, cycles=4)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    # frontier deferral state matches entry-for-entry (incl. not_before)
+    got_nb = {
+        r.url_norm: (r.status, r.not_before)
+        for r in eng.frontier.read().collect()
+    }
+    want_nb = {
+        e.url_norm: (e.status, e.not_before) for e in want.frontier.values()
+    }
+    assert got_nb == want_nb
+    # per-host 429 metrics match
+    got_m = {
+        (r.cycle, r.host): (r.fetched, r.rate_limited, r.errors)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (m["fetched"], m["rate_limited"], m["errors"])
+        for m in want.metrics
+    }
+    assert got_m == want_m
