@@ -454,6 +454,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["recrawl_schedule"] = recrawl_schedule
 
+    def w_rate_limit(spark, sf_dir):
+        # the HTTP 429 politeness plan (synthweb.rate_limit_of + the
+        # fetch-stage verdict) as a pure relational query: md5-selected
+        # hosts (60%) enforce a per-cycle cap of 2 + h%4 slots with
+        # Retry-After 1 + h%2 cycles; a request's verdict is a pure
+        # function of (host, slot) — exactly the property that lets the
+        # engine's salted fetch workers decide 429s with no shared
+        # state. Slots come from the politeness window (w_schedule
+        # shape); the md5 bucket construction is sampling.key_hash_mod,
+        # mirrored by the oracle's Horner fold.
+        from ccbot_spark.functions.sampling import key_hash_mod
+
+        e = _t(spark, sf_dir, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".test")
+        )
+        w = Window.partitionBy("host").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        d = e.select("event_id", host.alias("host"), "ts").withColumn(
+            "slot", (F.row_number().over(w) - 1).cast("int")
+        )
+        limiting = key_hash_mod(F.concat(F.lit("sel:"), F.col("host")), 100) < 60
+        cap = F.lit(2) + key_hash_mod(F.concat(F.lit("rl:"), F.col("host")), 4)
+        ra = F.lit(1) + key_hash_mod(F.concat(F.lit("ra:"), F.col("host")), 2)
+        lim = limiting & (F.col("slot") >= cap)
+        return d.select(
+            "event_id",
+            "host",
+            "slot",
+            lim.alias("rate_limited"),
+            F.when(lim, F.lit(1) + ra)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("not_before"),
+        )
+    q["w_rate_limit"] = w_rate_limit
+
     def f_filter_scheme(spark, sf_dir):
         urls = _mixed_scheme_urls(_t(spark, sf_dir, "events"))
         return urlops.filter_scheme(urls, "url").select("event_id", "url")
@@ -1910,6 +1948,27 @@ def oracle_sql() -> dict[str, str]:
             "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
             f"(a,b) -> a*16 + b) % {mod})"
         )
+
+    o["w_rate_limit"] = f"""
+        WITH s AS (
+          SELECT event_id,
+                 'h' || CAST(user_id % 40 AS VARCHAR) || '.test' AS host,
+                 ts,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY 'h' || CAST(user_id % 40 AS VARCHAR) || '.test'
+                   ORDER BY ts ASC, event_id ASC
+                 ) - 1 AS INTEGER) AS slot
+          FROM events
+        )
+        SELECT event_id, host, slot,
+               ({_sql_hmod("'sel:' || host", 100)} < 60
+                AND slot >= 2 + {_sql_hmod("'rl:' || host", 4)}) AS rate_limited,
+               CAST(CASE WHEN {_sql_hmod("'sel:' || host", 100)} < 60
+                          AND slot >= 2 + {_sql_hmod("'rl:' || host", 4)}
+                    THEN 2 + {_sql_hmod("'ra:' || host", 2)}
+                    ELSE 0 END AS INTEGER) AS not_before
+        FROM s
+    """
 
     o["sample_hash"] = f"""
         SELECT doc_id, lang, source, n_chars FROM documents

@@ -1040,3 +1040,45 @@ def test_rate_limit_resume_preserves_deferrals(spark, tmp_path):
         e.url_norm: (e.status, e.not_before) for e in want.frontier.values()
     }
     assert got_nb == want_nb
+
+
+def test_rate_limit_with_adaptive_recrawl_matches_oracle(spark, tmp_path):
+    """429 deferral composed with the revisit policy: a recrawl-due
+    page refused with 429 keeps status 'fetched' and its revisit clock
+    untouched, and the not_before gate must suppress the due-revisit
+    candidacy branch (not just pending/error) until Retry-After
+    expires. change_every makes revisits a 304/changed mix so the
+    adaptive interval fold and the deferral interact."""
+    cfg = synthweb.WebConfig(
+        n_hosts=8, pages_per_host=30, rate_limit_pct=60, change_every=2,
+    )
+    seeds = synthweb.seed_urls(cfg, 24)
+    want = oracle.crawl(
+        cfg, seeds, cycles=5, recrawl_every=1, adaptive_recrawl=True
+    )
+    # non-vacuity: a 429 must actually hit a revisit attempt (the URL
+    # was fetched in an earlier cycle, then refused on its recrawl)
+    fetched_at = {}
+    hit_revisit = False
+    for t in want.trace:
+        if t[5] in ("fetched", "not_modified"):
+            fetched_at.setdefault(t[2], t[1])
+        if t[5] == "rate_limited" and t[2] in fetched_at:
+            hit_revisit = True
+    assert hit_revisit, "fixture: some revisit must be refused with 429"
+    assert any(t[5] == "not_modified" for t in want.trace)
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "rladapt"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, recrawl_every=1, adaptive_recrawl=True)
+    eng.crawl(seeds, cycles=5)
+    assert _engine_trace(eng) == want.trace
+    got = {
+        r.url_norm: (r.status, r.last_cycle, r.interval, r.not_before)
+        for r in eng.frontier.read().collect()
+    }
+    want_f = {
+        e.url_norm: (e.status, e.last_cycle, e.interval, e.not_before)
+        for e in want.frontier.values()
+    }
+    assert got == want_f
