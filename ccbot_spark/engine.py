@@ -90,6 +90,7 @@ class CrawlEngine:
         fetcher=None,
         fetch_checkpoint: bool = False,
         canonical_dedup: bool = False,
+        error_backoff: int = 0,
     ):
         from .shipping import ensure_shipped
 
@@ -220,6 +221,11 @@ class CrawlEngine:
         # pool with the page's own priority (a parse-time soft
         # redirect; mirrors oracle.crawl(canonical_dedup=True))
         self.canonical_dedup = canonical_dedup
+        # error_backoff = CAP > 0: an errored URL cools down for
+        # min(2^retries, CAP) cycles through the frontier's not_before
+        # gate instead of retrying next cycle (exponential backoff on
+        # transient failures; mirrors oracle.crawl(error_backoff=CAP))
+        self.error_backoff = error_backoff
         os.makedirs(workdir, exist_ok=True)
         # factory: real Iceberg tables when CCBOT_ICEBERG_CATALOG is
         # configured (cluster), Parquet-emulated store here (§7.3)
@@ -1181,6 +1187,17 @@ class CrawlEngine:
             F.col("interval").cast("int"),
             F.lit(0).cast("int").alias("not_before"),
         ).withColumn("bucket", bucket)
+        if self.error_backoff:
+            # post-increment retries r: cool down min(2^r, CAP) cycles
+            err_nb = (
+                F.lit(cycle)
+                + F.least(
+                    F.expr("shiftleft(1, retries + 1)"),
+                    F.lit(self.error_backoff),
+                )
+            ).cast("int")
+        else:
+            err_nb = F.lit(0).cast("int")
         upd_err = errs.select(
             "url_norm", "host", "priority",
             F.lit(0).cast("int").alias("dt_cycle"),
@@ -1190,7 +1207,7 @@ class CrawlEngine:
             (F.col("retries") + 1).cast("int").alias("retries"),
             F.col("last_cycle").cast("int"),
             F.col("interval").cast("int"),
-            F.lit(0).cast("int").alias("not_before"),
+            err_nb.alias("not_before"),
         ).withColumn("bucket", bucket)
         upd_denied = parts["denied"].select(
             "url_norm", "host", "priority",

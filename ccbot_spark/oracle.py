@@ -97,6 +97,7 @@ def crawl(
     content_dedup: bool = False,
     age_boost: int = 0,
     canonical_dedup: bool = False,
+    error_backoff: int = 0,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -276,9 +277,14 @@ def crawl(
                 continue
             if not synthweb.fetch_ok(cfg, url, e.retries):
                 # failed fetch: slot consumed, no parse, error status;
-                # retried next cycle until MAX_RETRIES
+                # retried until MAX_RETRIES — next cycle by default, or
+                # (error_backoff=CAP > 0) after an exponential cooldown
+                # of min(2^retries, CAP) cycles through the same
+                # not_before gate the 429 deferral uses
                 e.status = "error"
                 e.retries += 1
+                if error_backoff:
+                    e.not_before = cycle + min(1 << e.retries, error_backoff)
                 m["errors"] += 1
                 events.append((2, st, host, url, slot, "fetch_error"))
                 continue

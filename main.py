@@ -111,6 +111,9 @@ def parse_args():
                    help="also write WET companion segments (one "
                         "'conversion' record per fetched page, body = "
                         "extracted page text) under each cycle dir")
+    p.add_argument("--error-backoff", type=int, default=0,
+                   help="cap > 0: errored URLs cool down min(2^retries, "
+                        "cap) cycles before a retry (exponential backoff)")
     p.add_argument("--rate-limit-pct", type=int, default=0,
                    help="percent of hosts that answer HTTP 429 past a "
                         "per-cycle request cap; refused URLs defer to "
@@ -183,6 +186,7 @@ def main() -> None:
         rank_every=args.rank_every,
         recrawl_every=args.recrawl_every,
         adaptive_recrawl=args.adaptive_recrawl,
+        error_backoff=args.error_backoff,
         content_dedup=args.content_dedup,
         canonical_dedup=args.canonical,
         age_boost=args.age_boost,

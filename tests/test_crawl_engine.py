@@ -1082,3 +1082,46 @@ def test_rate_limit_with_adaptive_recrawl_matches_oracle(spark, tmp_path):
         for e in want.frontier.values()
     }
     assert got == want_f
+
+
+def test_error_backoff_matches_oracle(spark, tmp_path):
+    """error_backoff=CAP: a failed fetch cools down min(2^retries, CAP)
+    cycles through the same not_before gate as the 429 deferral,
+    instead of retrying next cycle. Engine and oracle must agree on
+    trace/seen/frontier, the policy must actually move retries (differ
+    from the no-backoff run), and no errored URL may be re-attempted
+    before its cooldown expires."""
+    cfg = synthweb.WebConfig(n_hosts=6, pages_per_host=40, fail_pct=30)
+    seeds = synthweb.seed_urls(cfg, 18)
+    plain = oracle.crawl(cfg, seeds, cycles=5)
+    want = oracle.crawl(cfg, seeds, cycles=5, error_backoff=8)
+    assert want.trace != plain.trace, "backoff must change the schedule"
+    # no-backoff: first retry happens the very next cycle for some URL;
+    # with backoff the gap after the FIRST error is always >= 2 cycles
+    errs_at: dict[str, int] = {}
+    attempt_kinds = ("fetched", "fetch_error", "redirect", "not_modified")
+    gap_ok = checked = 0
+    for t in want.trace:
+        if t[5] == "fetch_error" and t[2] not in errs_at:
+            errs_at[t[2]] = t[1]
+        elif t[5] in attempt_kinds and t[2] in errs_at:
+            checked += 1
+            if t[1] >= errs_at[t[2]] + 2:
+                gap_ok += 1
+            del errs_at[t[2]]
+    assert checked > 0 and gap_ok == checked, (checked, gap_ok)
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "ebo"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, error_backoff=8)
+    eng.crawl(seeds, cycles=5)
+    assert _engine_trace(eng) == want.trace
+    got = {
+        r.url_norm: (r.status, r.retries, r.not_before)
+        for r in eng.frontier.read().collect()
+    }
+    want_f = {
+        e.url_norm: (e.status, e.retries, e.not_before)
+        for e in want.frontier.values()
+    }
+    assert got == want_f
