@@ -71,3 +71,61 @@ def global_sequence(
         .drop("_pid", "_off")
     )
     return out, total, ev
+
+
+def global_running_total(
+    df: DataFrame,
+    keys: list,
+    val_col: str,
+    num_partitions: int,
+    out_col: str = "run_total",
+) -> tuple[DataFrame, int, DataFrame]:
+    """Running SUM(val_col) over the GLOBAL `keys` order — the same
+    number ``SUM(v) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)``
+    assigns — without collapsing to one partition.  Same two-phase
+    shape as :func:`global_sequence`: range-partition + local sort,
+    per-partition partial sums (one long per partition collected),
+    prefix-summed offsets broadcast back, within-partition cumulative
+    window on top.  Inclusive of the current row; `keys` must be a
+    unique tuple per row for the order (hence the result) to be
+    well-defined.
+
+    Returns ``(df_with_out_col, grand_total, cached_handle)``; the
+    caller unpersists `cached_handle` when done (the partial-sum pass
+    materializes it so the window pass never recomputes upstream).
+    """
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    ev = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    parts = {
+        r["_pid"]: r["s"]
+        for r in ev.groupBy("_pid")
+        .agg(F.sum(F.col(val_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(parts):
+        offs.append((pid, acc))
+        acc += int(parts[pid] or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs or [], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ev.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.sum(F.col(val_col).cast("long")).over(w)).cast(
+                "long"
+            ),
+        )
+        .drop("_pid", "_off")
+    )
+    return out, acc, ev

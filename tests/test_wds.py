@@ -1,0 +1,165 @@
+"""WebDataset tar shard export: plan → write → read round trip.
+
+Gates:
+  * global_running_total == single-partition SQL window (exact longs);
+  * plan_shards assignment == the SQL window formula; shards are
+    contiguous key ranges; every non-final shard reaches the target and
+    overshoots by less than one sample's cost;
+  * write_shards emits byte-identical tar files at different
+    parallelism (determinism under speculative/retried tasks);
+  * read_shards round-trips (image_id, fmt, bytes, caption) exactly.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ccbot_spark import wds
+from ccbot_spark.functions import multimodal
+from ccbot_spark.operators import sequencing
+
+TARGET = 96 * 1024
+
+
+def _docs(spark, n=240):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def _samples(spark, n=240):
+    """Deterministic image+caption table matching the BASELINE input
+    shape (image_id, bytes, w, h, fmt, caption)."""
+    imgs = multimodal.synth_images_from_docs(_docs(spark, n))
+    return imgs.withColumn(
+        "caption",
+        F.concat(
+            F.lit("caption for image "),
+            F.regexp_extract("image_id", r"(\d+)", 1),
+        ),
+    )
+
+
+def test_global_running_total_matches_window(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37 + 11) % 1000 + 1).alias("v"),
+    )
+    got, total, cache = sequencing.global_running_total(df, ["k"], "v", 16)
+    try:
+        rows = {r["k"]: r["run_total"] for r in got.collect()}
+    finally:
+        cache.unpersist()
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["rt"]
+        for r in df.select("k", F.sum("v").over(w).alias("rt")).collect()
+    }
+    assert rows == want
+    assert total == sum(
+        r["v"] for r in df.collect()
+    )
+
+
+def test_plan_matches_sql_window_and_bounds(spark):
+    s = _samples(spark)
+    costed = s.withColumn(
+        "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+    )
+    assigned, cache = wds.plan_shards(costed, TARGET, num_partitions=16)
+    try:
+        got = {
+            r["image_id"]: (r["shard_id"], r["plan_cost"])
+            for r in assigned.collect()
+        }
+    finally:
+        cache.unpersist()
+    # oracle formula: one global window (fine at test scale)
+    w = Window.orderBy("image_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want_df = costed.select(
+        "image_id",
+        "plan_cost",
+        F.floor(
+            (F.sum("plan_cost").over(w) - F.col("plan_cost")) / F.lit(TARGET)
+        ).alias("sid"),
+    )
+    want = {r["image_id"]: r["sid"] for r in want_df.collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+
+    # shards are contiguous in key order and size-bounded
+    by_shard: dict[int, list[str]] = {}
+    for key, (sid, _c) in got.items():
+        by_shard.setdefault(sid, []).append(key)
+    order = sorted(got)  # global key order
+    seen_sids = [got[k][0] for k in order]
+    assert seen_sids == sorted(seen_sids), "shard ids ascend with key order"
+    max_cost = max(c for _s, c in got.values())
+    totals = {
+        sid: sum(got[k][1] for k in keys) for sid, keys in by_shard.items()
+    }
+    last = max(totals)
+    for sid, tot in totals.items():
+        if sid != last:
+            # a boundary-straddling sample stays in the earlier shard,
+            # so a shard may start partway into its budget: within one
+            # sample's cost of the target on either side
+            assert TARGET - max_cost < tot < TARGET + max_cost
+
+
+def _export(spark, out_dir, shuffle_partitions):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        s = _samples(spark).withColumn(
+            "plan_cost",
+            wds.sample_cost(F.col("w"), F.col("h"), F.col("caption")),
+        )
+        assigned, cache = wds.plan_shards(
+            s, TARGET, num_partitions=shuffle_partitions
+        )
+        manifest = wds.write_shards(assigned, out_dir).collect()
+        cache.unpersist()
+        return sorted(
+            (r["shard_id"], r["n_samples"], r["n_bytes"], r["key_min"], r["key_max"])
+            for r in manifest
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _file_hashes(out_dir):
+    return {
+        os.path.basename(p): hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(out_dir, "*.tar"))
+    }
+
+
+def test_write_bytes_parallelism_independent(spark, tmp_path):
+    m4 = _export(spark, str(tmp_path / "p4"), 4)
+    m32 = _export(spark, str(tmp_path / "p32"), 32)
+    assert m4 == m32
+    h4, h32 = _file_hashes(str(tmp_path / "p4")), _file_hashes(str(tmp_path / "p32"))
+    assert h4 == h32 and len(h4) >= 3
+    # manifest n_bytes is the real file size
+    for r, (name, _h) in zip(m4, sorted(h4.items())):
+        assert r[2] == os.path.getsize(tmp_path / "p4" / name)
+
+
+def test_round_trip_exact(spark, tmp_path):
+    out = str(tmp_path / "rt")
+    _export(spark, out, 8)
+    src = {
+        r["image_id"]: (r["fmt"], bytes(r["bytes"]), r["caption"])
+        for r in _samples(spark).collect()
+    }
+    back = {
+        r["image_id"]: (r["fmt"], bytes(r["bytes"]), r["caption"])
+        for r in wds.read_shards(spark, out).collect()
+    }
+    assert back == src
