@@ -91,6 +91,7 @@ class CrawlEngine:
         fetch_checkpoint: bool = False,
         canonical_dedup: bool = False,
         error_backoff: int = 0,
+        domain_budget: int = 0,
     ):
         from .shipping import ensure_shipped
 
@@ -226,6 +227,14 @@ class CrawlEngine:
         # gate instead of retrying next cycle (exponential backoff on
         # transient failures; mirrors oracle.crawl(error_backoff=CAP))
         self.error_backoff = error_backoff
+        # domain_budget = D > 0: at most D URLs per REGISTERED DOMAIN
+        # (urlkit.registered_domain — eTLD+1 stub) per cycle, across
+        # all of the domain's hosts, applied to allowed candidates
+        # BEFORE per-host slotting. The subdomain-spam defense: a
+        # thousand *.spam.test hosts share one budget. Over-cap
+        # candidates trace 'domain_skipped' and stay pending (mirrors
+        # oracle.crawl(domain_budget=D)).
+        self.domain_budget = domain_budget
         os.makedirs(workdir, exist_ok=True)
         # factory: real Iceberg tables when CCBOT_ICEBERG_CATALOG is
         # configured (cluster), Parquet-emulated store here (§7.3)
@@ -396,6 +405,8 @@ class CrawlEngine:
             shutil.rmtree(d)
         frames = {"attempts": attempts, "denied": parts["denied"],
                   "skipped": parts["skipped"]}
+        if "domain_skipped" in parts:
+            frames["domain_skipped"] = parts["domain_skipped"]
         schemas_json = {}
         for name, df in frames.items():
             df.write.mode("overwrite").parquet(os.path.join(d, name))
@@ -673,6 +684,8 @@ class CrawlEngine:
             attempts = snap["attempts"]
             fetched_raw = attempts
             parts = {"denied": snap["denied"], "skipped": snap["skipped"]}
+            if "domain_skipped" in snap:
+                parts["domain_skipped"] = snap["domain_skipped"]
             skew_safe, fetch_parts = False, None  # bookkeeping only
             _mark("generate_topk")
         else:
@@ -786,7 +799,10 @@ class CrawlEngine:
                         32 * self.n_buckets,
                     )
                 )
-            parts = politeness.generate(pending, robots_df, skew_safe=skew_safe)
+            parts = politeness.generate(
+                pending, robots_df, skew_safe=skew_safe,
+                domain_budget=self.domain_budget,
+            )
             # denied feeds both the trace and the frontier merge; persist so
             # the robots-UDF + window stage runs once
             parts["denied"] = parts["denied"].persist(StorageLevel.MEMORY_AND_DISK)
@@ -1116,6 +1132,13 @@ class CrawlEngine:
             events = (
                 evt(parts["denied"], 0, "robots_denied")
                 .unionByName(evt(parts["skipped"], 1, "budget_skipped"))
+            )
+            if "domain_skipped" in parts:
+                events = events.unionByName(
+                    evt(parts["domain_skipped"], 1, "domain_skipped")
+                )
+            events = (
+                events
                 .unionByName(evt(fetched, 2, "fetched", slot=True, sched=True))
                 .unionByName(evt(errs, 2, "fetch_error", slot=True, sched=True))
                 .unionByName(evt(redirs, 2, "redirect", slot=True, sched=True))

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from .. import robots as robots_mod
 from .. import schemas, synthweb
+from . import urlops
 
 def _cand_order(df: DataFrame | None = None):
     """Candidate ranking keys. When the engine attaches an `_eff`
@@ -156,7 +157,10 @@ def robots_allow_udf(
 
 
 def generate(
-    pending: DataFrame, robots_df: DataFrame, skew_safe: bool = False
+    pending: DataFrame,
+    robots_df: DataFrame,
+    skew_safe: bool = False,
+    domain_budget: int = 0,
 ) -> dict[str, DataFrame]:
     """The crawl GENERATE step (§3.1 step 1).
 
@@ -165,6 +169,14 @@ def generate(
       fetch   — per-host top-budget allowed candidates with
                 sched_slot / sched_time (slot * crawl_delay_ms)
       skipped — allowed candidates beyond the per-host budget
+      domain_skipped — (only when domain_budget > 0) allowed candidates
+                beyond the per-REGISTERED-DOMAIN cap, applied across
+                all of a domain's hosts BEFORE per-host slotting — the
+                subdomain-spam defense: a thousand *.spam.test hosts
+                share ONE budget of `domain_budget` URLs per cycle.
+                Ranked by the same candidate order as the host window
+                (aging-aware priority, then discovery time, then url),
+                so the kept set is deterministic and oracle-mirrorable.
 
     skew_safe: two-phase per-host top-k for pathological frontier skew.
     The default path ranks with ONE Window.partitionBy(host) — a host
@@ -195,6 +207,37 @@ def generate(
         c for c in ("last_cycle", "interval", "unchanged", "status")
         if c in pending.columns
     ]
+    dom_skipped = None
+    if domain_budget > 0:
+        okd = ok.withColumn(
+            "_dom", urlops.registered_domain(F.col("host"))
+        )
+        wd = Window.partitionBy("_dom").orderBy(*_cand_order(cand))
+        if skew_safe:
+            # same two-phase discipline as the host window: a spam
+            # domain can dominate the frontier exactly like a hot host
+            wd1 = Window.partitionBy("_pid", "_dom").orderBy(*_cand_order(cand))
+            surv = (
+                okd.withColumn("_pid", F.spark_partition_id())
+                .withColumn("_rn0", F.row_number().over(wd1))
+                .filter(F.col("_rn0") <= F.lit(domain_budget))
+                .drop("_pid", "_rn0")
+            )
+            kept = (
+                surv.withColumn("_rnd", F.row_number().over(wd))
+                .filter(F.col("_rnd") <= F.lit(domain_budget))
+                .drop("_rnd")
+            )
+            dom_skipped = okd.join(
+                kept.select(F.col("url_norm").alias("_ku")),
+                on=F.col("url_norm") == F.col("_ku"),
+                how="left_anti",
+            )
+        else:
+            okd = okd.withColumn("_rnd", F.row_number().over(wd))
+            kept = okd.filter(F.col("_rnd") <= F.lit(domain_budget)).drop("_rnd")
+            dom_skipped = okd.filter(F.col("_rnd") > F.lit(domain_budget))
+        ok = kept.drop("_dom")
     w = Window.partitionBy("host").orderBy(*_cand_order(cand))
     if skew_safe:
         w1 = Window.partitionBy("_pid", "host").orderBy(*_cand_order(cand))
@@ -227,11 +270,14 @@ def generate(
             (F.col("sched_slot") * F.col("crawl_delay_ms")).cast("long"),
         )
         skipped = ok.filter(F.col("sched_slot") >= F.col("budget_per_cycle"))
-    return {
+    out = {
         "denied": denied.select(*keep),
         "fetch": fetch.select(*keep, "sched_slot", "sched_time", "crawl_delay_ms"),
         "skipped": skipped.select(*keep),
     }
+    if dom_skipped is not None:
+        out["domain_skipped"] = dom_skipped.select(*keep)
+    return out
 
 
 def topk_hosts(pending: DataFrame, k: int = 16, min_count: int = 1000) -> list[str]:

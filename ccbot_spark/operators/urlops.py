@@ -148,3 +148,21 @@ def filter_traps(df, url_col: str = "url", **kw):
     return flagged.filter(F.col("is_trap") == 0).drop(
         "depth", "n_repeat", "url_len", "is_trap"
     )
+
+
+def registered_domain(host_col) -> Column:
+    """eTLD+1-style registered domain, pure JVM (split + array slice —
+    whole-stage codegen, no Python). Byte-identical twin of
+    ``urlkit.registered_domain`` (grid-tested): <=2 labels -> the host
+    itself; else the last 2 labels, or 3 when the second-to-last is a
+    registry SLD (urlkit.MULTIPART_SLDS — the PSL stub)."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+    # F.get returns NULL out-of-bounds (never throws, unlike
+    # element_at under ANSI); NULL isin(...) is NULL -> otherwise()
+    second = F.get(parts, n - 2)
+    k = F.when(
+        (n >= 3) & second.isin(*sorted(urlkit.MULTIPART_SLDS)), F.lit(3)
+    ).otherwise(F.lit(2))
+    tail = F.reverse(F.slice(F.reverse(parts), 1, k))
+    return F.when(n <= 2, host_col).otherwise(F.concat_ws(".", tail))

@@ -98,6 +98,7 @@ def crawl(
     age_boost: int = 0,
     canonical_dedup: bool = False,
     error_backoff: int = 0,
+    domain_budget: int = 0,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -196,6 +197,36 @@ def crawl(
         events: list[tuple] = []  # (phase, sched_time, host, url_norm, slot, action)
         fetch_list: list[tuple] = []  # (sched_time, host, url_norm, slot, entry)
         rob_ver = synthweb.robots_version(cfg, cycle)
+        # domain_budget pre-pass: across ALL hosts of a registered
+        # domain (urlkit.registered_domain — the eTLD+1 stub), only the
+        # top `domain_budget` ALLOWED candidates (same aging-aware
+        # order the host ranking uses) stay eligible this cycle; the
+        # rest trace 'domain_skipped' (phase 1) and remain pending
+        # without consuming a politeness slot. Mirrors the engine's
+        # pre-slotting domain window in politeness.generate.
+        dom_skip: set[str] = set()
+        if domain_budget > 0:
+            by_dom: dict[str, list[FrontierEntry]] = {}
+            for host, entries in by_host.items():
+                rules, _budget = host_rules(host, rob_ver)
+                for e in entries:
+                    path = robots.path_of(e.url_norm)
+                    if robots.allowed(rules.allow, rules.disallow, path):
+                        by_dom.setdefault(
+                            urlkit.registered_domain(host), []
+                        ).append(e)
+            for es in by_dom.values():
+                es.sort(
+                    key=lambda e: (
+                        -(e.priority + age_boost * (cycle - e.cycle_added)),
+                        e.dt_cycle, e.dt_seq, e.url_norm,
+                    )
+                )
+                for e in es[domain_budget:]:
+                    dom_skip.add(e.url_norm)
+                    events.append(
+                        (1, 0, e.host, e.url_norm, -1, "domain_skipped")
+                    )
         for host, entries in by_host.items():
             rules, budget = host_rules(host, rob_ver)
             # age_boost > 0: starvation-free scheduling — a candidate's
@@ -217,6 +248,9 @@ def crawl(
                     e.status = "denied"
                     e.not_before = 0  # terminal: any stale deferral clears
                     events.append((0, 0, host, e.url_norm, -1, "robots_denied"))
+                elif e.url_norm in dom_skip:
+                    continue  # event emitted by the domain pre-pass;
+                    # no slot consumed, stays pending
                 elif slot < budget:
                     st = slot * rules.crawl_delay_ms
                     # phase-2 event emitted by the fetch loop below

@@ -42,9 +42,13 @@ class WebConfig:
     canonical_pct: int = 0  # % of odd pages declaring rel=canonical → even twin
     robots_change_every: int = 0  # robots.txt epoch length in cycles (0 = static)
     rate_limit_pct: int = 0  # % of hosts that answer HTTP 429 past a slot cap
+    domain_groups: int = 0  # >0: hosts become subdomains of this many
+    # registered domains (h{k}.d{k%g}.test) — the domain-budget fixture
     seed: int = 42
 
     def host(self, k: int) -> str:
+        if self.domain_groups > 0:
+            return f"h{k}.d{k % self.domain_groups}.test"
         return f"h{k}.test"
 
 

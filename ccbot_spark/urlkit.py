@@ -219,3 +219,33 @@ def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
     return pd.Series(
         [resolve_link(b, h) for b, h in zip(bases, hrefs)], dtype=object
     )
+
+
+# ----------------------------------------------------------------------
+# Registered domain (eTLD+1-style grouping).
+# ----------------------------------------------------------------------
+
+#: Common second-level registry labels: when the second-to-last label is
+#: one of these AND there are >= 3 labels, the registrable suffix is two
+#: labels long (example.co.uk -> example.co.uk's registered domain is
+#: itself; a.example.co.uk -> example.co.uk). A deliberate public-
+#: suffix-list STUB: the real PSL is a data file a deployment would
+#: broadcast; the GROUPING MECHANICS (and the Spark/python twin
+#: equality) are what this repo tests.
+MULTIPART_SLDS = frozenset(
+    {"co", "com", "net", "org", "ac", "gov", "edu"}
+)
+
+
+def registered_domain(host: str | None) -> str | None:
+    """eTLD+1-style registered domain of a hostname: the unit sharing
+    one crawl budget across subdomains (subdomain-spam defense — a
+    thousand *.blogspot-style hosts must not get a thousand budgets).
+    Byte-identical twin of ``operators.urlops.registered_domain``."""
+    if host is None:
+        return None
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    k = 3 if parts[-2] in MULTIPART_SLDS else 2
+    return ".".join(parts[-k:])

@@ -111,6 +111,14 @@ def parse_args():
                    help="also write WET companion segments (one "
                         "'conversion' record per fetched page, body = "
                         "extracted page text) under each cycle dir")
+    p.add_argument("--domain-budget", type=int, default=0,
+                   help="cap > 0: at most N URLs per REGISTERED DOMAIN "
+                        "(eTLD+1) per cycle across all its subdomain "
+                        "hosts (subdomain-spam defense)")
+    p.add_argument("--domain-groups", type=int, default=0,
+                   help="synthetic-web knob: hosts become subdomains "
+                        "of this many registered domains "
+                        "(h{k}.d{k%%g}.test)")
     p.add_argument("--error-backoff", type=int, default=0,
                    help="cap > 0: errored URLs cool down min(2^retries, "
                         "cap) cycles before a retry (exponential backoff)")
@@ -168,6 +176,7 @@ def main() -> None:
         canonical_pct=args.canonical_pct,
         robots_change_every=args.robots_change_every,
         rate_limit_pct=args.rate_limit_pct,
+        domain_groups=args.domain_groups,
     )
     eng = CrawlEngine(
         spark,
@@ -187,6 +196,7 @@ def main() -> None:
         recrawl_every=args.recrawl_every,
         adaptive_recrawl=args.adaptive_recrawl,
         error_backoff=args.error_backoff,
+        domain_budget=args.domain_budget,
         content_dedup=args.content_dedup,
         canonical_dedup=args.canonical,
         age_boost=args.age_boost,
