@@ -166,6 +166,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["a_host_budget"] = a_host_budget
 
+    def a_domain_budget(spark, sf_dir):
+        # registered-domain (eTLD+1) budget cap — the subdomain-spam
+        # defense the engine runs pre-slotting (domain_budget flag,
+        # trace-equality in tests/test_domain_budget.py). Hosts are
+        # synthesized subdomained (h{k}.d{g}.test); Spark derives the
+        # domain FROM THE HOST STRING with the pure-JVM
+        # urlops.registered_domain, DuckDB re-derives it from the
+        # encoding arithmetic — a green row proves the split/slice
+        # expression groups exactly as encoded. Top-7 per domain by
+        # (priority DESC, url ASC), the generate window's shape.
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+        k = (F.col("event_id") % 24).cast("string")
+        g = (F.col("event_id") % 24 % 5).cast("string")
+        host = F.concat(F.lit("h"), k, F.lit(".d"), g, F.lit(".test"))
+        c = e.select(
+            urlops.registered_domain(host).alias("domain"),
+            F.concat(
+                F.lit("http://"), host, F.lit("/p/"),
+                F.col("event_id").cast("string"),
+            ).alias("url"),
+            (F.col("event_id") * 37 % 101).cast("long").alias("priority"),
+        )
+        w = Window.partitionBy("domain").orderBy(
+            F.col("priority").desc(), F.col("url").asc()
+        )
+        return (
+            c.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 7)
+        )
+    q["a_domain_budget"] = a_domain_budget
+
     def a_rollup_metrics(spark, sf_dir):
         d = _t(spark, sf_dir, "documents")
         return d.rollup("lang", "source").agg(
@@ -644,6 +675,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return numbered.select("o_orderkey", "seq")
     q["w_global_order"] = w_global_order
 
+    def w_global_runsum(spark, sf_dir):
+        # global running total without a single-partition exchange:
+        # the two-phase sequencing operator generalized from counts to
+        # sums (per-partition partials + broadcast prefix offsets).
+        # Same number SUM() OVER (ORDER BY ...) assigns — the WDS shard
+        # planner (ccbot_spark/wds.py) cuts shard boundaries from it.
+        from ccbot_spark.operators import sequencing
+
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        run, _total, cache = sequencing.global_running_total(
+            o.select("o_orderkey", _cents(F.col("o_totalprice")).alias("cents")),
+            ["o_orderkey"],
+            "cents",
+            num_partitions=16,
+        )
+        _ACTIVE_CACHES.append(cache)
+        return run.select("o_orderkey", F.col("run_total").alias("run_cents"))
+    q["w_global_runsum"] = w_global_runsum
+
     def s_limit(spark, sf_dir):
         o = _t(spark, sf_dir, "orders")
         return (
@@ -1036,6 +1086,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_exact_dedup"] = img_exact_dedup
 
+    def img_wds_shards(spark, sf_dir):
+        # WebDataset training-export PLAN: size-balanced tar shards cut
+        # by a global running total of DECLARED sample cost (tar
+        # framing + raw pixel bytes + caption bytes — metadata only,
+        # no blob scan), in image_id order. The assignment is a pure
+        # relational expression, so DuckDB replays it with the same
+        # window formula; write_shards/read_shards byte-determinism and
+        # the exact round trip are pytest gates (tests/test_wds.py).
+        from ccbot_spark import wds
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        s = multimodal.synth_images_from_docs(docs).withColumn(
+            "caption",
+            F.concat(
+                F.lit("caption for image "),
+                F.regexp_extract("image_id", r"(\d+)", 1),
+            ),
+        )
+        costed = s.withColumn(
+            "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+        )
+        assigned, cache = wds.plan_shards(
+            costed, 96 * 1024, num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return assigned.groupBy("shard_id").agg(
+            F.count("*").alias("n_samples"),
+            F.sum("plan_cost").alias("plan_bytes"),
+            F.min("image_id").alias("key_min"),
+            F.max("image_id").alias("key_max"),
+        )
+    q["img_wds_shards"] = img_wds_shards
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -1186,6 +1269,26 @@ def oracle_sql() -> dict[str, str]:
     o["a_host_budget"] = """
         SELECT o_custkey, COUNT(*) AS n_orders
         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+    """
+
+    # --- a_domain_budget: domain derived arithmetically (the Spark
+    # side must read the same grouping back out of the host STRING).
+    o["a_domain_budget"] = """
+        WITH c AS (
+          SELECT 'd' || CAST((event_id % 24) % 5 AS VARCHAR) || '.test' AS domain,
+                 'http://h' || CAST(event_id % 24 AS VARCHAR)
+                   || '.d' || CAST((event_id % 24) % 5 AS VARCHAR)
+                   || '.test/p/' || CAST(event_id AS VARCHAR) AS url,
+                 CAST(event_id * 37 % 101 AS BIGINT) AS priority
+          FROM events WHERE event_id < 5000
+        )
+        SELECT domain, url, priority, rnk FROM (
+          SELECT domain, url, priority,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY priority DESC, url ASC
+                 ) AS BIGINT) AS rnk
+          FROM c
+        ) WHERE rnk <= 7
     """
 
     o["a_rollup_metrics"] = """
@@ -1451,6 +1554,17 @@ def oracle_sql() -> dict[str, str]:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS run_cents
         FROM orders
+    """
+
+    # --- w_global_runsum: the two-phase global running total must
+    # equal the single-window formulation exactly (integer cents).
+    o["w_global_runsum"] = """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+                 ORDER BY o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run_cents
+        FROM orders WHERE o_totalprice > 400000
     """
 
     o["w_global_order"] = """
@@ -2140,6 +2254,40 @@ def oracle_sql() -> dict[str, str]:
           FROM documents WHERE doc_id < 450 GROUP BY 1
         )
         SELECT keeper, n_copies FROM g WHERE n_copies >= 2
+    """
+
+    # --- img_wds_shards: the WDS shard plan is a pure relational
+    # expression over metadata (dims arithmetic + tar block rounding +
+    # one running-total window), so the oracle states the identical
+    # formula: cost = 512 + ceil(3wh/512)*512 + 512 +
+    # ceil(len(caption)/512)*512; shard = (run_before) // 96KiB.
+    o["img_wds_shards"] = """
+        WITH s AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h,
+                 'caption for image ' || CAST(doc_id AS VARCHAR) AS caption
+          FROM documents WHERE doc_id < 450
+        ), c AS (
+          SELECT image_id,
+                 CAST(512 + ((3 * w * h + 511) // 512) * 512
+                    + 512 + ((length(caption) + 511) // 512) * 512
+                      AS BIGINT) AS plan_cost
+          FROM s
+        ), a AS (
+          SELECT image_id, plan_cost,
+                 CAST((SUM(plan_cost) OVER (
+                        ORDER BY image_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) - plan_cost) // 98304 AS BIGINT) AS shard_id
+          FROM c
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(plan_cost) AS BIGINT) AS plan_bytes,
+               MIN(image_id) AS key_min,
+               MAX(image_id) AS key_max
+        FROM a GROUP BY shard_id
     """
 
     # --- img_mm_dedup: phash-band near pairs (img_phash_near synthesis,
