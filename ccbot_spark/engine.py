@@ -89,6 +89,8 @@ class CrawlEngine:
         warc_cdx: bool = False,
         fetcher=None,
         fetch_checkpoint: bool = False,
+        wds_dir: str | None = None,
+        wds_target_bytes: int = 1 << 20,
         canonical_dedup: bool = False,
         error_backoff: int = 0,
         domain_budget: int = 0,
@@ -196,6 +198,14 @@ class CrawlEngine:
         if warc_cdx and not warc_dir:
             raise ValueError("warc_cdx requires warc_dir")
         self.warc_cdx = warc_cdx
+        # optional WebDataset training-export sink: every cycle's
+        # stored image+caption pairs also land as size-balanced
+        # {wds_dir}/cycle=NNNNN/shard-*.tar (ccbot_spark.wds — the
+        # loader-ready corpus a crawl exists to produce). Shards are
+        # planned by declared cost (metadata only) and written
+        # byte-deterministically.
+        self.wds_dir = wds_dir
+        self.wds_target_bytes = wds_target_bytes
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -1432,6 +1442,29 @@ class CrawlEngine:
                 sinks.append(lambda: self.cdx.append(cdx_rows))
             else:
                 sinks.append(lambda: warc_out.collect())
+        if self.wds_dir:
+            from . import wds as wdsmod
+
+            wds_cyc = os.path.join(self.wds_dir, f"cycle={cycle:05d}")
+            wds_src = store.select(
+                "image_id", "bytes", "fmt", "caption", "w", "h"
+            ).withColumn(
+                "plan_cost",
+                wdsmod.sample_cost(F.col("w"), F.col("h"), F.col("caption")),
+            )
+
+            def _wds_sink():
+                assigned, cache = wdsmod.plan_shards(
+                    wds_src,
+                    self.wds_target_bytes,
+                    num_partitions=self.n_buckets,
+                )
+                try:
+                    wdsmod.write_shards(assigned, wds_cyc).collect()
+                finally:
+                    cache.unpersist()
+
+            sinks.append(_wds_sink)
         if self.rank_every:
             sinks.append(
                 lambda: self.edges.append(

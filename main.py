@@ -111,6 +111,12 @@ def parse_args():
                    help="also write WET companion segments (one "
                         "'conversion' record per fetched page, body = "
                         "extracted page text) under each cycle dir")
+    p.add_argument("--wds-dir", default=None,
+                   help="also export each cycle's stored image+caption "
+                        "pairs as WebDataset tar shards under this "
+                        "directory (cycle=NNNNN/shard-*.tar)")
+    p.add_argument("--wds-target-bytes", type=int, default=1 << 20,
+                   help="declared-cost target size per WDS shard")
     p.add_argument("--domain-budget", type=int, default=0,
                    help="cap > 0: at most N URLs per REGISTERED DOMAIN "
                         "(eTLD+1) per cycle across all its subdomain "
@@ -197,6 +203,8 @@ def main() -> None:
         adaptive_recrawl=args.adaptive_recrawl,
         error_backoff=args.error_backoff,
         domain_budget=args.domain_budget,
+        wds_dir=args.wds_dir,
+        wds_target_bytes=args.wds_target_bytes,
         content_dedup=args.content_dedup,
         canonical_dedup=args.canonical,
         age_boost=args.age_boost,

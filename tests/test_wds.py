@@ -163,3 +163,35 @@ def test_round_trip_exact(spark, tmp_path):
         for r in wds.read_shards(spark, out).collect()
     }
     assert back == src
+
+
+def test_engine_wds_sink_round_trips_stored_images(spark, tmp_path):
+    """Crawl with the WDS sink on: every cycle's stored image+caption
+    pairs land as tar shards, and reading ALL cycle dirs back yields
+    exactly the oracle crawler's stored rows (ids, bytes, fmt,
+    caption) — the loader-ready corpus equals the table of record."""
+    from ccbot_spark import oracle, synthweb
+    from ccbot_spark.engine import CrawlEngine
+
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=30)
+    seeds = synthweb.seed_urls(cfg, 10)
+    want_res = oracle.crawl(cfg, seeds, cycles=2)
+    out = str(tmp_path / "wds_export")
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "eng"), n_buckets=8,
+        record_trace=False, hot_host_min=10, bloom_min_seen=0,
+        wds_dir=out, wds_target_bytes=64 * 1024,
+    )
+    eng.crawl(seeds, cycles=2)
+    cycle_dirs = sorted(os.listdir(out))
+    assert cycle_dirs and all(c.startswith("cycle=") for c in cycle_dirs)
+    got = {}
+    for c in cycle_dirs:
+        for r in wds.read_shards(spark, os.path.join(out, c)).collect():
+            assert r["image_id"] not in got, "sample exported twice"
+            got[r["image_id"]] = (r["fmt"], bytes(r["bytes"]), r["caption"])
+    want = {
+        r["image_id"]: (r["fmt"], r["bytes"], r["caption"])
+        for r in want_res.images
+    }
+    assert got == want
