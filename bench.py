@@ -213,6 +213,45 @@ def main() -> None:
 
     bench("q_img_pipeline", img_pipeline)
 
+    # ---- WebDataset training export: encode + plan + tar-write the
+    # full synth image corpus (samples/sec is the export-side
+    # throughput twin of q_img_pipeline's decode side). Shards land in
+    # a tempdir removed before the next row; the plan cache is
+    # released inline.
+    from pyspark.sql import functions as _F
+
+    from ccbot_spark import wds as _wds
+
+    wds_counts = {"samples": 0, "bytes": 0}
+
+    def wds_export():
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).select("doc_id")
+        s = multimodal.synth_images_from_docs(docs).withColumn(
+            "caption",
+            _F.concat(
+                _F.lit("caption for image "),
+                _F.regexp_extract("image_id", r"(\d+)", 1),
+            ),
+        )
+        costed = s.withColumn(
+            "plan_cost",
+            _wds.sample_cost(_F.col("w"), _F.col("h"), _F.col("caption")),
+        )
+        with tempfile.TemporaryDirectory() as out:
+            assigned, cache = _wds.plan_shards(
+                costed, 4 << 20, num_partitions=int(CPUS)
+            )
+            tot = _wds.write_shards(assigned, out).agg(
+                _F.sum("n_samples"), _F.sum("n_bytes")
+            ).first()
+            cache.unpersist()
+            wds_counts["samples"] = int(tot[0] or 0)
+            wds_counts["bytes"] = int(tot[1] or 0)
+
+    bench("q_wds_export", wds_export)
+
     # ---- end-of-run health: calibration repeat + residual storage.
     # leaked_rdds counts persistent RDDs still resident after the final
     # clear_caches — 0 is the storagekit hygiene contract (pytest-gated
@@ -241,6 +280,12 @@ def main() -> None:
                 "crawl_stored_images": crawl_counts["stored"],
                 "recrawl_slots_per_sec": recrawl_slots_per_sec,
                 "recrawl_not_modified": recrawl_counts["not_modified"],
+                "wds_samples_per_sec": round(
+                    wds_counts["samples"]
+                    / max(timings["q_wds_export"], 1e-9),
+                    2,
+                ),
+                "wds_shard_bytes": wds_counts["bytes"],
                 "calibration_drift": drift,
                 "leaked_rdds": leaked_rdds,
             }
