@@ -1073,6 +1073,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.size_histogram(meta)
     q["img_size_hist"] = img_size_hist
 
+    def img_aspect_profile(spark, sf_dir):
+        # SDXL-style bucketed-batching report: per (container, aspect
+        # bucket) counts + pixels over HEADER-PARSED dims. The bucket
+        # ladder's cut points are integer thresholds on (1000*w) div h,
+        # so DuckDB states the identical CASE; a green row proves the
+        # JVM binary parse + integer-div ladder land every image in the
+        # encoded bucket.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        meta = multimodal.header_meta(multimodal.synth_images_from_docs(docs))
+        return multimodal.aspect_profile(meta)
+    q["img_aspect_profile"] = img_aspect_profile
+
     def img_exact_dedup(spark, sf_dir):
         # byte-exact image dedup via JVM md5 over the binary column:
         # blobs reduce to 16-byte digests map-side, the shuffle moves
@@ -2238,6 +2250,26 @@ def oracle_sql() -> dict[str, str]:
                     WHEN greatest(w, h) < 64 THEN 'small'
                     WHEN greatest(w, h) < 96 THEN 'medium'
                     ELSE 'large' END AS size_class,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(w * h) AS BIGINT) AS total_px
+        FROM dims GROUP BY 1, 2
+    """
+
+    # --- img_aspect_profile: same dim arithmetic through the integer
+    # aspect ladder ((1000*w)//h vs the geometric-midpoint cuts).
+    o["img_aspect_profile"] = """
+        WITH dims AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'png' END AS container,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h
+          FROM documents WHERE doc_id < 450
+        )
+        SELECT container,
+               CASE WHEN (1000 * w) // h < 649 THEN '9:16'
+                    WHEN (1000 * w) // h < 866 THEN '3:4'
+                    WHEN (1000 * w) // h < 1154 THEN '1:1'
+                    WHEN (1000 * w) // h < 1539 THEN '4:3'
+                    ELSE '16:9' END AS aspect_bucket,
                CAST(COUNT(*) AS BIGINT) AS n_images,
                CAST(SUM(w * h) AS BIGINT) AS total_px
         FROM dims GROUP BY 1, 2

@@ -389,3 +389,53 @@ def phash_near_pairs(decoded: DataFrame, max_ham: int = 6) -> DataFrame:
         .dropDuplicates(["img_a", "img_b"])
         .filter(F.col("hamming") <= max_ham)
     )
+
+
+# ---------------------------------------------------------------- aspect
+
+#: Training-time aspect-ratio ladder (SDXL-style bucketed batching:
+#: batches mix only same-bucket images so a loader never pads or crops
+#: across aspect classes). Cut points are the geometric midpoints
+#: between neighboring ratios, stated as integer thresholds on
+#: q = (1000*w) div h so Spark and any SQL oracle compute the SAME
+#: integer and compare it to the SAME constants — no float boundary.
+ASPECT_LADDER = ("9:16", "3:4", "1:1", "4:3", "16:9")
+ASPECT_CUTS = (649, 866, 1154, 1539)  # geometric midpoints ×1000
+
+
+def aspect_bucket_col(w_col, h_col):
+    """Aspect bucket from integer dims, pure JVM integer arithmetic
+    (`div`, not float division). Python twin: aspect_bucket_py."""
+    q = F.expr(f"(1000 * ({w_col})) div ({h_col})")
+    out = F.lit(ASPECT_LADDER[-1])
+    for name, cut in zip(reversed(ASPECT_LADDER[:-1]), reversed(ASPECT_CUTS)):
+        out = F.when(q < F.lit(cut), F.lit(name)).otherwise(out)
+    return out
+
+
+def aspect_bucket_py(w: int, h: int) -> str:
+    """Pure-python twin of aspect_bucket_col (grid-tested equal)."""
+    q = (1000 * w) // h
+    for name, cut in zip(ASPECT_LADDER, ASPECT_CUTS):
+        if q < cut:
+            return name
+    return ASPECT_LADDER[-1]
+
+
+def aspect_profile(meta: DataFrame) -> DataFrame:
+    """Bucketed-batching feasibility report over header-parsed dims:
+    per (container, aspect_bucket) image count + pixel total — one
+    metadata-speed scan + one tiny hash-agg, same 100 TB shape as
+    size_histogram. The numbers a loader needs to size per-bucket
+    batch queues before an export."""
+    return (
+        meta.filter(F.col("container").isNotNull())
+        .groupBy(
+            "container",
+            aspect_bucket_col("hdr_w", "hdr_h").alias("aspect_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("hdr_w") * F.col("hdr_h")).alias("total_px"),
+        )
+    )

@@ -653,3 +653,30 @@ def test_wet_text_jvm_matches_python(spark):
     for c in cases:
         assert got[c] == parsekit.extract_text(c), repr(c)
     assert "EvalPython" not in explainkit.formatted_plan(df)
+
+
+def test_aspect_bucket_jvm_python_twin_and_plan(spark):
+    """Integer aspect ladder: the JVM `div`+CASE expression equals the
+    python twin on a dense dim grid (incl. exact cut-point landings),
+    stays JVM-only, and every ladder bucket is reachable."""
+    from pyspark.sql import functions as F
+
+    from ccbot_spark.functions import multimodal
+    from ccbot_spark.plans import explainkit
+
+    grid = [(w, h) for w in range(16, 120, 7) for h in range(16, 120, 11)]
+    # exact geometric-midpoint landings: q == cut must fall in the
+    # UPPER bucket on both sides (strict < on the cut)
+    grid += [(649, 1000), (866, 1000), (1154, 1000), (1539, 1000)]
+    df = spark.createDataFrame(grid, "hdr_w long, hdr_h long")
+    out = df.select(
+        "hdr_w", "hdr_h",
+        multimodal.aspect_bucket_col("hdr_w", "hdr_h").alias("b"),
+    )
+    got = {(r["hdr_w"], r["hdr_h"]): r["b"] for r in out.collect()}
+    want = {
+        (w, h): multimodal.aspect_bucket_py(w, h) for (w, h) in grid
+    }
+    assert got == want
+    assert set(got.values()) == set(multimodal.ASPECT_LADDER)
+    assert "EvalPython" not in explainkit.formatted_plan(out)
