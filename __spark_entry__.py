@@ -759,6 +759,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_decontaminate"] = text_decontaminate
 
+    def text_dup_spans(spark, sf_dir):
+        # Lee-et-al exact-substring dedup signal: per-doc count of
+        # tokens covered by a 5-gram occurring more than once in the
+        # corpus. Shingle equi-join mechanics (functions/dedup.py
+        # dup_span_features); DuckDB replays it with list slicing +
+        # interval union.
+        d = _t(spark, sf_dir, "documents")
+        return dedup.dup_span_features(d, n=5)
+    q["text_dup_spans"] = text_dup_spans
+
     def dedup_embedding(spark, sf_dir):
         return dedup.embedding_near_pairs(_t(spark, sf_dir, "embeddings"), t4=3500)
     q["dedup_embedding"] = dedup_embedding
@@ -1635,6 +1645,36 @@ def oracle_sql() -> dict[str, str]:
     # --- decontamination: corpus docs (doc_id%50 != 0) sharing any
     # word 3-gram with the eval split (doc_id%50 = 0); per-doc grams
     # are distinct, so COUNT(*) = distinct contaminated grams.
+    # --- text_dup_spans: independent relational formulation — list
+    # slicing builds the positional 5-grams, a HAVING>1 gram set joins
+    # back, UNNEST(range(5)) expands each hit to its covered token
+    # interval, DISTINCT unions the intervals.
+    o["text_dup_spans"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(l[i+1:i+5], ' ') AS gram
+          FROM toks, UNNEST(range(len(l) - 4)) AS r(i)
+          WHERE len(l) >= 5
+        ),
+        dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+        cov AS (
+          SELECT DISTINCT g.doc_id, g.pos + o.o AS idx
+          FROM grams g JOIN dupg USING (gram), UNNEST(range(5)) AS o(o)
+        ),
+        nt AS (SELECT doc_id, len(l) AS n_tokens FROM toks WHERE len(l) > 0)
+        SELECT nt.doc_id,
+               CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS dup_tokens,
+               CAST(1000 * COALESCE(c.n, 0) // nt.n_tokens AS BIGINT)
+                 AS dup_frac_x1000
+        FROM nt LEFT JOIN (
+          SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id
+        ) c USING (doc_id)
+    """
+
     o["text_decontaminate"] = f"""
         WITH sh AS ({_SHINGLES}),
         ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
