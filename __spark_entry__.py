@@ -1217,6 +1217,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_curation_pipeline"] = text_curation_pipeline
 
+    def text_training_export(spark, sf_dir):
+        # The EXPORT half of the text story composed as one plan:
+        # duplicate-span gate (corpus-repeated 5-grams cover < 20% of
+        # a doc's tokens) → GPT-style sequence packing over the
+        # survivors → per-(source, shard, pack) manifest. Packing
+        # offsets are computed over the GATED set (the stream a loader
+        # actually reads); the oracle chains the dup-span CTE into the
+        # same filtered pack window.
+        d = _t(spark, sf_dir, "documents")
+        spans = dedup.dup_span_features(d, n=5)
+        kept_ids = spans.filter(F.col("dup_frac_x1000") < 200).select("doc_id")
+        packed = textkit.pack_sequences(
+            d.join(kept_ids, "doc_id"), cap=512, n_shards=8
+        )
+        return packed.groupBy("source", "shard", "pack_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    q["text_training_export"] = text_training_export
+
     return q
 
 
@@ -2572,6 +2592,46 @@ def oracle_sql() -> dict[str, str]:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  // 512 AS BIGINT) AS pack_id
         FROM documents
+    """
+
+    # --- text_training_export: dup-span gate chained into the packing
+    # window over the SURVIVORS (offsets over the gated stream).
+    o["text_training_export"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(l[i+1:i+5], ' ') AS gram
+          FROM toks, UNNEST(range(len(l) - 4)) AS r(i)
+          WHERE len(l) >= 5
+        ),
+        dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+        cov AS (
+          SELECT DISTINCT g.doc_id, g.pos + o.o AS idx
+          FROM grams g JOIN dupg USING (gram), UNNEST(range(5)) AS o(o)
+        ),
+        nt AS (SELECT doc_id, len(l) AS n_tokens FROM toks WHERE len(l) > 0),
+        kept AS (
+          SELECT nt.doc_id FROM nt LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id
+          ) c USING (doc_id)
+          WHERE 1000 * COALESCE(c.n, 0) // nt.n_tokens < 200
+        ),
+        packed AS (
+          SELECT d.doc_id, d.source,
+                 CAST(d.doc_id % 8 AS INTEGER) AS shard,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(SUM(len(string_split(d.text, ' '))) OVER (
+                   PARTITION BY d.source, d.doc_id % 8 ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 512 AS BIGINT) AS pack_id
+          FROM documents d JOIN kept USING (doc_id)
+        )
+        SELECT source, shard, pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY source, shard, pack_id
     """
 
     # --- text_curation_pipeline: the composed end-to-end run — the
