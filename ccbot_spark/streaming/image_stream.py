@@ -90,3 +90,72 @@ def st_image_dedup(images: DataFrame, late: str = "10 minutes") -> DataFrame:
     return meta.withWatermark("ts", late).dropDuplicatesWithinWatermark(
         ["digest"]
     )
+
+
+# Sample stream schema for the training-export sink: the engine's
+# stored-image row (BASELINE input shape) plus event time.
+SAMPLE_EVENTS = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+    ]
+)
+
+
+def read_sample_events(spark: SparkSession, samples_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(SAMPLE_EVENTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(samples_dir)
+    )
+
+
+def st_wds_export(
+    samples: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    target_bytes: int = 1 << 20,
+    num_partitions: int = 8,
+):
+    """Continuous WebDataset export: each micro-batch's image+caption
+    samples land as ``{out_dir}/batch=NNNNNN/shard-*.tar`` through
+    ``foreachBatch``. Exactly-once composition: Structured Streaming
+    checkpoints the batch_id, and a REPLAYED batch rewrites the same
+    deterministic shard bytes over itself (wds.write_shards is a pure
+    function of the batch rows + atomic rename), so the sink is
+    idempotent under recovery — the same argument the engine's
+    per-cycle WDS sink makes for crash-resumed cycles.
+
+    Returns the started StreamingQuery; callers awaitTermination (the
+    tests drive trigger(availableNow)).
+    """
+    import os
+
+    from .. import wds as wdsmod
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        costed = batch_df.withColumn(
+            "plan_cost",
+            wdsmod.sample_cost(F.col("w"), F.col("h"), F.col("caption")),
+        )
+        assigned, cache = wdsmod.plan_shards(
+            costed, target_bytes, num_partitions=num_partitions
+        )
+        try:
+            wdsmod.write_shards(
+                assigned, os.path.join(out_dir, f"batch={batch_id:06d}")
+            ).collect()
+        finally:
+            cache.unpersist()
+
+    return (
+        samples.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

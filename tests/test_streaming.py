@@ -309,3 +309,64 @@ def test_image_stream_dedup_drops_byte_identical_reposts(spark, images_dir, tmp_
     assert parsed.filter(
         F.col("hdr_w").isNull() | F.col("hdr_h").isNull()
     ).count() == 0
+
+
+def test_streaming_wds_export_matches_batch_inputs(spark, tmp_path):
+    """st_wds_export: trigger(availableNow) over 2 micro-batch files →
+    batch=NNNNNN shard dirs whose union reads back to exactly the
+    input samples; a resumed (replayed) run over the same checkpoint
+    is a no-op leaving identical bytes."""
+    import glob
+    import hashlib
+    import os
+
+    from ccbot_spark import wds
+    from ccbot_spark.functions import multimodal
+    from ccbot_spark.streaming import image_stream as ims
+
+    docs = spark.range(60).withColumnRenamed("id", "doc_id")
+    imgs = multimodal.synth_images_from_docs(docs).collect()
+    rows = []
+    for i, r in enumerate(imgs):
+        ts = T0 + dt.timedelta(seconds=7 * i)
+        rows.append(
+            (ts, r.image_id, bytes(r.bytes), r.w, r.h, r.fmt, f"cap {i}")
+        )
+    src = str(tmp_path / "samples")
+    half = len(rows) // 2
+    df1 = spark.createDataFrame(rows[:half], ims.SAMPLE_EVENTS)
+    df2 = spark.createDataFrame(rows[half:], ims.SAMPLE_EVENTS)
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "wds"), str(tmp_path / "ckpt")
+    q = ims.st_wds_export(
+        ims.read_sample_events(spark, src), out, ckpt,
+        target_bytes=64 * 1024,
+    )
+    q.awaitTermination(120)
+    batch_dirs = sorted(os.listdir(out))
+    assert batch_dirs and all(b.startswith("batch=") for b in batch_dirs)
+
+    got = {}
+    for b in batch_dirs:
+        for r in wds.read_shards(spark, os.path.join(out, b)).collect():
+            assert r["image_id"] not in got, "sample exported twice"
+            got[r["image_id"]] = (r["fmt"], bytes(r["bytes"]), r["caption"])
+    want = {r[1]: (r[5], r[2], r[6]) for r in rows}
+    assert got == want
+
+    hashes = {
+        p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(out, "*", "*.tar"))
+    }
+    # restart over the spent checkpoint: no new batches, bytes untouched
+    q2 = ims.st_wds_export(
+        ims.read_sample_events(spark, src), out, ckpt,
+        target_bytes=64 * 1024,
+    )
+    q2.awaitTermination(120)
+    assert {
+        p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(out, "*", "*.tar"))
+    } == hashes
