@@ -771,11 +771,34 @@ class CrawlEngine:
                 .limit(16)
                 .collect()
             ]
+            # with domain budgets on, the GENERATE plan also runs a
+            # per-REGISTERED-DOMAIN window — and a spam domain spread
+            # over many small subdomains trips NO per-host threshold,
+            # so measure the top domain's share too (one more tiny agg
+            # on the cached |hosts|-row histogram, still zero extra
+            # pending scans). Plan choice only: output is identical.
+            top_dom_n = 0
+            if self.domain_budget > 0:
+                top_dom_n = int(
+                    (
+                        host_counts.groupBy(
+                            urlops.registered_domain(F.col("host")).alias("_d")
+                        )
+                        .agg(F.sum("n").alias("dn"))
+                        .agg(F.max("dn"))
+                        .first()[0]
+                    )
+                    or 0
+                )
             host_counts.unpersist()
             skew_detected = (
                 total_pending > 0
                 and top_host_n >= self.hot_host_min
                 and top_host_n * 100 >= self.auto_skew_pct * total_pending
+            ) or (
+                total_pending > 0
+                and top_dom_n >= self.hot_host_min
+                and top_dom_n * 100 >= self.auto_skew_pct * total_pending
             )
             skew_safe = (
                 self.skew_safe_generate

@@ -113,3 +113,31 @@ def test_domain_budget_off_is_historical(spark, tmp_path):
     )
     eng.crawl(SEEDS, cycles=1)
     assert _trace(eng) == want.trace
+
+
+def test_hot_domain_flips_skew_safe_plan(spark, tmp_path):
+    """A spam domain spread over many small subdomains trips no
+    per-host threshold; with domain_budget on, the auto-skew
+    observation measures the top DOMAIN share and flips the two-phase
+    plan — and the trace stays oracle-exact (plan choice only).
+    Cycle 1: 20 seeds over 10 hosts = 10% per host (under the 20%
+    host trigger), but domain d0 owns 50% → domain trigger fires.
+    The same web without domain_budget keeps the single-window plan."""
+    cfg = synthweb.WebConfig(n_hosts=10, pages_per_host=30, domain_groups=2)
+    seeds = synthweb.seed_urls(cfg, 20)
+    want = oracle.crawl(cfg, seeds, cycles=1, domain_budget=6)
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "dom"), n_buckets=8,
+        record_trace=True, hot_host_min=10, bloom_min_seen=0,
+        domain_budget=6,
+    )
+    out = eng.crawl(seeds, cycles=1)
+    assert out[0]["skew_safe"] is True
+    assert _trace(eng) == want.trace
+
+    eng_off = CrawlEngine(
+        spark, cfg, str(tmp_path / "off"), n_buckets=8,
+        record_trace=False, hot_host_min=10, bloom_min_seen=0,
+    )
+    out_off = eng_off.crawl(seeds, cycles=1)
+    assert out_off[0]["skew_safe"] is False
