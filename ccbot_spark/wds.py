@@ -227,3 +227,42 @@ def read_shards(
             )
 
     return files.select("content").mapInPandas(parse, SAMPLE_SCHEMA)
+
+
+def lookup(
+    spark: SparkSession,
+    manifest: list[dict] | DataFrame,
+    key: str,
+) -> dict | None:
+    """Point-read one sample by key WITHOUT a corpus scan — the WDS
+    twin of the CDX promise. Shards are contiguous key ranges, so the
+    manifest's (key_min, key_max) pins the one shard that can hold the
+    key; only that tar is opened (driver-side stdlib read: a shard is
+    one loader unit, and a point lookup should not launch a Spark job).
+    Returns {image_id, fmt, bytes, caption} or None."""
+    import tarfile as _tar
+
+    if isinstance(manifest, DataFrame):
+        manifest = [r.asDict() for r in manifest.collect()]
+    hit = [
+        m for m in manifest if m["key_min"] <= key <= m["key_max"]
+    ]
+    if not hit:
+        return None
+    out: dict = {}
+    with open(hit[0]["path"], "rb") as fh:
+        t = _tar.TarFile(fileobj=io.BytesIO(fh.read()), mode="r")
+        for m in t.getmembers():
+            stem, ext = m.name.rsplit(".", 1)
+            if stem != key:
+                continue
+            data = t.extractfile(m).read()
+            if ext == "txt":
+                out["caption"] = data.decode("utf-8")
+            else:
+                out["fmt"] = ext
+                out["bytes"] = data
+    if not out:
+        return None
+    out["image_id"] = key
+    return out

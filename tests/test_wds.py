@@ -195,3 +195,28 @@ def test_engine_wds_sink_round_trips_stored_images(spark, tmp_path):
         for r in want_res.images
     }
     assert got == want
+
+
+def test_lookup_point_reads_one_shard(spark, tmp_path):
+    """Manifest key ranges pin one shard per key: lookup returns the
+    exact sample reading only that tar; keys outside every range (and
+    absent keys inside a range) return None."""
+    out = str(tmp_path / "lk")
+    s = _samples(spark).withColumn(
+        "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+    )
+    assigned, cache = wds.plan_shards(s, TARGET, num_partitions=8)
+    manifest = [r.asDict() for r in wds.write_shards(assigned, out).collect()]
+    cache.unpersist()
+
+    src = {
+        r["image_id"]: (r["fmt"], bytes(r["bytes"]), r["caption"])
+        for r in _samples(spark).collect()
+    }
+    for key in list(sorted(src))[:5] + list(sorted(src))[-3:]:
+        hits = [m for m in manifest if m["key_min"] <= key <= m["key_max"]]
+        assert len(hits) == 1, (key, hits)
+        got = wds.lookup(spark, manifest, key)
+        assert (got["fmt"], got["bytes"], got["caption"]) == src[key]
+    assert wds.lookup(spark, manifest, "zzz-out-of-range") is None
+    assert wds.lookup(spark, manifest, "doc-0!") is None  # inside a range
