@@ -278,6 +278,11 @@ class CrawlEngine:
         if warc_cdx:
             self.cdx = make_table_store(spark, workdir, "cdx", schemas.CDX)
             self._tables.append(self.cdx)
+        if wds_dir:
+            self.wds_manifest = make_table_store(
+                spark, workdir, "wds_manifest", schemas.WDS_MANIFEST
+            )
+            self._tables.append(self.wds_manifest)
         # append-only per-partition snapshot lineage; deliberately NOT
         # in _tables — an audit log must survive checkpoint rollback
         self.lineage = make_table_store(spark, workdir, "lineage", schemas.LINEAGE)
@@ -1483,9 +1488,27 @@ class CrawlEngine:
                     num_partitions=self.n_buckets,
                 )
                 try:
-                    wdsmod.write_shards(assigned, wds_cyc).collect()
+                    # materializing the manifest IS the write; the rows
+                    # then land in the wds_manifest table (the loader's
+                    # index + the export's lineage record). Bounded:
+                    # one row per shard.
+                    rows = wdsmod.write_shards(assigned, wds_cyc).collect()
                 finally:
                     cache.unpersist()
+                self.wds_manifest.append_rows(
+                    [
+                        (
+                            cycle,
+                            r["shard_id"],
+                            r["path"],
+                            r["n_samples"],
+                            r["n_bytes"],
+                            r["key_min"],
+                            r["key_max"],
+                        )
+                        for r in rows
+                    ]
+                )
 
             sinks.append(_wds_sink)
         if self.rank_every:

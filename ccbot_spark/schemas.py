@@ -195,3 +195,20 @@ EDGES = T.StructType(
         T.StructField("dst_url", T.StringType(), False),
     ]
 )
+
+
+# WebDataset export manifest (engine state when the wds_dir sink is
+# on): one row per written shard per cycle — the loader's index and
+# the lineage record for the training export. key_min/key_max are the
+# shard's contiguous sample-key range (wds.lookup point reads).
+WDS_MANIFEST = T.StructType(
+    [
+        T.StructField("cycle", T.IntegerType(), False),
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("key_min", T.StringType(), False),
+        T.StructField("key_max", T.StringType(), False),
+    ]
+)

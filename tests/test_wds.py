@@ -196,6 +196,25 @@ def test_engine_wds_sink_round_trips_stored_images(spark, tmp_path):
     }
     assert got == want
 
+    # the wds_manifest table indexes exactly the files on disk, and a
+    # point lookup through any cycle's manifest rows returns the sample
+    man = eng.wds_manifest.read().collect()
+    disk = {
+        os.path.join(out, c, f)
+        for c in cycle_dirs
+        for f in os.listdir(os.path.join(out, c))
+    }
+    assert {r["path"] for r in man} == disk
+    assert sum(r["n_samples"] for r in man) == len(want)
+    for r in man:
+        assert os.path.getsize(r["path"]) == r["n_bytes"]
+    some = man[0]
+    hit = wds.lookup(
+        spark, [m.asDict() for m in man if m["cycle"] == some["cycle"]],
+        some["key_min"],
+    )
+    assert hit is not None and hit["image_id"] == some["key_min"]
+
 
 def test_lookup_point_reads_one_shard(spark, tmp_path):
     """Manifest key ranges pin one shard per key: lookup returns the
