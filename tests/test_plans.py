@@ -220,3 +220,37 @@ def test_surt_key_jvm_matches_python_grid(spark):
     got = {r["url"]: r["surt"] for r in df.collect()}
     for u in urls:
         assert got[u] == urlkit.surt(u), u
+
+
+def test_dup_span_and_wds_plans_jvm_only(spark):
+    """The duplicate-span gram construction and the WDS shard plan are
+    pure-JVM up to their sinks: no row-at-a-time or Arrow Python eval
+    anywhere in either plan (the WDS tar WRITER is applyInPandas by
+    design — this checks the PLANNING side), and the dup-span scan
+    prunes to the two columns it needs."""
+    from ccbot_spark import wds
+    from ccbot_spark.functions import dedup, multimodal
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spans = dedup.dup_span_features(docs, n=5)
+    plan = explainkit.formatted_plan(spans)
+    assert "EvalPython" not in plan, plan
+    schemas = explainkit.read_schemas(spans)
+    assert schemas and all("text" in s and "lang" not in s for s in schemas)
+
+    meta = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("image_id"),
+        (F.col("id") % 97 + 16).cast("int").alias("w"),
+        (F.col("id") % 83 + 16).cast("int").alias("h"),
+        F.concat(F.lit("c"), F.col("id")).alias("caption"),
+    )
+    costed = meta.withColumn(
+        "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+    )
+    assigned, cache = wds.plan_shards(costed, 1 << 16, num_partitions=4)
+    try:
+        plan2 = explainkit.formatted_plan(assigned)
+        assert "EvalPython" not in plan2, plan2
+        assigned.count()
+    finally:
+        cache.unpersist()
