@@ -523,6 +523,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["w_rate_limit"] = w_rate_limit
 
+    def w_ip_schedule(spark, sf_dir):
+        # IP-level politeness schedule (politeness.generate ip_pool) as
+        # a pure relational query: hosts hash into 7 server addresses
+        # (urlops.ip_key — md5/conv/pmod, whole-stage codegen) with a
+        # deterministic per-host crawl delay; each request's sched_ms
+        # is the cumulative sum of the PRECEDING requests' delays
+        # within its IP — after touching a server, wait that vhost's
+        # delay before the next request to the SAME server, whichever
+        # vhost it targets. One window over the candidate order; its
+        # partitions are bounded by the budgeted fetch set at engine
+        # scale, never the frontier.
+        from ccbot_spark.functions.sampling import key_hash_mod
+
+        e = _t(spark, sf_dir, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".test")
+        )
+        d = e.select("event_id", host.alias("host"), "ts").withColumns(
+            {
+                "ip": urlops.ip_key(F.col("host"), 7),
+                "delay_ms": (
+                    F.lit(100)
+                    + key_hash_mod(
+                        F.concat(F.lit("d:"), F.col("host")), 9
+                    )
+                    * 50
+                ).cast("long"),
+            }
+        )
+        wip = (
+            Window.partitionBy("ip")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return d.select(
+            "event_id",
+            "host",
+            "ip",
+            "delay_ms",
+            F.coalesce(F.sum("delay_ms").over(wip), F.lit(0))
+            .cast("long")
+            .alias("sched_ms"),
+        )
+    q["w_ip_schedule"] = w_ip_schedule
+
     def f_filter_scheme(spark, sf_dir):
         urls = _mixed_scheme_urls(_t(spark, sf_dir, "events"))
         return urlops.filter_scheme(urls, "url").select("event_id", "url")
@@ -2154,6 +2199,27 @@ def oracle_sql() -> dict[str, str]:
                     THEN 2 + {_sql_hmod("'ra:' || host", 2)}
                     ELSE 0 END AS INTEGER) AS not_before
         FROM s
+    """
+
+    o["w_ip_schedule"] = f"""
+        WITH b AS (
+          SELECT event_id,
+                 'h' || CAST(user_id % 40 AS VARCHAR) || '.test' AS host,
+                 ts
+          FROM events
+        ), c AS (
+          SELECT event_id, host, ts,
+                 'ip-' || CAST({_sql_hmod("host", 7)} AS VARCHAR) AS ip,
+                 CAST(100 + {_sql_hmod("'d:' || host", 9)} * 50 AS BIGINT)
+                   AS delay_ms
+          FROM b
+        )
+        SELECT event_id, host, ip, delay_ms,
+               CAST(COALESCE(SUM(delay_ms) OVER (
+                 PARTITION BY ip ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS sched_ms
+        FROM c
     """
 
     o["sample_hash"] = f"""

@@ -94,6 +94,7 @@ class CrawlEngine:
         canonical_dedup: bool = False,
         error_backoff: int = 0,
         domain_budget: int = 0,
+        ip_pool: int = 0,
     ):
         from .shipping import ensure_shipped
 
@@ -245,6 +246,15 @@ class CrawlEngine:
         # candidates trace 'domain_skipped' and stay pending (mirrors
         # oracle.crawl(domain_budget=D)).
         self.domain_budget = domain_budget
+        # ip_pool = P > 0: IP-LEVEL politeness — hosts resolve (via the
+        # urlops.ip_key hash stub for a resolver cache) into P server
+        # addresses, and each server gets ONE courtesy schedule:
+        # sched_time becomes the per-IP cumulative sum of preceding
+        # requests' crawl delays (politeness.generate ip_pool), and the
+        # fetch stage groups by IP so one worker owns each server's
+        # clock. Host-level budgets / robots / 429 caps are unchanged.
+        # Mirrors oracle.crawl(ip_pool=P) exactly (trace equality).
+        self.ip_pool = ip_pool
         os.makedirs(workdir, exist_ok=True)
         # factory: real Iceberg tables when CCBOT_ICEBERG_CATALOG is
         # configured (cluster), Parquet-emulated store here (§7.3)
@@ -840,12 +850,19 @@ class CrawlEngine:
             parts = politeness.generate(
                 pending, robots_df, skew_safe=skew_safe,
                 domain_budget=self.domain_budget,
+                ip_pool=self.ip_pool,
             )
             # denied feeds both the trace and the frontier merge; persist so
             # the robots-UDF + window stage runs once
             parts["denied"] = parts["denied"].persist(StorageLevel.MEMORY_AND_DISK)
 
             _mark("generate_topk")
+            # IP politeness: the fetch-stage grouping unit is the
+            # server, not the vhost — hot HOSTS map to their IPs so
+            # the salt fan-out follows the actual schedule owner.
+            fetch_group_col = "ip" if self.ip_pool > 0 else None
+            if self.ip_pool > 0 and hot:
+                hot = sorted({urlkit.ip_key(h, self.ip_pool) for h in hot})
             fetched = fetchparse.fetch(
                 parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout,
                 enforce_delay_wallclock=self.enforce_delay_wallclock,
@@ -854,6 +871,7 @@ class CrawlEngine:
                 content_ver=cur_ver,
                 fetcher=self.fetcher,
                 cycle=cycle,
+                group_col=fetch_group_col,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             fetched_raw = fetched
             if fetch_parts and fetch_parts > 4 * self.n_buckets:

@@ -57,6 +57,7 @@ def fetch(
     content_ver: int = 0,
     fetcher=None,
     cycle: int = 0,
+    group_col: str | None = None,
 ) -> DataFrame:
     """batch: generate()['fetch'] → FETCHED DF (html attached).
 
@@ -96,9 +97,15 @@ def fetch(
     if fetcher is None:
         fetcher = default_fetcher(cfg, content_ver)
 
+    # group_col: the politeness unit owning one worker's schedule.
+    # Default is the host; IP-level politeness passes "ip" (from
+    # politeness.generate ip_pool) so every vhost of one server lands
+    # in one group and the wall-clock sleeps enforce the SERVER's
+    # cumulative schedule. hot_hosts then holds hot group keys (IPs).
+    unit = F.col(group_col) if group_col else F.col("host")
     salted = batch.withColumn(
         "salt_key",
-        urlops.host_salt(F.col("host"), F.col("url_norm"), hot_hosts or [], salt_fanout),
+        urlops.host_salt(unit, F.col("url_norm"), hot_hosts or [], salt_fanout),
     )
     group_keys = ["salt_key"]
     if fetch_partitions:
@@ -109,7 +116,13 @@ def fetch(
         group_keys = ["salt_key", "_span"]
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["sched_time", "url_norm"], kind="mergesort")
+        # (sched_time, host, url) — the oracle's fetch-event order.
+        # host is a no-op tie-break under host politeness (one host per
+        # group); under IP politeness it pins the order of same-instant
+        # rows from different vhosts (possible only with 0-ms delays).
+        pdf = pdf.sort_values(
+            ["sched_time", "host", "url_norm"], kind="mergesort"
+        )
         unch_in = (
             pdf["unchanged"]
             if "unchanged" in pdf
@@ -130,16 +143,20 @@ def fetch(
             if "status" in pdf
             else pd.Series("pending", index=pdf.index)
         )
-        # HTTP 429 model: the group is one host (or a hot-host salt
-        # sub-bucket), so one rate_limit_of lookup covers every row;
-        # the verdict itself is per-slot (slot >= cap), making it
+        # HTTP 429 model: one rate_limit_of lookup per distinct host in
+        # the group (one host per group under host politeness; several
+        # vhosts when the group is a server IP). The verdict itself is
+        # per-(host, slot) — slot >= the host's cap — so it is
         # identical across any grouping/salting of the host's URLs.
-        rl = synthweb.rate_limit_of(cfg, str(pdf["host"].iloc[0]))
+        rl_by_host = {
+            h: synthweb.rate_limit_of(cfg, str(h))
+            for h in pdf["host"].unique()
+        }
         htmls, oks, redirs, nms, rls, nbs = [], [], [], [], [], []
         last = None
-        for url, st, rt, unch, slot in zip(
+        for url, st, rt, unch, slot, rl in zip(
             pdf["url_norm"], pdf["sched_time"], pdf["retries"], unch_in,
-            pdf["sched_slot"],
+            pdf["sched_slot"], pdf["host"].map(rl_by_host),
         ):
             if enforce_delay_wallclock and last is not None:
                 # delay_scale compresses the politeness clock for

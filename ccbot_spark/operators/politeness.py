@@ -161,6 +161,7 @@ def generate(
     robots_df: DataFrame,
     skew_safe: bool = False,
     domain_budget: int = 0,
+    ip_pool: int = 0,
 ) -> dict[str, DataFrame]:
     """The crawl GENERATE step (§3.1 step 1).
 
@@ -177,6 +178,22 @@ def generate(
                 Ranked by the same candidate order as the host window
                 (aging-aware priority, then discovery time, then url),
                 so the kept set is deterministic and oracle-mirrorable.
+
+    ip_pool > 0: IP-LEVEL politeness (the Heritrix "one queue per
+    server" / IRLbot per-IP rule — vhosts co-hosted on one address
+    must share one courtesy schedule). Host-level semantics (robots,
+    per-host budget, sched_slot, 429 slot caps) are UNCHANGED; only
+    sched_time is recomputed over the selected fetch set: rows group
+    by urlops.ip_key(host, ip_pool) and each row's sched_time is the
+    cumulative sum of the PRECEDING rows' crawl_delay_ms within its
+    IP, in the global candidate order — i.e. after fetching from host
+    h, wait h's crawl-delay before touching the same server again,
+    regardless of which vhost is next. One extra window, and its
+    partitions are bounded by the BUDGETED fetch set (Σ host budgets
+    per IP per cycle), never the frontier — so no skew-safe variant is
+    needed: at 10^10 frontier rows the window input is still only
+    budget × hosts. The fetch output gains an `ip` column so the
+    engine can group the fetch stage by server instead of host.
 
     skew_safe: two-phase per-host top-k for pathological frontier skew.
     The default path ranks with ONE Window.partitionBy(host) — a host
@@ -270,9 +287,23 @@ def generate(
             (F.col("sched_slot") * F.col("crawl_delay_ms")).cast("long"),
         )
         skipped = ok.filter(F.col("sched_slot") >= F.col("budget_per_cycle"))
+    fetch_cols = [*keep, "sched_slot", "sched_time", "crawl_delay_ms"]
+    if ip_pool > 0:
+        wip = (
+            Window.partitionBy("ip")
+            .orderBy(*_cand_order(cand))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        fetch = fetch.withColumn(
+            "ip", urlops.ip_key(F.col("host"), ip_pool)
+        ).withColumn(
+            "sched_time",
+            F.coalesce(F.sum("crawl_delay_ms").over(wip), F.lit(0)).cast("long"),
+        )
+        fetch_cols = fetch_cols + ["ip"]
     out = {
         "denied": denied.select(*keep),
-        "fetch": fetch.select(*keep, "sched_slot", "sched_time", "crawl_delay_ms"),
+        "fetch": fetch.select(*fetch_cols),
         "skipped": skipped.select(*keep),
     }
     if dom_skipped is not None:

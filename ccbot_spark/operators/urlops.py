@@ -166,3 +166,19 @@ def registered_domain(host_col) -> Column:
     ).otherwise(F.lit(2))
     tail = F.reverse(F.slice(F.reverse(parts), 1, k))
     return F.when(n <= 2, host_col).otherwise(F.concat_ws(".", tail))
+
+
+def ip_key(host_col, pool: int) -> Column:
+    """Deterministic synthetic server IP ("ip-N") of a hostname —
+    JVM-side md5 + conv + pmod (whole-stage codegen, no Python).
+    Byte-identical twin of ``urlkit.ip_key``; same md5/15-hex-char
+    construction the sampling and dedup oracles mirror in DuckDB.
+    Hosts sharing an IP share ONE politeness schedule (server-level
+    courtesy — Heritrix's "queue per server", IRLbot's per-IP
+    budget): the resolver cache a deployment would broadcast is
+    stubbed by this hash, but the SCHEDULING MECHANICS (per-IP
+    cumulative-delay re-slot in politeness.generate, per-IP fetch
+    grouping in the engine) are the real, tested surface."""
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return F.concat(F.lit("ip-"), F.pmod(h, F.lit(pool)).cast("string"))

@@ -99,6 +99,7 @@ def crawl(
     canonical_dedup: bool = False,
     error_backoff: int = 0,
     domain_budget: int = 0,
+    ip_pool: int = 0,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -259,6 +260,38 @@ def crawl(
                     slot += 1
                 else:
                     events.append((1, 0, host, e.url_norm, -1, "budget_skipped"))
+
+        # IP-level politeness (ip_pool > 0): host-level selection and
+        # slots above are untouched; the SCHEDULE is recomputed per
+        # server — entries group by urlkit.ip_key(host, ip_pool), order
+        # by the global candidate order (aging-aware priority, dt keys,
+        # url), and each entry's sched_time is the cumulative sum of
+        # the PRECEDING entries' host crawl-delays within its IP.
+        # Mirrors politeness.generate(ip_pool=P) exactly.
+        if ip_pool > 0:
+            by_ip: dict[str, list[int]] = {}
+            for i, (_st, host, _url, _slot, e) in enumerate(fetch_list):
+                by_ip.setdefault(urlkit.ip_key(host, ip_pool), []).append(i)
+            relisted = []
+            for _ip, idxs in by_ip.items():
+                idxs.sort(
+                    key=lambda i: (
+                        -(
+                            fetch_list[i][4].priority
+                            + age_boost
+                            * (cycle - fetch_list[i][4].cycle_added)
+                        ),
+                        fetch_list[i][4].dt_cycle,
+                        fetch_list[i][4].dt_seq,
+                        fetch_list[i][4].url_norm,
+                    )
+                )
+                acc = 0
+                for i in idxs:
+                    _st, host, url, slot, e = fetch_list[i]
+                    relisted.append((acc, host, url, slot, e))
+                    acc += host_rules(host, rob_ver)[0].crawl_delay_ms
+            fetch_list = relisted
 
         # ---- FETCH + PARSE in event order
         fetch_list.sort(key=lambda t: (t[0], t[1], t[2]))

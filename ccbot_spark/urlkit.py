@@ -249,3 +249,21 @@ def registered_domain(host: str | None) -> str | None:
         return host
     k = 3 if parts[-2] in MULTIPART_SLDS else 2
     return ".".join(parts[-k:])
+
+
+def ip_key(host: str | None, pool: int) -> str | None:
+    """Deterministic synthetic server IP of a hostname: hosts hash
+    into `pool` shared addresses ("ip-N"). Stands in for a resolver
+    cache — co-hosted vhosts (shared CDN edge / shared origin) map to
+    one key and must share ONE politeness schedule (the Heritrix /
+    IRLbot server-level courtesy rule). md5-of-host, first 15 hex
+    chars as int (60 bits, sign-safe), mod pool — byte-identical twin
+    of ``operators.urlops.ip_key`` and of the DuckDB Horner-fold
+    oracle construction.
+    """
+    if host is None:
+        return None
+    import hashlib
+
+    h = int(hashlib.md5(host.encode("utf-8")).hexdigest()[:15], 16)
+    return f"ip-{h % pool}"

@@ -1,0 +1,129 @@
+"""IP-level politeness (ip_pool > 0): vhosts co-hosted on one server
+address share ONE courtesy schedule — the Heritrix "queue per server" /
+IRLbot per-IP rule. Gates:
+
+  * urlops.ip_key (pure JVM md5/conv/pmod) == urlkit.ip_key (python)
+    on a host grid;
+  * politeness.generate(ip_pool=P): host-level selection (fetch set,
+    sched_slot) is UNCHANGED; sched_time within each IP is the exact
+    cumulative sum of the preceding requests' crawl delays, first
+    request at t=0;
+  * engine crawl with ip_pool on a web where several hosts share each
+    IP reproduces the oracle crawler exactly (trace, seen set),
+    non-vacuously: co-hosting actually reorders the schedule vs the
+    host-politeness run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccbot_spark import oracle, synthweb, urlkit
+from ccbot_spark.engine import CrawlEngine
+from ccbot_spark.operators import politeness, urlops
+
+CFG = synthweb.WebConfig(n_hosts=8, pages_per_host=30)
+SEEDS = synthweb.seed_urls(CFG, 24)
+CYCLES = 2
+POOL = 3
+
+
+def _trace(eng):
+    rows = eng.trace.read().orderBy("seq").collect()
+    return [(r.seq, r.cycle, r.url_norm, r.host, r.sched_slot, r.action) for r in rows]
+
+
+def test_ip_key_jvm_python_twin(spark):
+    hosts = [CFG.host(k) for k in range(8)] + [
+        "www.example.com", "a.b.co.uk", "localhost", "h100.test",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    for pool in (1, 3, 7, 64):
+        got = {
+            r["host"]: r["ip"]
+            for r in df.select(
+                "host", urlops.ip_key(F.col("host"), pool).alias("ip")
+            ).collect()
+        }
+        assert got == {h: urlkit.ip_key(h, pool) for h in hosts}
+
+
+@pytest.fixture(scope="module")
+def pending(spark):
+    rows = [
+        (f"http://{CFG.host(k)}/p/{j}", CFG.host(k), 100 - j, 0, k * 40 + j,
+         "pending", 0, 0)
+        for k in range(CFG.n_hosts)
+        for j in range(12)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url_norm string, host string, priority int, dt_cycle int, "
+        "dt_seq long, status string, cycle_added int, retries int",
+    )
+
+
+def test_ip_schedule_cumulative_and_slots_unchanged(spark, pending):
+    robots = politeness.build_robots_table(
+        pending.select("host").distinct(), CFG
+    )
+    base = politeness.generate(pending, robots)["fetch"].collect()
+    ipd = politeness.generate(pending, robots, ip_pool=POOL)["fetch"].collect()
+    # host-level selection identical: same fetch set, same host slots
+    assert {(r.url_norm, r.sched_slot) for r in ipd} == {
+        (r.url_norm, r.sched_slot) for r in base
+    }
+    # per-IP cumulative-delay schedule, first request at t=0
+    by_ip: dict[str, list] = {}
+    for r in ipd:
+        assert r.ip == urlkit.ip_key(r.host, POOL)
+        by_ip.setdefault(r.ip, []).append(r)
+    multi = 0
+    for ip, rows in by_ip.items():
+        # the schedule accumulates in CANDIDATE order (priority desc,
+        # discovery keys, url) — not sched_time order, which ties when
+        # a 0-delay host is co-hosted with others
+        rows.sort(key=lambda r: (-r.priority, r.dt_cycle, r.dt_seq, r.url_norm))
+        acc = 0
+        for r in rows:
+            assert r.sched_time == acc, (ip, r.url_norm, r.sched_time, acc)
+            acc += r.crawl_delay_ms
+        if len({r.host for r in rows}) >= 2:
+            multi += 1
+    assert multi >= 1, "fixture never co-hosted two hosts on one IP"
+
+
+@pytest.fixture(scope="module")
+def oracle_ip():
+    return oracle.crawl(CFG, SEEDS, cycles=CYCLES, ip_pool=POOL)
+
+
+def test_ip_trace_exact_vs_oracle(spark, tmp_path_factory, oracle_ip):
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path_factory.mktemp("ip")), n_buckets=8,
+        record_trace=True, hot_host_min=10, bloom_min_seen=0,
+        ip_pool=POOL,
+    )
+    eng.crawl(SEEDS, cycles=CYCLES)
+    got = _trace(eng)
+    want = oracle_ip.trace
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+    seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert seen == oracle_ip.seen
+
+
+def test_ip_politeness_actually_reorders(oracle_ip):
+    """Non-vacuous: the per-IP schedule interleaves vhosts, so the
+    fetch-event order differs from host-level politeness on the same
+    web — while the SET of fetched URLs stays identical (budgets and
+    robots are host-level in both modes)."""
+    base = oracle.crawl(CFG, SEEDS, cycles=CYCLES)
+    ips = {urlkit.ip_key(CFG.host(k), POOL) for k in range(CFG.n_hosts)}
+    assert len(ips) < CFG.n_hosts, "pool too large: no host shares an IP"
+    base_fetch = [t for t in base.trace if t[4] >= 0]
+    ip_fetch = [t for t in oracle_ip.trace if t[4] >= 0]
+    assert {t[2] for t in base_fetch} == {t[2] for t in ip_fetch}
+    assert [t[2] for t in base_fetch] != [t[2] for t in ip_fetch]
