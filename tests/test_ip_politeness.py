@@ -127,3 +127,44 @@ def test_ip_politeness_actually_reorders(oracle_ip):
     ip_fetch = [t for t in oracle_ip.trace if t[4] >= 0]
     assert {t[2] for t in base_fetch} == {t[2] for t in ip_fetch}
     assert [t[2] for t in base_fetch] != [t[2] for t in ip_fetch]
+
+
+def test_ip_wallclock_sleeps_follow_server_schedule(spark):
+    """With enforce_delay_wallclock, the fetch worker owning an IP
+    group sleeps out the PER-SERVER cumulative schedule — consecutive
+    requests to one server are spaced by the schedule gap even when
+    they target different vhosts. The fetcher seam timestamps each
+    request (the wall time rides back in the html column)."""
+    import time as _time
+
+    from ccbot_spark.operators import fetchparse
+
+    # one server, two vhosts, interleaved 120 ms schedule
+    rows = []
+    st = 0
+    for j in range(3):
+        for k in (0, 1):
+            rows.append(
+                (f"http://h{k}.test/p/{j}", f"h{k}.test", 10, j * 2 + k,
+                 st, 0, "ip-0")
+            )
+            st += 120
+    batch = spark.createDataFrame(
+        rows,
+        "url_norm string, host string, priority int, sched_slot int, "
+        "sched_time long, retries int, ip string",
+    )
+
+    def clock_fetcher(url, retries):
+        return True, None, repr(_time.monotonic())
+
+    out = fetchparse.fetch(
+        batch, synthweb.WebConfig(n_hosts=2, pages_per_host=4),
+        enforce_delay_wallclock=True, delay_scale=1.0,
+        fetcher=clock_fetcher, group_col="ip",
+    ).select("url_norm", "sched_time", "html").collect()
+    got = sorted((r.sched_time, float(r.html)) for r in out)
+    assert len(got) == 6
+    for (st0, t0), (st1, t1) in zip(got, got[1:]):
+        want_gap = (st1 - st0) / 1000.0
+        assert t1 - t0 >= want_gap * 0.85, (st0, st1, t1 - t0, want_gap)
