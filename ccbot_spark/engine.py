@@ -95,6 +95,7 @@ class CrawlEngine:
         error_backoff: int = 0,
         domain_budget: int = 0,
         ip_pool: int = 0,
+        evict_every: int = 0,
     ):
         from .shipping import ensure_shipped
 
@@ -268,8 +269,32 @@ class CrawlEngine:
         self.trace = make_table_store(spark, workdir, "trace", schemas.TRACE)
         self.metrics = make_table_store(spark, workdir, "metrics", schemas.METRICS)
         self._tables = [self.frontier, self.seen, self.images, self.trace, self.metrics]
+        # frontier_cold joins the tagged/rolled-back set below (created
+        # in the maintenance-knobs block); hot and cold must snapshot
+        # together or resume could duplicate evicted rows
         # maintenance / observability knobs
         self.compact_every = compact_every
+        # evict_every = K > 0: every K cycles, move TERMINAL frontier
+        # rows (denied / redirect / canonical / retry-exhausted errors,
+        # plus fetched pages when no revisit policy is on) into the
+        # frontier_cold archive table and rewrite the hot frontier with
+        # only live rows. At 10^10 URLs most of a mature frontier is
+        # terminal — evicting it shrinks every cycle's pending scan to
+        # the rows that can still become candidates, without losing
+        # lineage (hot ∪ cold is exactly the unevicted table; the seen
+        # set is a separate table, so rediscovered links still dedup).
+        # Crawl results are PROVABLY unaffected: terminal rows can never
+        # re-enter GENERATE (tests/test_eviction.py trace equality).
+        self.evict_every = evict_every
+        self.frontier_cold = make_table_store(
+            spark, workdir, "frontier_cold",
+            T.StructType(
+                list(_with_bucket(schemas.FRONTIER).fields)
+                + [T.StructField("evicted_cycle", T.IntegerType(), False)]
+            ),
+            ("bucket",),
+        )
+        self._tables.append(self.frontier_cold)
         self.record_lineage_flag = record_lineage
         # dynamic re-prioritization: every K cycles, integer-exact
         # PageRank over the accumulated link graph replaces frontier
@@ -544,6 +569,47 @@ class CrawlEngine:
             self.lineage.append(
                 self.spark.createDataFrame(rows, schemas.LINEAGE).coalesce(1)
             )
+
+    def evict_terminal(self, cycle: int) -> int:
+        """Move terminal frontier rows to the frontier_cold archive and
+        rewrite the hot frontier with live rows only; returns the
+        evicted-row count. Terminal = a status the GENERATE candidate
+        predicate can never select again: denied, redirect, canonical,
+        error with retries exhausted — and fetched, but ONLY when no
+        revisit policy is configured (with recrawl_every the fetched
+        rows are the revisit clock and stay hot). 429-deferred rows
+        keep their pre-429 live status and are never evicted.
+
+        Scale shape: one pinned-snapshot frontier read split two ways —
+        terminal rows append to the cold table (same bucket
+        partitioning), live rows rewrite the hot table (COW: the old
+        snapshot stays readable for resume/rollback until
+        expire_snapshots). This is the Iceberg `DELETE WHERE status IN
+        (...)` maintenance job; run every evict_every cycles so a
+        mature 10^10-row frontier's per-cycle pending scan only reads
+        rows that can still become candidates. Lineage is preserved:
+        hot ∪ cold (minus evicted_cycle) is exactly the unevicted
+        table, and the SEEN set is separate, so rediscovered links
+        still dedup. Crawl results are provably unaffected
+        (tests/test_eviction.py: traces byte-identical)."""
+        f = self.frontier.read()
+        term = F.col("status").isin("denied", "redirect", "canonical") | (
+            (F.col("status") == "error") & (F.col("retries") >= MAX_RETRIES)
+        )
+        if not self.recrawl_every:
+            term = term | (F.col("status") == "fetched")
+        cold = f.filter(term).withColumn(
+            "evicted_cycle", F.lit(cycle).cast("int")
+        )
+        n_before = self.frontier.row_count()
+        self.frontier_cold.append(cold)
+        self.frontier.overwrite(
+            f.filter(~term),
+            sort_within_partitions_by=["priority", "dt_cycle", "dt_seq"],
+        )
+        # manifest row counts are exact and metadata-only: the evicted
+        # count costs no extra Spark job
+        return int(n_before - self.frontier.row_count())
 
     def resume(self) -> int:
         """Roll every table back to the last completed cycle's snapshot
@@ -1595,6 +1661,11 @@ class CrawlEngine:
             trace_df.unpersist()
             trace_cache.unpersist()
         _mark("bloom_deltas")
+        if self.evict_every and (cycle + 1) % self.evict_every == 0:
+            # BEFORE _save_state so the cycle's snapshot tags capture a
+            # consistent (hot, cold) frontier pair — resume lands on
+            # the evicted state, never a duplicated hot∪cold
+            counts["evicted"] = self.evict_terminal(cycle)
         self.last_cycle = cycle
         self._save_state(cycle)
         if self.fetch_checkpoint:

@@ -136,6 +136,14 @@ def parse_args():
                    help="robots.txt epoch length in cycles: rules and "
                         "crawl-delays re-render every K cycles and the "
                         "crawl follows the current epoch (0 = static)")
+    p.add_argument("--evict-every", type=int, default=0,
+                   help="every K cycles, archive terminal frontier rows "
+                        "to frontier_cold and rewrite the hot frontier "
+                        "(0 = never; results unaffected)")
+    p.add_argument("--ip-pool", type=int, default=0,
+                   help="IP-level politeness: hosts hash into this many "
+                        "server addresses sharing one cumulative-delay "
+                        "schedule and one fetch worker (0 = per-host)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny crawl first to spin up UDF workers")
@@ -203,6 +211,8 @@ def main() -> None:
         adaptive_recrawl=args.adaptive_recrawl,
         error_backoff=args.error_backoff,
         domain_budget=args.domain_budget,
+        ip_pool=args.ip_pool,
+        evict_every=args.evict_every,
         wds_dir=args.wds_dir,
         wds_target_bytes=args.wds_target_bytes,
         content_dedup=args.content_dedup,

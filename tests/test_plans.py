@@ -231,6 +231,11 @@ def test_dup_span_and_wds_plans_jvm_only(spark):
     from ccbot_spark import wds
     from ccbot_spark.functions import dedup, multimodal
 
+    # this audits the UNCACHED plan shape: an earlier test in the
+    # session may have cached the documents table, and Spark's cache
+    # manager would substitute the full-column InMemoryRelation,
+    # defeating the scan-pruning assertion below
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     spans = dedup.dup_span_features(docs, n=5)
     plan = explainkit.formatted_plan(spans)
