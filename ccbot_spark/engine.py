@@ -696,7 +696,10 @@ class CrawlEngine:
                             xmls = [synthweb.sitemap_xml(cfg, h)]
                         pos = 0
                         for xml in xmls:
-                            for u in parsekit.extract_sitemap_urls(xml):
+                            # index-aware (sitemap_shards): shared
+                            # helper with oracle.crawl — a
+                            # <sitemapindex> expands its child shards
+                            for u in synthweb.expand_sitemap_urls(cfg, xml):
                                 hs.append(h)
                                 us.append(u)
                                 ps.append(pos)

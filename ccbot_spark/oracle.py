@@ -150,7 +150,10 @@ def crawl(
             else:
                 xmls = [synthweb.sitemap_xml(cfg, host)]
             for xml in xmls:
-                for u in parsekit.extract_sitemap_urls(xml):
+                # index-aware: a <sitemapindex> fetches its child
+                # shards (one level) — synthweb.expand_sitemap_urls is
+                # the same helper the engine's seeding task runs
+                for u in synthweb.expand_sitemap_urls(cfg, xml):
                     if u in seen:
                         continue
                     seen.add(u)

@@ -30,6 +30,15 @@ _IMG_RE = re.compile(r'<img\s[^>]*?src="([^"]*)"[^>]*?alt="([^"]*)"', re.IGNOREC
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
 
 
+_SITEMAPINDEX_RE = re.compile(r"<\s*sitemapindex\b", re.IGNORECASE)
+
+
+def is_sitemap_index(xml: str) -> bool:
+    """True for a <sitemapindex> document (child <loc>s are SITEMAP
+    URLs to fetch, not page URLs to crawl — sitemaps.org index spec)."""
+    return bool(_SITEMAPINDEX_RE.search(xml or ""))
+
+
 def extract_sitemap_urls(xml: str) -> list[str]:
     """sitemap.xml ``<loc>`` entries → normalized URLs, document order,
     deduped. Non-URL / unfetchable locs drop out in normalization."""

@@ -19,6 +19,7 @@ Emits:
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -44,6 +45,8 @@ class WebConfig:
     rate_limit_pct: int = 0  # % of hosts that answer HTTP 429 past a slot cap
     domain_groups: int = 0  # >0: hosts become subdomains of this many
     # registered domains (h{k}.d{k%g}.test) — the domain-budget fixture
+    sitemap_shards: int = 0  # >0: /sitemap.xml is a <sitemapindex> over
+    # this many shard urlsets (/sitemap-{i}.xml) — the large-site form
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -259,20 +262,95 @@ def fetch_ok(cfg: WebConfig, url: str, attempt: int = 0) -> bool:
     return _digest(f"fail:{cfg.seed}:{url}:{attempt}")[0] % 100 >= cfg.fail_pct
 
 
-def sitemap_xml(cfg: WebConfig, host: str) -> str:
-    """Deterministic /sitemap.xml body: ~1 in 4 of the host's pages
-    listed in ascending page order — pure function of (cfg, host)."""
-    locs = [
-        f"  <url><loc>http://{host}/p/{j}</loc></url>"
+def _sitemap_pages(cfg: WebConfig, host: str) -> list[int]:
+    """Pages a host lists in its sitemap(s): a deterministic ~1/4
+    slice, ascending page order — pure function of (cfg, host)."""
+    return [
+        j
         for j in range(cfg.pages_per_host)
         if _digest(f"map:{cfg.seed}:{host}:{j}")[0] % 4 == 0
     ]
+
+
+def _urlset(host: str, pages: list[int]) -> str:
+    locs = [f"  <url><loc>http://{host}/p/{j}</loc></url>" for j in pages]
     return (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
         + "\n".join(locs)
         + "\n</urlset>"
     )
+
+
+def sitemap_xml(cfg: WebConfig, host: str) -> str:
+    """Deterministic /sitemap.xml body. sitemap_shards = 0: a plain
+    urlset of the host's sitemap pages. sitemap_shards = S > 0: the
+    large-site form — a <sitemapindex> whose entries point at S shard
+    urlsets (/sitemap-{i}.xml, sitemaps.org index spec; real sites
+    shard because one sitemap caps at 50k URLs). Shard i carries the
+    pages at positions ≡ i (mod S) of the SAME page list, so the union
+    across shards equals the unsharded urlset exactly."""
+    if cfg.sitemap_shards > 0:
+        entries = [
+            f"  <sitemap><loc>http://{host}/sitemap-{i}.xml</loc></sitemap>"
+            for i in range(cfg.sitemap_shards)
+        ]
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "\n".join(entries)
+            + "\n</sitemapindex>"
+        )
+    return _urlset(host, _sitemap_pages(cfg, host))
+
+
+def sitemap_shard_xml(cfg: WebConfig, host: str, i: int) -> str:
+    """Shard i of a host's sitemap index: positions ≡ i (mod S) of the
+    host's sitemap page list."""
+    pages = _sitemap_pages(cfg, host)
+    return _urlset(host, pages[i :: max(1, cfg.sitemap_shards)])
+
+
+def sitemap_body(cfg: WebConfig, url: str) -> str | None:
+    """Body of ANY sitemap URL on the synthetic web — /sitemap.xml
+    (index or urlset per sitemap_shards) or a /sitemap-{i}.xml shard.
+    None for non-sitemap paths (a malformed <loc> in an index)."""
+    m = re.match(r"^https?://([^/]+)(/.*)$", url or "")
+    if not m:
+        return None
+    host, path = m.group(1), m.group(2)
+    if path == "/sitemap.xml":
+        return sitemap_xml(cfg, host)
+    sm = re.match(r"^/sitemap-(\d+)\.xml$", path)
+    if sm and cfg.sitemap_shards > 0:
+        i = int(sm.group(1))
+        if i < cfg.sitemap_shards:
+            return sitemap_shard_xml(cfg, host, i)
+    return None
+
+
+def expand_sitemap_urls(cfg: WebConfig, xml: str) -> list[str]:
+    """Page URLs reachable from one fetched sitemap body, index-aware:
+    a urlset yields its <loc>s directly; a <sitemapindex> fetches each
+    child shard (ONE level — the spec forbids nested indexes) and
+    concatenates the children's <loc>s in index order. Deduped,
+    document order. Shared by the oracle crawler and the engine's
+    distributed seeding task so both expand identically."""
+    from . import parsekit
+
+    if not parsekit.is_sitemap_index(xml):
+        return parsekit.extract_sitemap_urls(xml)
+    out: list[str] = []
+    seen: set[str] = set()
+    for sm_url in parsekit.extract_sitemap_urls(xml):
+        body = sitemap_body(cfg, sm_url)
+        if body is None or parsekit.is_sitemap_index(body):
+            continue  # dangling loc / illegal nested index
+        for u in parsekit.extract_sitemap_urls(body):
+            if u not in seen:
+                seen.add(u)
+                out.append(u)
+    return out
 
 
 def redirect_of(cfg: WebConfig, url: str) -> str | None:

@@ -63,6 +63,9 @@ def parse_args():
                    help="%% of fetches that deterministically error (retried)")
     p.add_argument("--redirect-pct", type=int, default=0,
                    help="%% of odd pages that 301 to the prior page")
+    p.add_argument("--sitemap-shards", type=int, default=0,
+                   help="fixture: /sitemap.xml becomes a <sitemapindex> "
+                        "over this many shard urlsets (0 = flat urlset)")
     p.add_argument("--sitemap-from-robots", action="store_true",
                    help="spec-compliant sitemap discovery: expand only "
                         "hosts whose robots.txt declares a Sitemap: "
@@ -191,6 +194,7 @@ def main() -> None:
         robots_change_every=args.robots_change_every,
         rate_limit_pct=args.rate_limit_pct,
         domain_groups=args.domain_groups,
+        sitemap_shards=args.sitemap_shards,
     )
     eng = CrawlEngine(
         spark,
