@@ -1019,6 +1019,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.phash_near_pairs(ph, max_ham=6)
     q["img_phash_near"] = img_phash_near
 
+    def img_blocklist(spark, sf_dir):
+        # the PhotoDNA-style moderation gate: images whose phash falls
+        # within Hamming ≤ 1 of a curated bad-hash list are flagged
+        # (and dropped from the kept set). Phash synthesis reuses the
+        # img_phash_near md5 idiom (bases 0..149, docs ≥150 repeat a
+        # base with ONE flipped bit); the blocklist holds the bases of
+        # doc_id % 7 == 0 under 50, so each bad hash flags its exact
+        # image (ham 0) AND its planted near-dup (ham 1). The banded
+        # prefilter is complete for this radius (pigeonhole ≤ 3).
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        ph = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+        )
+        bl = (
+            _t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 50) & (F.col("doc_id") % 7 == 0))
+            .select(
+                F.col("doc_id").cast("string").alias("_k")
+            )
+            .select(F.md5(F.concat(F.lit("img:"), F.col("_k"))).alias("_h"))
+            .select(
+                (
+                    (F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
+                     % F.lit(2147483648)) * F.lit(2147483648)
+                    + F.conv(F.substring(F.col("_h"), 9, 8), 16, 10).cast("long")
+                    % F.lit(2147483648)
+                ).alias("bad_phash")
+            )
+        )
+        return multimodal.phash_blocklist_filter(ph, bl, max_ham=1)["flagged"]
+    q["img_blocklist"] = img_blocklist
+
     def img_curation(spark, sf_dir):
         # LAION-style image-text curation over the input-hint image
         # table shape (image_id, w, h, caption): dims + captions are
@@ -2320,6 +2360,39 @@ def oracle_sql() -> dict[str, str]:
     # --- img_curation: md5-synthesized (w, h) + doc_id-sliced captions,
     # then the LAION-style metadata gates — integer aspect (×10, floor
     # division) keeps the threshold engine-exact.
+    o["img_blocklist"] = f"""
+        WITH ph AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        bl AS (
+          SELECT CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                   + CAST((h64 % 4294967296) % 2147483648 AS BIGINT) AS bad_phash
+          FROM (SELECT {_sql_h64("'img:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 50 AND doc_id % 7 = 0)
+        ),
+        hits AS (
+          SELECT p.image_id, p.phash, b.bad_phash,
+                 CAST(bit_count(xor(p.phash, b.bad_phash)) AS INTEGER) AS hamming,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.image_id
+                   ORDER BY bit_count(xor(p.phash, b.bad_phash)), b.bad_phash
+                 ) AS rn
+          FROM ph p JOIN bl b
+            ON bit_count(xor(p.phash, b.bad_phash)) <= 1
+        )
+        SELECT image_id, phash, bad_phash, hamming FROM hits WHERE rn = 1
+    """
+
     o["img_curation"] = f"""
         WITH meta AS (
           SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,

@@ -391,6 +391,85 @@ def phash_near_pairs(decoded: DataFrame, max_ham: int = 6) -> DataFrame:
     )
 
 
+def phash_blocklist_filter(
+    images: DataFrame, blocklist: DataFrame, max_ham: int = 0
+) -> dict[str, DataFrame]:
+    """Known-bad-image gate (the PhotoDNA/phash-blocklist moderation
+    filter every production image pipeline runs before storage or
+    training export): drop images whose perceptual hash matches a
+    curated bad-hash list, exactly or within a Hamming radius.
+
+    blocklist: DataFrame with one int64 column ``bad_phash``. Hash
+    lists are small by construction (10^5–10^7 entries, 8 bytes each)
+    — always broadcast, so the corpus side never shuffles regardless
+    of corpus size.
+
+    max_ham = 0: exact membership — one broadcast equi-anti-join.
+    max_ham > 0: near-match via the same 4×16-bit banded Hamming
+    discipline as phash_near_pairs: band-explode BOTH sides, broadcast
+    equi-join on (band_id, band_val), verify bit_count(xor) ≤ max_ham
+    exactly. By pigeonhole, ≤ 3 flipped bits cannot touch all 4 bands,
+    so the prefilter is COMPLETE (zero false negatives — what a
+    moderation gate requires) for max_ham ≤ 3; a deployment needing a
+    wider radius raises the band count (8×8-bit → complete to 7) —
+    same plan shape. Flagged ids then anti-join off the corpus.
+
+    Returns {"kept": ..., "flagged": ...} — flagged carries one row
+    per image with the matched bad hash of minimal Hamming distance
+    (deterministic tie-break on the hash value) for audit trails.
+    """
+    if max_ham == 0:
+        matched = images.join(
+            F.broadcast(blocklist),
+            images["phash"] == blocklist["bad_phash"],
+            "inner",
+        ).select(
+            *[images[c] for c in images.columns],
+            F.col("bad_phash"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    else:
+        def bands(df, hash_col):
+            return df.select(
+                "*",
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.shiftrightunsigned(
+                                F.col(hash_col), b * 16
+                            ).bitwiseAND(F.lit(0xFFFF))
+                            for b in range(4)
+                        ]
+                    )
+                ).alias("band_id", "band_val"),
+            )
+
+        cand = bands(images, "phash").join(
+            F.broadcast(bands(blocklist, "bad_phash")),
+            ["band_id", "band_val"],
+        )
+        ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("bad_phash")))
+        matched = (
+            cand.withColumn("hamming", ham.cast("integer"))
+            .filter(F.col("hamming") <= max_ham)
+            .groupBy(*images.columns)
+            .agg(
+                F.min(F.struct("hamming", "bad_phash")).alias("_m")
+            )
+            .select(
+                *images.columns,
+                F.col("_m.bad_phash").alias("bad_phash"),
+                F.col("_m.hamming").alias("hamming"),
+            )
+        )
+    kept = images.join(
+        matched.select(F.col("image_id").alias("_bad_id")),
+        images["image_id"] == F.col("_bad_id"),
+        "left_anti",
+    )
+    return {"kept": kept, "flagged": matched}
+
+
 # ---------------------------------------------------------------- aspect
 
 #: Training-time aspect-ratio ladder (SDXL-style bucketed batching:

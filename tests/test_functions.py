@@ -680,3 +680,59 @@ def test_aspect_bucket_jvm_python_twin_and_plan(spark):
     assert got == want
     assert set(got.values()) == set(multimodal.ASPECT_LADDER)
     assert "EvalPython" not in explainkit.formatted_plan(out)
+
+
+def test_phash_blocklist_filter(spark):
+    """Moderation gate: exact and banded near-match paths, pigeonhole
+    completeness at max_ham <= 3 vs a brute-force reference, and
+    kept/flagged partitioning the corpus."""
+    import itertools
+
+    from ccbot_spark.functions import multimodal
+
+    bad = [0x0123456789ABCDE0, 0x7EDCBA9876543210]
+    imgs = []
+    # plant: exact hits, 1/2/3-bit near hits, and clean images
+    for i, b in enumerate(bad):
+        imgs.append((f"x{i}", b))
+        imgs.append((f"n1{i}", b ^ (1 << (i * 17))))
+        imgs.append((f"n3{i}", b ^ 0b111 << (i * 20)))
+    imgs += [(f"c{i}", 0x5A5A5A5A5A5A5A00 + i * 64) for i in range(5)]
+    df = spark.createDataFrame(imgs, "image_id string, phash long")
+    bl = spark.createDataFrame([(b,) for b in bad], "bad_phash long")
+
+    # exact path
+    res0 = multimodal.phash_blocklist_filter(df, bl, max_ham=0)
+    assert {r.image_id for r in res0["flagged"].collect()} == {"x0", "x1"}
+    assert {r.image_id for r in res0["kept"].collect()} == (
+        {i for i, _ in imgs} - {"x0", "x1"}
+    )
+
+    # near path == brute force for every radius where bands are complete
+    def brute(max_ham):
+        out = {}
+        for iid, ph in imgs:
+            hams = sorted(
+                (bin(ph ^ b).count("1"), b) for b in bad
+            )
+            if hams[0][0] <= max_ham:
+                out[iid] = hams[0]
+        return out
+
+    for max_ham in (1, 2, 3):
+        res = multimodal.phash_blocklist_filter(df, bl, max_ham=max_ham)
+        got = {
+            r.image_id: (r.hamming, r.bad_phash)
+            for r in res["flagged"].collect()
+        }
+        assert got == brute(max_ham), max_ham
+        kept = {r.image_id for r in res["kept"].collect()}
+        assert kept == {i for i, _ in imgs} - got.keys()
+
+    # plan: the blocklist side broadcasts — the corpus never shuffles
+    from ccbot_spark.plans import explainkit
+
+    plan = explainkit.formatted_plan(
+        multimodal.phash_blocklist_filter(df, bl, max_ham=2)["flagged"]
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
