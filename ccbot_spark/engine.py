@@ -96,6 +96,8 @@ class CrawlEngine:
         domain_budget: int = 0,
         ip_pool: int = 0,
         evict_every: int = 0,
+        phash_blocklist: list[int] | None = None,
+        blocklist_ham: int = 0,
     ):
         from .shipping import ensure_shipped
 
@@ -256,6 +258,22 @@ class CrawlEngine:
         # clock. Host-level budgets / robots / 429 caps are unchanged.
         # Mirrors oracle.crawl(ip_pool=P) exactly (trace equality).
         self.ip_pool = ip_pool
+        # phash_blocklist: known-bad perceptual hashes (the PhotoDNA-
+        # style moderation gate). A matching decoded image (exact, or
+        # Hamming ≤ blocklist_ham — complete prefilter for ≤ 3) is
+        # dropped BEFORE the dedup insert: never stored, never in the
+        # phash set, so its twins stay blockable. The list is tiny by
+        # construction (hash lists are 10^5–10^7 × 8 bytes) and
+        # broadcasts; mirrors oracle.crawl(phash_blocklist=...).
+        self.phash_blocklist = sorted(int(b) for b in (phash_blocklist or []))
+        self.blocklist_ham = blocklist_ham
+        self._blocklist_df = (
+            spark.createDataFrame(
+                [(b,) for b in self.phash_blocklist], "bad_phash long"
+            )
+            if self.phash_blocklist
+            else None
+        )
         os.makedirs(workdir, exist_ok=True)
         # factory: real Iceberg tables when CCBOT_ICEBERG_CATALOG is
         # configured (cluster), Parquet-emulated store here (§7.3)
@@ -1112,6 +1130,15 @@ class CrawlEngine:
         decoded = imageops.fetch_decode_phash(
             fetchparse.extract_images(fetched), cfg
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        blocked_n = None
+        if self._blocklist_df is not None:
+            from .functions import multimodal as mm
+
+            blf = mm.phash_blocklist_filter(
+                decoded, self._blocklist_df, max_ham=self.blocklist_ham
+            )
+            blocked_n = blf["flagged"].count()
+            decoded = blf["kept"]
         # Same pay-off threshold as the seen Bloom: below it the filter
         # build/maintenance jobs cost more than the join they shrink
         # (metadata row count — no scan). Result identical either way.
@@ -1421,6 +1448,8 @@ class CrawlEngine:
         if use_phash_bloom and self._phash_bloom is not None:
             _mark("phash_bloom_build")
         counts = {"cycle": cycle, "fetched": fetched.count()}
+        if blocked_n is not None:
+            counts["blocked_images"] = blocked_n
         # observability: which skew plan this cycle actually ran
         counts["skew_safe"] = bool(skew_safe)
         if fetch_parts:

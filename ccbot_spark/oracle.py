@@ -83,6 +83,7 @@ class OracleResult:
     images: list[dict] = field(default_factory=list)  # IMAGES schema dicts
     frontier: dict = field(default_factory=dict)      # url_norm → FrontierEntry
     metrics: list[dict] = field(default_factory=list)  # METRICS schema dicts
+    blocked_images: int = 0  # phash-blocklist moderation drops
 
 
 def crawl(
@@ -100,6 +101,8 @@ def crawl(
     error_backoff: int = 0,
     domain_budget: int = 0,
     ip_pool: int = 0,
+    phash_blocklist: frozenset[int] | set[int] = frozenset(),
+    blocklist_ham: int = 0,
 ) -> OracleResult:
     """rank_every > 0 enables dynamic frontier re-prioritization: every
     K cycles, integer-exact PageRank (linkrank.pagerank_int_py, 3
@@ -461,6 +464,16 @@ def crawl(
                 data, w, h, fmt = synthweb.fetch_image(cfg, img_url)
                 px = codecs.decode(data, fmt)
                 ph = phash.phash64(px)
+                # moderation gate BEFORE the dedup insert: a blocked
+                # image is never stored and never enters the phash set
+                # (so its exact/near twins stay blockable, not "dups").
+                # Mirrors the engine's phash_blocklist filter exactly.
+                if phash_blocklist and any(
+                    bin(ph ^ b).count("1") <= blocklist_ham
+                    for b in phash_blocklist
+                ):
+                    res.blocked_images += 1
+                    continue
                 if ph in phashes:
                     m["dedup_hits"] += 1
                 else:

@@ -1125,3 +1125,44 @@ def test_error_backoff_matches_oracle(spark, tmp_path):
         for e in want.frontier.values()
     }
     assert got == want_f
+
+
+def test_phash_blocklist_engine_matches_oracle(spark, tmp_path):
+    """Moderation gate in the crawl loop: images whose phash falls
+    within blocklist_ham of a known-bad hash are dropped BEFORE the
+    dedup insert (never stored, never in the phash set). Engine ==
+    oracle on trace, stored rows, and blocked counts; blocked phashes
+    provably absent from the images table."""
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=25)
+    seeds = synthweb.seed_urls(cfg, 12)
+    base = oracle.crawl(cfg, seeds, cycles=2)
+    # bad list: 1-bit-flipped variants of real stored hashes — exact
+    # misses, Hamming-1 hits, so only the near path can block them
+    bad = [r["phash"] ^ (1 << 7) for r in sorted(
+        base.images, key=lambda r: r["image_id"]
+    )[:5]]
+    want = oracle.crawl(
+        cfg, seeds, cycles=2,
+        phash_blocklist=frozenset(bad), blocklist_ham=1,
+    )
+    assert want.blocked_images >= 5, "blocklist never fired"
+    assert len(want.images) < len(base.images)
+
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "bl"), n_buckets=8,
+        record_trace=True, hot_host_min=10, bloom_min_seen=0,
+        phash_blocklist=bad, blocklist_ham=1,
+    )
+    res = eng.crawl(seeds, cycles=2)
+    assert _engine_trace(eng) == want.trace
+    got_imgs = {
+        (r.image_id, r.caption, r.phash)
+        for r in eng.images.read().select("image_id", "caption", "phash").collect()
+    }
+    assert got_imgs == {
+        (r["image_id"], r["caption"], r["phash"]) for r in want.images
+    }
+    assert sum(c.get("blocked_images", 0) for c in res) == want.blocked_images
+    stored_ph = {r.phash for r in eng.images.read().select("phash").collect()}
+    for b in bad:
+        assert all(bin(p ^ b).count("1") > 1 for p in stored_ph)
