@@ -87,6 +87,7 @@ class CrawlEngine:
         warc_segments: int = 4,
         warc_wet: bool = False,
         warc_cdx: bool = False,
+        warc_revisit: bool = True,
         fetcher=None,
         fetch_checkpoint: bool = False,
         wds_dir: str | None = None,
@@ -202,6 +203,11 @@ class CrawlEngine:
         if warc_cdx and not warc_dir:
             raise ValueError("warc_cdx requires warc_dir")
         self.warc_cdx = warc_cdx
+        # revisit records: with content_dedup on, a duplicate page is
+        # archived as a body-less WARC `revisit` record (payload digest
+        # only) instead of being silently dropped from the archive —
+        # the archive then explains every consumed politeness slot.
+        self.warc_revisit = warc_revisit
         # optional WebDataset training-export sink: every cycle's
         # stored image+caption pairs also land as size-balanced
         # {wds_dir}/cycle=NNNNN/shard-*.tar (ccbot_spark.wds — the
@@ -1586,6 +1592,38 @@ class CrawlEngine:
                 sinks.append(lambda: self.cdx.append(cdx_rows))
             else:
                 sinks.append(lambda: warc_out.collect())
+            if self.warc_revisit and content_dups is not None:
+                # WARC `revisit` records (Common Crawl / Heritrix
+                # semantics): a fetched page whose payload digest was
+                # already captured is archived as a body-less revisit
+                # record carrying WARC-Payload-Digest instead of the
+                # duplicate bytes — at 100 TB with mirror-heavy webs
+                # this is the difference between archiving the corpus
+                # once and archiving it per mirror. Separate segment
+                # set ({cycle}/revisit/) so the response stream stays
+                # contiguous; the digest links back to the original
+                # capture via the cdx table.
+                rev_src = content_dups.select(
+                    F.col("url_norm").alias("uri"),
+                    F.lit(warc_date).alias("warc_date"),
+                    F.lit(b"").alias("payload"),
+                    "digest",
+                )
+                rev_out = warcmod.write_segments(
+                    rev_src,
+                    os.path.join(cyc_dir, "revisit"),
+                    n_segments=self.warc_segments,
+                    warc_type="revisit",
+                    content_type="message/http",
+                    extra=[
+                        ("WARC-Profile", F.lit(warcmod.REVISIT_PROFILE)),
+                        (
+                            "WARC-Payload-Digest",
+                            F.concat(F.lit("md5:"), F.col("digest")),
+                        ),
+                    ],
+                )
+                sinks.append(lambda: rev_out.collect())
         if self.wds_dir:
             from . import wds as wdsmod
 

@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 
 WARC_VERSION = "WARC/1.1"
 
+# WARC-Profile for revisit records whose payload is byte-identical to
+# an earlier capture (the only revisit profile the engine emits; the
+# duplicate's digest rides in WARC-Payload-Digest, body is empty).
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
 # Manifest row per written segment file.
 MANIFEST_SCHEMA = "segment int, path string, n_records long, n_bytes long"
 

@@ -1166,3 +1166,53 @@ def test_phash_blocklist_engine_matches_oracle(spark, tmp_path):
     stored_ph = {r.phash for r in eng.images.read().select("phash").collect()}
     for b in bad:
         assert all(bin(p ^ b).count("1") > 1 for p in stored_ph)
+
+
+def test_warc_revisit_records(spark, tmp_path):
+    """WARC revisit records (Common Crawl semantics): with content
+    dedup + a WARC sink, each traced content_dup page is archived as a
+    body-less `revisit` record under {cycle}/revisit/ — WARC-Type
+    revisit, identical-payload-digest profile, Content-Length 0, and a
+    WARC-Payload-Digest that points at a digest the engine actually
+    stored. The archive then accounts for every consumed politeness
+    slot without duplicating mirror bytes."""
+    from ccbot_spark import warc as warcmod
+
+    cfg = synthweb.WebConfig(n_hosts=5, pages_per_host=50, mirror_pct=40)
+    seeds = synthweb.seed_urls(cfg, 15)
+    want = oracle.crawl(cfg, seeds, cycles=3, content_dedup=True)
+    want_dups = {
+        (t[1], t[2]) for t in want.trace if t[5] == "content_dup"
+    }
+    assert want_dups, "fixture must produce content dups"
+
+    warc_dir = str(tmp_path / "warc")
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "rv"), n_buckets=8,
+                      record_trace=True, hot_host_min=10,
+                      content_dedup=True,
+                      warc_dir=warc_dir, warc_segments=3)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+
+    recs = warcmod.read_segments(
+        spark, warc_dir, pattern="cycle=*/revisit/*.warc.gz"
+    ).collect()
+    got_dups = set()
+    for r in recs:
+        assert r.warc_type == "revisit"
+        assert r.headers["WARC-Profile"] == warcmod.REVISIT_PROFILE
+        assert r.headers["Content-Length"] == "0"
+        assert bytes(r.payload) == b""
+        dig = r.headers["WARC-Payload-Digest"]
+        assert dig.startswith("md5:") and len(dig) == 4 + 32
+        # cycle=NNNNN comes from the segment path; warc_date encodes it
+        # too but the path is what a reader partitions on
+        cyc = int(r.path.split("cycle=")[1][:5])
+        got_dups.add((cyc, r.target_uri, dig[4:]))
+    # (cycle, url) multiplicity: one revisit record per traced dup
+    assert {(c, u) for c, u, _ in got_dups} == want_dups
+    assert len(recs) == len(want_dups)
+    # every revisit digest is a digest the engine stored exactly once
+    digs = {r.digest for r in eng.digests.read().collect()}
+    for _, _, d in got_dups:
+        assert d in digs
