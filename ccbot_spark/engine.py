@@ -79,6 +79,7 @@ class CrawlEngine:
         record_lineage: bool = True,
         rank_every: int = 0,
         trap_filter: bool = False,
+        max_depth: int = 0,
         recrawl_every: int = 0,
         adaptive_recrawl: bool = False,
         content_dedup: bool = False,
@@ -156,6 +157,11 @@ class CrawlEngine:
         # rejects it (urlops.filter_traps; oracle.crawl mirrors with
         # urlkit.is_trap so traces stay byte-identical)
         self.trap_filter = trap_filter
+        # max_depth = K > 0: Heritrix max-hops — discovered URLs more
+        # than K link-hops from every seed are dropped at extraction
+        # time (pre-shuffle; they never enter seen/frontier/dup-trace).
+        # 0 = unlimited.
+        self.max_depth = max_depth
         # revisit policy: every fetched page is re-enqueued once its
         # last fetch is ≥ recrawl_every cycles old; the conditional-GET
         # check (content_version epochs) turns unchanged revisits into
@@ -560,6 +566,7 @@ class CrawlEngine:
                 F.lit(None).cast("int").alias("last_cycle"),
                 F.lit(None).cast("int").alias("interval"),
                 F.lit(None).cast("int").alias("not_before"),
+                F.lit(None).cast("int").alias("depth"),
             )
             .withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         )
@@ -687,7 +694,7 @@ class CrawlEngine:
             dedup.add(u)
             rows.append(
                 (u, urlkit.host_of(u), SEED_PRIORITY, 0, idx, "pending",
-                 0, 0, -1, self.recrawl_every, 0)
+                 0, 0, -1, self.recrawl_every, 0, 0)
             )
             idx += 1
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
@@ -751,6 +758,7 @@ class CrawlEngine:
                 F.lit(-1).cast("int").alias("last_cycle"),
                 F.lit(self.recrawl_every).cast("int").alias("interval"),
                 F.lit(0).cast("int").alias("not_before"),
+                F.lit(0).cast("int").alias("depth"),
             )
             df = df.unionByName(sm_rows)
         df = df.withColumn(
@@ -1065,8 +1073,11 @@ class CrawlEngine:
         redir_tgts = redirs.select(
             F.col("redirect").alias("url_norm"),
             F.col("priority").cast("long").alias("parent_priority"),
+            F.col("depth").cast("int").alias("parent_depth"),
         )
-        pool = links.select("url_norm", "parent_priority").unionByName(redir_tgts)
+        pool = links.select(
+            "url_norm", "parent_priority", "parent_depth"
+        ).unionByName(redir_tgts)
         if canons is not None:
             # canonical targets: same discovered-pool rules as redirect
             # Location targets (already normalized in the resolve UDF)
@@ -1074,7 +1085,16 @@ class CrawlEngine:
                 canons.select(
                     F.col("canonical").alias("url_norm"),
                     F.col("priority").cast("long").alias("parent_priority"),
+                    F.col("depth").cast("int").alias("parent_depth"),
                 )
+            )
+        if self.max_depth:
+            # depth gate (Heritrix max-hops): a link whose depth would
+            # exceed the cap never reaches the dedup groupBy, the seen
+            # joins, or the frontier — dropped pre-shuffle like traps
+            # (parsed_links metrics and rank edges stay pre-filter).
+            pool = pool.filter(
+                F.col("parent_depth") + 1 <= F.lit(self.max_depth)
             )
         if self.trap_filter:
             # pre-shuffle: trap URLs never reach the dedup groupBy, the
@@ -1084,7 +1104,13 @@ class CrawlEngine:
         cand = (
             pool
             .groupBy("url_norm")
-            .agg(F.max("parent_priority").alias("pp"))
+            .agg(
+                F.max("parent_priority").alias("pp"),
+                # first-insert depth = min over this cycle's parents
+                # (shortest-hops semantics; independent of which parent
+                # won the priority max — the oracle mirrors both)
+                F.min("parent_depth").alias("pdm"),
+            )
             .withColumn("url_hash", urlops.url_hash(F.col("url_norm")))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         seen_df = self.seen.read()
@@ -1129,6 +1155,7 @@ class CrawlEngine:
             F.lit(-1).cast("int").alias("last_cycle"),
             F.lit(self.recrawl_every).cast("int").alias("interval"),
             F.lit(0).cast("int").alias("not_before"),
+            (F.col("pdm") + 1).cast("int").alias("depth"),
         ).withColumn("bucket", urlops.host_bucket(F.col("host"), self.n_buckets))
         new_rows = new_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -1336,6 +1363,9 @@ class CrawlEngine:
             )
         else:
             new_iv = F.col("interval").cast("int")
+        # depth is insert-only (first-discovery value, like dt_*): the
+        # update branches carry a dummy that merge_into never applies
+        _dep0 = F.lit(0).cast("int").alias("depth")
         upd_base = attempts.filter(
             F.col("ok") & F.col("redirect").isNull() & ~F.col("rate_limited")
         )
@@ -1356,6 +1386,7 @@ class CrawlEngine:
             F.lit(cycle).cast("int").alias("last_cycle"),
             new_iv,
             F.lit(0).cast("int").alias("not_before"),
+            _dep0,
         ).withColumn("bucket", bucket)
         upd_redir = redirs.select(
             "url_norm", "host", "priority",
@@ -1367,6 +1398,7 @@ class CrawlEngine:
             F.col("last_cycle").cast("int"),
             F.col("interval").cast("int"),
             F.lit(0).cast("int").alias("not_before"),
+            _dep0,
         ).withColumn("bucket", bucket)
         if self.error_backoff:
             # post-increment retries r: cool down min(2^r, CAP) cycles
@@ -1389,6 +1421,7 @@ class CrawlEngine:
             F.col("last_cycle").cast("int"),
             F.col("interval").cast("int"),
             err_nb.alias("not_before"),
+            _dep0,
         ).withColumn("bucket", bucket)
         upd_denied = parts["denied"].select(
             "url_norm", "host", "priority",
@@ -1400,6 +1433,7 @@ class CrawlEngine:
             F.col("last_cycle").cast("int"),
             F.col("interval").cast("int"),
             F.lit(0).cast("int").alias("not_before"),
+            _dep0,
         ).withColumn("bucket", bucket)
         # 429-deferred: everything restored from the pre-fetch row
         # (status passthrough via the fetch stage), only not_before
@@ -1415,6 +1449,7 @@ class CrawlEngine:
             F.col("last_cycle").cast("int"),
             F.col("interval").cast("int"),
             F.col("not_before").cast("int"),
+            _dep0,
         ).withColumn("bucket", bucket)
         merge_src = (
             upd_fetched.unionByName(upd_redir)
@@ -1434,6 +1469,7 @@ class CrawlEngine:
                 F.col("last_cycle").cast("int"),
                 F.col("interval").cast("int"),
                 F.lit(0).cast("int").alias("not_before"),
+                _dep0,
             ).withColumn("bucket", bucket)
             merge_src = merge_src.unionByName(upd_canon)
 

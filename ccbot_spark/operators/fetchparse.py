@@ -207,6 +207,11 @@ def fetch(
         out["status"] = st_in.loc[out.index].astype(str)
         out["rate_limited"] = pd.Series(rls, index=out.index, dtype=bool)
         out["not_before"] = pd.Series(nbs, index=out.index, dtype="int32")
+        out["depth"] = (
+            pdf["depth"].loc[out.index].astype("int32")
+            if "depth" in pdf.columns
+            else pd.Series(0, index=out.index, dtype="int32")
+        )
         return out
 
     return salted.groupBy(*group_keys).applyInPandas(
@@ -328,10 +333,14 @@ def extract_links(fetched: DataFrame) -> DataFrame:
         F.filter(tags, lambda t: ~t.rlike(_NOFOLLOW_PAT)),
         lambda t: F.regexp_extract(t, _HREF_PAT, 1),
     )
+    parent_depth = (
+        F.col("depth") if "depth" in fetched.columns else F.lit(0)
+    ).cast("int").alias("parent_depth")
     per_page = fetched.select(
         F.col("url_norm").alias("page_url"),
         F.col("host").alias("page_host"),
         F.col("priority").cast("long").alias("parent_priority"),
+        parent_depth,
         _resolve_links_udf(F.col("url_norm"), hrefs).alias("_links"),
     )
     # explode_outer, NOT explode: for plain explode Catalyst inserts a
@@ -343,6 +352,7 @@ def extract_links(fetched: DataFrame) -> DataFrame:
         "page_url",
         "page_host",
         "parent_priority",
+        "parent_depth",
     ).filter(F.col("url_norm").isNotNull())
 
 

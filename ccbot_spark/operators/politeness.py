@@ -221,7 +221,7 @@ def generate(
     # frames without them). status rides to the fetch stage so a
     # 429-deferred attempt can restore it unchanged at merge time.
     keep += [
-        c for c in ("last_cycle", "interval", "unchanged", "status")
+        c for c in ("last_cycle", "interval", "unchanged", "status", "depth")
         if c in pending.columns
     ]
     dom_skipped = None

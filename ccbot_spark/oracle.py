@@ -74,6 +74,7 @@ class FrontierEntry:
     last_cycle: int = -1  # cycle of last successful fetch (revisit clock)
     interval: int = 0  # per-URL revisit interval in cycles (adaptive policy)
     not_before: int = 0  # 429 Retry-After deferral: earliest eligible cycle
+    depth: int = 0  # link-hops from the nearest seed (insert-only, like dt)
 
 
 @dataclass
@@ -93,6 +94,7 @@ def crawl(
     rank_every: int = 0,
     sitemap_seeds: bool = False,
     trap_filter: bool = False,
+    max_depth: int = 0,
     recrawl_every: int = 0,
     adaptive_recrawl: bool = False,
     content_dedup: bool = False,
@@ -314,6 +316,7 @@ def crawl(
             return host_metrics[host]
 
         discovered: dict[str, int] = {}  # url_norm → max parent priority
+        disc_depth: dict[str, int] = {}  # url_norm → min(parent depth) + 1
         dup_this_cycle: set[str] = set()
         cur_ver = synthweb.content_version(cfg, cycle)
         for st, host, url, slot, e in fetch_list:
@@ -372,6 +375,10 @@ def crawl(
                 tgt = urlkit.normalize_url(tgt_raw)
                 if tgt is not None and trap_filter and urlkit.is_trap(tgt):
                     tgt = None
+                if tgt is not None and max_depth and e.depth + 1 > max_depth:
+                    # depth gate (max-hops): dropped pre-seen, like
+                    # traps — no dup event, never enqueued
+                    tgt = None
                 if tgt is not None:
                     if tgt in seen:
                         if tgt not in dup_this_cycle:
@@ -383,6 +390,9 @@ def crawl(
                         prev = discovered.get(tgt)
                         if prev is None or e.priority > prev:
                             discovered[tgt] = e.priority
+                        dprev = disc_depth.get(tgt)
+                        if dprev is None or e.depth + 1 < dprev:
+                            disc_depth[tgt] = e.depth + 1
                 continue
             html = synthweb.fetch(cfg, url, cur_ver)
             if canonical_dedup:
@@ -401,6 +411,8 @@ def crawl(
                     events.append((2, st, host, url, slot, "canonical"))
                     if trap_filter and urlkit.is_trap(canon):
                         continue
+                    if max_depth and e.depth + 1 > max_depth:
+                        continue
                     if canon in seen:
                         if canon not in dup_this_cycle:
                             dup_this_cycle.add(canon)
@@ -411,6 +423,9 @@ def crawl(
                         prev = discovered.get(canon)
                         if prev is None or e.priority > prev:
                             discovered[canon] = e.priority
+                        dprev = disc_depth.get(canon)
+                        if dprev is None or e.depth + 1 < dprev:
+                            disc_depth[canon] = e.depth + 1
                     continue
             if content_dedup:
                 # content-seen test (Mercator): an already-stored body
@@ -449,6 +464,9 @@ def crawl(
                     # parsed (metric + edge log above), never enqueued —
                     # mirrors the engine's pre-shuffle filter_traps
                     continue
+                if max_depth and e.depth + 1 > max_depth:
+                    # depth gate: parsed, never enqueued (like traps)
+                    continue
                 if link in seen:
                     if link not in dup_this_cycle:
                         dup_this_cycle.add(link)
@@ -459,6 +477,9 @@ def crawl(
                     prev = discovered.get(link)
                     if prev is None or e.priority > prev:
                         discovered[link] = e.priority
+                    dprev = disc_depth.get(link)
+                    if dprev is None or e.depth + 1 < dprev:
+                        disc_depth[link] = e.depth + 1
             # images
             for img_url, caption in parsekit.extract_images(url, html):
                 data, w, h, fmt = synthweb.fetch_image(cfg, img_url)
@@ -493,7 +514,7 @@ def crawl(
             seen.add(link)
             frontier[link] = FrontierEntry(
                 link, urlkit.host_of(link), pri, cycle, 0, "pending", cycle,
-                0, interval=recrawl_every,
+                0, interval=recrawl_every, depth=disc_depth[link],
             )
 
         # ---- RANK: dynamic re-prioritization from the link graph

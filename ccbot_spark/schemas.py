@@ -50,6 +50,12 @@ FRONTIER = T.StructType(
         # Retry-After deferral; 0 = no deferral). A deferred URL is
         # simply not a GENERATE candidate until cycle >= not_before.
         T.StructField("not_before", T.IntegerType(), False),
+        # link-hops from the nearest seed (Heritrix max-hops): seeds
+        # and sitemap-seeded URLs are 0; a discovered URL is
+        # min(parent depth) + 1 at first insert (never updated — the
+        # first-discovery depth, like dt). CrawlEngine(max_depth=K)
+        # drops candidates whose depth would exceed K pre-shuffle.
+        T.StructField("depth", T.IntegerType(), False),
     ]
 )
 
@@ -151,6 +157,9 @@ FETCHED = T.StructType(
         T.StructField("rate_limited", T.BooleanType(), False),
         # cycle + Retry-After for rate-limited rows, else 0
         T.StructField("not_before", T.IntegerType(), False),
+        # frontier depth passthrough (0 when the caller's candidate
+        # frame has no depth column — the standalone-operator case)
+        T.StructField("depth", T.IntegerType(), False),
     ]
 )
 

@@ -72,6 +72,9 @@ def parse_args():
                         "directive")
     p.add_argument("--sitemap-seeds", action="store_true",
                    help="expand the seed list from each seed host's sitemap.xml")
+    p.add_argument("--max-depth", type=int, default=0,
+                   help="Heritrix max-hops: drop discovered URLs more "
+                        "than K link-hops from every seed (0 = unlimited)")
     p.add_argument("--rank-every", type=int, default=0,
                    help="every K cycles, re-prioritize the frontier by "
                         "integer-exact PageRank over the accumulated link "
@@ -211,6 +214,7 @@ def main() -> None:
         seen_filter=args.seen_filter,
         compact_every=args.compact_every,
         rank_every=args.rank_every,
+        max_depth=args.max_depth,
         recrawl_every=args.recrawl_every,
         adaptive_recrawl=args.adaptive_recrawl,
         error_backoff=args.error_backoff,

@@ -1216,3 +1216,48 @@ def test_warc_revisit_records(spark, tmp_path):
     digs = {r.digest for r in eng.digests.read().collect()}
     for _, _, d in got_dups:
         assert d in digs
+
+
+def test_max_depth_matches_oracle(spark, tmp_path):
+    """Depth gate (Heritrix max-hops): seeds are depth 0, a discovered
+    URL's depth is min(parent depth)+1 at first insert, and with
+    max_depth=K candidates beyond K hops are dropped at extraction time
+    (no dup trace, never enqueued). Engine trace/seen/frontier-depths
+    must match the oracle's sequential bookkeeping exactly — and the
+    gate must actually change the crawl."""
+    cfg = synthweb.WebConfig(n_hosts=6, pages_per_host=60)
+    seeds = synthweb.seed_urls(cfg, 8)
+    want = oracle.crawl(cfg, seeds, cycles=3, max_depth=2)
+    free = oracle.crawl(cfg, seeds, cycles=3)
+    assert want.trace != free.trace, "fixture must make the gate bind"
+    assert any(e.depth == 2 for e in want.frontier.values())
+    assert all(e.depth <= 2 for e in want.frontier.values())
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "md"), n_buckets=8,
+                      record_trace=True, hot_host_min=10, max_depth=2)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    got_d = {r.url_norm: r.depth for r in
+             eng.frontier.read().select("url_norm", "depth").collect()}
+    want_d = {u: e.depth for u, e in want.frontier.items()}
+    assert got_d == want_d
+
+
+def test_depth_values_unlimited(spark, tmp_path):
+    """Without a cap the depth column still records hops-from-seed
+    (min over parents, first insert wins) — engine == oracle on every
+    frontier row, with depths strictly beyond 1 present."""
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=50)
+    seeds = synthweb.seed_urls(cfg, 4)
+    want = oracle.crawl(cfg, seeds, cycles=3)
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "dv"), n_buckets=8,
+                      record_trace=True, hot_host_min=10)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_d = {r.url_norm: r.depth for r in
+             eng.frontier.read().select("url_norm", "depth").collect()}
+    want_d = {u: e.depth for u, e in want.frontier.items()}
+    assert got_d == want_d
+    assert max(want_d.values()) >= 2
