@@ -1271,6 +1271,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_pack"] = text_pack
 
+    def text_para_dedup(spark, sf_dir):
+        # C4/CCNet paragraph-level exact dedup: first occurrence
+        # (lowest doc_id, pos) of each 3-word chunk survives corpus-
+        # wide; winner via skew-safe groupBy+min (map-side combine),
+        # never a per-paragraph window funnel
+        return textkit.paragraph_dedup(
+            _t(spark, sf_dir, "documents"), words_per_para=3
+        )
+    q["text_para_dedup"] = text_para_dedup
+
     def text_curation_pipeline(spark, sf_dir):
         # The end-to-end curation story a training-data user actually
         # runs, composed as ONE declarative plan: quality gate (length /
@@ -2731,6 +2741,37 @@ def oracle_sql() -> dict[str, str]:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  // 512 AS BIGINT) AS pack_id
         FROM documents
+    """
+
+    # --- text_para_dedup: corpus-wide first-occurrence paragraph
+    # dedup over 3-word chunks; winner = min (doc_id, pos) per chunk
+    o["text_para_dedup"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        paras AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(t[((i-1)*3+1):((i-1)*3+3)], ' ') AS para
+          FROM toks,
+               UNNEST(range(1, CAST(ceil(len(t)/3.0) AS BIGINT) + 1)) AS r(i)
+        ),
+        winners AS (
+          SELECT para, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+          FROM paras GROUP BY para
+        ),
+        marked AS (
+          SELECT p.doc_id, p.pos, p.para,
+                 CASE WHEN p.doc_id = w.w.doc_id AND p.pos = w.w.pos
+                      THEN 1 ELSE 0 END AS kept
+          FROM paras p JOIN winners w USING (para)
+        )
+        SELECT doc_id,
+               count(*) AS n_paras,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               coalesce(
+                 string_agg(CASE WHEN kept = 1 THEN para END, ' '
+                            ORDER BY pos), '') AS text_dedup
+        FROM marked GROUP BY doc_id
     """
 
     # --- text_training_export: dup-span gate chained into the packing

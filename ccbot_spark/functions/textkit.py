@@ -205,3 +205,73 @@ def wet_text(html_col) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def paragraph_dedup(
+    df: DataFrame, words_per_para: int = 3, text: str = "text"
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4 / CCNet rule:
+    a paragraph that already appeared anywhere earlier in the corpus
+    is dropped; the first occurrence — lowest (doc_id, pos) — is
+    kept). The test corpus is a single-space word stream, so
+    "paragraphs" are fixed ``words_per_para``-word chunks (trailing
+    partial chunk included); real corpora would split on blank lines
+    instead — everything downstream is unchanged.
+
+    Scale shape: the winner per paragraph is computed with
+    ``groupBy(para).agg(min(struct(doc_id, pos)))`` rather than a
+    row_number window. Partial (map-side) aggregation means a hot
+    boilerplate paragraph that appears in 1% of a 10^9-doc corpus
+    costs each map task one row, and the reducer sees at most
+    #partitions rows per key — a window would funnel every copy of
+    the hot paragraph through one task. The join back is an equi-join
+    on the paragraph text itself (exact, not a hash prefilter), and
+    the per-doc re-aggregation keys on doc_id, which is near-uniform.
+
+    Output per doc: total paragraph count, surviving count, and the
+    surviving text re-joined in position order (deterministic on any
+    cluster: winners are a pure min, order restored by array_sort on
+    pos).
+    """
+    toks = F.split(F.col(text), " ")
+    w = words_per_para
+    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    paras_arr = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(
+                F.slice(toks, (i - F.lit(1)) * w + F.lit(1), F.lit(w)), " "
+            ).alias("para"),
+        ),
+    )
+    ex = (
+        df.select("doc_id", F.explode(paras_arr).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.para").alias("para"))
+    )
+    winners = ex.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    kept = (
+        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos"))
+    ).cast("long")
+    joined = ex.join(winners, "para").select(
+        "doc_id", "pos", "para", kept.alias("kept")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum("kept").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept") == 1, F.struct("pos", "para")
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

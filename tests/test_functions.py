@@ -736,3 +736,58 @@ def test_phash_blocklist_filter(spark):
         multimodal.phash_blocklist_filter(df, bl, max_ham=2)["flagged"]
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+
+def para_dedup_py(texts: dict[int, str], w: int = 3):
+    """Spec-as-code twin of textkit.paragraph_dedup: sequential
+    first-occurrence scan in (doc_id, pos) order."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].split(" ")
+        paras = [" ".join(toks[i:i + w]) for i in range(0, len(toks), w)]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        out[doc_id] = (len(paras), len(kept), " ".join(kept))
+    return out
+
+
+def test_paragraph_dedup_matches_python(docs):
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_dedup)
+        for r in textkit.paragraph_dedup(docs).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    want = para_dedup_py(texts)
+    assert got == want
+    # the gate binds on real data: some doc loses at least one paragraph
+    assert any(k < n for n, k, _ in want.values())
+    # global invariant: every distinct paragraph survives exactly once
+    w = 3
+    all_paras = {
+        " ".join(t.split(" ")[i:i + w])
+        for t in texts.values()
+        for i in range(0, len(t.split(" ")), w)
+    }
+    assert sum(k for _, k, _ in want.values()) == len(all_paras)
+
+
+def test_paragraph_dedup_edge_cases(spark):
+    rows = [
+        (1, "a b c a b c a b c"),   # self-repeat: chunks 2,3 dup chunk 1
+        (2, "a b c d e"),           # trailing partial chunk "d e"
+        (3, "d e"),                 # whole doc already seen as doc 2's tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_dedup)
+        for r in textkit.paragraph_dedup(df).collect()
+    }
+    assert got == {
+        1: (3, 1, "a b c"),
+        2: (2, 1, "d e"),
+        3: (1, 0, ""),
+    }
