@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from ccbot_spark.functions import (
     dedup,
+    eventops,
     linkrank,
     multimodal,
     sampling,
@@ -586,6 +587,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(k).alias("n_k"),
         )
     q["f_json_props"] = f_json_props
+
+    def j_asof(spark, sf_dir):
+        # as-of join (most-recent-state lookup): each click joins the
+        # latest error ≤ its ts per user — union + one key shuffle +
+        # last(ignoreNulls) window, never a range explosion. Build
+        # side deduped per (user_id, ts) (max_by event_id) so the
+        # match is well-defined in both engines.
+        e = _t(spark, sf_dir, "events")
+        build = (
+            e.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias("value"))
+        )
+        probe = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return eventops.asof_join(probe, build)
+    q["j_asof"] = j_asof
+
+    def j_range_bucket(spark, sf_dir):
+        # band-range join: clicks inside each error's 10-minute window
+        # per user. Time-bucket equi-join (fan-out ≤ 2) + residual
+        # filter — the 100 TB shape; a naive ts-inequality join plans
+        # as a cartesian theta-join.
+        e = _t(spark, sf_dir, "events")
+        iv = e.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("iv_id"), "user_id",
+            F.col("ts").alias("start_ts"),
+        )
+        pr = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        return eventops.range_join_bucketed(iv, pr, width_s=600)
+    q["j_range_bucket"] = j_range_bucket
+
+    def a_sessionize(spark, sf_dir):
+        # batch gaps-and-islands sessionization (30-min inactivity
+        # gap): lag + running sum + rollup over one user_id shuffle —
+        # the batch twin of the streaming session_window agg
+        return eventops.sessionize(_t(spark, sf_dir, "events"), gap_s=1800)
+    q["a_sessionize"] = a_sessionize
 
     def u_priority(spark, sf_dir):
         o = _t(spark, sf_dir, "orders")
@@ -1627,6 +1669,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(json_extract_string(props, '$.k')) AS n_k
         FROM events GROUP BY event_type
+    """
+
+    # --- j_asof: DuckDB's native ASOF JOIN is the independent oracle
+    # for the union+window implementation
+    o["j_asof"] = """
+        WITH build AS (
+          SELECT user_id, ts, max_by(value, event_id) AS value
+          FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+        ),
+        probe AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS ts_us,
+               CAST(coalesce(epoch_us(b.ts), -1) AS BIGINT) AS asof_ts_us,
+               coalesce(b.value, -1.0) AS asof_value
+        FROM probe p ASOF LEFT JOIN build b
+          ON p.user_id = b.user_id AND p.ts >= b.ts
+    """
+
+    # --- j_range_bucket: plain inequality join at oracle scale; the
+    # Spark side buckets time so it never plans a theta-join
+    o["j_range_bucket"] = """
+        WITH iv AS (
+          SELECT event_id AS iv_id, user_id, ts AS start_ts
+          FROM events WHERE event_type = 'error'
+        ),
+        pr AS (
+          SELECT user_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT iv.iv_id, iv.user_id,
+               epoch_us(iv.start_ts) AS start_ts_us,
+               CAST(count(pr.ts) AS BIGINT) AS n_probes,
+               CAST(coalesce(sum(pr.cents), 0) AS BIGINT) AS sum_cents
+        FROM iv LEFT JOIN pr
+          ON iv.user_id = pr.user_id
+         AND pr.ts >= iv.start_ts
+         AND pr.ts < iv.start_ts + INTERVAL 600 SECOND
+        GROUP BY iv.iv_id, iv.user_id, iv.start_ts
+    """
+
+    # --- a_sessionize: gaps-and-islands with the same strict->gap
+    # boundary and (ts, event_id) tiebreak as eventops.sessionize
+    o["a_sessionize"] = """
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        n AS (
+          SELECT user_id, ts, cents,
+                 CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_id
+          FROM x
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(epoch_us(ts)) AS session_start_us,
+               max(epoch_us(ts)) AS session_end_us,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM n GROUP BY user_id, session_id
     """
 
     o["u_priority"] = """

