@@ -999,6 +999,19 @@ class CrawlEngine:
         # entry keeps its pre-fetch status and gains a not_before gate
         rls = attempts.filter(F.col("rate_limited"))
 
+        # ---- content-type gate (before the canonical scan: rel=
+        # canonical is an HTML feature). A non-HTML payload consumes
+        # its slot, counts as fetched in the metrics, reaches terminal
+        # 'fetched' status and (optionally) the WARC archive — but is
+        # never parsed: no canonical scan, no content-seen digest, no
+        # links, no images. Filter runs over the cached fetch output;
+        # at 100 TB this prunes the parse stages' input before any
+        # html-width shuffle.
+        bins = None
+        if self.cfg.binary_pct:
+            bins = fetched.filter(F.col("content_type") != "text/html")
+            fetched = fetched.filter(F.col("content_type") == "text/html")
+
         # ---- rel=canonical aliases (before the content-seen test: a
         # canonicalized page is never parsed, so its digest must not
         # enter the digests table or the within-cycle election). The
@@ -1331,6 +1344,10 @@ class CrawlEngine:
                 .unionByName(evt(rls, 2, "rate_limited", slot=True, sched=True))
                 .unionByName(dup_ev)
             )
+            if bins is not None:
+                events = events.unionByName(
+                    evt(bins, 2, "binary", slot=True, sched=True)
+                )
             if content_dups is not None:
                 events = events.unionByName(
                     evt(content_dups, 2, "content_dup", slot=True, sched=True)
@@ -1593,6 +1610,25 @@ class CrawlEngine:
                         n_segments=self.warc_segments,
                         warc_type="conversion",
                         content_type="text/plain",
+                    ).collect()
+                )
+            if bins is not None:
+                # non-HTML payloads: archived as WARC `resource`
+                # records in their own segment set ({cycle}/binary/) —
+                # a real crawl keeps the PDFs/archives it fetched even
+                # though it never parses them
+                bin_src = bins.select(
+                    F.col("url_norm").alias("uri"),
+                    F.lit(warc_date).alias("warc_date"),
+                    F.encode(F.col("html"), "UTF-8").alias("payload"),
+                )
+                sinks.append(
+                    lambda: warcmod.write_segments(
+                        bin_src,
+                        os.path.join(cyc_dir, "binary"),
+                        n_segments=self.warc_segments,
+                        warc_type="resource",
+                        content_type="application/octet-stream",
                     ).collect()
                 )
             warc_src = store.select(

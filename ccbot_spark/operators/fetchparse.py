@@ -212,6 +212,15 @@ def fetch(
             if "depth" in pdf.columns
             else pd.Series(0, index=out.index, dtype="int32")
         )
+        # Content-Type header (pure function of the URL, mirror-aware;
+        # constant "text/html" when binary_pct is off). Bodyless rows
+        # (429 / 304 / 301 / errors) carry it too but no consumer
+        # reads it there — the engine gates only the parsed subset.
+        out["content_type"] = (
+            out["url_norm"]
+            .map(lambda u: synthweb.content_type_of(cfg, u))
+            .astype(str)
+        )
         return out
 
     return salted.groupBy(*group_keys).applyInPandas(

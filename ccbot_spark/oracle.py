@@ -395,6 +395,20 @@ def crawl(
                             disc_depth[tgt] = e.depth + 1
                 continue
             html = synthweb.fetch(cfg, url, cur_ver)
+            if synthweb.content_type_of(cfg, url) != "text/html":
+                # content-type gate: non-HTML payload — slot consumed,
+                # bytes transferred, terminal fetched status, never
+                # parsed (no canonical scan, no content-seen digest,
+                # no links, no images). Mirrors the engine's pre-parse
+                # content_type filter exactly.
+                e.status = "fetched"
+                if adaptive_recrawl and e.last_cycle >= 0:
+                    e.interval = max(e.interval // 2, ADAPT_MIN)
+                e.last_cycle = cycle
+                m["fetched"] += 1
+                m["bytes"] += len(html.encode("utf-8"))
+                events.append((2, st, host, url, slot, "binary"))
+                continue
             if canonical_dedup:
                 # rel=canonical alias (before the content-seen test: a
                 # canonicalized page is never parsed, and its digest

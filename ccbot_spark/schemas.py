@@ -160,6 +160,10 @@ FETCHED = T.StructType(
         # frontier depth passthrough (0 when the caller's candidate
         # frame has no depth column — the standalone-operator case)
         T.StructField("depth", T.IntegerType(), False),
+        # response Content-Type ("text/html" unless the synthetic web's
+        # binary_pct types this page binary): the engine parses only
+        # text/html bodies — binary payloads are stored, never parsed
+        T.StructField("content_type", T.StringType(), False),
     ]
 )
 

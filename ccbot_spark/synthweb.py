@@ -47,6 +47,8 @@ class WebConfig:
     # registered domains (h{k}.d{k%g}.test) — the domain-budget fixture
     sitemap_shards: int = 0  # >0: /sitemap.xml is a <sitemapindex> over
     # this many shard urlsets (/sitemap-{i}.xml) — the large-site form
+    binary_pct: int = 0  # % of pages serving a non-HTML payload
+    # (application/octet-stream): fetched + stored, never parsed
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -400,6 +402,27 @@ def mirror_of(cfg: WebConfig, url: str) -> str | None:
     if _digest(f"mir:{cfg.seed}:{url}")[0] % 100 < cfg.mirror_pct:
         return canon
     return None
+
+
+def content_type_of(cfg: WebConfig, url: str) -> str:
+    """Content-Type of a page response (enabled by binary_pct): a
+    deterministic slice of ``/p/N`` pages serves
+    application/octet-stream — the PDFs/archives/media a real crawl
+    must store-but-never-parse. Mirrors serve their canonical page's
+    type (a mirror is the same resource at another URL). Pure function
+    of (cfg, url) so oracle and engine agree; redirect sources are
+    typed too but the 301 check runs first in both engines, so the
+    type of a redirecting URL is never consulted."""
+    if not cfg.binary_pct:
+        return "text/html"
+    canon = mirror_of(cfg, url)
+    u = canon if canon is not None else url
+    parts = u.split("/")
+    if len(parts) != 5 or parts[3] != "p":
+        return "text/html"
+    if _digest(f"ctype:{cfg.seed}:{u}")[0] % 100 < cfg.binary_pct:
+        return "application/octet-stream"
+    return "text/html"
 
 
 def fetch(cfg: WebConfig, url: str, ver: int = 0) -> str:

@@ -89,6 +89,10 @@ def parse_args():
     p.add_argument("--mirror-pct", type=int, default=0,
                    help="synthetic-web knob: %% of non-h0 pages that "
                         "mirror their h0 twin's body byte-for-byte")
+    p.add_argument("--binary-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of pages serving a "
+                        "non-HTML payload (application/octet-stream) — "
+                        "fetched + archived, never parsed")
     p.add_argument("--canonical", action="store_true",
                    help="rel=canonical handling: a page declaring a "
                         "different canonical URL is a terminal alias — "
@@ -193,6 +197,7 @@ def main() -> None:
         n_hosts=args.hosts, pages_per_host=args.pages, hot_frac_pct=args.hot_pct,
         fail_pct=args.fail_pct, redirect_pct=args.redirect_pct,
         mirror_pct=args.mirror_pct,
+        binary_pct=args.binary_pct,
         canonical_pct=args.canonical_pct,
         robots_change_every=args.robots_change_every,
         rate_limit_pct=args.rate_limit_pct,

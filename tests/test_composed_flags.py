@@ -37,6 +37,7 @@ CFG = synthweb.WebConfig(
     robots_change_every=2,
     rate_limit_pct=30,
     domain_groups=2,
+    binary_pct=15,
 )
 SEEDS = synthweb.seed_urls(CFG, 18)
 CYCLES = 4

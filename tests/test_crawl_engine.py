@@ -1261,3 +1261,40 @@ def test_depth_values_unlimited(spark, tmp_path):
     want_d = {u: e.depth for u, e in want.frontier.items()}
     assert got_d == want_d
     assert max(want_d.values()) >= 2
+
+
+def test_binary_content_gate_matches_oracle(spark, tmp_path):
+    """Content-type gate: a binary_pct slice of pages serves
+    application/octet-stream — fetched (slot, bytes, terminal status,
+    metrics) but never parsed: no links, no images, no canonical scan.
+    Engine trace/seen/metrics must equal the oracle's sequential
+    bookkeeping, the gate must actually bind, and binary pages must
+    contribute zero outlinks."""
+    cfg = synthweb.WebConfig(n_hosts=5, pages_per_host=50, binary_pct=30)
+    seeds = synthweb.seed_urls(cfg, 8)
+    want = oracle.crawl(cfg, seeds, cycles=3)
+    free = oracle.crawl(
+        synthweb.WebConfig(n_hosts=5, pages_per_host=50), seeds, cycles=3
+    )
+    assert want.trace != free.trace, "fixture must make the gate bind"
+    bin_urls = {e[2] for e in want.trace if e[5] == "binary"}
+    assert bin_urls, "fixture must type some fetched pages binary"
+    assert len(want.seen) < len(free.seen), "binary pages must cut discovery"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "bg"), n_buckets=8,
+                      record_trace=True, hot_host_min=10)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    # per-host metrics (fetched counts include binary pages; parsed
+    # links exclude them) match the oracle's
+    got_m = {
+        (r.cycle, r.host): (r.fetched, r.parsed_links)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (m["fetched"], m["parsed_links"])
+        for m in want.metrics
+    }
+    assert got_m == want_m

@@ -150,3 +150,36 @@ def test_gzip_members_concatenate():
     assert _gz.decompress(seg) == b"".join(recs)
     # and mtime pinning makes members byte-stable
     assert warc.gzip_member(recs[0]) == warc.gzip_member(recs[0])
+
+
+def test_binary_pages_archived_as_resource_records(spark, tmp_path):
+    """Content-type-gated pages (binary_pct) reach the WARC archive as
+    `resource` records in their own segment set: every oracle-traced
+    binary fetch is archived exactly once, body byte-equal to the
+    synthetic payload, Content-Type application/octet-stream."""
+    import re
+
+    from ccbot_spark import oracle, synthweb
+    from ccbot_spark.engine import CrawlEngine
+
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=40, binary_pct=30)
+    seeds = synthweb.seed_urls(cfg, 6)
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "e"), n_buckets=8,
+                      record_trace=True, hot_host_min=10,
+                      warc_dir=str(tmp_path / "warc"))
+    eng.crawl(seeds, cycles=2)
+    want = oracle.crawl(cfg, seeds, cycles=2)
+    bins = {e[2] for e in want.trace if e[5] == "binary"}
+    assert bins, "fixture must produce binary fetches"
+    recs = warc.read_segments(
+        spark, str(tmp_path / "warc"), pattern="cycle=*/binary/*.warc.gz"
+    ).collect()
+    assert {r.target_uri for r in recs} == bins
+    assert {r.warc_type for r in recs} == {"resource"}
+    for r in recs:
+        cyc = int(re.search(r"cycle=(\d+)", r.path).group(1))
+        body = synthweb.fetch(
+            cfg, r.target_uri, synthweb.content_version(cfg, cyc)
+        )
+        assert bytes(r.payload).decode() == body
+        assert r.headers["Content-Type"] == "application/octet-stream"
