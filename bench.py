@@ -206,6 +206,8 @@ def main() -> None:
     bench("q_wet_extract", lambda: run(qs["text_wet_extract"](spark, SF_DIR)))
     bench("q_cdx_index", lambda: run(qs["cdx_index"](spark, SF_DIR)))
     entry.clear_caches()  # cdx_index registers a sequencing cache
+    bench("q_para_dedup", lambda: run(qs["text_para_dedup"](spark, SF_DIR)))
+    bench("q_asof_join", lambda: run(qs["j_asof"](spark, SF_DIR)))
 
     def img_pipeline():
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
