@@ -1323,6 +1323,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_para_dedup"] = text_para_dedup
 
+    def text_mixture_plan(spark, sf_dir):
+        # Pile/DoReMi-static domain-mixture planner: biggest corpus
+        # achievable without upsampling, each source a weight-
+        # proportional token share, greedy md5-prefix selection.
+        # src0's weight makes it the binding source (all kept);
+        # src1..4 truncate; src5+ drop (weight 0).
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "n_tokens", textkit.token_count(F.col("text"))
+        )
+        return sampling.mixture_plan(
+            d, {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
+        )
+    q["text_mixture_plan"] = text_mixture_plan
+
+    def text_trigram_lm(spark, sf_dir):
+        # CCNet-style LM-quality proxy with exact integer semantics:
+        # corpus char-trigram counts (the "LM", broadcastable) scored
+        # back per doc — big side never shuffles pre-agg
+        return textkit.trigram_familiarity(_t(spark, sf_dir, "documents"))
+    q["text_trigram_lm"] = text_trigram_lm
+
     def text_curation_pipeline(spark, sf_dir):
         # The end-to-end curation story a training-data user actually
         # runs, composed as ONE declarative plan: quality gate (length /
@@ -2884,6 +2905,65 @@ def oracle_sql() -> dict[str, str]:
                  string_agg(CASE WHEN kept = 1 THEN para END, ' '
                             ORDER BY pos), '') AS text_dedup
         FROM marked GROUP BY doc_id
+    """
+
+    # --- text_mixture_plan: all-integer mixture feasibility + greedy
+    # md5-prefix selection; DIV/// keep both engines exact
+    o["text_mixture_plan"] = """
+        WITH w(source, _w) AS (
+          VALUES ('src0', 5), ('src1', 3), ('src2', 2),
+                 ('src3', 1), ('src4', 1)
+        ),
+        base AS (
+          SELECT d.source, d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                 w._w
+          FROM documents d JOIN w USING (source)
+        ),
+        avail AS (
+          SELECT source, _w, SUM(n_tokens) AS _avail
+          FROM base GROUP BY source, _w
+        ),
+        t AS (SELECT MIN(_avail * 12 // _w) AS _t FROM avail),
+        budgets AS (
+          SELECT source, _w * _t // 12 AS budget FROM avail CROSS JOIN t
+        ),
+        sel AS (
+          SELECT source, doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cum_before
+          FROM base
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(cum_before AS BIGINT) AS cum_before,
+               CAST(budget AS BIGINT) AS budget
+        FROM sel JOIN budgets USING (source)
+        WHERE cum_before < budget
+    """
+
+    # --- text_trigram_lm: corpus char-trigram familiarity, exact
+    # integer LM proxy (counts join + per-doc sum)
+    o["text_trigram_lm"] = """
+        WITH tri AS (
+          SELECT doc_id, substring(text, CAST(i AS INT), 3) AS tri
+          FROM documents, UNNEST(range(1, len(text) - 1)) AS r(i)
+          WHERE len(text) >= 3
+        ),
+        counts AS (SELECT tri, COUNT(*) AS _freq FROM tri GROUP BY tri),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_tri, SUM(_freq) AS sum_freq
+          FROM tri JOIN counts USING (tri) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(COALESCE(sum_freq, 0) AS BIGINT) AS sum_freq,
+               CAST(CASE WHEN n_tri IS NOT NULL
+                    THEN sum_freq * 1000 // n_tri ELSE 0 END
+                 AS BIGINT) AS familiarity_x1000
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
     """
 
     # --- text_training_export: dup-span gate chained into the packing

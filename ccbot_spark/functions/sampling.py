@@ -56,6 +56,72 @@ def stratified_sample(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, int],
+    source: str = "source",
+    key: str = "doc_id",
+    tokens: str = "n_tokens",
+) -> DataFrame:
+    """Static domain-mixture planner (the Pile / DoReMi-static corpus
+    recipe): given integer target weights per source, select the
+    LARGEST corpus achievable without upsampling any source, with each
+    source contributing tokens in proportion to its weight.
+
+    All-integer semantics (exactly oracle-reproducible):
+      W        = sum(weights)
+      avail_s  = sum(tokens) over source s          (one hash-agg)
+      T        = min_s floor(avail_s * W / w_s)     (feasible total)
+      budget_s = floor(w_s * T / W)                 (≤ avail_s always)
+    Docs within a source are ordered by md5(key) (deterministic,
+    engine-neutral) and a doc is selected iff the running token total
+    BEFORE it is < budget_s — greedy prefix, so the realized mixture
+    overshoots each budget by at most one document.
+
+    Scale posture: the per-source availability table has one row per
+    source (broadcast both ways); the corpus side sees one scan + one
+    per-source window. The window's running sum is the only per-source
+    serialization — for a source holding most of a 100 TB corpus,
+    substitute sequencing.global_running_total per source bucket (same
+    two-phase shape as w_global_runsum); selection itself stays a
+    filter. Sources absent from `weights` are dropped (weight 0).
+
+    Returns (key, source, tokens, cum_before, budget) for selected
+    rows only — budget/cum_before kept for audit lineage.
+    """
+    spark = df.sparkSession
+    total_w = int(sum(weights.values()))
+    wdim = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(weights.items())],
+        f"{source} string, _w long",
+    )
+    base = df.join(F.broadcast(wdim), source).select(
+        source, key, F.col(tokens).cast("long").alias(tokens), "_w"
+    )
+    avail = base.groupBy(source, "_w").agg(F.sum(tokens).alias("_avail"))
+    # feasible total corpus size: integer DIV keeps both engines exact
+    t_row = avail.select(
+        F.min(F.expr(f"_avail * {total_w} DIV _w")).alias("_t")
+    )
+    budgets = (
+        avail.crossJoin(F.broadcast(t_row))
+        .select(source, F.expr(f"_w * _t DIV {total_w}").alias("budget"))
+    )
+    w = (
+        Window.partitionBy(source)
+        .orderBy(F.md5(F.col(key).cast("string")), key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "cum_before", F.coalesce(F.sum(tokens).over(w), F.lit(0))
+        )
+        .join(F.broadcast(budgets), source)
+        .filter(F.col("cum_before") < F.col("budget"))
+        .select(key, source, tokens, "cum_before", "budget")
+    )
+
+
 def group_cap(
     df: DataFrame, group: str, order_by: list[str], k: int
 ) -> DataFrame:

@@ -207,6 +207,63 @@ def wet_text(html_col) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def trigram_familiarity(
+    df: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Corpus char-trigram familiarity score — the exact-integer proxy
+    for the CCNet/KenLM perplexity filter (no LM binary in-sandbox, and
+    log-probs would break cross-engine float equality): a document
+    whose trigrams are common across the corpus scores high, one full
+    of gibberish/boilerplate-noise scores low. Two corpus scans:
+
+      1. explode char trigrams → hash-agg counts (the "LM"): the
+         vocabulary is charset-bounded (≪ corpus — broadcastable);
+      2. re-explode, broadcast-join the counts back, agg per doc.
+
+    Scale shape: the big side never shuffles — the counts join is a
+    broadcast, and the per-doc agg's partial (map-side) combine
+    collapses each doc's trigrams to one row before the doc_id shuffle
+    because explode keeps a doc's trigrams inside one input partition.
+    familiarity_x1000 = sum_freq*1000 DIV n_tri (integer, exact).
+    Docs shorter than 3 chars score (0, 0, 0).
+    """
+    c_key, c_txt = F.col(key), F.col(text)
+    tri = df.filter(F.char_length(c_txt) >= 3).select(
+        c_key,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, char_length({text}) - 2),"
+                f" i -> substring({text}, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    counts = tri.groupBy("tri").agg(F.count("*").alias("_freq"))
+    per_doc = (
+        tri.join(F.broadcast(counts), "tri")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum("_freq").alias("sum_freq"),
+        )
+    )
+    return (
+        df.select(key)
+        .join(per_doc, key, "left")
+        .select(
+            key,
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.coalesce("sum_freq", F.lit(0)).alias("sum_freq"),
+            F.when(
+                F.col("n_tri").isNotNull(),
+                F.expr("sum_freq * 1000 DIV n_tri"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("familiarity_x1000"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame, words_per_para: int = 3, text: str = "text"
 ) -> DataFrame:

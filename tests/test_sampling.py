@@ -61,3 +61,116 @@ def test_vocab_topk_deterministic(docs):
     b = textkit.vocab_topk(docs.repartition(16), k=10).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 10
+
+
+# ---------------------------------------------------------------- mixture
+
+
+def _mixture_brute(rows, weights):
+    """Sequential reimplementation of the all-integer mixture plan:
+    rows = [(doc_id, source, n_tokens)]."""
+    import hashlib
+
+    W = sum(weights.values())
+    avail = {}
+    for _, s, t in rows:
+        if s in weights:
+            avail[s] = avail.get(s, 0) + t
+    T = min(a * W // weights[s] for s, a in avail.items())
+    budget = {s: weights[s] * T // W for s in avail}
+    out = {}
+    for s in avail:
+        docs = sorted(
+            (r for r in rows if r[1] == s),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        cum = 0
+        for doc_id, _, t in docs:
+            if cum < budget[s]:
+                out[doc_id] = (s, t, cum, budget[s])
+            cum += t
+    return out
+
+
+def test_mixture_plan_matches_brute_force(docs):
+    weights = {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
+    d = docs.withColumn("n_tokens", textkit.token_count(F.col("text")))
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.cum_before, r.budget)
+        for r in sampling.mixture_plan(d, weights).collect()
+    }
+    rows = [
+        (r.doc_id, r.source, r.n_tokens)
+        for r in d.select("doc_id", "source", "n_tokens").collect()
+    ]
+    assert got == _mixture_brute(rows, weights)
+    # non-vacuous: some source truncated, unweighted sources dropped
+    kept_sources = {v[0] for v in got.values()}
+    assert kept_sources == set(weights)
+    n_src1 = sum(1 for r in rows if r[1] == "src1")
+    assert sum(1 for v in got.values() if v[0] == "src1") < n_src1
+
+
+def test_mixture_plan_no_upsampling_and_proportions(docs):
+    weights = {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
+    d = docs.withColumn("n_tokens", textkit.token_count(F.col("text")))
+    out = sampling.mixture_plan(d, weights)
+    per = {
+        r.source: (r.tok, r.budget)
+        for r in out.groupBy("source", "budget")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    W = sum(weights.values())
+    budgets = {s: b for s, (_, b) in per.items()}
+    for s, (tok, b) in per.items():
+        # greedy prefix: overshoot bounded by one doc; never upsampled
+        avail = (
+            d.filter(F.col("source") == s).agg(F.sum("n_tokens")).first()[0]
+        )
+        assert tok <= avail
+        assert tok >= b  # budget met (binding source: tok == avail == b)
+        # realized share within one max-doc of the target share
+        assert abs(b * W - weights[s] * sum(budgets.values())) <= W * max(
+            budgets.values()
+        )
+
+
+def test_mixture_plan_deterministic_across_partitionings(docs):
+    weights = {"src0": 5, "src1": 3}
+    d = docs.withColumn("n_tokens", textkit.token_count(F.col("text")))
+    a = {r.doc_id for r in sampling.mixture_plan(d.repartition(2), weights).collect()}
+    b = {r.doc_id for r in sampling.mixture_plan(d.repartition(16), weights).collect()}
+    assert a == b and a
+
+
+# ---------------------------------------------------------- trigram LM
+
+
+def test_trigram_familiarity_matches_brute_force(spark):
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "zzqqxx"),   # rare trigrams → low score
+        (4, "ab"),       # shorter than one trigram → zeros
+        (5, ""),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tri, r.sum_freq, r.familiarity_x1000)
+        for r in textkit.trigram_familiarity(df).collect()
+    }
+    from collections import Counter
+
+    freq = Counter()
+    tris = {}
+    for doc_id, t in corpus:
+        tris[doc_id] = [t[i : i + 3] for i in range(len(t) - 2)]
+        freq.update(tris[doc_id])
+    for doc_id, _ in corpus:
+        ts = tris[doc_id]
+        n = len(ts)
+        s = sum(freq[x] for x in ts)
+        assert got[doc_id] == (n, s, (s * 1000 // n) if n else 0)
+    # the common-text doc outscores the gibberish doc
+    assert got[1][2] > got[3][2]
