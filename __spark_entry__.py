@@ -1201,6 +1201,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_header_meta"] = img_header_meta
 
+    def img_bmp_meta(spark, sf_dir):
+        # the 4-format cycle adds bmp (24-bit BITMAPINFOHEADER): dims
+        # are LITTLE-endian i32 at fixed offsets, parsed by per-byte
+        # hex reversal + conv — still zero Python, zero decode. The
+        # oracle re-derives container + dims from the doc_id synthesis
+        # arithmetic (cycle ppm/png/qpng/bmp; qpng is a PNG container).
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=multimodal.REAL_FMTS
+        )
+        return multimodal.header_meta(imgs).select(
+            "image_id", "container", "hdr_w", "hdr_h"
+        )
+    q["img_bmp_meta"] = img_bmp_meta
+
     def img_size_hist(spark, sf_dir):
         # corpus resolution profile chained ON the header parse (one
         # metadata-speed scan + one tiny hash-agg) — class bounds over
@@ -2573,6 +2588,20 @@ def oracle_sql() -> dict[str, str]:
     o["img_header_meta"] = """
         SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
                CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'png' END AS container,
+               CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS hdr_w,
+               CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS hdr_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_bmp_meta: 4-format cycle (ppm/png/qpng/bmp) — a green row
+    # proves the little-endian BMP branch reads back exactly what
+    # encode_bmp wrote, alongside the big-endian PNG and ASCII PPM
+    # branches on the same scan.
+    o["img_bmp_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE doc_id % 4 WHEN 0 THEN 'ppm'
+                               WHEN 3 THEN 'bmp'
+                               ELSE 'png' END AS container,
                CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS hdr_w,
                CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS hdr_h
         FROM documents WHERE doc_id < 450

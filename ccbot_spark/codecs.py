@@ -144,6 +144,51 @@ def decode_png(data: bytes) -> np.ndarray:
     return img.copy()
 
 
+# ---------------------------------------------------------------- BMP
+
+BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER): rows bottom-up, BGR
+    channel order, each row padded to a 4-byte boundary. Lossless, like
+    ppm/png — the third real container in the closed world."""
+    img = img.astype(np.uint8)
+    h, w = img.shape[:2]
+    row = w * 3
+    stride = (row + 3) & ~3
+    data_size = stride * h
+    file_hdr = b"BM" + struct.pack(
+        "<IHHI", BMP_HEADER_SIZE + data_size, 0, 0, BMP_HEADER_SIZE
+    )
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row] = img[::-1, :, ::-1].reshape(h, row)
+    return file_hdr + info_hdr + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    px = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
 # ---------------------------------------------------------------- qPNG
 
 QUANT_BITS = 2  # drop 2 LSBs → 6 significant bits/channel
@@ -168,6 +213,8 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return encode_png(img)
     if fmt == "qpng":
         return encode_qpng(img)
+    if fmt == "bmp":
+        return encode_bmp(img)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -177,6 +224,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return decode_ppm(data)
     if fmt in ("png", "qpng"):
         return decode_png(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -16,6 +16,7 @@ only the codec call changes when the real library is present.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,7 +27,7 @@ from pyspark.sql import types as T
 
 from .. import codecs, phash as phash_mod
 
-REAL_FMTS = ("ppm", "png", "qpng")
+REAL_FMTS = ("ppm", "png", "qpng", "bmp")
 
 DECODED_META = T.StructType(
     [
@@ -64,11 +65,16 @@ def decode_bytes(data: bytes, fmt: str) -> np.ndarray:
     )
 
 
-def synth_images_from_docs(docs: DataFrame, fmt_cycle: bool = True) -> DataFrame:
+def synth_images_from_docs(
+    docs: DataFrame, fmt_cycle: bool = True, fmts: tuple = REAL_FMTS[:3]
+) -> DataFrame:
     """Deterministic image table derived from `documents` (for tests and
     benchmarks — the driver testdata ships no binary media). One image
-    per doc: procedural pixels seeded by doc_id, encoded ppm/png/qpng
-    round-robin. Pure function of doc_id ⇒ reproducible anywhere."""
+    per doc: procedural pixels seeded by doc_id, encoded round-robin
+    over `fmts` (default ppm/png/qpng — the historical 3-cycle every
+    oracle's doc_id%3 arithmetic assumes; pass REAL_FMTS for the
+    4-cycle that adds bmp). Pure function of doc_id ⇒ reproducible
+    anywhere."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,7 +88,7 @@ def synth_images_from_docs(docs: DataFrame, fmt_cycle: bool = True) -> DataFrame
                 w = 16 + base * 7 % 97
                 h = 16 + base * 11 % 97
                 px = rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-                fmt = REAL_FMTS[d % 3] if fmt_cycle else "ppm"
+                fmt = fmts[d % len(fmts)] if fmt_cycle else "ppm"
                 rows.append(
                     (f"doc-{d}", codecs.encode(px, fmt), w, h, fmt)
                 )
@@ -178,6 +184,19 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
 PNG_MAGIC_HEX = "89504E470D0A1A0A"
 
 
+def _le_uint(b, pos: int, n: int):
+    """Little-endian unsigned int of n bytes at 1-based position pos,
+    as a JVM expression: per-byte hex substrings concatenated in
+    reverse order, then conv(·,16,10) — stays inside codegen."""
+    return F.conv(
+        F.concat(
+            *[F.hex(F.substring(b, pos + i, 1)) for i in range(n - 1, -1, -1)]
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def header_meta(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Container sniff + dimension parse from the BINARY column alone —
     entirely JVM column expressions (substring/hex/conv/regexp inside
@@ -194,6 +213,18 @@ def header_meta(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         and a regexp pulls the dims. Comment-bearing headers (`#`,
         legal in PPM but never emitted by ccbot_spark.codecs) parse
         as NULL rather than wrong.
+      * BMP: 'BM' magic; BITMAPINFOHEADER puts little-endian i32 width
+        at byte 19 and height at byte 23 — per-byte hex substrings
+        reversed then conv'd. A negative (top-down) height or a
+        non-40-byte DIB header parses as NULL rather than as a huge
+        unsigned value.
+      * GIF (87a/89a): little-endian u16 logical-screen dims at
+        bytes 7/9. Sniff + dims only — no GIF decoder exists in the
+        closed world (LZW), so decode stays NotImplementedError.
+      * JPEG: FFD8FF magic sniffs the container, but dimensions live
+        in a variable-position SOF marker no fixed-offset expression
+        can reach — hdr_w/hdr_h are NULL here; `jpeg_sof_dims` is the
+        bounded marker-walk slow path for JPEG-classified rows.
 
     Output keeps every input column except the blob, plus
     (container, hdr_w, hdr_h, nbytes); unknown magic → all NULL.
@@ -204,19 +235,124 @@ def header_meta(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     is_png = F.hex(F.substring(b, 1, 8)) == F.lit(PNG_MAGIC_HEX)
     hdr = F.decode(F.substring(b, 1, 32), "ISO-8859-1")
     is_ppm = hdr.rlike(r"^P6\s+[0-9]+\s+[0-9]+\s")
+    is_bmp = (F.hex(F.substring(b, 1, 2)) == F.lit("424D")) & (
+        _le_uint(b, 15, 4) == 40  # BITMAPINFOHEADER only
+    )
+    is_gif = F.hex(F.substring(b, 1, 6)).isin("474946383761", "474946383961")
+    is_jpeg = F.hex(F.substring(b, 1, 3)) == F.lit("FFD8FF")
     png_w = F.conv(F.hex(F.substring(b, 17, 4)), 16, 10).cast("long")
     png_h = F.conv(F.hex(F.substring(b, 21, 4)), 16, 10).cast("long")
     ppm_w = F.regexp_extract(hdr, r"^P6\s+([0-9]+)\s+([0-9]+)\s", 1).cast("long")
     ppm_h = F.regexp_extract(hdr, r"^P6\s+([0-9]+)\s+([0-9]+)\s", 2).cast("long")
-    container = F.when(is_png, F.lit("png")).when(is_ppm, F.lit("ppm"))
+    bmp_w = _le_uint(b, 19, 4)
+    bmp_h = _le_uint(b, 23, 4)
+    i32_max = F.lit(0x7FFFFFFF).cast("long")
+    bmp_w = F.when(bmp_w <= i32_max, bmp_w)  # negative i32 → NULL
+    bmp_h = F.when(bmp_h <= i32_max, bmp_h)
+    gif_w = _le_uint(b, 7, 2)
+    gif_h = _le_uint(b, 9, 2)
+    container = (
+        F.when(is_png, F.lit("png"))
+        .when(is_ppm, F.lit("ppm"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_jpeg, F.lit("jpeg"))
+    )
+    hdr_w = (
+        F.when(is_png, png_w)
+        .when(is_ppm, ppm_w)
+        .when(is_bmp, bmp_w)
+        .when(is_gif, gif_w)
+    )
+    hdr_h = (
+        F.when(is_png, png_h)
+        .when(is_ppm, ppm_h)
+        .when(is_bmp, bmp_h)
+        .when(is_gif, gif_h)
+    )
     keep = [c for c in images.columns if c != bytes_col]
     return images.select(
         *keep,
         container.alias("container"),
-        F.when(is_png, png_w).when(is_ppm, ppm_w).alias("hdr_w"),
-        F.when(is_png, png_h).when(is_ppm, ppm_h).alias("hdr_h"),
+        hdr_w.alias("hdr_w"),
+        hdr_h.alias("hdr_h"),
         F.length(b).cast("long").alias("nbytes"),
     )
+
+
+JPEG_HEAD_BYTES = 65536
+
+
+def jpeg_sof_dims(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    head: int = JPEG_HEAD_BYTES,
+) -> DataFrame:
+    """JPEG dimensions via the marker walk a fixed-offset JVM expression
+    cannot express: SOI → skip marker segments by their declared
+    lengths → first SOF0/1/2 frame header carries (height, width) as
+    big-endian u16. This is a HEADER parse, not a decode — no entropy
+    data is touched, so it needs no codec library.
+
+    Scale shape: only the first `head` bytes of each blob cross into
+    Python (`substring` prunes the payload JVM-side before the Arrow
+    transfer — a 20 MB JPEG ships 64 KB), batches stream through
+    iterator mapInPandas, and the output drops the blob entirely.
+    Markers before SOF (APPn/DQT/DHT/COM) total well under 64 KB in
+    practice; a SOF beyond `head` parses as NULL, never wrong.
+
+    Output: (image_id, jpg_w:long, jpg_h:long) — NULL dims for rows
+    that aren't JPEGs or whose SOF is absent/truncated."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("jpg_w", T.LongType(), True),
+            T.StructField("jpg_h", T.LongType(), True),
+        ]
+    )
+
+    def walk(data: bytes):
+        if data[:3] != b"\xff\xd8\xff":
+            return None, None
+        pos = 2
+        n = len(data)
+        while pos + 3 < n:
+            if data[pos] != 0xFF:
+                return None, None  # desynced — refuse to guess
+            marker = data[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+                pos += 2
+                continue
+            if pos + 4 > n:
+                return None, None
+            (seglen,) = struct.unpack_from(">H", data, pos + 2)
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                if pos + 9 > n:
+                    return None, None
+                h, w = struct.unpack_from(">HH", data, pos + 5)
+                return w, h
+            if marker == 0xD9 or seglen < 2:  # EOI / corrupt length
+                return None, None
+            pos += 2 + seglen
+        return None, None
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = walk(bytes(r.head_bytes))
+                rows.append((r.image_id, w, h))
+            yield pd.DataFrame(rows, columns=["image_id", "jpg_w", "jpg_h"])
+
+    pruned = images.select(
+        F.col(id_col).alias("image_id"),
+        F.substring(F.col(bytes_col), 1, head).alias("head_bytes"),
+    )
+    return pruned.mapInPandas(gen, schema=schema)
 
 
 def size_class_col(w_col="hdr_w", h_col="hdr_h"):

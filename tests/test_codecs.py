@@ -109,3 +109,35 @@ def test_qpng_psnr_gate():
 def test_dispatch_unknown_fmt():
     with pytest.raises(ValueError):
         codecs.encode(_img(0), "jpeg")
+
+
+# ---------------------------------------------------------------- BMP
+
+@pytest.mark.parametrize("w,h", [(53, 37), (52, 37), (51, 1), (1, 1), (2, 3)])
+def test_bmp_roundtrip(w, h):
+    # widths that do and don't hit the 4-byte row padding boundary
+    rng = np.random.default_rng(w * 100 + h)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = codecs.encode_bmp(img)
+    assert data[:2] == b"BM"
+    # declared file size and data offset are honest
+    (fsize,) = struct.unpack_from("<I", data, 2)
+    (offset,) = struct.unpack_from("<I", data, 10)
+    assert fsize == len(data) and offset == codecs.BMP_HEADER_SIZE
+    assert np.array_equal(codecs.decode_bmp(data), img)
+
+
+def test_bmp_top_down_decode():
+    # negative height = top-down row order (other encoders emit this)
+    img = _img(7)
+    data = bytearray(codecs.encode_bmp(img[::-1]))
+    h = img.shape[0]
+    struct.pack_into("<i", data, 22, -h)
+    assert np.array_equal(codecs.decode_bmp(bytes(data)), img)
+
+
+def test_bmp_dispatch_and_rejects():
+    img = _img(8)
+    assert np.array_equal(codecs.decode(codecs.encode(img, "bmp"), "bmp"), img)
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"notbmp")

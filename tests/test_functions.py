@@ -277,7 +277,7 @@ def test_header_meta_unknown_magic_and_jvm_only_plan(spark, tmp_path):
     # unknown blobs parse to NULL, never to garbage; and the whole
     # operator stays JVM-side (binary blobs never cross into Python)
     df = spark.createDataFrame(
-        [("a", b"\xff\xd8\xff\xe0 not a supported container"),
+        [("a", b"\x00\x11\x22 not a supported container"),
          ("b", b""), ("c", b"P6 garbage")],
         "image_id string, bytes binary",
     )
@@ -293,6 +293,75 @@ def test_header_meta_unknown_magic_and_jvm_only_plan(spark, tmp_path):
     for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert pynode not in plan, plan
+
+
+def test_header_meta_bmp_gif_jpeg_containers(spark):
+    # BMP: real codec bytes — fixed-offset little-endian i32 dims.
+    # GIF: spec-built header (no LZW codec in the closed world) —
+    # little-endian u16 logical-screen dims. JPEG: container sniffs,
+    # dims stay NULL at the JVM layer (variable-position SOF).
+    import struct as _s
+
+    from ccbot_spark import codecs
+
+    img = np.arange(41 * 23 * 3, dtype=np.uint8).reshape(23, 41, 3) % 256
+    gif = b"GIF89a" + _s.pack("<HH", 640, 481) + b"\xf7\x00\x00" + b"\x00" * 8
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" * 65   # DQT
+        + b"\xff\xc0" + _s.pack(">H", 17)                  # SOF0
+        + b"\x08" + _s.pack(">HH", 77, 99) + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"                                  # EOI
+    )
+    df = spark.createDataFrame(
+        [("bmp", codecs.encode_bmp(img)), ("gif", gif), ("jpg", jpeg)],
+        "image_id string, bytes binary",
+    )
+    out = {r.image_id: r for r in multimodal.header_meta(df).collect()}
+    assert (out["bmp"].container, out["bmp"].hdr_w, out["bmp"].hdr_h) == (
+        "bmp", 41, 23)
+    assert (out["gif"].container, out["gif"].hdr_w, out["gif"].hdr_h) == (
+        "gif", 640, 481)
+    assert out["jpg"].container == "jpeg"
+    assert out["jpg"].hdr_w is None and out["jpg"].hdr_h is None
+    # top-down BMP (negative i32 height) reads NULL, never a huge value
+    td = bytearray(codecs.encode_bmp(img))
+    _s.pack_into("<i", td, 22, -23)
+    df2 = spark.createDataFrame(
+        [("td", bytes(td))], "image_id string, bytes binary"
+    )
+    r2 = multimodal.header_meta(df2).collect()[0]
+    assert r2.container == "bmp" and r2.hdr_w == 41 and r2.hdr_h is None
+
+    # the JPEG slow path: bounded marker walk recovers the SOF dims;
+    # non-JPEG and SOF-less rows answer NULL, never wrong
+    dims = {
+        r.image_id: (r.jpg_w, r.jpg_h)
+        for r in multimodal.jpeg_sof_dims(df).collect()
+    }
+    assert dims == {"bmp": (None, None), "gif": (None, None),
+                    "jpg": (99, 77)}
+    # truncated head (SOF beyond the pruned window) → NULL
+    r3 = multimodal.jpeg_sof_dims(df, head=40).collect()
+    assert {t.image_id: (t.jpg_w, t.jpg_h) for t in r3}["jpg"] == (None, None)
+
+
+def test_synth_four_cycle_bmp_roundtrip(spark, docs):
+    # the 4-format cycle adds bmp as a REAL (lossless) container; the
+    # decode path and the header parse both read it back exactly
+    imgs = multimodal.synth_images_from_docs(
+        docs.filter(F.col("doc_id") < 24), fmts=multimodal.REAL_FMTS
+    )
+    feats = {r.image_id: r for r in multimodal.decode_features(imgs).collect()}
+    hdrs = {r.image_id: r for r in multimodal.header_meta(imgs).collect()}
+    meta = {r.image_id: r for r in imgs.select("image_id", "w", "h", "fmt").collect()}
+    assert len(meta) == 24 and any(m.fmt == "bmp" for m in meta.values())
+    for k, m in meta.items():
+        assert (feats[k].w, feats[k].h, feats[k].fmt) == (m.w, m.h, m.fmt)
+        want_container = {"qpng": "png"}.get(m.fmt, m.fmt)
+        assert (hdrs[k].container, hdrs[k].hdr_w, hdrs[k].hdr_h) == (
+            want_container, m.w, m.h)
 
 
 def test_exact_dup_groups_finds_byte_identical_reposts(spark, images):
