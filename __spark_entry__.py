@@ -1216,6 +1216,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_bmp_meta"] = img_bmp_meta
 
+    def img_letterbox_plan(spark, sf_dir):
+        # training-export letterbox geometry: bucket + target shape +
+        # aspect-preserving scaled dims + centered pads, ALL pure JVM
+        # integer arithmetic chained on the binary header parse (the
+        # pixel stage is a dumb executor of these numbers — pytest
+        # covers it pixel-exact). DuckDB replays the same integer
+        # formulas from the synthesis arithmetic.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        meta = multimodal.header_meta(
+            multimodal.synth_images_from_docs(docs)
+        )
+        return multimodal.letterbox_plan(meta, "hdr_w", "hdr_h").select(
+            "image_id", "bucket", "out_w", "out_h",
+            "scaled_w", "scaled_h", "pad_x", "pad_y",
+        )
+    q["img_letterbox_plan"] = img_letterbox_plan
+
     def img_size_hist(spark, sf_dir):
         # corpus resolution profile chained ON the header parse (one
         # metadata-speed scan + one tiny hash-agg) — class bounds over
@@ -2605,6 +2622,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS hdr_w,
                CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS hdr_h
         FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_letterbox_plan: the letterbox geometry restated as SQL —
+    # same integer fit rule (w·th ≥ h·tw picks the wide branch), same
+    # floor divisions, same centered pads. A green row proves every
+    # number the Arrow pixel stage consumes.
+    o["img_letterbox_plan"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h
+          FROM documents WHERE doc_id < 450
+        ), b AS (
+          SELECT doc_id, w, h,
+                 CASE WHEN (1000 * w) // h < 649 THEN '9:16'
+                      WHEN (1000 * w) // h < 866 THEN '3:4'
+                      WHEN (1000 * w) // h < 1154 THEN '1:1'
+                      WHEN (1000 * w) // h < 1539 THEN '4:3'
+                      ELSE '16:9' END AS bucket
+          FROM dims
+        ), t AS (
+          SELECT *,
+                 CASE bucket WHEN '9:16' THEN 36 WHEN '3:4' THEN 48
+                             WHEN '1:1' THEN 64 WHEN '4:3' THEN 64
+                             ELSE 64 END AS out_w,
+                 CASE bucket WHEN '9:16' THEN 64 WHEN '3:4' THEN 64
+                             WHEN '1:1' THEN 64 WHEN '4:3' THEN 48
+                             ELSE 36 END AS out_h
+          FROM b
+        ), s AS (
+          SELECT *,
+                 CASE WHEN w * out_h >= h * out_w THEN out_w
+                      ELSE greatest(1, (w * out_h) // h) END AS scaled_w,
+                 CASE WHEN w * out_h >= h * out_w
+                      THEN greatest(1, (h * out_w) // w)
+                      ELSE out_h END AS scaled_h
+          FROM t
+        )
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id, bucket,
+               CAST(out_w AS BIGINT) AS out_w,
+               CAST(out_h AS BIGINT) AS out_h,
+               CAST(scaled_w AS BIGINT) AS scaled_w,
+               CAST(scaled_h AS BIGINT) AS scaled_h,
+               CAST((out_w - scaled_w) // 2 AS BIGINT) AS pad_x,
+               CAST((out_h - scaled_h) // 2 AS BIGINT) AS pad_y
+        FROM s
     """
 
     # --- img_size_hist: same dim arithmetic folded to the class

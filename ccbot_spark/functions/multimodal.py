@@ -637,6 +637,125 @@ def aspect_bucket_py(w: int, h: int) -> str:
     return ASPECT_LADDER[-1]
 
 
+#: Per-bucket letterbox targets for training export (exact ladder
+#: ratios at comparable pixel area, so a loader batches fixed shapes).
+BUCKET_TARGETS = {
+    "9:16": (36, 64),
+    "3:4": (48, 64),
+    "1:1": (64, 64),
+    "4:3": (64, 48),
+    "16:9": (64, 36),
+}
+
+
+def letterbox_plan(images: DataFrame, w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """The GEOMETRY of a bucketed letterbox resize, as pure JVM integer
+    expressions — bucket assignment, target dims, aspect-preserving
+    scaled dims, and centered padding offsets. Splitting the plan from
+    the pixel work means (a) the numbers are SQL-derivable (oracled in
+    DuckDB down to every pad offset), and (b) the Arrow stage below is
+    a dumb executor of per-row instructions, so the decision logic
+    never hides inside Python.
+
+    Integer fit rule (no floats → engine-exact): if w·th ≥ h·tw the
+    image is wider than the target box — scaled_w = tw and
+    scaled_h = max(1, (h·tw) div w); else the transpose. Padding
+    splits the slack evenly, extra pixel on the right/bottom."""
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    bucket = aspect_bucket_col(w_col, h_col)
+    tw = F.lit(None).cast("long")
+    th = F.lit(None).cast("long")
+    for name, (bw, bh) in BUCKET_TARGETS.items():
+        tw = F.when(bucket == name, F.lit(bw).cast("long")).otherwise(tw)
+        th = F.when(bucket == name, F.lit(bh).cast("long")).otherwise(th)
+    wider = (w * th) >= (h * tw)
+    one = F.lit(1).cast("long")
+    # exact integer floor-division ((x - x mod d)/d) — no float in the plan
+    scaled_w = F.when(wider, tw).otherwise(
+        F.greatest(one, ((w * th) - F.pmod(w * th, h)) / h)
+    ).cast("long")
+    scaled_h = F.when(wider, F.greatest(one, ((h * tw) - F.pmod(h * tw, w)) / w)).otherwise(th).cast("long")
+    pad_x = ((tw - scaled_w) - F.pmod(tw - scaled_w, F.lit(2))) / 2
+    pad_y = ((th - scaled_h) - F.pmod(th - scaled_h, F.lit(2))) / 2
+    return images.select(
+        "*",
+        bucket.alias("bucket"),
+        tw.alias("out_w"),
+        th.alias("out_h"),
+        scaled_w.alias("scaled_w"),
+        scaled_h.alias("scaled_h"),
+        pad_x.cast("long").alias("pad_x"),
+        pad_y.cast("long").alias("pad_y"),
+    )
+
+
+def letterbox_plan_py(w: int, h: int) -> tuple:
+    """Pure-python twin of letterbox_plan (grid-tested equal):
+    (bucket, out_w, out_h, scaled_w, scaled_h, pad_x, pad_y)."""
+    bucket = aspect_bucket_py(w, h)
+    tw, th = BUCKET_TARGETS[bucket]
+    if w * th >= h * tw:
+        sw, sh = tw, max(1, (h * tw) // w)
+    else:
+        sw, sh = max(1, (w * th) // h), th
+    return bucket, tw, th, sw, sh, (tw - sw) // 2, (th - sh) // 2
+
+
+def bucket_resize(images: DataFrame) -> DataFrame:
+    """Training-export normalization: letterbox every image to its
+    aspect bucket's fixed target shape — nearest-neighbor scale
+    preserving aspect, centered on black padding — so a loader batches
+    same-bucket samples without per-sample reshaping (the SDXL
+    bucketed-batching contract). Geometry comes from letterbox_plan's
+    JVM columns; this Arrow stage only moves pixels (iterator
+    mapInPandas, bounded batches, blob in → blob out, re-encoded ppm).
+    Nearest-neighbor uses the same integer index map as
+    resize_nearest (xi = arange(out)·in div out) — deterministic,
+    engine-neutral, pytest-gated pixel-exact vs the numpy twin."""
+    plan = letterbox_plan(images)
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bucket", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_bytes(bytes(r.bytes), r.fmt)
+                ih, iw = px.shape[:2]
+                sw, sh = int(r.scaled_w), int(r.scaled_h)
+                yi = (np.arange(sh) * ih // sh).astype(int)
+                xi = (np.arange(sw) * iw // sw).astype(int)
+                scaled = px[yi][:, xi]
+                out = np.zeros((int(r.out_h), int(r.out_w), 3), dtype=np.uint8)
+                py_, px_ = int(r.pad_y), int(r.pad_x)
+                out[py_ : py_ + sh, px_ : px_ + sw] = scaled
+                rows.append(
+                    (
+                        r.image_id,
+                        r.bucket,
+                        codecs.encode(out, "ppm"),
+                        int(r.out_w),
+                        int(r.out_h),
+                        "ppm",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bucket", "bytes", "w", "h", "fmt"],
+            )
+
+    return plan.mapInPandas(gen, schema=out_schema)
+
+
 def aspect_profile(meta: DataFrame) -> DataFrame:
     """Bucketed-batching feasibility report over header-parsed dims:
     per (container, aspect_bucket) image count + pixel total — one

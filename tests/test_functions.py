@@ -364,6 +364,50 @@ def test_synth_four_cycle_bmp_roundtrip(spark, docs):
             want_container, m.w, m.h)
 
 
+def test_letterbox_plan_matches_python_twin_on_grid(spark):
+    # the JVM integer geometry (bucket, target, scaled dims, pads) must
+    # equal the python twin on a dims grid covering every bucket, the
+    # degenerate 1-pixel sides, and both fit directions
+    dims = [(w, h) for w in (1, 7, 16, 33, 64, 97, 200)
+            for h in (1, 9, 16, 40, 64, 101, 333)]
+    df = spark.createDataFrame(dims, "w int, h int")
+    rows = multimodal.letterbox_plan(df).collect()
+    assert len(rows) == len(dims)
+    for r in rows:
+        want = multimodal.letterbox_plan_py(r.w, r.h)
+        got = (r.bucket, r.out_w, r.out_h, r.scaled_w, r.scaled_h,
+               r.pad_x, r.pad_y)
+        assert got == want, (r.w, r.h, got, want)
+        # invariants: scaled fits the box, pads center it
+        assert 1 <= r.scaled_w <= r.out_w and 1 <= r.scaled_h <= r.out_h
+        assert r.scaled_w == r.out_w or r.scaled_h == r.out_h
+        assert 0 <= r.pad_x <= (r.out_w - r.scaled_w)
+        assert 0 <= r.pad_y <= (r.out_h - r.scaled_h)
+
+
+def test_bucket_resize_pixel_exact(spark, images):
+    # letterboxed output: target shape per bucket, scaled region equal
+    # to the nearest-neighbor reference, padding exactly black
+    from ccbot_spark import codecs
+
+    sample = images.limit(12)
+    src = {r.image_id: r for r in sample.collect()}
+    out = {r.image_id: r for r in multimodal.bucket_resize(sample).collect()}
+    assert set(out) == set(src)
+    for k, r in out.items():
+        m = src[k]
+        bucket, tw, th, sw, sh, px_, py_ = multimodal.letterbox_plan_py(m.w, m.h)
+        assert (r.bucket, r.w, r.h, r.fmt) == (bucket, tw, th, "ppm")
+        got = codecs.decode(bytes(r.bytes), "ppm")
+        assert got.shape == (th, tw, 3)
+        orig = codecs.decode(bytes(m.bytes), m.fmt)
+        yi = (np.arange(sh) * m.h // sh).astype(int)
+        xi = (np.arange(sw) * m.w // sw).astype(int)
+        want = np.zeros((th, tw, 3), dtype=np.uint8)
+        want[py_:py_ + sh, px_:px_ + sw] = orig[yi][:, xi]
+        assert np.array_equal(got, want), k
+
+
 def test_exact_dup_groups_finds_byte_identical_reposts(spark, images):
     # d and d+150 share pixel seed AND container (fmt cycle period 3
     # divides 150) → byte-identical blobs; nothing else collides
