@@ -1233,6 +1233,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_letterbox_plan"] = img_letterbox_plan
 
+    def img_png_scrub(spark, sf_dir):
+        # privacy scrub: plant one CRC-correct tEXt chunk (keyword
+        # 'Comment', body length doc_id % 23) on every PNG-container
+        # row, then strip provenance chunks. The audit counters are
+        # pure arithmetic — 12-byte chunk framing + 7+1-byte keyword +
+        # body — so DuckDB re-derives exactly how many bytes the scrub
+        # must remove per row; ppm rows pass through untouched.
+        import pandas as _pd
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(docs)
+
+        def plant(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    b = bytes(r.bytes)
+                    d = int(r.image_id.split("-")[1])
+                    if r.fmt in ("png", "qpng"):
+                        b = multimodal.inject_png_text_chunk(
+                            b, b"Comment", b"x" * (d % 23)
+                        )
+                    rows.append((r.image_id, b, r.fmt))
+                yield _pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+        planted = imgs.mapInPandas(
+            plant, schema="image_id string, bytes binary, fmt string"
+        )
+        return multimodal.strip_png_metadata(planted).select(
+            "image_id", "stripped_chunks", "stripped_bytes"
+        )
+    q["img_png_scrub"] = img_png_scrub
+
     def img_size_hist(spark, sf_dir):
         # corpus resolution profile chained ON the header parse (one
         # metadata-speed scan + one tiny hash-agg) — class bounds over
@@ -2668,6 +2701,20 @@ def oracle_sql() -> dict[str, str]:
                CAST((out_w - scaled_w) // 2 AS BIGINT) AS pad_x,
                CAST((out_h - scaled_h) // 2 AS BIGINT) AS pad_y
         FROM s
+    """
+
+    # --- img_png_scrub: the planted tEXt chunk costs 12 (framing) +
+    # 8 ('Comment' + NUL) + doc_id % 23 (body) bytes on PNG-container
+    # rows; ppm rows scrub nothing. Green = the chunk walk removed
+    # exactly the planted metadata, no more, no less.
+    o["img_png_scrub"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                 AS stripped_chunks,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                         ELSE 20 + doc_id % 23 END AS BIGINT)
+                 AS stripped_bytes
+        FROM documents WHERE doc_id < 450
     """
 
     # --- img_size_hist: same dim arithmetic folded to the class

@@ -637,6 +637,92 @@ def aspect_bucket_py(w: int, h: int) -> str:
     return ASPECT_LADDER[-1]
 
 
+#: PNG chunk tags carrying provenance/metadata, not pixels — what a
+#: privacy scrub removes (the `exiftool -all=` analog): text comments,
+#: EXIF blocks, and the authoring timestamp. Rendering-relevant
+#: ancillary chunks (tRNS, gAMA, sRGB, pHYs, …) are kept.
+PNG_METADATA_TAGS = (b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME")
+
+
+def _strip_png_chunks(data: bytes) -> tuple[bytes, int, int]:
+    """Drop metadata chunks from one PNG byte string. Returns
+    (scrubbed_bytes, n_stripped, bytes_removed). Non-PNG or
+    structurally broken input returns unchanged with zero counters —
+    a scrubber must never corrupt what it cannot parse."""
+    if not data.startswith(codecs.PNG_SIG):
+        return data, 0, 0
+    out = [codecs.PNG_SIG]
+    pos = len(codecs.PNG_SIG)
+    n = len(data)
+    stripped = removed = 0
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        end = pos + 12 + length
+        if end > n:
+            return data, 0, 0  # truncated chunk — refuse to rewrite
+        tag = data[pos + 4 : pos + 8]
+        if tag in PNG_METADATA_TAGS:
+            stripped += 1
+            removed += 12 + length
+        else:
+            out.append(data[pos:end])
+        pos = end
+        if tag == b"IEND":
+            break
+    else:
+        return data, 0, 0  # no IEND — refuse to rewrite
+    if pos < n:  # trailing garbage after IEND — keep it verbatim
+        out.append(data[pos:])
+    return b"".join(out), stripped, removed
+
+
+def inject_png_text_chunk(data: bytes, keyword: bytes, text: bytes) -> bytes:
+    """Insert one tEXt chunk right after IHDR — the fixture the scrub
+    tests and the img_png_scrub oracle plant with (CRC-correct, so the
+    chunk-injected PNG still decodes)."""
+    if not data.startswith(codecs.PNG_SIG):
+        raise ValueError("not a PNG")
+    ihdr_end = 8 + 12 + 13  # signature + IHDR chunk (13-byte payload)
+    chunk = codecs._chunk(b"tEXt", keyword + b"\x00" + text)
+    return data[:ihdr_end] + chunk + data[ihdr_end:]
+
+
+def strip_png_metadata(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Privacy scrub before storage or training export: remove PNG
+    provenance chunks (tEXt/zTXt/iTXt/eXIf/tIME — camera serials, GPS
+    EXIF, author comments) while leaving every pixel and every
+    rendering-relevant chunk byte-identical. This is a CHUNK WALK, not
+    a decode — no inflate, no pixel pass — so it costs header-parse
+    time, not codec time, and runs as a bounded iterator mapInPandas
+    (blob in → blob out, same partitioning). Non-PNG rows and
+    unparseable blobs pass through untouched with zero counters: the
+    scrubber never corrupts what it cannot prove it parsed.
+
+    Output: every input column (bytes replaced by the scrubbed blob)
+    plus stripped_chunks:long and stripped_bytes:long for audit."""
+    in_schema = images.schema
+    out_fields = list(in_schema.fields) + [
+        T.StructField("stripped_chunks", T.LongType(), False),
+        T.StructField("stripped_bytes", T.LongType(), False),
+    ]
+    cols = [f.name for f in in_schema.fields]
+    bi = cols.index(bytes_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                vals = list(r)
+                scrubbed, n_str, n_rm = _strip_png_chunks(bytes(vals[bi]))
+                vals[bi] = scrubbed
+                rows.append((*vals, n_str, n_rm))
+            yield pd.DataFrame(
+                rows, columns=cols + ["stripped_chunks", "stripped_bytes"]
+            )
+
+    return images.mapInPandas(gen, schema=T.StructType(out_fields))
+
+
 #: Per-bucket letterbox targets for training export (exact ladder
 #: ratios at comparable pixel area, so a loader batches fixed shapes).
 BUCKET_TARGETS = {

@@ -408,6 +408,44 @@ def test_bucket_resize_pixel_exact(spark, images):
         assert np.array_equal(got, want), k
 
 
+def test_strip_png_metadata_scrubs_without_touching_pixels(spark):
+    # plant tEXt (after IHDR) + tIME (handmade, pre-IEND) chunks; the
+    # scrub must remove exactly those, leave pixels byte-identical,
+    # count correctly, pass non-PNG rows through, and be idempotent
+    from ccbot_spark import codecs
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(19, 31, 3), dtype=np.uint8)
+    clean = codecs.encode_png(img)
+    tainted = multimodal.inject_png_text_chunk(
+        clean, b"Author", b"secret camera serial 12345"
+    )
+    time_chunk = codecs._chunk(b"tIME", b"\x07\xe9\x01\x01\x00\x00\x00")
+    tainted = tainted[:-12] + time_chunk + tainted[-12:]  # before IEND
+    ppm = codecs.encode_ppm(img)
+    broken = clean[:30]  # truncated mid-chunk
+    df = spark.createDataFrame(
+        [("png", tainted), ("ppm", ppm), ("broken", broken)],
+        "image_id string, bytes binary",
+    )
+    out = {r.image_id: r for r in multimodal.strip_png_metadata(df).collect()}
+    text_len = len(b"Author") + 1 + len(b"secret camera serial 12345")
+    assert out["png"].stripped_chunks == 2
+    assert out["png"].stripped_bytes == (12 + text_len) + (12 + 7)
+    assert bytes(out["png"].bytes) == clean
+    assert np.array_equal(codecs.decode_png(bytes(out["png"].bytes)), img)
+    assert bytes(out["ppm"].bytes) == ppm and out["ppm"].stripped_chunks == 0
+    assert bytes(out["broken"].bytes) == broken
+    assert out["broken"].stripped_chunks == 0
+    # idempotent: a second pass strips nothing
+    again = multimodal.strip_png_metadata(
+        spark.createDataFrame(
+            [("png", bytes(out["png"].bytes))], "image_id string, bytes binary"
+        )
+    ).collect()[0]
+    assert again.stripped_chunks == 0 and bytes(again.bytes) == clean
+
+
 def test_exact_dup_groups_finds_byte_identical_reposts(spark, images):
     # d and d+150 share pixel seed AND container (fmt cycle period 3
     # divides 150) → byte-identical blobs; nothing else collides
