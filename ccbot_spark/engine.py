@@ -94,6 +94,7 @@ class CrawlEngine:
         wds_dir: str | None = None,
         wds_target_bytes: int = 1 << 20,
         canonical_dedup: bool = False,
+        soft404_detect: bool = False,
         error_backoff: int = 0,
         domain_budget: int = 0,
         ip_pool: int = 0,
@@ -248,6 +249,12 @@ class CrawlEngine:
         # pool with the page's own priority (a parse-time soft
         # redirect; mirrors oracle.crawl(canonical_dedup=True))
         self.canonical_dedup = canonical_dedup
+        # soft-404 detection: a page answering 200 with an error-
+        # template body (fetchparse.soft404_col content markers) is an
+        # error dressed as content — slot consumed, body never parsed
+        # or stored, terminal status 'soft404', traced 'soft404'
+        # (mirrors oracle.crawl(soft404_detect=True))
+        self.soft404_detect = soft404_detect
         # error_backoff = CAP > 0: an errored URL cools down for
         # min(2^retries, CAP) cycles through the frontier's not_before
         # gate instead of retrying next cycle (exponential backoff on
@@ -624,7 +631,9 @@ class CrawlEngine:
         still dedup. Crawl results are provably unaffected
         (tests/test_eviction.py: traces byte-identical)."""
         f = self.frontier.read()
-        term = F.col("status").isin("denied", "redirect", "canonical") | (
+        term = F.col("status").isin(
+            "denied", "redirect", "canonical", "soft404"
+        ) | (
             (F.col("status") == "error") & (F.col("retries") >= MAX_RETRIES)
         )
         if not self.recrawl_every:
@@ -1012,6 +1021,19 @@ class CrawlEngine:
             bins = fetched.filter(F.col("content_type") != "text/html")
             fetched = fetched.filter(F.col("content_type") == "text/html")
 
+        # ---- soft-404 gate (before the canonical scan and the
+        # content-seen test: an error page's canonical declaration must
+        # not enqueue anything and its template body must never enter
+        # the digests table). The verdict is one JVM lower+rlike over
+        # the cached fetch output — detected rows consume their slot,
+        # count as fetched in the metrics, reach terminal 'soft404'
+        # status, and are never parsed.
+        soft404s = None
+        if self.soft404_detect:
+            s4 = fetchparse.soft404_col("html")
+            soft404s = fetched.filter(s4)
+            fetched = fetched.filter(~s4)
+
         # ---- rel=canonical aliases (before the content-seen test: a
         # canonicalized page is never parsed, so its digest must not
         # enter the digests table or the within-cycle election). The
@@ -1269,12 +1291,21 @@ class CrawlEngine:
             m_canon = self.spark.createDataFrame(
                 [], "host string, canonicals long"
             )
+        if soft404s is not None:
+            m_s404 = soft404s.groupBy("host").agg(
+                F.count("*").alias("soft404s")
+            )
+        else:
+            m_s404 = self.spark.createDataFrame(
+                [], "host string, soft404s long"
+            )
         metrics_df = (
             m_fetch.join(m_links, "host", "left")
             .join(m_store, "host", "left")
             .join(m_dups, "host", "left")
             .join(m_cdup, "host", "left")
             .join(m_canon, "host", "left")
+            .join(m_s404, "host", "left")
             .select(
                 F.lit(cycle).cast("int").alias("cycle"),
                 urlops.host_bucket(F.col("host"), self.n_buckets).alias("partition_id"),
@@ -1297,6 +1328,9 @@ class CrawlEngine:
                 F.coalesce(F.col("canonicals"), F.lit(0))
                 .cast("long")
                 .alias("canonicals"),
+                F.coalesce(F.col("soft404s"), F.lit(0))
+                .cast("long")
+                .alias("soft404s"),
             )
         )
 
@@ -1356,6 +1390,10 @@ class CrawlEngine:
                 events = events.unionByName(
                     evt(canons, 2, "canonical", slot=True, sched=True)
                 )
+            if soft404s is not None:
+                events = events.unionByName(
+                    evt(soft404s, 2, "soft404", slot=True, sched=True)
+                )
         # ---- frontier MERGE INTO: status updates + new-link inserts
         bucket = urlops.host_bucket(F.col("host"), self.n_buckets)
         # fetched ∪ not_modified both end the cycle as status 'fetched'
@@ -1392,6 +1430,11 @@ class CrawlEngine:
             # small canons side (AQE broadcasts it)
             upd_base = upd_base.join(
                 canons.select("url_norm"), "url_norm", "left_anti"
+            )
+        if soft404s is not None:
+            # soft-404 pages get their own terminal status below
+            upd_base = upd_base.join(
+                soft404s.select("url_norm"), "url_norm", "left_anti"
             )
         upd_fetched = upd_base.select(
             "url_norm", "host", "priority",
@@ -1489,6 +1532,20 @@ class CrawlEngine:
                 _dep0,
             ).withColumn("bucket", bucket)
             merge_src = merge_src.unionByName(upd_canon)
+        if soft404s is not None:
+            upd_s404 = soft404s.select(
+                "url_norm", "host", "priority",
+                F.lit(0).cast("int").alias("dt_cycle"),
+                F.lit(0).cast("long").alias("dt_seq"),
+                F.lit("soft404").alias("status"),  # terminal: an error
+                F.lit(0).cast("int").alias("cycle_added"),
+                F.col("retries").cast("int"),
+                F.col("last_cycle").cast("int"),
+                F.col("interval").cast("int"),
+                F.lit(0).cast("int").alias("not_before"),
+                _dep0,
+            ).withColumn("bucket", bucket)
+            merge_src = merge_src.unionByName(upd_s404)
 
         new_seen = new_rows.select(
             "url_norm",
@@ -1519,6 +1576,8 @@ class CrawlEngine:
             counts["rate_limited"] = rls.count()  # attempts is cached
         if content_dups is not None:
             counts["content_dup"] = content_dups.count()  # fd is cached
+        if soft404s is not None:
+            counts["soft404"] = soft404s.count()  # attempts is cached
         _mark("fetch")
         links.count()
         cand.count()

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .. import schemas, synthweb
+from .. import parsekit, schemas, synthweb
 from . import urlops
 
 
@@ -330,6 +330,16 @@ def with_canonical(fetched: DataFrame) -> DataFrame:
     return fetched.withColumn(
         "canonical", _resolve_one_udf(F.col("url_norm"), href)
     )
+
+
+def soft404_col(html_col="html"):
+    """JVM soft-404 verdict over the body — lower + one rlike inside
+    whole-stage codegen, zero Python. The pattern is parsekit's
+    SOFT404_PATTERN verbatim (backreference-free, so Java regex and
+    python `re` agree byte-for-byte; three-way equality is pytest-
+    gated like wet_text's pattern set)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.lower(c).rlike(parsekit.SOFT404_PATTERN)
 
 
 def extract_links(fetched: DataFrame) -> DataFrame:

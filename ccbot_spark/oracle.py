@@ -100,6 +100,7 @@ def crawl(
     content_dedup: bool = False,
     age_boost: int = 0,
     canonical_dedup: bool = False,
+    soft404_detect: bool = False,
     error_backoff: int = 0,
     domain_budget: int = 0,
     ip_pool: int = 0,
@@ -311,7 +312,7 @@ def crawl(
                     fetched=0, parsed_links=0, stored_images=0,
                     dedup_hits=0, errors=0, bytes=0, redirects=0,
                     not_modified=0, rate_limited=0, content_dup=0,
-                    canonicals=0,
+                    canonicals=0, soft404s=0,
                 )
             return host_metrics[host]
 
@@ -408,6 +409,18 @@ def crawl(
                 m["fetched"] += 1
                 m["bytes"] += len(html.encode("utf-8"))
                 events.append((2, st, host, url, slot, "binary"))
+                continue
+            if soft404_detect and parsekit.is_soft404(html):
+                # soft-404 gate (before the canonical scan and the
+                # content-seen test): an error page dressed as content
+                # — slot consumed, bytes transferred, terminal status,
+                # never parsed (no canonical, no digest, no links, no
+                # images). Mirrors the engine's JVM soft404_col filter.
+                e.status = "soft404"
+                m["fetched"] += 1
+                m["soft404s"] += 1
+                m["bytes"] += len(html.encode("utf-8"))
+                events.append((2, st, host, url, slot, "soft404"))
                 continue
             if canonical_dedup:
                 # rel=canonical alias (before the content-seen test: a

@@ -132,3 +132,21 @@ def extract_text(html: str) -> str | None:
     ):
         t = t.replace(ent, ch)
     return _WS_RE.sub(" ", t).strip()
+
+
+# Soft-404 detection: content markers of an error page served with
+# HTTP 200. ONE pattern string, backreference-free and applied to the
+# LOWERCASED body, so Java regex (Spark, fetchparse.soft404_col) and
+# python `re` (this twin, used by the oracle crawler) match the exact
+# same byte sequences.
+SOFT404_PATTERN = (
+    r"<title>\s*404 not found\s*</title>"
+    r"|<h1>\s*page not found\s*</h1>"
+    r"|was not found on this server"
+)
+_SOFT404_RE = re.compile(SOFT404_PATTERN)
+
+
+def is_soft404(html: str) -> bool:
+    """Python twin of fetchparse.soft404_col (engine-equality tested)."""
+    return html is not None and _SOFT404_RE.search(html.lower()) is not None

@@ -115,6 +115,9 @@ METRICS = T.StructType(
         # pages that declared rel="canonical" to a DIFFERENT url
         # (canonical_dedup=True): slot consumed, never parsed/stored
         T.StructField("canonicals", T.LongType(), False),
+        # HTTP-200 responses whose body is an error template
+        # (soft404_detect=True): slot consumed, never parsed/stored
+        T.StructField("soft404s", T.LongType(), False),
     ]
 )
 

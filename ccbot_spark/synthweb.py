@@ -49,6 +49,8 @@ class WebConfig:
     # this many shard urlsets (/sitemap-{i}.xml) — the large-site form
     binary_pct: int = 0  # % of pages serving a non-HTML payload
     # (application/octet-stream): fetched + stored, never parsed
+    soft404_pct: int = 0  # % of pages answering HTTP 200 with an
+    # error template body (the misconfigured-server "soft 404")
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -425,6 +427,37 @@ def content_type_of(cfg: WebConfig, url: str) -> str:
     return "text/html"
 
 
+def soft404_of(cfg: WebConfig, url: str) -> bool:
+    """Whether a page answers HTTP 200 with an error-template body — the
+    misconfigured-server "soft 404" every production crawler must
+    detect from content (enabled by soft404_pct). A deterministic hash
+    slice of ``/p/N`` pages; mirrors follow their canonical page (same
+    resource, same brokenness); independent of the content epoch (a
+    404'd path stays 404 across re-renders). Pure function of
+    (cfg, url) so oracle and engine agree."""
+    if not cfg.soft404_pct:
+        return False
+    canon = mirror_of(cfg, url)
+    u = canon if canon is not None else url
+    parts = u.split("/")
+    if len(parts) != 5 or parts[3] != "p":
+        return False
+    return _digest(f"s404:{cfg.seed}:{u}")[0] % 100 < cfg.soft404_pct
+
+
+def soft404_body(url: str) -> str:
+    """The error-template body a soft-404 page serves: no outlinks, no
+    images, recognizably an error page (title + h1 carry the markers
+    parsekit.SOFT404_RE keys on). Per-URL text, so content-seen dedup
+    and soft-404 detection stay orthogonal features."""
+    return (
+        "<html><head><title>404 Not Found</title></head><body>"
+        "<h1>Page not found</h1>"
+        f"<p>The requested URL {url} was not found on this server.</p>"
+        "</body></html>"
+    )
+
+
 def fetch(cfg: WebConfig, url: str, ver: int = 0) -> str:
     """The synthetic 'network': fetch a page URL → HTML body.
     ver is the content epoch (content_version): epoch 0 renders the
@@ -432,4 +465,7 @@ def fetch(cfg: WebConfig, url: str, ver: int = 0) -> str:
     digest seed (different outlinks / image counts) — still a pure
     function of (cfg, url, ver)."""
     canon = mirror_of(cfg, url)
-    return render_page(cfg, canon if canon is not None else url, ver)
+    u = canon if canon is not None else url
+    if soft404_of(cfg, url):
+        return soft404_body(u)
+    return render_page(cfg, u, ver)

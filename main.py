@@ -100,6 +100,13 @@ def parse_args():
     p.add_argument("--canonical-pct", type=int, default=0,
                    help="synthetic-web knob: %% of odd pages declaring "
                         "their even twin canonical")
+    p.add_argument("--soft404-detect", action="store_true",
+                   help="content-based soft-404 detection: an HTTP-200 "
+                        "response with an error-template body is a "
+                        "terminal error — never parsed/stored")
+    p.add_argument("--soft404-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of pages answering 200 "
+                        "with an error-template body")
     p.add_argument("--recrawl-every", type=int, default=0,
                    help="revisit policy: re-enqueue fetched pages every "
                         "K cycles (0 = crawl each page once)")
@@ -199,6 +206,7 @@ def main() -> None:
         mirror_pct=args.mirror_pct,
         binary_pct=args.binary_pct,
         canonical_pct=args.canonical_pct,
+        soft404_pct=args.soft404_pct,
         robots_change_every=args.robots_change_every,
         rate_limit_pct=args.rate_limit_pct,
         domain_groups=args.domain_groups,
@@ -230,6 +238,7 @@ def main() -> None:
         wds_target_bytes=args.wds_target_bytes,
         content_dedup=args.content_dedup,
         canonical_dedup=args.canonical,
+        soft404_detect=args.soft404_detect,
         age_boost=args.age_boost,
         warc_dir=args.warc_dir,
         warc_segments=args.warc_segments,

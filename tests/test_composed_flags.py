@@ -38,6 +38,7 @@ CFG = synthweb.WebConfig(
     rate_limit_pct=30,
     domain_groups=2,
     binary_pct=15,
+    soft404_pct=15,
 )
 SEEDS = synthweb.seed_urls(CFG, 18)
 CYCLES = 4
@@ -48,6 +49,7 @@ KNOBS = dict(
     content_dedup=True,
     age_boost=1,
     canonical_dedup=True,
+    soft404_detect=True,
     error_backoff=1,
     domain_budget=12,
     ip_pool=3,
@@ -88,7 +90,8 @@ def test_composed_trace_exact(engine_res, oracle_res):
     for must in (
         "fetched", "fetch_error", "redirect", "budget_skipped",
         "domain_skipped", "rate_limited", "not_modified",
-        "content_dup", "canonical", "robots_denied",
+        "content_dup", "canonical", "robots_denied", "binary",
+        "soft404",
     ):
         assert must in actions, f"hazard never fired: {must}"
 

@@ -1298,3 +1298,89 @@ def test_binary_content_gate_matches_oracle(spark, tmp_path):
         for m in want.metrics
     }
     assert got_m == want_m
+
+
+def test_soft404_matches_oracle(spark, tmp_path):
+    """Content-based soft-404 detection: an HTTP-200 response whose
+    body is an error template consumes its slot, is traced 'soft404',
+    reaches terminal frontier status 'soft404' and is never parsed or
+    stored. Composed with fail/redirect injection AND canonical_pct —
+    the gate runs BEFORE the canonical scan, so an error page that
+    also declares rel=canonical must be dropped as soft404, never
+    enqueue its target. Engine (one JVM lower+rlike over the cached
+    fetch output) must match the oracle's parsekit.is_soft404 run
+    event-for-event."""
+    from collections import Counter
+
+    cfg = synthweb.WebConfig(
+        n_hosts=5, pages_per_host=60, soft404_pct=25, fail_pct=10,
+        redirect_pct=10, canonical_pct=40,
+    )
+    seeds = synthweb.seed_urls(cfg, 20)
+    want = oracle.crawl(
+        cfg, seeds, cycles=3, soft404_detect=True, canonical_dedup=True
+    )
+    ca = Counter(t[5] for t in want.trace)
+    assert ca["soft404"] > 0, "fixture must produce soft-404 hits"
+    assert ca["canonical"] > 0, "fixture must still produce aliases"
+    off = oracle.crawl(cfg, seeds, cycles=3, canonical_dedup=True)
+    assert want.trace != off.trace, "detection must change the crawl"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "s404"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, soft404_detect=True,
+                      canonical_dedup=True)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    fr = {r.url_norm: r.status for r in eng.frontier.read().collect()}
+    want_fr = {e.url_norm: e.status for e in want.frontier.values()}
+    assert fr == want_fr
+    assert "soft404" in set(fr.values())
+    got_m = {
+        (r.cycle, r.host): (r.soft404s, r.fetched, r.parsed_links, r.bytes)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (
+            m["soft404s"], m["fetched"], m["parsed_links"], m["bytes"]
+        )
+        for m in want.metrics
+    }
+    assert got_m == want_m
+
+
+def test_soft404_predicate_jvm_matches_parsekit(spark):
+    """fetchparse.soft404_col (JVM lower+rlike) == parsekit.is_soft404
+    (python re) on every page of a soft404-bearing web — real pages,
+    error templates, and edge strings with stray marker fragments."""
+    from ccbot_spark import parsekit
+    from ccbot_spark.operators import fetchparse
+
+    cfg = synthweb.WebConfig(n_hosts=3, pages_per_host=50, soft404_pct=30)
+    urls = [
+        f"http://{cfg.host(k)}/p/{j}"
+        for k in range(cfg.n_hosts)
+        for j in range(cfg.pages_per_host)
+    ]
+    rows = [(u, synthweb.fetch(cfg, u)) for u in urls]
+    rows += [
+        ("http://x.test/a", "<html><title>404 NOT Found</title></html>"),
+        ("http://x.test/b", "<html><h1> Page Not Found </h1></html>"),
+        ("http://x.test/c", "this page was not found on this server ok"),
+        ("http://x.test/d", "<html>all fine: 404 mentions in prose</html>"),
+        ("http://x.test/e", ""),
+    ]
+    want = {u: parsekit.is_soft404(h) for u, h in rows}
+    assert any(want.values()) and not all(want.values())
+    assert want["http://x.test/a"] and want["http://x.test/b"]
+    assert want["http://x.test/c"] and not want["http://x.test/d"]
+    df = spark.createDataFrame(rows, "url_norm string, html string")
+    got = {
+        r.url_norm: r.s4
+        for r in df.select(
+            "url_norm", fetchparse.soft404_col("html").alias("s4")
+        ).collect()
+    }
+    assert got == want
