@@ -1409,6 +1409,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textkit.trigram_familiarity(_t(spark, sf_dir, "documents"))
     q["text_trigram_lm"] = text_trigram_lm
 
+    def text_classifier(spark, sf_dir):
+        # fastText-style linear quality classifier: hashed-token
+        # features × a broadcast integer weight table, threshold on
+        # the cross-multiplied average. The demo weight table is a
+        # pure function of the bucket id (range × Knuth constant mod
+        # 2001, centered), so DuckDB rebuilds the identical "learned"
+        # layer and replays the scoring end-to-end.
+        docs = _t(spark, sf_dir, "documents")
+        weights = spark.range(4096).select(
+            F.col("id").alias("bucket"),
+            ((F.col("id") * 2654435761) % 2001 - 1000).alias("weight"),
+        )
+        return textkit.linear_classifier_score(
+            docs, weights, n_buckets=4096, threshold_milli=50
+        )
+    q["text_classifier"] = text_classifier
+
     def text_curation_pipeline(spark, sf_dir):
         # The end-to-end curation story a training-data user actually
         # runs, composed as ONE declarative plan: quality gate (length /
@@ -3103,6 +3120,41 @@ def oracle_sql() -> dict[str, str]:
                     THEN sum_freq * 1000 // n_tri ELSE 0 END
                  AS BIGINT) AS familiarity_x1000
         FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """
+
+    # --- text_classifier: rebuild the weight layer from the bucket id,
+    # hash tokens with the shared 8-hex-char md5 fold, sum weights per
+    # doc, cross-multiplied threshold — the whole classifier replayed.
+    o["text_classifier"] = """
+        WITH w AS (
+          SELECT CAST(range AS BIGINT) AS bucket,
+                 CAST((range * 2654435761) % 2001 - 1000 AS BIGINT) AS weight
+          FROM range(4096)
+        ),
+        tok AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, n_tokens,
+                 list_reduce(list_transform(
+                   string_split(substr(md5(tok), 1, 8), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % 4096 AS bucket
+          FROM tok
+        ),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 SUM(COALESCE(weight, 0)) AS score
+          FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id, n_tokens
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(score AS BIGINT) AS score,
+               CAST(CASE WHEN 1000 * score >= 50 * n_tokens
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM s
     """
 
     # --- text_training_export: dup-span gate chained into the packing

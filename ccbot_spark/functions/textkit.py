@@ -332,3 +332,75 @@ def paragraph_dedup(
             " ",
         ).alias("text_dedup"),
     )
+
+
+# ------------------------------------------------------- linear classifier
+
+def feature_bucket(tok_col, n_buckets: int):
+    """Feature-hash bucket of a token: first 8 md5 hex chars (32 bits)
+    mod n_buckets — pure JVM md5/conv/pmod, the repo's engine-neutral
+    hash idiom (DuckDB and python replay it exactly)."""
+    h = F.conv(F.substring(F.md5(tok_col), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    threshold_milli: int = 0,
+    text: str = "text",
+) -> DataFrame:
+    """fastText-style linear text classifier scoring — the standard
+    learned quality gate (CCNet/fastText lang+quality models, the
+    GPT-3 "WebText-like" LR filter): hash each lowercased token into
+    one of n_buckets features, sum the learned per-bucket weights, and
+    threshold the AVERAGE weight per token.
+
+    weights: (bucket:long, weight:long) — the trained dense layer in
+    integer milli-units. It is ≤ n_buckets rows by construction, so it
+    ALWAYS broadcasts: the corpus side explodes to tokens, map-side
+    partial-aggregates the per-doc sum, and shuffles one (doc_id, sum)
+    row per doc — no big-side shuffle at any corpus size, the same
+    shape as the decontamination gate.
+
+    The keep verdict avoids division entirely (float thresholds drift
+    across engines): keep ⇔ 1000·Σweight ≥ threshold_milli·n_tokens —
+    the repo's integer cross-multiplication idiom. Output:
+    (doc_id, n_tokens, score, keep); score = Σ weight over tokens
+    (milli-units, missing buckets weigh 0)."""
+    toks = docs.select(
+        "doc_id",
+        token_count(F.col(text)).cast("long").alias("n_tokens"),
+        F.explode(tokens(F.lower(F.col(text)))).alias("tok"),
+    ).withColumn("bucket", feature_bucket(F.col("tok"), n_buckets))
+    scored = (
+        toks.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("score"))
+    )
+    keep = (
+        F.lit(1000) * F.col("score")
+        >= F.lit(threshold_milli) * F.col("n_tokens")
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.col("score").cast("long").alias("score"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+def linear_classifier_score_py(
+    text: str, weights: dict[int, int], n_buckets: int, threshold_milli: int
+) -> tuple[int, int, int]:
+    """Pure-python twin (pytest reference): (n_tokens, score, keep)."""
+    import hashlib as _hl
+
+    toks = text.lower().split(" ")
+    score = 0
+    for t in toks:
+        h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+        score += weights.get(h % n_buckets, 0)
+    keep = 1 if 1000 * score >= threshold_milli * len(toks) else 0
+    return len(toks), score, keep

@@ -459,6 +459,33 @@ def test_exact_dup_groups_finds_byte_identical_reposts(spark, images):
     assert got == want
 
 
+def test_linear_classifier_matches_python_twin(spark, docs):
+    # broadcast-weight scoring must equal the per-doc python fold,
+    # including negative sums (the no-division cross-multiplied gate)
+    n_buckets, thr = 512, 50
+    wmap = {b: (b * 2654435761) % 2001 - 1000 for b in range(n_buckets)}
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket long, weight long"
+    )
+    sample = docs.filter(F.col("doc_id") < 120)
+    got = {
+        r.doc_id: (r.n_tokens, r.score, r.keep)
+        for r in textkit.linear_classifier_score(
+            sample, weights, n_buckets=n_buckets, threshold_milli=thr
+        ).collect()
+    }
+    texts = {r.doc_id: r.text for r in sample.collect()}
+    assert len(got) == len(texts)
+    for d, t in texts.items():
+        assert got[d] == textkit.linear_classifier_score_py(
+            t, wmap, n_buckets, thr
+        ), d
+    scores = [v[1] for v in got.values()]
+    keeps = {v[2] for v in got.values()}
+    assert min(scores) < 0 < max(scores), "fixture must exercise both signs"
+    assert keeps == {0, 1}, "threshold must actually split the corpus"
+
+
 def test_repetition_features_gate(spark):
     rows = [
         (1, "a b c d e"),            # 4 distinct 2-grams, no dups
