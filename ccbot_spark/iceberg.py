@@ -92,6 +92,17 @@ class IcebergTableStore:
         df.writeTo(self.ident).append()
         return self.version()
 
+    def read_added(self, since_version, version=None) -> DataFrame:
+        """Iceberg's native incremental read: rows appended after
+        snapshot `since_version` (exclusive) up to `version`/current —
+        the real engine behind TableStore.read_added."""
+        r = self.spark.read.format("iceberg").option(
+            "start-snapshot-id", since_version
+        )
+        if version is not None:
+            r = r.option("end-snapshot-id", version)
+        return r.load(self.ident)
+
     def overwrite(self, df: DataFrame, sort_within_partitions_by=None) -> int:
         if sort_within_partitions_by:
             df = df.sortWithinPartitions(*sort_within_partitions_by)

@@ -192,6 +192,51 @@ class TableStore:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*[e["path"] for e in files])
 
+    def added_files(
+        self, since_version: int, version: int | None = None
+    ) -> list[dict]:
+        """Manifest entries present at `version` (default: current) but
+        not at `since_version` — pure manifest arithmetic, zero IO."""
+        old = {e["path"] for e in self._files(since_version)}
+        return [e for e in self._files(version) if e["path"] not in old]
+
+    def changed_partitions(
+        self, since_version: int, version: int | None = None
+    ) -> set[str]:
+        """First-partition-col values whose data files changed between
+        the two snapshots (COW rewrites count) — what an incremental
+        consumer of a merged table must re-scan."""
+        if not self.partition_cols:
+            return set()
+        pcol = self.partition_cols[0]
+        return {
+            e["parts"][pcol]
+            for e in self.added_files(since_version, version)
+            if pcol in e["parts"]
+        }
+
+    def read_added(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Iceberg-style INCREMENTAL READ: rows in data files committed
+        after `since_version` (e.g. a per-cycle tag). For append-only
+        tables (images, trace, metrics, cdx) this IS the exact row
+        delta — the snapshot diff costs manifest arithmetic plus a
+        scan of only the new files, never a rescan or anti-join over
+        the accumulated table. This is how an incremental training
+        export ships "everything stored since the last export" from a
+        10^10-row store at O(delta) cost. For COW-merged tables
+        (frontier) the added files are the rewritten partitions — a
+        superset of the changed rows; combine with changed_partitions
+        + an old-snapshot anti-join restricted to those partitions
+        when exact row-level change is needed."""
+        files = self.added_files(since_version, version)
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(
+            *[e["path"] for e in files]
+        )
+
     def row_count(self, version: int | None = None) -> int:
         """Exact table row count from manifest metadata — O(#files)
         driver-side, zero Spark jobs. Entries written before counts

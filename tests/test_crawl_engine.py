@@ -1384,3 +1384,22 @@ def test_soft404_predicate_jvm_matches_parsekit(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_image_export_between_cycle_tags(engine_res):
+    """Incremental training export: the images appended after the
+    cycle-1 snapshot tag are EXACTLY the full table minus the cycle-1
+    table — served from only the data files committed since that tag
+    (Iceberg incremental read), never a rescan of the store."""
+    eng = engine_res
+    v1 = eng.images.tagged_version("cycle-1")
+    assert v1 is not None
+    at1 = {r.image_id for r in eng.images.read(version=v1).collect()}
+    full = {r.image_id for r in eng.images.read().collect()}
+    delta = {r.image_id for r in eng.images.read_added(v1).collect()}
+    assert delta == full - at1
+    assert delta, "cycle 2 must have stored new images"
+    old_paths = {e["path"] for e in eng.images._files(v1)}
+    assert all(
+        e["path"] not in old_paths for e in eng.images.added_files(v1)
+    )

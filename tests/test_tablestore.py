@@ -209,3 +209,40 @@ def test_append_rows_driver_side(spark, tmp_path):
     assert st.row_count() == 3  # manifest metadata
     got = {(r.cycle, r.table, r.n_rows) for r in st.read().collect()}
     assert got == {(1, "frontier", 10), (1, "seen", 20), (2, "frontier", 30)}
+
+
+# ---------------------------------------------------- incremental read
+
+def test_read_added_is_exact_row_delta_for_appends(spark, store):
+    v1 = store.append(_df(spark, [("a", 0, 1, "p"), ("b", 1, 2, "p")]))
+    store.tag("cycle1")
+    store.append(_df(spark, [("c", 0, 3, "p")]))
+    store.append(_df(spark, [("d", 2, 4, "p")]))
+    added = {r.k for r in store.read_added(v1).collect()}
+    assert added == {"c", "d"}
+    # from the tag, same thing; from genesis, everything; empty delta
+    assert {r.k for r in store.read_added(store.tagged_version("cycle1")).collect()} == {"c", "d"}
+    assert {r.k for r in store.read_added(0).collect()} == {"a", "b", "c", "d"}
+    assert store.read_added(store.version()).count() == 0
+    # manifest arithmetic only: the delta never re-reads old files
+    old_paths = {e["path"] for e in store._files(v1)}
+    assert all(e["path"] not in old_paths for e in store.added_files(v1))
+
+
+def test_read_added_cow_merge_rescans_touched_partitions_only(spark, store):
+    v1 = store.append(
+        _df(spark, [("a", 0, 1, "p"), ("b", 1, 2, "p"), ("c", 2, 3, "p")])
+    )
+    # merge touches bucket 1 only (update b, insert d)
+    store.merge_into(
+        _df(spark, [("b", 1, 20, "p"), ("d", 1, 4, "p")]),
+        on=["k"],
+        update_cols=["val"],
+    )
+    assert store.changed_partitions(v1) == {"1"}
+    rows = {r.k: r.val for r in store.read_added(v1).collect()}
+    # the rewritten partition's rows — changed AND carried — appear;
+    # untouched partitions (buckets 0, 2) contribute nothing
+    assert rows == {"b": 20, "d": 4}
+    full = {r.k: r.val for r in store.read().collect()}
+    assert full == {"a": 1, "b": 20, "c": 3, "d": 4}
