@@ -1266,6 +1266,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_png_scrub"] = img_png_scrub
 
+    def img_hash_family(spark, sf_dir):
+        # rows-only by necessity (pixel-derived: DCT/gradient/mean
+        # hashes have no SQL form; exactness vs the python reference
+        # is pytest-gated in tests/test_phash.py): all three
+        # perceptual-hash family members from one decode pass.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        return multimodal.hash_features(
+            multimodal.synth_images_from_docs(docs)
+        )
+    q["img_hash_family"] = img_hash_family
+
     def img_size_hist(spark, sf_dir):
         # corpus resolution profile chained ON the header parse (one
         # metadata-speed scan + one tiny hash-agg) — class bounds over

@@ -181,6 +181,45 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     return videos.mapInPandas(gen, schema=schema)
 
 
+def hash_features(images: DataFrame) -> DataFrame:
+    """All three perceptual-hash family members per image — pHash (DCT),
+    dHash (gradient sign), aHash (mean sign) — from ONE decode pass
+    (the pixels are the cost; three hashes over the same resized gray
+    plane are nearly free). A dedup pass unioning band-joins over
+    phash AND dhash catches crops/re-encodes each family misses alone;
+    the banded join (phash_near_pairs) is hash-agnostic, so feeding it
+    the dhash column is a column rename. Output drops the blob."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+            T.StructField("ahash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_bytes(bytes(r.bytes), r.fmt)
+                rows.append(
+                    (
+                        r.image_id,
+                        phash_mod.phash64(px),
+                        phash_mod.dhash64(px),
+                        phash_mod.ahash64(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "phash", "dhash", "ahash"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, schema=schema
+    )
+
+
 PNG_MAGIC_HEX = "89504E470D0A1A0A"
 
 

@@ -74,3 +74,50 @@ def phash64(img: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash; the gradient-sign complement to
+    the DCT pHash — cheap, crop-sensitive where pHash is not, so a
+    dedup pass running both catches more re-encodes than either
+    alone): gray → 8×9 area resize → bit = left pixel > right
+    neighbor, row-major MSB-first → signed int64."""
+    small = resize_area_rect(to_gray(img), 8, 9)
+    bits = small[:, :-1] > small[:, 1:]
+    out = 0
+    for b in bits.flatten():
+        out = (out << 1) | int(b)
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash (aHash): gray → 8×8 area resize → bit =
+    pixel > mean. The weakest-but-fastest family member; kept for
+    dedup-union experiments alongside phash/dhash."""
+    small = resize_area_rect(to_gray(img), 8, 8)
+    bits = small > small.mean()
+    out = 0
+    for b in bits.flatten():
+        out = (out << 1) | int(b)
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
+def resize_area_rect(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Rectangular variant of resize_area (dHash needs 8×9)."""
+    h, w = gray.shape
+    integ = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integ[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    y0, y1 = _cell_bounds(h, out_h)
+    x0, x1 = _cell_bounds(w, out_w)
+    sums = (
+        integ[np.ix_(y1, x1)]
+        - integ[np.ix_(y0, x1)]
+        - integ[np.ix_(y1, x0)]
+        + integ[np.ix_(y0, x0)]
+    )
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums / areas

@@ -64,3 +64,52 @@ def test_resize_area_small_and_large():
     # area resize preserves the global mean for exact-divisor shapes
     sq = np.arange(64 * 64, dtype=np.float64).reshape(64, 64)
     assert abs(phash.resize_area(sq, 32).mean() - sq.mean()) < 1e-9
+
+
+# ------------------------------------------------- dHash / aHash family
+
+def test_dhash_ahash_invariance_under_reencode():
+    # the lossy qpng round trip perturbs pixels slightly; every hash
+    # family member must stay within a small Hamming radius of the
+    # original, while a different image stays far away
+    from ccbot_spark import phash as P
+
+    cfg = synthweb.WebConfig()
+    for fn in (P.phash64, P.dhash64, P.ahash64):
+        closer = 0
+        for i in range(8):
+            base = synthweb.image_pixels(cfg, f"http://h7.test/img/{i:02x}.png")
+            other = synthweb.image_pixels(cfg, f"http://h8.test/img/{i:02x}.png")
+            re_enc = codecs.decode(codecs.encode(base, "qpng"), "qpng")
+            if P.hamming64(fn(base), fn(re_enc)) < P.hamming64(
+                fn(base), fn(other)
+            ):
+                closer += 1
+        assert closer >= 7, fn.__name__
+        # lossless re-encodes are exactly invariant for every family
+        px = synthweb.image_pixels(cfg, "http://h9.test/img/cc.png")
+        via = codecs.decode(codecs.encode(px, "png"), "png")
+        assert fn(px) == fn(via), fn.__name__
+
+
+def test_hash_features_spark_matches_python(spark):
+    from ccbot_spark import codecs
+    from ccbot_spark import phash as P
+    from ccbot_spark.functions import multimodal
+
+    import numpy as np
+
+    rows = []
+    want = {}
+    for i in range(12):
+        rs = np.random.RandomState(i)
+        px = rs.randint(0, 256, size=(20 + i, 30 + i, 3), dtype=np.uint8)
+        fmt = ["ppm", "png", "bmp"][i % 3]
+        rows.append((f"im-{i}", codecs.encode(px, fmt), fmt))
+        want[f"im-{i}"] = (P.phash64(px), P.dhash64(px), P.ahash64(px))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {
+        r.image_id: (r.phash, r.dhash, r.ahash)
+        for r in multimodal.hash_features(df).collect()
+    }
+    assert got == want
