@@ -1277,6 +1277,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_hash_family"] = img_hash_family
 
+    def img_bucketed_shards(spark, sf_dir):
+        # group-pure WebDataset planning: shards never mix aspect
+        # buckets (fixed-tensor-shape shards after bucket_resize).
+        # Pure relational: two-phase running total over (bucket, key)
+        # order + group-cardinality-sized base offsets — DuckDB replays
+        # it as per-bucket SQL windows.
+        from ccbot_spark import wds
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        s = multimodal.synth_images_from_docs(docs).withColumn(
+            "caption",
+            F.concat(
+                F.lit("caption for image "),
+                F.regexp_extract("image_id", r"(\d+)", 1),
+            ),
+        )
+        costed = s.withColumn(
+            "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+        ).withColumn("bucket", multimodal.aspect_bucket_col("w", "h"))
+        assigned, cache = wds.plan_shards_grouped(
+            costed, 96 * 1024, "bucket", num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return assigned.groupBy("shard_id").agg(
+            F.min("bucket").alias("bucket"),
+            F.count("*").alias("n_samples"),
+            F.sum("plan_cost").alias("plan_bytes"),
+            F.min("image_id").alias("key_min"),
+            F.max("image_id").alias("key_max"),
+        )
+    q["img_bucketed_shards"] = img_bucketed_shards
+
     def img_size_hist(spark, sf_dir):
         # corpus resolution profile chained ON the header parse (one
         # metadata-speed scan + one tiny hash-agg) — class bounds over
@@ -2829,6 +2861,58 @@ def oracle_sql() -> dict[str, str]:
                MIN(image_id) AS key_min,
                MAX(image_id) AS key_max
         FROM a GROUP BY shard_id
+    """
+
+    # --- img_bucketed_shards: group-pure planning replayed as SQL —
+    # per-bucket running windows, shard counts from the last sample's
+    # pre-cost running total (a straddling sample stays in its shard),
+    # bases = shards of lexicographically earlier buckets.
+    o["img_bucketed_shards"] = """
+        WITH s AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h,
+                 'caption for image ' || CAST(doc_id AS VARCHAR) AS caption
+          FROM documents WHERE doc_id < 450
+        ), c AS (
+          SELECT image_id,
+                 CAST(512 + ((3 * w * h + 511) // 512) * 512
+                    + 512 + ((length(caption) + 511) // 512) * 512
+                      AS BIGINT) AS plan_cost,
+                 CASE WHEN (1000 * w) // h < 649 THEN '9:16'
+                      WHEN (1000 * w) // h < 866 THEN '3:4'
+                      WHEN (1000 * w) // h < 1154 THEN '1:1'
+                      WHEN (1000 * w) // h < 1539 THEN '4:3'
+                      ELSE '16:9' END AS bucket
+          FROM s
+        ), a AS (
+          SELECT image_id, bucket, plan_cost,
+                 SUM(plan_cost) OVER (
+                   PARTITION BY bucket ORDER BY image_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - plan_cost AS bef
+          FROM c
+        ), g AS (
+          SELECT bucket, MAX(bef) // 98304 + 1 AS n_shards
+          FROM a GROUP BY bucket
+        ), b AS (
+          SELECT bucket,
+                 COALESCE(SUM(n_shards) OVER (
+                   ORDER BY bucket ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS base
+          FROM g
+        ), x AS (
+          SELECT a.image_id, a.bucket, a.plan_cost,
+                 CAST(b.base + a.bef // 98304 AS BIGINT) AS shard_id
+          FROM a JOIN b USING (bucket)
+        )
+        SELECT shard_id, MIN(bucket) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(plan_cost) AS BIGINT) AS plan_bytes,
+               MIN(image_id) AS key_min,
+               MAX(image_id) AS key_max
+        FROM x GROUP BY shard_id
     """
 
     # --- img_mm_dedup: phash-band near pairs (img_phash_near synthesis,

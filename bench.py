@@ -215,6 +215,15 @@ def main() -> None:
 
     bench("q_img_pipeline", img_pipeline)
 
+    def img_letterbox():
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).select("doc_id")
+        run(multimodal.bucket_resize(multimodal.synth_images_from_docs(docs)))
+
+    bench("q_img_letterbox", img_letterbox)
+    bench("q_classifier", lambda: run(qs["text_classifier"](spark, SF_DIR)))
+
     # ---- WebDataset training export: encode + plan + tar-write the
     # full synth image corpus (samples/sec is the export-side
     # throughput twin of q_img_pipeline's decode side). Shards land in

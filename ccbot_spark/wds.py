@@ -116,6 +116,75 @@ def plan_shards(
     return out, cache
 
 
+def plan_shards_grouped(
+    df: DataFrame,
+    target_bytes: int,
+    group_col: str,
+    key_col: str = "image_id",
+    cost_col: str = "plan_cost",
+    num_partitions: int = 32,
+    shard_col: str = "shard_id",
+) -> tuple[DataFrame, DataFrame]:
+    """GROUP-PURE shard planning: like plan_shards, but a shard never
+    mixes groups — the fixed-shape training-export contract (after
+    bucket_resize, every sample in an aspect bucket has the same
+    (w, h), so a group-pure shard is a fixed-tensor-shape shard a
+    loader can batch without padding or reshaping).
+
+    Scale shape: one two-phase running total over the GLOBAL
+    (group, key) order — groups are contiguous in that order, so the
+    within-group running cost is (run_before − group_offset) where
+    group_offset = min(run_before) per group. Group offsets and shard
+    bases are per-group aggregates (one row per group — the aspect
+    ladder has 5), so the only extra cost over plan_shards is a
+    group-cardinality-sized broadcast join; the corpus never sees a
+    per-group window partition (which would funnel 1/|groups| of a
+    10^10-row corpus through one task).
+
+    Shard ids are globally sequential in (group, key) order:
+    base(group) = Σ n_shards(earlier groups), computed with a window
+    over the GROUP-CARDINALITY-sized aggregate (bounded rows, not
+    data). Returns (assigned_df, cache_handle) like plan_shards; the
+    assigned frame keeps group_col so consumers can assert purity."""
+    from pyspark.sql.window import Window
+
+    run, _total, cache = sequencing.global_running_total(
+        df, [group_col, key_col], cost_col, num_partitions, out_col="_run"
+    )
+    before = F.col("_run") - F.col(cost_col)
+    t = F.lit(int(target_bytes))
+    offs = run.groupBy(group_col).agg(
+        F.min(before).alias("_goff"),
+        # the group's LAST sample (max key): its 'before' value is the
+        # largest within-group running cost any shard cut can see — a
+        # straddling last sample stays in the shard it started in, so
+        # n_shards = floor(last_before/target) + 1, NOT ceil(total/t)
+        F.max(F.struct(F.col(key_col), before.alias("_b"))).alias("_last"),
+    )
+    local = F.col("_x") - F.pmod(F.col("_x"), t)
+    last_before = F.col("_last._b") - F.col("_goff")
+    n_local = (last_before - F.pmod(last_before, t)) / t + 1
+    w_base = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = offs.select(
+        group_col,
+        "_goff",
+        F.coalesce(
+            F.sum(n_local.cast("long")).over(w_base), F.lit(0)
+        ).alias("_base"),
+    )
+    out = (
+        run.join(F.broadcast(bases), group_col)
+        .withColumn("_x", before - F.col("_goff"))
+        .withColumn(
+            shard_col, (F.col("_base") + local / t).cast("long")
+        )
+        .drop("_run", "_x", "_goff", "_base")
+    )
+    return out, cache
+
+
 def _tar_member(name: str, payload: bytes) -> bytes:
     """One USTAR member with all non-content fields pinned (mtime 0,
     uid/gid 0, empty uname/gname) so the bytes depend only on

@@ -239,3 +239,78 @@ def test_lookup_point_reads_one_shard(spark, tmp_path):
         assert (got["fmt"], got["bytes"], got["caption"]) == src[key]
     assert wds.lookup(spark, manifest, "zzz-out-of-range") is None
     assert wds.lookup(spark, manifest, "doc-0!") is None  # inside a range
+
+
+# ---------------------------------------------------- group-pure planning
+
+def test_plan_shards_grouped_purity_and_python_reference(spark):
+    s = _samples(spark, 240)
+    costed = s.withColumn(
+        "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+    ).withColumn("bucket", multimodal.aspect_bucket_col("w", "h"))
+    assigned, cache = wds.plan_shards_grouped(
+        costed, TARGET, "bucket", num_partitions=8
+    )
+    rows = assigned.select("bucket", "image_id", "plan_cost", "shard_id").collect()
+    cache.unpersist()
+
+    # python reference: per-group running cut in (group, key) order,
+    # bases = shards of earlier groups
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r.bucket, []).append((r.image_id, r.plan_cost))
+    want = {}
+    base = 0
+    for g in sorted(by_group):
+        run = 0
+        top = 0
+        for k, c in sorted(by_group[g]):
+            local = run // TARGET
+            want[k] = base + local
+            top = local
+            run += c
+        base += top + 1
+    got = {r.image_id: r.shard_id for r in rows}
+    assert got == want
+
+    # shard ids are 0..N-1 with no gaps; every shard is group-pure
+    shard_groups: dict[int, set] = {}
+    for r in rows:
+        shard_groups.setdefault(r.shard_id, set()).add(r.bucket)
+    assert set(shard_groups) == set(range(len(shard_groups)))
+    assert all(len(gs) == 1 for gs in shard_groups.values())
+    assert len({r.bucket for r in rows}) >= 3, "fixture must span buckets"
+    assert len(shard_groups) > len({r.bucket for r in rows}), \
+        "groups must split into multiple shards"
+
+
+def test_grouped_shards_after_letterbox_are_fixed_shape(spark, tmp_path):
+    # the actual training-export composition: letterbox to bucket
+    # shapes, plan group-pure shards, write, read back — every shard's
+    # samples decode to ONE tensor shape
+    from ccbot_spark import codecs
+
+    s = _samples(spark, 90)
+    boxed = multimodal.bucket_resize(s)
+    # bucket_resize keeps (image_id, bucket, bytes, w, h, fmt); re-add captions
+    caps = s.select("image_id", "caption")
+    boxed = boxed.join(caps, "image_id")
+    costed = boxed.withColumn(
+        "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+    )
+    assigned, cache = wds.plan_shards_grouped(
+        costed, 48 * 1024, "bucket", num_partitions=8
+    )
+    out = str(tmp_path / "shards")
+    manifest = wds.write_shards(assigned, out).collect()
+    cache.unpersist()
+    assert sum(m.n_samples for m in manifest) == 90
+    tars = sorted(glob.glob(os.path.join(out, "*.tar")))
+    assert len(tars) == len(manifest)
+    n_back = 0
+    for t in tars:
+        rows_t = wds.read_shards(spark, out, pattern=os.path.basename(t)).collect()
+        n_back += len(rows_t)
+        dims = {codecs.decode(bytes(r.bytes), "ppm").shape for r in rows_t}
+        assert len(dims) == 1, (t, dims)
+    assert n_back == 90
