@@ -93,6 +93,7 @@ class CrawlEngine:
         fetch_checkpoint: bool = False,
         wds_dir: str | None = None,
         wds_target_bytes: int = 1 << 20,
+        wds_grouped: bool = False,
         canonical_dedup: bool = False,
         soft404_detect: bool = False,
         error_backoff: int = 0,
@@ -223,6 +224,10 @@ class CrawlEngine:
         # byte-deterministically.
         self.wds_dir = wds_dir
         self.wds_target_bytes = wds_target_bytes
+        # wds_grouped: shards never mix aspect buckets (group-pure
+        # planning over the bucket ladder — the fixed-shape contract a
+        # loader batching resized tensors needs; plan_shards_grouped)
+        self.wds_grouped = wds_grouped
         self.enforce_delay_wallclock = enforce_delay_wallclock
         self.delay_scale = delay_scale
         self.fetch_partitions = fetch_partitions
@@ -1766,12 +1771,27 @@ class CrawlEngine:
                 wdsmod.sample_cost(F.col("w"), F.col("h"), F.col("caption")),
             )
 
-            def _wds_sink():
-                assigned, cache = wdsmod.plan_shards(
-                    wds_src,
-                    self.wds_target_bytes,
-                    num_partitions=self.n_buckets,
+            if self.wds_grouped:
+                from .functions import multimodal as _mm
+
+                wds_src = wds_src.withColumn(
+                    "bucket", _mm.aspect_bucket_col("w", "h")
                 )
+
+            def _wds_sink():
+                if self.wds_grouped:
+                    assigned, cache = wdsmod.plan_shards_grouped(
+                        wds_src,
+                        self.wds_target_bytes,
+                        "bucket",
+                        num_partitions=self.n_buckets,
+                    )
+                else:
+                    assigned, cache = wdsmod.plan_shards(
+                        wds_src,
+                        self.wds_target_bytes,
+                        num_partitions=self.n_buckets,
+                    )
                 try:
                     # materializing the manifest IS the write; the rows
                     # then land in the wds_manifest table (the loader's

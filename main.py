@@ -134,6 +134,9 @@ def parse_args():
                         "directory (cycle=NNNNN/shard-*.tar)")
     p.add_argument("--wds-target-bytes", type=int, default=1 << 20,
                    help="declared-cost target size per WDS shard")
+    p.add_argument("--wds-grouped", action="store_true",
+                   help="group-pure WDS shards: no shard mixes aspect "
+                        "buckets (fixed-tensor-shape training export)")
     p.add_argument("--domain-budget", type=int, default=0,
                    help="cap > 0: at most N URLs per REGISTERED DOMAIN "
                         "(eTLD+1) per cycle across all its subdomain "
@@ -235,6 +238,7 @@ def main() -> None:
         ip_pool=args.ip_pool,
         evict_every=args.evict_every,
         wds_dir=args.wds_dir,
+        wds_grouped=args.wds_grouped,
         wds_target_bytes=args.wds_target_bytes,
         content_dedup=args.content_dedup,
         canonical_dedup=args.canonical,

@@ -314,3 +314,44 @@ def test_grouped_shards_after_letterbox_are_fixed_shape(spark, tmp_path):
         dims = {codecs.decode(bytes(r.bytes), "ppm").shape for r in rows_t}
         assert len(dims) == 1, (t, dims)
     assert n_back == 90
+
+
+def test_engine_grouped_wds_sink_bucket_pure_and_complete(spark, tmp_path):
+    """wds_grouped=True: the per-cycle export still round-trips exactly
+    (same corpus as the oracle's stored rows), and no shard mixes
+    aspect buckets — every tar's samples share one bucket of the
+    ladder (computed from the stored dims)."""
+    from ccbot_spark import oracle, synthweb
+    from ccbot_spark.engine import CrawlEngine
+
+    cfg = synthweb.WebConfig(n_hosts=4, pages_per_host=30)
+    seeds = synthweb.seed_urls(cfg, 10)
+    want_res = oracle.crawl(cfg, seeds, cycles=2)
+    out = str(tmp_path / "wds_g")
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "eng_g"), n_buckets=8,
+        record_trace=False, hot_host_min=10, bloom_min_seen=0,
+        wds_dir=out, wds_target_bytes=48 * 1024, wds_grouped=True,
+    )
+    eng.crawl(seeds, cycles=2)
+    want = {
+        r["image_id"]: (r["fmt"], r["bytes"], r["caption"], r["w"], r["h"])
+        for r in want_res.images
+    }
+    got = {}
+    buckets_seen = set()
+    for c in sorted(os.listdir(out)):
+        cyc = os.path.join(out, c)
+        for t in sorted(os.listdir(cyc)):
+            rows_t = wds.read_shards(spark, cyc, pattern=t).collect()
+            shard_buckets = set()
+            for r in rows_t:
+                iid = r["image_id"]
+                assert iid not in got, "sample exported twice"
+                got[iid] = (r["fmt"], bytes(r["bytes"]), r["caption"])
+                w, h = want[iid][3], want[iid][4]
+                shard_buckets.add(multimodal.aspect_bucket_py(w, h))
+            assert len(shard_buckets) == 1, (t, shard_buckets)
+            buckets_seen |= shard_buckets
+    assert got == {k: v[:3] for k, v in want.items()}
+    assert len(buckets_seen) >= 3, "fixture must span buckets"
