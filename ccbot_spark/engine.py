@@ -728,9 +728,13 @@ class CrawlEngine:
                     hs, us, ps = [], [], []
                     for h in pdf["host"]:
                         if sitemap_seeds == "robots":
-                            declared = robots_mod.parse_robots(
-                                synthweb.robots_txt(cfg, h)
-                            ).sitemaps
+                            declared = (
+                                []
+                                if synthweb.robots_unreachable(cfg, h)
+                                else robots_mod.parse_robots(
+                                    synthweb.robots_txt(cfg, h)
+                                ).sitemaps
+                            )
                             xmls = [
                                 synthweb.sitemap_xml(
                                     cfg, urlkit.host_of(sm) or h

@@ -58,9 +58,16 @@ def build_robots_table(
         for pdf in batches:
             rows = []
             for host in pdf["host"]:
-                rules = robots_mod.parse_robots(
-                    synthweb.robots_txt(cfg, host, ver)
-                )
+                if synthweb.robots_unreachable(cfg, host):
+                    # RFC 9309 §2.3.1.4: robots.txt unreachable due to
+                    # server error ⇒ complete disallow (unlike 404,
+                    # which means allow-all). No Sitemap discovery
+                    # either — the file was never read.
+                    rules = robots_mod.RobotsRules(disallow=["/"])
+                else:
+                    rules = robots_mod.parse_robots(
+                        synthweb.robots_txt(cfg, host, ver)
+                    )
                 rows.append(rules.to_row(host, synthweb.host_budget(cfg, host)))
             yield pd.DataFrame(
                 rows,

@@ -146,9 +146,13 @@ def crawl(
         # spec-compliant discovery path), fetched in declared order.
         for host in sorted({e.host for e in frontier.values()}):
             if sitemap_seeds == "robots":
-                declared = robots.parse_robots(
-                    synthweb.robots_txt(cfg, host)
-                ).sitemaps
+                declared = (
+                    []
+                    if synthweb.robots_unreachable(cfg, host)
+                    else robots.parse_robots(
+                        synthweb.robots_txt(cfg, host)
+                    ).sitemaps
+                )
                 xmls = [
                     synthweb.sitemap_xml(cfg, urlkit.host_of(sm) or host)
                     for sm in declared
@@ -177,7 +181,13 @@ def crawl(
     def host_rules(host: str, rob_ver: int) -> tuple[robots.RobotsRules, int]:
         key = (host, rob_ver)
         if key not in robots_cache:
-            rules = robots.parse_robots(synthweb.robots_txt(cfg, host, rob_ver))
+            if synthweb.robots_unreachable(cfg, host):
+                # RFC 9309 §2.3.1.4: 5xx robots ⇒ complete disallow
+                rules = robots.RobotsRules(disallow=["/"])
+            else:
+                rules = robots.parse_robots(
+                    synthweb.robots_txt(cfg, host, rob_ver)
+                )
             robots_cache[key] = (rules, synthweb.host_budget(cfg, host))
         return robots_cache[key]
 

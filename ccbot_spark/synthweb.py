@@ -51,6 +51,8 @@ class WebConfig:
     # (application/octet-stream): fetched + stored, never parsed
     soft404_pct: int = 0  # % of pages answering HTTP 200 with an
     # error template body (the misconfigured-server "soft 404")
+    robots_5xx_pct: int = 0  # % of hosts whose /robots.txt request
+    # answers a server error — RFC 9309 §2.3.1.4: complete disallow
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -111,6 +113,18 @@ def robots_txt(cfg: WebConfig, host: str, ver: int = 0) -> str:
         # group-independent) — exercised by sitemap_seeds="robots"
         lines.append(f"Sitemap: http://{host}/sitemap.xml")
     return "\n".join(lines) + "\n"
+
+
+def robots_unreachable(cfg: WebConfig, host: str) -> bool:
+    """Whether a host's /robots.txt request answers a server error
+    (enabled by robots_5xx_pct; a static property of the host — the
+    endpoint is broken, not flaky). RFC 9309 §2.3.1.4: a crawler that
+    cannot reach robots.txt due to 5xx MUST assume complete disallow —
+    the opposite of the 4xx case (absent file ⇒ allow all). Pure
+    function of (cfg, host) so oracle and engine agree."""
+    if cfg.robots_5xx_pct <= 0:
+        return False
+    return _digest(f"rob5xx:{cfg.seed}:{host}")[0] % 100 < cfg.robots_5xx_pct
 
 
 def host_budget(cfg: WebConfig, host: str) -> int:

@@ -107,6 +107,10 @@ def parse_args():
     p.add_argument("--soft404-pct", type=int, default=0,
                    help="synthetic-web knob: %% of pages answering 200 "
                         "with an error-template body")
+    p.add_argument("--robots-5xx-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of hosts whose "
+                        "robots.txt request answers 5xx — RFC 9309: "
+                        "complete disallow for those hosts")
     p.add_argument("--recrawl-every", type=int, default=0,
                    help="revisit policy: re-enqueue fetched pages every "
                         "K cycles (0 = crawl each page once)")
@@ -210,6 +214,7 @@ def main() -> None:
         binary_pct=args.binary_pct,
         canonical_pct=args.canonical_pct,
         soft404_pct=args.soft404_pct,
+        robots_5xx_pct=args.robots_5xx_pct,
         robots_change_every=args.robots_change_every,
         rate_limit_pct=args.rate_limit_pct,
         domain_groups=args.domain_groups,

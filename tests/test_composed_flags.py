@@ -39,6 +39,7 @@ CFG = synthweb.WebConfig(
     domain_groups=2,
     binary_pct=15,
     soft404_pct=15,
+    robots_5xx_pct=20,
 )
 SEEDS = synthweb.seed_urls(CFG, 18)
 CYCLES = 4

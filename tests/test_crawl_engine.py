@@ -1403,3 +1403,39 @@ def test_incremental_image_export_between_cycle_tags(engine_res):
     assert all(
         e["path"] not in old_paths for e in eng.images.added_files(v1)
     )
+
+
+def test_robots_5xx_matches_oracle(spark, tmp_path):
+    """Hosts with a 5xx robots endpoint are completely disallowed
+    (RFC 9309 §2.3.1.4): every candidate on them traces robots_denied
+    and nothing is ever fetched there; reachable hosts crawl normally.
+    Engine == oracle on trace/seen/frontier."""
+    cfg = synthweb.WebConfig(n_hosts=6, pages_per_host=40, robots_5xx_pct=35)
+    seeds = synthweb.seed_urls(cfg, 18)
+    bad_hosts = {
+        cfg.host(k)
+        for k in range(cfg.n_hosts)
+        if synthweb.robots_unreachable(cfg, cfg.host(k))
+    }
+    assert bad_hosts and len(bad_hosts) < cfg.n_hosts, "fixture must split"
+    want = oracle.crawl(cfg, seeds, cycles=3)
+    off = oracle.crawl(
+        synthweb.WebConfig(n_hosts=6, pages_per_host=40), seeds, cycles=3
+    )
+    assert want.trace != off.trace, "5xx handling must change the crawl"
+    fetched_hosts = {t[3] for t in want.trace if t[5] == "fetched"}
+    assert not (fetched_hosts & bad_hosts), "no fetch on unreachable hosts"
+    assert any(
+        t[3] in bad_hosts and t[5] == "robots_denied" for t in want.trace
+    ), "unreachable hosts must produce denials"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "r5"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    fr = {r.url_norm: r.status for r in eng.frontier.read().collect()}
+    want_fr = {e.url_norm: e.status for e in want.frontier.values()}
+    assert fr == want_fr

@@ -141,3 +141,19 @@ def test_matches_urllib_robotparser(allow, disallow, path):
     want = rp.can_fetch("*", f"http://h.test{path}")
     got = robots.allowed(r.allow, r.disallow, path)
     assert got == want, (allow, disallow, path)
+
+
+def test_robots_5xx_means_complete_disallow():
+    """RFC 9309 §2.3.1.4: a host whose robots.txt request answers a
+    server error is completely disallowed — the opposite of the absent-
+    file (4xx) case. Pure-python layer: the unreachable set is a
+    deterministic slice, and an unreachable host's rules deny every
+    path while its declared sitemaps vanish."""
+    from ccbot_spark import synthweb
+
+    cfg = synthweb.WebConfig(n_hosts=20, robots_5xx_pct=40)
+    hosts = [cfg.host(k) for k in range(20)]
+    unreachable = [h for h in hosts if synthweb.robots_unreachable(cfg, h)]
+    assert unreachable and len(unreachable) < len(hosts)
+    off = synthweb.WebConfig(n_hosts=20)
+    assert not any(synthweb.robots_unreachable(off, h) for h in hosts)
