@@ -96,6 +96,7 @@ class CrawlEngine:
         wds_grouped: bool = False,
         canonical_dedup: bool = False,
         soft404_detect: bool = False,
+        max_body_bytes: int = 0,
         error_backoff: int = 0,
         domain_budget: int = 0,
         ip_pool: int = 0,
@@ -260,6 +261,11 @@ class CrawlEngine:
         # or stored, terminal status 'soft404', traced 'soft404'
         # (mirrors oracle.crawl(soft404_detect=True))
         self.soft404_detect = soft404_detect
+        # max_body_bytes = CAP > 0 (the Heritrix maxLength rule): a
+        # response longer than CAP is aborted at the cap — slot
+        # consumed, CAP bytes counted, terminal status 'oversize',
+        # never parsed/archived (mirrors oracle.crawl(max_body_bytes))
+        self.max_body_bytes = max_body_bytes
         # error_backoff = CAP > 0: an errored URL cools down for
         # min(2^retries, CAP) cycles through the frontier's not_before
         # gate instead of retrying next cycle (exponential backoff on
@@ -637,7 +643,7 @@ class CrawlEngine:
         (tests/test_eviction.py: traces byte-identical)."""
         f = self.frontier.read()
         term = F.col("status").isin(
-            "denied", "redirect", "canonical", "soft404"
+            "denied", "redirect", "canonical", "soft404", "oversize"
         ) | (
             (F.col("status") == "error") & (F.col("retries") >= MAX_RETRIES)
         )
@@ -1025,6 +1031,16 @@ class CrawlEngine:
         # links, no images. Filter runs over the cached fetch output;
         # at 100 TB this prunes the parse stages' input before any
         # html-width shuffle.
+        # ---- oversize gate (FIRST among the body gates: a transfer
+        # aborted at the cap has no trustworthy body for any later
+        # sniff — content-type, soft-404, canonical, digest all skip).
+        # One JVM octet_length comparison over the cached fetch output.
+        overs = None
+        if self.max_body_bytes:
+            big = F.octet_length(F.col("html")) > self.max_body_bytes
+            overs = fetched.filter(big)
+            fetched = fetched.filter(~big)
+
         bins = None
         if self.cfg.binary_pct:
             bins = fetched.filter(F.col("content_type") != "text/html")
@@ -1272,7 +1288,14 @@ class CrawlEngine:
             F.sum((F.col("ok") & F.col("redirect").isNotNull()).cast("long")).alias("redirects"),
             F.sum((F.col("ok") & F.col("not_modified")).cast("long")).alias("not_modified"),
             F.sum(F.col("rate_limited").cast("long")).alias("rate_limited"),
-            F.sum(F.octet_length(F.col("html"))).alias("html_bytes"),
+            F.sum(
+                F.least(
+                    F.octet_length(F.col("html")),
+                    F.lit(self.max_body_bytes),
+                )
+                if self.max_body_bytes
+                else F.octet_length(F.col("html"))
+            ).alias("html_bytes"),
         )
         m_links = links.groupBy(F.col("page_host").alias("host")).agg(
             F.count("*").alias("parsed_links")
@@ -1308,6 +1331,14 @@ class CrawlEngine:
             m_s404 = self.spark.createDataFrame(
                 [], "host string, soft404s long"
             )
+        if overs is not None:
+            m_over = overs.groupBy("host").agg(
+                F.count("*").alias("oversized")
+            )
+        else:
+            m_over = self.spark.createDataFrame(
+                [], "host string, oversized long"
+            )
         metrics_df = (
             m_fetch.join(m_links, "host", "left")
             .join(m_store, "host", "left")
@@ -1315,6 +1346,7 @@ class CrawlEngine:
             .join(m_cdup, "host", "left")
             .join(m_canon, "host", "left")
             .join(m_s404, "host", "left")
+            .join(m_over, "host", "left")
             .select(
                 F.lit(cycle).cast("int").alias("cycle"),
                 urlops.host_bucket(F.col("host"), self.n_buckets).alias("partition_id"),
@@ -1340,6 +1372,9 @@ class CrawlEngine:
                 F.coalesce(F.col("soft404s"), F.lit(0))
                 .cast("long")
                 .alias("soft404s"),
+                F.coalesce(F.col("oversized"), F.lit(0))
+                .cast("long")
+                .alias("oversized"),
             )
         )
 
@@ -1403,6 +1438,10 @@ class CrawlEngine:
                 events = events.unionByName(
                     evt(soft404s, 2, "soft404", slot=True, sched=True)
                 )
+            if overs is not None:
+                events = events.unionByName(
+                    evt(overs, 2, "oversize", slot=True, sched=True)
+                )
         # ---- frontier MERGE INTO: status updates + new-link inserts
         bucket = urlops.host_bucket(F.col("host"), self.n_buckets)
         # fetched ∪ not_modified both end the cycle as status 'fetched'
@@ -1444,6 +1483,11 @@ class CrawlEngine:
             # soft-404 pages get their own terminal status below
             upd_base = upd_base.join(
                 soft404s.select("url_norm"), "url_norm", "left_anti"
+            )
+        if overs is not None:
+            # oversize pages get their own terminal status below
+            upd_base = upd_base.join(
+                overs.select("url_norm"), "url_norm", "left_anti"
             )
         upd_fetched = upd_base.select(
             "url_norm", "host", "priority",
@@ -1555,6 +1599,20 @@ class CrawlEngine:
                 _dep0,
             ).withColumn("bucket", bucket)
             merge_src = merge_src.unionByName(upd_s404)
+        if overs is not None:
+            upd_over = overs.select(
+                "url_norm", "host", "priority",
+                F.lit(0).cast("int").alias("dt_cycle"),
+                F.lit(0).cast("long").alias("dt_seq"),
+                F.lit("oversize").alias("status"),  # terminal
+                F.lit(0).cast("int").alias("cycle_added"),
+                F.col("retries").cast("int"),
+                F.col("last_cycle").cast("int"),
+                F.col("interval").cast("int"),
+                F.lit(0).cast("int").alias("not_before"),
+                _dep0,
+            ).withColumn("bucket", bucket)
+            merge_src = merge_src.unionByName(upd_over)
 
         new_seen = new_rows.select(
             "url_norm",
@@ -1587,6 +1645,8 @@ class CrawlEngine:
             counts["content_dup"] = content_dups.count()  # fd is cached
         if soft404s is not None:
             counts["soft404"] = soft404s.count()  # attempts is cached
+        if overs is not None:
+            counts["oversized"] = overs.count()  # attempts is cached
         _mark("fetch")
         links.count()
         cand.count()

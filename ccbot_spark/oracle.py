@@ -101,6 +101,7 @@ def crawl(
     age_boost: int = 0,
     canonical_dedup: bool = False,
     soft404_detect: bool = False,
+    max_body_bytes: int = 0,
     error_backoff: int = 0,
     domain_budget: int = 0,
     ip_pool: int = 0,
@@ -322,7 +323,7 @@ def crawl(
                     fetched=0, parsed_links=0, stored_images=0,
                     dedup_hits=0, errors=0, bytes=0, redirects=0,
                     not_modified=0, rate_limited=0, content_dup=0,
-                    canonicals=0, soft404s=0,
+                    canonicals=0, soft404s=0, oversized=0,
                 )
             return host_metrics[host]
 
@@ -406,6 +407,20 @@ def crawl(
                             disc_depth[tgt] = e.depth + 1
                 continue
             html = synthweb.fetch(cfg, url, cur_ver)
+            if (
+                max_body_bytes
+                and len(html.encode("utf-8")) > max_body_bytes
+            ):
+                # oversize gate (FIRST among the body gates — a
+                # transfer aborted at the cap has no trustworthy body
+                # for any later sniff): slot consumed, cap bytes
+                # transferred, terminal status, never parsed/archived.
+                e.status = "oversize"
+                m["fetched"] += 1
+                m["oversized"] += 1
+                m["bytes"] += max_body_bytes
+                events.append((2, st, host, url, slot, "oversize"))
+                continue
             if synthweb.content_type_of(cfg, url) != "text/html":
                 # content-type gate: non-HTML payload — slot consumed,
                 # bytes transferred, terminal fetched status, never

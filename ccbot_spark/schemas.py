@@ -118,6 +118,9 @@ METRICS = T.StructType(
         # HTTP-200 responses whose body is an error template
         # (soft404_detect=True): slot consumed, never parsed/stored
         T.StructField("soft404s", T.LongType(), False),
+        # transfers aborted at max_body_bytes (the Heritrix maxLength
+        # rule): slot consumed, cap bytes counted, never parsed
+        T.StructField("oversized", T.LongType(), False),
     ]
 )
 

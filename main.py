@@ -107,6 +107,9 @@ def parse_args():
     p.add_argument("--soft404-pct", type=int, default=0,
                    help="synthetic-web knob: %% of pages answering 200 "
                         "with an error-template body")
+    p.add_argument("--max-body-bytes", type=int, default=0,
+                   help="abort transfers longer than this many bytes "
+                        "(terminal 'oversize', never parsed)")
     p.add_argument("--robots-5xx-pct", type=int, default=0,
                    help="synthetic-web knob: %% of hosts whose "
                         "robots.txt request answers 5xx — RFC 9309: "
@@ -248,6 +251,7 @@ def main() -> None:
         content_dedup=args.content_dedup,
         canonical_dedup=args.canonical,
         soft404_detect=args.soft404_detect,
+        max_body_bytes=args.max_body_bytes,
         age_boost=args.age_boost,
         warc_dir=args.warc_dir,
         warc_segments=args.warc_segments,

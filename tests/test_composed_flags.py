@@ -43,6 +43,16 @@ CFG = synthweb.WebConfig(
 )
 SEEDS = synthweb.seed_urls(CFG, 18)
 CYCLES = 4
+# oversize cap: the 90th-percentile body length of the composed web,
+# derived from the fixture itself so the gate binds without starving
+# the crawl (epoch 0 lengths; later epochs vary but stay in range)
+_LENS = sorted(
+    len(synthweb.fetch(CFG, f"http://{CFG.host(k)}/p/{j}").encode())
+    for k in range(CFG.n_hosts)
+    for j in range(CFG.pages_per_host)
+)
+MAX_BODY = _LENS[int(len(_LENS) * 0.9)]
+
 KNOBS = dict(
     trap_filter=True,
     recrawl_every=2,
@@ -51,6 +61,7 @@ KNOBS = dict(
     age_boost=1,
     canonical_dedup=True,
     soft404_detect=True,
+    max_body_bytes=MAX_BODY,
     error_backoff=1,
     domain_budget=12,
     ip_pool=3,
@@ -92,7 +103,7 @@ def test_composed_trace_exact(engine_res, oracle_res):
         "fetched", "fetch_error", "redirect", "budget_skipped",
         "domain_skipped", "rate_limited", "not_modified",
         "content_dup", "canonical", "robots_denied", "binary",
-        "soft404",
+        "soft404", "oversize",
     ):
         assert must in actions, f"hazard never fired: {must}"
 

@@ -1439,3 +1439,52 @@ def test_robots_5xx_matches_oracle(spark, tmp_path):
     fr = {r.url_norm: r.status for r in eng.frontier.read().collect()}
     want_fr = {e.url_norm: e.status for e in want.frontier.values()}
     assert fr == want_fr
+
+
+def test_max_body_bytes_matches_oracle(spark, tmp_path):
+    """Oversize gate (the Heritrix maxLength rule): a transfer longer
+    than the cap aborts — slot consumed, exactly cap bytes counted,
+    terminal status 'oversize', never parsed (no links, no images, no
+    digest). The cap is derived from the fixture's real body-length
+    distribution so the gate provably splits the corpus. Engine (one
+    JVM octet_length filter) == oracle on trace/seen/frontier/metrics,
+    composed with fail/redirect injection."""
+    cfg = synthweb.WebConfig(n_hosts=5, pages_per_host=60, fail_pct=10,
+                             redirect_pct=10)
+    seeds = synthweb.seed_urls(cfg, 20)
+    lens = sorted(
+        len(synthweb.fetch(cfg, f"http://{cfg.host(k)}/p/{j}").encode())
+        for k in range(cfg.n_hosts)
+        for j in range(30)
+    )
+    cap = lens[len(lens) // 2]  # median: both sides non-empty
+    assert lens[0] <= cap < lens[-1]
+
+    want = oracle.crawl(cfg, seeds, cycles=3, max_body_bytes=cap)
+    from collections import Counter
+
+    ca = Counter(t[5] for t in want.trace)
+    assert ca["oversize"] > 0 and ca["fetched"] > 0
+    off = oracle.crawl(cfg, seeds, cycles=3)
+    assert want.trace != off.trace
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "cap"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, max_body_bytes=cap)
+    eng.crawl(seeds, cycles=3)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    fr = {r.url_norm: r.status for r in eng.frontier.read().collect()}
+    want_fr = {e.url_norm: e.status for e in want.frontier.values()}
+    assert fr == want_fr
+    assert "oversize" in set(fr.values())
+    got_m = {
+        (r.cycle, r.host): (r.oversized, r.fetched, r.bytes)
+        for r in eng.metrics.read().collect()
+    }
+    want_m = {
+        (m["cycle"], m["host"]): (m["oversized"], m["fetched"], m["bytes"])
+        for m in want.metrics
+    }
+    assert got_m == want_m
