@@ -295,3 +295,40 @@ def test_eventops_plans_stay_shuffle_shaped(spark):
     # asof core (union + key window) — the join itself never shuffles
     # beyond the key partitioning
     assert explainkit.n_exchanges(asof) <= 2, explainkit.formatted_plan(asof)
+
+
+def test_classifier_weights_broadcast_and_one_doc_shuffle(spark):
+    # the learned weight layer must broadcast (never shuffle the
+    # exploded token stream against it) and the per-doc sum must be a
+    # partial-aggregated hash agg, not a window
+    from ccbot_spark.functions import textkit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    weights = spark.range(512).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).alias("weight"),
+    )
+    plan = explainkit.formatted_plan(
+        textkit.linear_classifier_score(docs, weights, n_buckets=512)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_letterbox_plan_is_pure_projection(spark, tmp_path):
+    # geometry stays a single JVM projection over the scan: no
+    # exchange, no Python, whole-stage codegen end to end
+    from ccbot_spark.functions import multimodal
+
+    p = str(tmp_path / "dims")
+    spark.createDataFrame(
+        [(i, 16 + i % 97, 16 + (i * 11) % 97) for i in range(50)],
+        "image_id long, w int, h int",
+    ).write.parquet(p)
+    plan = explainkit.formatted_plan(
+        multimodal.letterbox_plan(spark.read.parquet(p))
+    )
+    assert "Exchange" not in plan, plan
+    for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert pynode not in plan, plan
