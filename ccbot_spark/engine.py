@@ -97,6 +97,7 @@ class CrawlEngine:
         canonical_dedup: bool = False,
         soft404_detect: bool = False,
         max_body_bytes: int = 0,
+        dead_host_backoff: int = 0,
         error_backoff: int = 0,
         domain_budget: int = 0,
         ip_pool: int = 0,
@@ -266,6 +267,15 @@ class CrawlEngine:
         # consumed, CAP bytes counted, terminal status 'oversize',
         # never parsed/archived (mirrors oracle.crawl(max_body_bytes))
         self.max_body_bytes = max_body_bytes
+        # dead-host circuit breaker (= K > 0): a host whose attempts
+        # this cycle ALL errored (≥ 2 of them — one failure might be a
+        # URL-level transient) is deferred for the next K cycles: its
+        # candidates are invisible to GENERATE, like a host-wide
+        # not_before. Deferrals live in the bucketless host_backoff
+        # TABLE (appended per cycle, read per cycle, tagged/rolled
+        # back with every other table) — never driver state, so the
+        # dead set can be millions of hosts at 10^10 scale.
+        self.dead_host_backoff = dead_host_backoff
         # error_backoff = CAP > 0: an errored URL cools down for
         # min(2^retries, CAP) cycles through the frontier's not_before
         # gate instead of retrying next cycle (exponential backoff on
@@ -361,6 +371,11 @@ class CrawlEngine:
         if warc_cdx:
             self.cdx = make_table_store(spark, workdir, "cdx", schemas.CDX)
             self._tables.append(self.cdx)
+        if dead_host_backoff:
+            self.host_backoff = make_table_store(
+                spark, workdir, "host_backoff", schemas.HOST_BACKOFF
+            )
+            self._tables.append(self.host_backoff)
         if wds_dir:
             self.wds_manifest = make_table_store(
                 spark, workdir, "wds_manifest", schemas.WDS_MANIFEST
@@ -857,6 +872,19 @@ class CrawlEngine:
             # GENERATE (any status branch) until not_before is reached
             cand_pred = cand_pred & (F.col("not_before") <= F.lit(cycle))
             pending = self.frontier.read().filter(cand_pred)
+            if self.dead_host_backoff:
+                # dead-host circuit breaker: hosts with an active
+                # deferral are invisible to GENERATE this cycle (a
+                # host-wide not_before; no trace events, exactly like
+                # the per-URL deferral). One anti-join against the
+                # small active slice of the host_backoff table.
+                active_backoff = (
+                    self.host_backoff.read()
+                    .filter(F.col("until_cycle") > F.lit(cycle))
+                    .select("host")
+                    .dropDuplicates(["host"])
+                )
+                pending = pending.join(active_backoff, "host", "left_anti")
             # conditional-GET verdict, decided JVM-side before the fetch:
             # a recrawl candidate whose last fetch falls in the current
             # content epoch will answer 304 (slot consumed, no body)
@@ -1708,6 +1736,24 @@ class CrawlEngine:
             sinks.append(lambda: self.digests.append(new_digests))
         if trace_df is not None:
             sinks.append(lambda: self.trace.append(trace_df))
+        if self.dead_host_backoff:
+            # detection from the per-host attempt sums already computed
+            # for the metrics: every attempt errored (≥ 2 of them) and
+            # no response of any kind ⇒ the SERVER is down, defer the
+            # host for the next K cycles
+            dead_hosts_df = m_fetch.filter(
+                (F.col("errors") >= 2)
+                & (F.col("fetched") == 0)
+                & (F.col("redirects") == 0)
+                & (F.col("not_modified") == 0)
+                & (F.col("rate_limited") == 0)
+            ).select(
+                "host",
+                F.lit(cycle + self.dead_host_backoff + 1)
+                .cast("int")
+                .alias("until_cycle"),
+            )
+            sinks.append(lambda: self.host_backoff.append(dead_hosts_df))
         if self.warc_dir:
             from . import warc as warcmod
             from .functions import textkit

@@ -102,6 +102,7 @@ def crawl(
     canonical_dedup: bool = False,
     soft404_detect: bool = False,
     max_body_bytes: int = 0,
+    dead_host_backoff: int = 0,
     error_backoff: int = 0,
     domain_budget: int = 0,
     ip_pool: int = 0,
@@ -192,6 +193,9 @@ def crawl(
             robots_cache[key] = (rules, synthweb.host_budget(cfg, host))
         return robots_cache[key]
 
+    # dead-host circuit breaker: host → first eligible cycle again
+    dead_until: dict[str, int] = {}
+
     for cycle in range(1, cycles + 1):
         # ---- GENERATE: per-host candidate ordering + robots + budget
         by_host: dict[str, list[FrontierEntry]] = {}
@@ -199,6 +203,10 @@ def crawl(
             # 429 Retry-After deferral: not eligible again until
             # not_before (regardless of status branch)
             if e.not_before > cycle:
+                continue
+            # dead-host circuit breaker: a host-wide not_before —
+            # deferred hosts' candidates are invisible, no trace
+            if dead_host_backoff and dead_until.get(e.host, 0) > cycle:
                 continue
             # candidates: pending, plus errored entries with retry
             # budget left (transient-failure recrawl)
@@ -586,5 +594,17 @@ def crawl(
         for host in sorted(host_metrics):
             m = host_metrics[host]
             res.metrics.append(dict(cycle=cycle, partition_id=-1, host=host, **m))
+            if (
+                dead_host_backoff
+                and m["errors"] >= 2
+                and m["fetched"] == 0
+                and m["redirects"] == 0
+                and m["not_modified"] == 0
+                and m["rate_limited"] == 0
+            ):
+                # every attempt on this host errored — the server is
+                # down; defer the host for the next K cycles (mirrors
+                # the engine's host_backoff table append)
+                dead_until[host] = cycle + dead_host_backoff + 1
 
     return res

@@ -59,6 +59,17 @@ FRONTIER = T.StructType(
     ]
 )
 
+# Dead-host circuit-breaker deferrals (engine dead_host_backoff=K):
+# one row per (host, first-eligible-cycle) appended when every attempt
+# on a host errored in one cycle; hosts with an active row are
+# invisible to GENERATE — a host-wide not_before.
+HOST_BACKOFF = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("until_cycle", T.IntegerType(), False),
+    ]
+)
+
 # Exact URL-seen set (FIXTURES.md §2.4).
 SEEN = T.StructType(
     [

@@ -53,6 +53,8 @@ class WebConfig:
     # error template body (the misconfigured-server "soft 404")
     robots_5xx_pct: int = 0  # % of hosts whose /robots.txt request
     # answers a server error — RFC 9309 §2.3.1.4: complete disallow
+    dead_host_pct: int = 0  # % of hosts that are DOWN: every page
+    # fetch fails (the dead-host-circuit-breaker fixture)
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -269,12 +271,23 @@ def fetch_image(cfg: WebConfig, img_url: str) -> tuple[bytes, int, int, str]:
     return codecs.encode(px, fmt), px.shape[1], px.shape[0], fmt
 
 
+def host_dead(cfg: WebConfig, host: str) -> bool:
+    """Whether a host is DOWN — every page fetch fails (enabled by
+    dead_host_pct; the server, not the page, is broken). Pure function
+    of (cfg, host); the dead-host circuit breaker's fixture."""
+    if cfg.dead_host_pct <= 0:
+        return False
+    return _digest(f"dead:{cfg.seed}:{host}")[0] % 100 < cfg.dead_host_pct
+
+
 def fetch_ok(cfg: WebConfig, url: str, attempt: int = 0) -> bool:
     """Deterministic fetch outcome: a fail_pct slice of fetches errors
     (connection reset / 5xx in a real crawl). Pure function of
     (url, attempt) so oracle and engine agree AND retries can succeed
     — transient-failure semantics. The failed fetch still consumed its
-    politeness slot."""
+    politeness slot. Dead hosts (dead_host_pct) fail every attempt."""
+    if cfg.dead_host_pct and host_dead(cfg, url.split("/")[2]):
+        return False
     if not cfg.fail_pct:
         return True
     return _digest(f"fail:{cfg.seed}:{url}:{attempt}")[0] % 100 >= cfg.fail_pct

@@ -110,6 +110,13 @@ def parse_args():
     p.add_argument("--max-body-bytes", type=int, default=0,
                    help="abort transfers longer than this many bytes "
                         "(terminal 'oversize', never parsed)")
+    p.add_argument("--dead-host-backoff", type=int, default=0,
+                   help="circuit breaker: a host whose attempts all "
+                        "errored in one cycle is deferred this many "
+                        "cycles (host-wide not_before)")
+    p.add_argument("--dead-host-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of hosts that are down "
+                        "(every fetch fails)")
     p.add_argument("--robots-5xx-pct", type=int, default=0,
                    help="synthetic-web knob: %% of hosts whose "
                         "robots.txt request answers 5xx — RFC 9309: "
@@ -218,6 +225,7 @@ def main() -> None:
         canonical_pct=args.canonical_pct,
         soft404_pct=args.soft404_pct,
         robots_5xx_pct=args.robots_5xx_pct,
+        dead_host_pct=args.dead_host_pct,
         robots_change_every=args.robots_change_every,
         rate_limit_pct=args.rate_limit_pct,
         domain_groups=args.domain_groups,
@@ -252,6 +260,7 @@ def main() -> None:
         canonical_dedup=args.canonical,
         soft404_detect=args.soft404_detect,
         max_body_bytes=args.max_body_bytes,
+        dead_host_backoff=args.dead_host_backoff,
         age_boost=args.age_boost,
         warc_dir=args.warc_dir,
         warc_segments=args.warc_segments,

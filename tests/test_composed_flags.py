@@ -32,7 +32,7 @@ CFG = synthweb.WebConfig(
     # answer 304 (every recrawl would land in a fresh epoch)
     change_every=3,
     nofollow_pct=10,
-    mirror_pct=15,
+    mirror_pct=25,
     canonical_pct=15,
     robots_change_every=2,
     rate_limit_pct=30,
@@ -40,6 +40,7 @@ CFG = synthweb.WebConfig(
     binary_pct=15,
     soft404_pct=15,
     robots_5xx_pct=20,
+    dead_host_pct=15,
 )
 SEEDS = synthweb.seed_urls(CFG, 18)
 CYCLES = 4
@@ -62,6 +63,7 @@ KNOBS = dict(
     canonical_dedup=True,
     soft404_detect=True,
     max_body_bytes=MAX_BODY,
+    dead_host_backoff=2,
     error_backoff=1,
     domain_budget=12,
     ip_pool=3,

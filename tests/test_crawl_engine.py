@@ -1488,3 +1488,50 @@ def test_max_body_bytes_matches_oracle(spark, tmp_path):
         for m in want.metrics
     }
     assert got_m == want_m
+
+
+def test_dead_host_circuit_breaker_matches_oracle(spark, tmp_path):
+    """Dead-host circuit breaker: a host whose attempts ALL errored in
+    one cycle (>= 2 of them) is deferred for K cycles — a host-wide
+    not_before with no trace events, held in the host_backoff TABLE
+    (never driver state). Dead hosts' URLs are attempted in bursts
+    separated by >= K silent cycles instead of every cycle; live hosts
+    are unaffected. Engine == oracle on trace/seen/frontier."""
+    cfg = synthweb.WebConfig(n_hosts=6, pages_per_host=40, dead_host_pct=35)
+    seeds = synthweb.seed_urls(cfg, 18)
+    dead = {
+        cfg.host(k)
+        for k in range(cfg.n_hosts)
+        if synthweb.host_dead(cfg, cfg.host(k))
+    }
+    assert dead and len(dead) < cfg.n_hosts, "fixture must split"
+    K = 2
+    want = oracle.crawl(cfg, seeds, cycles=6, dead_host_backoff=K)
+    off = oracle.crawl(cfg, seeds, cycles=6)
+    assert want.trace != off.trace, "the breaker must change the crawl"
+
+    # non-vacuous: with the breaker, a dead host's error events cluster
+    # in bursts with >= K fully-silent cycles between them
+    def err_cycles(trace, host):
+        return sorted({t[1] for t in trace if t[3] == host and t[5] == "fetch_error"})
+
+    h = sorted(dead)[0]
+    on_c, off_c = err_cycles(want.trace, h), err_cycles(off.trace, h)
+    assert on_c and off_c
+    gaps = [b - a for a, b in zip(on_c, on_c[1:])]
+    assert all(g >= K + 1 for g in gaps), (on_c, gaps)
+    assert len(on_c) < len(off_c), "breaker must save politeness slots"
+
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "dead"), n_buckets=8,
+                      use_bloom=True, bloom_min_seen=0, record_trace=True,
+                      hot_host_min=10, dead_host_backoff=K)
+    eng.crawl(seeds, cycles=6)
+    assert _engine_trace(eng) == want.trace
+    got_seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert got_seen == want.seen
+    fr = {r.url_norm: r.status for r in eng.frontier.read().collect()}
+    want_fr = {e.url_norm: e.status for e in want.frontier.values()}
+    assert fr == want_fr
+    # the deferral table holds rows for dead hosts only
+    hb = {r.host for r in eng.host_backoff.read().collect()}
+    assert hb and hb <= dead
