@@ -1469,6 +1469,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_classifier"] = text_classifier
 
+    def text_pii_scrub(spark, sf_dir):
+        # PII redaction (emails → IPv4 → phones, chained JVM
+        # regexp_replace + regexp_count, one codegen scan). PII is
+        # PLANTED arithmetically on doc_id slices so the gate is
+        # non-vacuous; DuckDB plants the identical strings and runs
+        # the identical RE2-safe patterns — counts AND the full
+        # clean_text hash-compare.
+        d = F.col("doc_id")
+        s = lambda x: x.cast("string")  # noqa: E731
+        planted = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    d % 3 == 0,
+                    F.concat(F.lit(" contact user"), s(d), F.lit("@ex"),
+                             s(d % 7), F.lit(".org")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    d % 4 == 0,
+                    F.concat(F.lit(" from 10."), s(d % 256), F.lit(".0."),
+                             s(d % 200)),
+                ).otherwise(F.lit("")),
+                F.when(
+                    d % 5 == 0,
+                    F.concat(F.lit(" call 040-555-"), s(1000 + d % 9000)),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return textkit.pii_scrub(planted)
+    q["text_pii_scrub"] = text_pii_scrub
+
     def text_curation_pipeline(spark, sf_dir):
         # The end-to-end curation story a training-data user actually
         # runs, composed as ONE declarative plan: quality gate (length /
@@ -3250,6 +3282,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN 1000 * score >= 50 * n_tokens
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM s
+    """
+
+    # --- text_pii_scrub: identical planting arithmetic + identical
+    # backreference/lookaround-free patterns under RE2 ('g' flag:
+    # DuckDB replaces first-match by default, Spark replaces all).
+    o["text_pii_scrub"] = """
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                    THEN ' call 040-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    ELSE '' END AS text
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t
+          FROM planted
+        ), s2 AS (
+          SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+                   AS n_ips,
+                 regexp_replace(t,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                   '<IP>', 'g') AS t
+          FROM s1
+        )
+        SELECT doc_id, n_emails, n_ips,
+               CAST(len(regexp_extract_all(t,
+                 '\\+?[0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{3,4}\\b')) AS BIGINT)
+                 AS n_phones,
+               regexp_replace(t,
+                 '\\+?[0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{3,4}\\b',
+                 '<PHONE>', 'g') AS clean_text
+        FROM s2
     """
 
     # --- text_training_export: dup-span gate chained into the packing

@@ -404,3 +404,57 @@ def linear_classifier_score_py(
         score += weights.get(h % n_buckets, 0)
     keep = 1 if 1000 * score >= threshold_milli * len(toks) else 0
     return len(toks), score, keep
+
+
+# ------------------------------------------------------------- PII scrub
+
+#: Redaction patterns, applied IN THIS ORDER (emails first — an email's
+#: host part could otherwise be nibbled by the IP pattern; phones last).
+#: Deliberately backreference- and lookaround-free so the IDENTICAL
+#: pattern runs under Java regex (Spark), RE2 (DuckDB oracle), and
+#: python `re` (the twin) — the wet_text discipline.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{3,4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and separator-grouped phone
+    numbers — the PII pass every training-data pipeline runs before
+    export. One JVM scan: per-class occurrence counts via regexp_count
+    plus a chained regexp_replace, all inside whole-stage codegen
+    (zero Python, zero shuffle — the wet_text shape). Replacement
+    order is part of the contract (emails before IPs: an address's
+    host part must not be half-eaten by the IP pattern).
+
+    Output: doc_id, n_emails/n_ips/n_phones (counts BEFORE any
+    replacement ran, each measured on the original text for the
+    classes already removed — i.e. counts are per-class matches in
+    the progressively-scrubbed text, matching the replacement
+    semantics exactly), and clean_text."""
+    c = F.col(text)
+    out_counts = []
+    cur = c
+    for name, pat, token in PII_PATTERNS:
+        out_counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}s")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(
+        "doc_id", *out_counts, cur.alias("clean_text")
+    )
+
+
+def pii_scrub_py(text: str) -> tuple:
+    """Pure-python twin of pii_scrub (pytest reference):
+    (n_emails, n_ips, n_phones, clean_text)."""
+    import re as _re
+
+    counts = []
+    cur = text
+    for _name, pat, token in PII_PATTERNS:
+        counts.append(len(_re.findall(pat, cur)))
+        cur = _re.sub(pat, token, cur)
+    return (*counts, cur)

@@ -486,6 +486,48 @@ def test_linear_classifier_matches_python_twin(spark, docs):
     assert keeps == {0, 1}, "threshold must actually split the corpus"
 
 
+def test_pii_scrub_matches_python_twin(spark, docs):
+    # unit rows with known PII of every class + ordering edge (the
+    # email's host must not be half-eaten by the IP pattern), then the
+    # real corpus vs the python twin
+    rows = [
+        (1001, "reach me at jane.doe+spam@mail.example.org today"),
+        (1002, "server 192.168.001.044 and 10.0.0.1 rebooted"),
+        (1003, "call +49 1234 5678 or 040-555-1234 now"),
+        (1004, "no pii here, just 3.14 and v1.2.3 strings"),
+        (1005, "mixed a@b.co 8.8.8.8 +1-800-5551 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.clean_text)
+        for r in textkit.pii_scrub(df).collect()
+    }
+    for d, t in rows:
+        assert got[d] == textkit.pii_scrub_py(t), d
+    assert got[1001][0] == 1 and "<EMAIL>" in got[1001][3]
+    assert got[1002][1] == 2
+    assert got[1003][2] == 2
+    assert got[1004] == (0, 0, 0, rows[3][1])
+    # idempotent: scrubbing scrubbed text changes nothing
+    again = {
+        r.doc_id: r.clean_text
+        for r in textkit.pii_scrub(
+            spark.createDataFrame(
+                [(d, v[3]) for d, v in got.items()], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert again == {d: v[3] for d, v in got.items()}
+    # corpus parity with the twin
+    sample = docs.filter(F.col("doc_id") < 80)
+    got2 = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.clean_text)
+        for r in textkit.pii_scrub(sample).collect()
+    }
+    for r in sample.collect():
+        assert got2[r.doc_id] == textkit.pii_scrub_py(r.text), r.doc_id
+
+
 def test_repetition_features_gate(spark):
     rows = [
         (1, "a b c d e"),            # 4 distinct 2-grams, no dups
