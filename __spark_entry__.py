@@ -831,6 +831,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_edit_distance(spark, sf_dir):
+        # fuzzy near-dup: shingle-blocked candidates (never all-pairs)
+        # verified by exact Levenshtein — the JVM builtin and DuckDB's
+        # levenshtein() implement the identical distance, so the
+        # verify stage is value-checked end-to-end.
+        return dedup.edit_distance_pairs(
+            _t(spark, sf_dir, "documents"), max_dist=60, n=3, t10=1
+        )
+    q["dedup_edit_distance"] = dedup_edit_distance
+
     def dedup_ngram_capped(spark, sf_dir):
         return dedup.ngram_jaccard_pairs_capped(
             _t(spark, sf_dir, "documents"), n=3, t10=1, max_df=20
@@ -2045,6 +2055,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc_id = doc_a
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+    """
+
+    # --- dedup_edit_distance: the same shingle-blocked candidates,
+    # verified by DuckDB's levenshtein() (identical definition to the
+    # JVM builtin) + the length columns.
+    o["dedup_edit_distance"] = f"""
+        WITH sh AS ({_SHINGLES}),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        cand AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+        )
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+               CAST(length(ta.text) AS BIGINT) AS len_a,
+               CAST(length(tb.text) AS BIGINT) AS len_b
+        FROM cand
+        JOIN documents ta ON ta.doc_id = doc_a
+        JOIN documents tb ON tb.doc_id = doc_b
+        WHERE levenshtein(ta.text, tb.text) <= 60
     """
 
     # --- decontamination: corpus docs (doc_id%50 != 0) sharing any

@@ -820,3 +820,47 @@ def dup_span_features(
             F.expr("1000 * dup_tokens div n_tokens").cast("long"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text: str = "text",
+    max_dist: int = 20,
+    n: int = 3,
+    t10: int = 3,
+) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs — the typo/OCR-noise dedup
+    family Jaccard alone misses the thresholds for: CANDIDATES come
+    from the shingle equi-join (ngram_jaccard_pairs at a loose t10 —
+    never all-pairs, the only scale-safe blocking), and each candidate
+    is VERIFIED by exact Levenshtein distance plus a length-difference
+    sanity bound (|len(a)−len(b)| ≤ dist ≤ max_dist always holds for
+    true matches, and the cheap length check documents it).
+
+    levenshtein() is a JVM builtin with the identical definition in
+    DuckDB, so the verify stage is engine-exact; the join that attaches
+    the two texts to a candidate pair is by doc_id (the texts never
+    participate in the shuffle key). Returns
+    (doc_a, doc_b, dist, len_a, len_b) for pairs with dist ≤ max_dist.
+    """
+    cands = ngram_jaccard_pairs(df, text=text, n=n, t10=t10).select(
+        "doc_a", "doc_b"
+    )
+    ta = df.select(
+        F.col("doc_id").alias("doc_a"), F.col(text).alias("_ta")
+    )
+    tb = df.select(
+        F.col("doc_id").alias("doc_b"), F.col(text).alias("_tb")
+    )
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("dist"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+        )
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )

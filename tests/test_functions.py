@@ -486,6 +486,42 @@ def test_linear_classifier_matches_python_twin(spark, docs):
     assert keeps == {0, 1}, "threshold must actually split the corpus"
 
 
+def test_edit_distance_pairs_finds_typo_neighbors(spark):
+    # planted typo variants must pair with exact distances (python
+    # dynamic-programming reference); unrelated docs never pair
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quik").replace("lazy", "lasy")),  # 2 edits
+        (3, base + " extra tail words here"),                        # suffix
+        (4, "completely different content with no overlap at all x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.dist, r.len_a, r.len_b)
+        for r in dedup.edit_distance_pairs(df, max_dist=25, t10=1).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    texts = dict(rows)
+    assert (1, 2) in got and got[(1, 2)][0] == lev(texts[1], texts[2]) == 2
+    assert (1, 3) in got and got[(1, 3)][0] == lev(texts[1], texts[3])
+    assert all(4 not in pair for pair in got)
+    for (a, b), (d, la, lb) in got.items():
+        assert d == lev(texts[a], texts[b])
+        assert (la, lb) == (len(texts[a]), len(texts[b]))
+        assert abs(la - lb) <= d
+
+
 def test_pii_scrub_matches_python_twin(spark, docs):
     # unit rows with known PII of every class + ordering edge (the
     # email's host must not be half-eaten by the IP pattern), then the
