@@ -1479,6 +1479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_classifier"] = text_classifier
 
+    def g_host_authority(spark, sf_dir):
+        # seed-ranking authority over the g_hostgraph rollup: each
+        # source host splits micro-units across its out-edges —
+        # integer div contract, broadcast outdeg, two hash-aggs.
+        from ccbot_spark.functions import linkrank
+
+        return linkrank.host_authority(g_hostgraph(spark, sf_dir))
+    q["g_host_authority"] = g_host_authority
+
     def text_pii_scrub(spark, sf_dir):
         # PII redaction (emails → IPv4 → phones, chained JVM
         # regexp_replace + regexp_count, one codegen scan). PII is
@@ -1807,6 +1816,31 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT e.src_page) AS n_src_pages
         FROM e JOIN documents t ON t.doc_id = e.dst_page
         GROUP BY 1, 2
+    """
+
+    # --- g_host_authority: the hostgraph rollup re-derived, then the
+    # same integer endorsement split (div truncation contractual).
+    o["g_host_authority"] = """
+        WITH e AS (
+          SELECT d.source AS src_host, d.doc_id AS src_page,
+                 dst.dst_page
+          FROM documents d,
+               LATERAL (VALUES ((d.doc_id * 2 + 1) % 500),
+                               ((d.doc_id * 3 + 2) % 500)) AS dst(dst_page)
+        ), hg AS (
+          SELECT e.src_host, t.source AS dst_host,
+                 COUNT(*) AS n_edges
+          FROM e JOIN documents t ON t.doc_id = e.dst_page
+          GROUP BY 1, 2
+        ), od AS (
+          SELECT src_host, SUM(n_edges) AS outdeg FROM hg GROUP BY 1
+        )
+        SELECT hg.dst_host AS host,
+               CAST(SUM((n_edges * 1000000) // outdeg) AS BIGINT)
+                 AS authority_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_in_hosts
+        FROM hg JOIN od USING (src_host)
+        GROUP BY hg.dst_host
     """
 
     o["text_wet_extract"] = r"""

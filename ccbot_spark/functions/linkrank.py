@@ -142,3 +142,32 @@ def pagerank_int_py(
             in_sum[v] += rank[u] // outdeg[u]
         rank = {n: base + (damping_num * in_sum[n]) // damping_den for n in nodes}
     return rank
+
+
+def host_authority(host_edges: DataFrame, micro: int = 1_000_000) -> DataFrame:
+    """Seed-ranking authority over the HOST graph (the Common Crawl
+    host-webgraph consumption step): every source host splits one unit
+    of endorsement across its out-edges in proportion to link counts —
+
+        authority(h) = Σ_src (n_edges(src→h) · micro) div outdeg(src)
+
+    with outdeg(src) = Σ n_edges(src→*). Integer micro-units
+    throughout (div truncation is part of the contract), so the score
+    is engine-exact and SQL-replayable. Input: the g_hostgraph rollup
+    (src_host, dst_host, n_edges). Shape: one outdeg hash-agg (rows =
+    #hosts — broadcastable), one equi-join, one hash-agg on dst_host;
+    at 10^8 hosts everything stays host-cardinality-sized, orders of
+    magnitude below the page graph."""
+    outdeg = host_edges.groupBy("src_host").agg(
+        F.sum("n_edges").alias("_out")
+    )
+    contrib = host_edges.join(F.broadcast(outdeg), "src_host").select(
+        "dst_host",
+        F.expr(f"(CAST(n_edges AS BIGINT) * {int(micro)}) div _out").alias(
+            "_c"
+        ),
+    )
+    return contrib.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("_c").alias("authority_micro"),
+        F.count("*").alias("n_in_hosts"),
+    )
