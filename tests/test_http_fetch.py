@@ -131,3 +131,26 @@ def test_loopback_http_crawl_equals_pure_function_and_oracle(
     # the web planted real fetch diversity: all three outcome kinds ran
     actions = {a for *_x, a in t_http}
     assert {"fetched", "fetch_error", "redirect"} <= actions, actions
+
+
+def test_loopback_http_with_ip_politeness(spark, tmp_path, loopback_port):
+    """IP-level politeness over REAL sockets: co-hosted vhosts share one
+    per-server wall-clock schedule while the urllib fetcher does the
+    transfers — the trace/seen/stored rows still equal the oracle with
+    the same ip_pool knob. Proves the per-IP fetch grouping (one Arrow
+    worker owns each server's clock) composes with a real transport,
+    not just the pure function."""
+    want = oracle.crawl(CFG, synthweb.seed_urls(CFG, 12), cycles=2, ip_pool=2)
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path / "ip_http"), n_buckets=8,
+        bloom_min_seen=0, record_trace=True, hot_host_min=10,
+        fetcher=make_http_fetcher(loopback_port),
+        enforce_delay_wallclock=True, delay_scale=0.02, ip_pool=2,
+    )
+    eng.crawl(synthweb.seed_urls(CFG, 12), cycles=2)
+    trace = [
+        (r.seq, r.cycle, r.url_norm, r.host, r.sched_slot, r.action)
+        for r in eng.trace.read().orderBy("seq").collect()
+    ]
+    assert trace == want.trace
+    assert {r.url_norm for r in eng.seen.read().collect()} == set(want.seen)
