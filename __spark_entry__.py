@@ -939,6 +939,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sample_hash"] = sample_hash
 
+    def sample_split(spark, sf_dir):
+        # deterministic train/val/test assignment: stable under corpus
+        # growth (depends only on the row's own key hash), zero
+        # shuffle, the same md5 bucket construction as sample_hash.
+        d = _t(spark, sf_dir, "documents")
+        return sampling.hash_split(d, "doc_id").select(
+            "doc_id", "split_bucket", "split"
+        )
+    q["sample_split"] = sample_split
+
     def sample_stratified(spark, sf_dir):
         # per-language rates; strata absent from the dict (es, fr) are
         # dropped — the downsample-the-head corpus-balancing move
@@ -2637,6 +2647,16 @@ def oracle_sql() -> dict[str, str]:
     o["sample_hash"] = f"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 10
+    """
+
+    o["sample_split"] = f"""
+        SELECT doc_id,
+               {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} AS split_bucket,
+               CASE WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 90
+                    THEN 'train'
+                    WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 95
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
     """
 
     o["sample_stratified"] = f"""

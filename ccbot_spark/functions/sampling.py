@@ -134,3 +134,26 @@ def group_cap(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    cuts: tuple[int, ...] = (90, 95),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    mod: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test split — the assignment every
+    training pipeline needs to be (a) reproducible across reruns and
+    engines, and (b) stable under corpus growth (a doc's split never
+    changes when other docs arrive, because it depends only on the
+    doc's own key hash). Bucket = key_hash_mod(key, mod); split i is
+    the half-open bucket range [cuts[i-1], cuts[i]). One column
+    expression, zero shuffle, SQL-replayable."""
+    if len(cuts) + 1 != len(names):
+        raise ValueError("need len(cuts) + 1 names")
+    b = key_hash_mod(F.col(key), mod)
+    lab = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        lab = F.when(b < F.lit(cut), F.lit(name)).otherwise(lab)
+    return df.select("*", b.alias("split_bucket"), lab.alias("split"))

@@ -174,3 +174,33 @@ def test_trigram_familiarity_matches_brute_force(spark):
         assert got[doc_id] == (n, s, (s * 1000 // n) if n else 0)
     # the common-text doc outscores the gibberish doc
     assert got[1][2] > got[3][2]
+
+
+def test_hash_split_partitions_exactly_and_stably(spark, docs):
+    # every row gets exactly one split; the assignment is a pure
+    # function of the row's own key (stable when the corpus grows);
+    # ratios land near 90/5/5
+    from ccbot_spark.functions import sampling
+
+    full = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, "doc_id").collect()
+    }
+    assert set(full.values()) == {"train", "val", "test"}
+    n = len(full)
+    counts = {s: sum(1 for v in full.values() if v == s) for s in ("train", "val", "test")}
+    assert counts["train"] > 0.8 * n and counts["val"] > 0 and counts["test"] > 0
+    # growth stability: the half-corpus assignment agrees row for row
+    import pyspark.sql.functions as SF
+
+    half = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(
+            docs.filter(SF.col("doc_id") % 2 == 0), "doc_id"
+        ).collect()
+    }
+    assert all(full[d] == s for d, s in half.items())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", cuts=(50,), names=("a", "b", "c"))
