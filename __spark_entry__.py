@@ -1236,6 +1236,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_bmp_meta"] = img_bmp_meta
 
+    def img_jpeg_meta(spark, sf_dir):
+        # the 5-format cycle adds jpeg (pure-numpy baseline T.81
+        # encoder, round 5): container is sniffed from the FFD8FF
+        # magic, but JPEG dims live in the SOF segment at a variable
+        # offset — `jpeg_sof_dims` (the bounded JVM marker walk) is an
+        # INDEPENDENT parser of this repo's own Huffman encoder output,
+        # so a green row proves the encoder writes a spec-valid SOF0
+        # that a from-scratch reader extracts exactly. Dims for the
+        # fixed-offset containers come from header_meta; the two are
+        # coalesced into one (w, h) per image.
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=multimodal.ALL_FMTS
+        )
+        meta = multimodal.header_meta(imgs)
+        jdims = multimodal.jpeg_sof_dims(imgs)
+        return (
+            meta.join(jdims, "image_id", "left")
+            .select(
+                "image_id",
+                "container",
+                F.coalesce(F.col("hdr_w"), F.col("jpg_w")).alias("img_w"),
+                F.coalesce(F.col("hdr_h"), F.col("jpg_h")).alias("img_h"),
+            )
+        )
+    q["img_jpeg_meta"] = img_jpeg_meta
+
     def img_letterbox_plan(spark, sf_dir):
         # training-export letterbox geometry: bucket + target shape +
         # aspect-preserving scaled dims + centered pads, ALL pure JVM
@@ -2838,6 +2866,23 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 'png' END AS container,
                CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS hdr_w,
                CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS hdr_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_jpeg_meta: 5-format cycle (ppm/png/qpng/bmp/jpeg). The
+    # oracle re-derives container + dims from the synthesis arithmetic;
+    # for jpeg rows Spark must pull the SAME dims out of the SOF0
+    # marker segment this repo's own T.81 encoder wrote — two
+    # independent codepaths (numpy Huffman writer, JVM substring/conv
+    # marker walk) agreeing with pure arithmetic.
+    o["img_jpeg_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE doc_id % 5 WHEN 0 THEN 'ppm'
+                               WHEN 3 THEN 'bmp'
+                               WHEN 4 THEN 'jpeg'
+                               ELSE 'png' END AS container,
+               CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS img_w,
+               CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS img_h
         FROM documents WHERE doc_id < 450
     """
 

@@ -204,6 +204,526 @@ def encode_qpng(img: np.ndarray) -> bytes:
     return encode_png(quantize(img))
 
 
+# ---------------------------------------------------------------- JPEG
+#
+# Baseline sequential DCT JPEG (ITU-T T.81, public standard): encoder and
+# decoder in pure numpy + stdlib. 4:4:4 (no chroma subsampling) so the
+# lossy error is quantization-only — at the default quality the round
+# trip stays above the PSNR ≥ 40 dB gate even on full-entropy noise
+# images. Quant + Huffman tables are the T.81 Annex K examples; the
+# decoder reads every table from the file, accepts SOF0/SOF1, generic
+# per-component sampling factors, restart intervals, and grayscale.
+
+JPEG_QUALITY = 98  # default: keeps PSNR ≥ 40 dB on random-noise pixels
+
+# Annex K.1 / K.2 quantization tables (natural row-major order).
+_JQ_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_JQ_CHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Zigzag sequence: ZIG[k] = row-major index of the k-th zigzag coefficient.
+_ZIG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3-K.6 Huffman table specs: (BITS[1..16], HUFFVAL).
+_JH_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JH_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JH_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JH_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# Orthonormal 8×8 DCT-II matrix: forward D = M A Mᵀ, inverse A = Mᵀ D M.
+_jk = np.arange(8)
+_JDCT = np.cos(np.pi * (2.0 * _jk[None, :] + 1.0) * _jk[:, None] / 16.0)
+_JDCT *= 0.5
+_JDCT[0, :] *= np.sqrt(0.5)
+
+
+def _jpeg_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    lum = np.clip((_JQ_LUM * scale + 50) // 100, 1, 255)
+    chr_ = np.clip((_JQ_CHR * scale + 50) // 100, 1, 255)
+    return lum, chr_
+
+
+def _huff_encode_table(bits: list, vals: list) -> dict:
+    """Canonical code assignment → {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    """{(length, code): symbol} for the bit-serial decoder."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JBitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 §B.1.1.5)
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad final byte with 1s
+
+
+def _jmag(v: int) -> tuple[int, int]:
+    """(category, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _plane_to_qblocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Level-shift → pad to 8 multiples (edge replicate) → batched DCT →
+    quantize → zigzag. Returns int32 (n_blocks, 64) in MCU scan order."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if (ph, pw) != (h, w):
+        plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    freq = np.matmul(np.matmul(_JDCT, blocks), _JDCT.T)
+    q = np.round(freq / qtable.reshape(8, 8)).astype(np.int32)
+    return q.reshape(-1, 64)[:, _ZIG]
+
+
+def _encode_block(
+    bw: _JBitWriter, zz: np.ndarray, dc_prev: int, dc_tab: dict, ac_tab: dict
+) -> int:
+    dc = int(zz[0])
+    s, amp = _jmag(dc - dc_prev)
+    code, length = dc_tab[s]
+    bw.write(code, length)
+    if s:
+        bw.write(amp, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s, amp = _jmag(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(amp, s)
+        run = 0
+    if last < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = JPEG_QUALITY, restart_interval: int = 0
+) -> bytes:
+    """Baseline sequential JPEG. (h, w, 3) RGB → 3-component 4:4:4;
+    (h, w) → single-component grayscale. `restart_interval` > 0 emits
+    DRI + RSTn markers every that many MCUs."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qlum, qchr = _jpeg_qtables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+    qtabs = [qlum] + [qchr] * (len(planes) - 1)
+    comp_blocks = [_plane_to_qblocks(p, q) for p, q in zip(planes, qtabs)]
+
+    dc_l = _huff_encode_table(*_JH_DC_LUM)
+    ac_l = _huff_encode_table(*_JH_AC_LUM)
+    dc_c = _huff_encode_table(*_JH_DC_CHR)
+    ac_c = _huff_encode_table(*_JH_AC_CHR)
+    htabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qlum[_ZIG].astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qchr[_ZIG].astype(np.uint8))
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    for cls, tid, (bits, vals) in (
+        (0, 0, _JH_DC_LUM), (1, 0, _JH_AC_LUM), (0, 1, _JH_DC_CHR), (1, 1, _JH_AC_CHR)
+    ):
+        if gray and tid == 1:
+            continue
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+
+    bw = _JBitWriter()
+    dc_prev = [0] * ncomp
+    n_mcus = comp_blocks[0].shape[0]
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            dc_prev = [0] * ncomp
+        for ci in range(ncomp):
+            dc_prev[ci] = _encode_block(
+                bw, comp_blocks[ci][m], dc_prev[ci], htabs[ci][0], htabs[ci][1]
+            )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JBitReader:
+    """Bit-serial reader over one entropy-coded segment (stuffing already
+    removed by the segment splitter)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                return 0  # pad past segment end (spec-tolerant)
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map s received bits back to a signed amplitude."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _split_scan(data: bytes, pos: int) -> list:
+    """Entropy-coded data from `pos` → list of unstuffed segments split
+    at RSTn markers; stops at any other marker."""
+    segs, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0/SOF1) JPEG → (h, w, 3) uint8 RGB.
+    Handles grayscale, generic sampling factors, restart markers."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qtables: dict = {}
+    htables: dict = {}
+    comps: list = []
+    h = w = None
+    restart_interval = 0
+    scan_comps = None
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIG] = vals  # stored zigzag → natural order
+                qtables[tq] = tbl
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                htables[(cls, tid)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline Huffman)
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG SOF type 0x{marker:02x} (not baseline)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tt = seg[1 + 2 * ci : 3 + 2 * ci]
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            break  # entropy-coded data follows
+    if h is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []  # per-MCU block emission order: (comp, block_row, block_col)
+    for cid, dci, aci in scan_comps:
+        c = by_id[cid]
+        c["dc_tab"] = htables[(0, dci)]
+        c["ac_tab"] = htables[(1, aci)]
+        c["bx"] = mcus_x * c["h"]
+        c["by"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+        for v in range(c["v"]):
+            for hh in range(c["h"]):
+                order.append((c, v, hh))
+
+    segs = _split_scan(data, pos)
+    seg_i = 0
+    br = _JBitReader(segs[0])
+    dc_prev = {c["id"]: 0 for c in comps}
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i < len(segs):
+                br = _JBitReader(segs[seg_i])
+            dc_prev = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for c, v, hh in order:
+            zz = np.zeros(64, dtype=np.int64)
+            s = br.decode_huff(c["dc_tab"])
+            diff = _extend(br.receive(s), s) if s else 0
+            dc_prev[c["id"]] += diff
+            zz[0] = dc_prev[c["id"]]
+            k = 1
+            while k < 64:
+                rs = br.decode_huff(c["ac_tab"])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overflow")
+                zz[k] = _extend(br.receive(s), s)
+                k += 1
+            row = my * c["v"] + v
+            col = mx * c["h"] + hh
+            c["coef"][row * c["bx"] + col] = zz
+
+    # Dequantize + batched IDCT per component, then assemble planes.
+    planes = []
+    for c in comps:
+        q = qtables[c["tq"]]
+        blocks = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
+        blocks[:, _ZIG] = c["coef"] * q[_ZIG]
+        blocks = blocks.reshape(-1, 8, 8)
+        pix = np.matmul(np.matmul(_JDCT.T, blocks), _JDCT) + 128.0
+        plane = (
+            pix.reshape(c["by"], c["bx"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["by"] * 8, c["bx"] * 8)
+        )
+        if c["h"] < hmax or c["v"] < vmax:
+            plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
 # ---------------------------------------------------------------- dispatch
 
 def encode(img: np.ndarray, fmt: str) -> bytes:
@@ -215,6 +735,8 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return encode_qpng(img)
     if fmt == "bmp":
         return encode_bmp(img)
+    if fmt in ("jpeg", "jpg"):
+        return encode_jpeg(img)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -226,6 +748,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "bmp":
         return decode_bmp(data)
+    if fmt in ("jpeg", "jpg"):
+        return decode_jpeg(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

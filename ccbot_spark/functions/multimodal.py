@@ -7,9 +7,10 @@ spark.sql.execution.arrow.maxRecordsPerBatch small on wide-blob
 tables; never collect() a binary column to the driver).
 
 Real codecs exist for the closed world of formats this repo ships
-(ppm / png / qpng via ccbot_spark.codecs — numpy + stdlib zlib, no
-Pillow in the sandbox). Formats outside that world (jpeg, mp3, mp4)
-raise NotImplementedError at the decode boundary by design: the
+(ppm / png / qpng / bmp / jpeg via ccbot_spark.codecs — numpy + stdlib
+zlib + a pure-numpy baseline T.81 JPEG codec; no Pillow in the
+sandbox). Formats outside that world (mp3, mp4) raise
+NotImplementedError at the decode boundary by design: the
 Spark-side plumbing (schema, batch shape, partitioning) is identical,
 only the codec call changes when the real library is present.
 """
@@ -28,6 +29,11 @@ from pyspark.sql import types as T
 from .. import codecs, phash as phash_mod
 
 REAL_FMTS = ("ppm", "png", "qpng", "bmp")
+# jpeg joined the closed world in round 5 (pure-numpy baseline T.81 codec
+# in ccbot_spark.codecs). Kept out of REAL_FMTS so the historical %3/%4
+# fixture-cycle arithmetic in existing oracles stays byte-stable; new
+# fixtures opt into the 5-cycle with fmts=ALL_FMTS.
+ALL_FMTS = REAL_FMTS + ("jpeg",)
 
 DECODED_META = T.StructType(
     [
@@ -57,7 +63,7 @@ def decode_bytes(data: bytes, fmt: str) -> np.ndarray:
     """Decode one blob → (h, w, 3) uint8. Closed-world formats decode
     for real; anything else is explicitly unimplemented (no silent
     fake pixels on the decode path)."""
-    if fmt in REAL_FMTS:
+    if fmt in ALL_FMTS or fmt == "jpg":
         return codecs.decode(data, fmt)
     raise NotImplementedError(
         f"codec {fmt!r}: not available in this sandbox (needs Pillow/ffmpeg); "

@@ -55,6 +55,10 @@ class WebConfig:
     # answers a server error — RFC 9309 §2.3.1.4: complete disallow
     dead_host_pct: int = 0  # % of hosts that are DOWN: every page
     # fetch fails (the dead-host-circuit-breaker fixture)
+    img_fmts: tuple = _FMTS  # image format cycle; the default 3-cycle
+    # keeps every existing fixture byte-stable — pass
+    # ("ppm", "png", "qpng", "jpeg") to put real JPEGs (pure-numpy
+    # baseline T.81 codec) on the wire in the crawl loop
     seed: int = 42
 
     def host(self, k: int) -> str:
@@ -221,7 +225,7 @@ def render_page(cfg: WebConfig, url: str, ver: int = 0) -> str:
     for i in range(n_imgs):
         di = _digest(f"img:{cfg.seed}:{url}:{i}")
         img_id = di.hex()[:12]
-        fmt = _FMTS[di[0] % 3]
+        fmt = cfg.img_fmts[di[0] % len(cfg.img_fmts)]
         img_url = f"http://{host}/img/{img_id}.{fmt}"
         cap = caption_of(cfg, img_url)
         if di[1] % 2 == 0:
@@ -265,7 +269,7 @@ def image_pixels(cfg: WebConfig, img_url: str) -> np.ndarray:
 def fetch_image(cfg: WebConfig, img_url: str) -> tuple[bytes, int, int, str]:
     """Encoded bytes + (w, h, fmt) for an image URL."""
     fmt = img_url.rsplit(".", 1)[-1]
-    if fmt not in _FMTS:
+    if fmt not in _FMTS and fmt not in ("bmp", "jpeg", "jpg"):
         fmt = "ppm"
     px = image_pixels(cfg, img_url)
     return codecs.encode(px, fmt), px.shape[1], px.shape[0], fmt

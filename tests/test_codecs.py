@@ -107,8 +107,10 @@ def test_qpng_psnr_gate():
 
 
 def test_dispatch_unknown_fmt():
+    # jpeg moved into the closed world in round 5 — a truly unknown
+    # fmt still fails loudly rather than guessing a container
     with pytest.raises(ValueError):
-        codecs.encode(_img(0), "jpeg")
+        codecs.encode(_img(0), "tiff")
 
 
 # ---------------------------------------------------------------- BMP
