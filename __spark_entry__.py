@@ -1264,6 +1264,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["img_jpeg_meta"] = img_jpeg_meta
 
+    def img_gif_meta(spark, sf_dir):
+        # the 6-format cycle adds gif (GIF89a palette + pure-python
+        # LZW, round 5 — the last container the sniffer recognized
+        # without a decoder). Container is sniffed from the
+        # GIF87a/GIF89a magic; dims are the little-endian logical-
+        # screen u16s at fixed offsets — zero Python, zero decode.
+        # The oracle re-derives container + dims from the synthesis
+        # arithmetic; jpeg rows still coalesce in the SOF marker walk.
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=multimodal.ALL_FMTS6
+        )
+        meta = multimodal.header_meta(imgs)
+        jdims = multimodal.jpeg_sof_dims(imgs)
+        return (
+            meta.join(jdims, "image_id", "left")
+            .select(
+                "image_id",
+                "container",
+                F.coalesce(F.col("hdr_w"), F.col("jpg_w")).alias("img_w"),
+                F.coalesce(F.col("hdr_h"), F.col("jpg_h")).alias("img_h"),
+            )
+        )
+    q["img_gif_meta"] = img_gif_meta
+
     def img_letterbox_plan(spark, sf_dir):
         # training-export letterbox geometry: bucket + target shape +
         # aspect-preserving scaled dims + centered pads, ALL pure JVM
@@ -2880,6 +2906,22 @@ def oracle_sql() -> dict[str, str]:
                CASE doc_id % 5 WHEN 0 THEN 'ppm'
                                WHEN 3 THEN 'bmp'
                                WHEN 4 THEN 'jpeg'
+                               ELSE 'png' END AS container,
+               CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS img_w,
+               CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS img_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_gif_meta: 6-format cycle (ppm/png/qpng/bmp/jpeg/gif). A
+    # green gif row proves the fixed-offset little-endian logical-
+    # screen parse reads back exactly what this repo's own GIF89a/LZW
+    # encoder wrote — the container round 5 closed.
+    o["img_gif_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE doc_id % 6 WHEN 0 THEN 'ppm'
+                               WHEN 3 THEN 'bmp'
+                               WHEN 4 THEN 'jpeg'
+                               WHEN 5 THEN 'gif'
                                ELSE 'png' END AS container,
                CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS img_w,
                CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS img_h

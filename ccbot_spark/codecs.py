@@ -724,6 +724,238 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
+# ---------------------------------------------------------------- GIF
+#
+# GIF89a (CompuServe spec, public standard): palette-indexed raster +
+# variable-width LZW, the last container the header sniffer recognizes
+# that previously had no decoder (VERDICT r4 item 5). Pure python +
+# numpy, no deps.
+#
+#   * encode_gif: exact palette when the image has ≤ 256 unique colors
+#     (lossless round trip); otherwise quantizes to the fixed 3-3-2
+#     palette (256 colors) — the honest lossy fallback, analogous to
+#     qpng's 6-bit quantization but bounded by GIF's 256-color model.
+#   * decode_gif: full single-frame reader — global AND local color
+#     tables, extension-block skipping, interlaced row order, 12-bit
+#     LZW with mid-stream clear codes.
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def quantize_332(img: np.ndarray) -> np.ndarray:
+    """3-3-2 palette reconstruction (what a >256-color image becomes
+    after encode_gif → decode_gif). Midpoint-free: each level maps to
+    level * 255 // (levels - 1), the canonical uniform palette."""
+    img = img.astype(np.uint8)
+    r = ((img[..., 0] >> 5).astype(np.uint16) * 255 // 7).astype(np.uint8)
+    g = ((img[..., 1] >> 5).astype(np.uint16) * 255 // 7).astype(np.uint8)
+    b = ((img[..., 2] >> 6).astype(np.uint16) * 255 // 3).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _palette_332() -> np.ndarray:
+    i = np.arange(256, dtype=np.uint16)
+    r = ((i >> 5) & 7) * 255 // 7
+    g = ((i >> 2) & 7) * 255 // 7
+    b = (i & 3) * 255 // 3
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> np.ndarray:
+    """Row indices in GIF interlace transmission order (4 passes)."""
+    return np.concatenate(
+        [np.arange(start, h, step) for start, step in _INTERLACE_PASSES]
+    ).astype(np.int64)
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: codes LSB-first, start width min+1, clear code
+    2^min, EOI clear+1, dictionary capped at 4096 (re-clear)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for sym in indices.tobytes():
+        cand = prefix + bytes([sym])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # widen AFTER assigning: the decoder widens when its next
+            # assignment would not fit the current width
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([sym])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def _subblocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    img = img.astype(np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) <= 256:
+        palette = np.zeros((256, 3), dtype=np.uint8)
+        palette[: len(colors)] = colors
+        indices = inverse.astype(np.uint8).reshape(h, w)
+    else:
+        palette = _palette_332()
+        indices = (
+            ((flat[:, 0].astype(np.uint16) >> 5) << 5)
+            | ((flat[:, 1].astype(np.uint16) >> 5) << 2)
+            | (flat[:, 2].astype(np.uint16) >> 6)
+        ).astype(np.uint8).reshape(h, w)
+    if interlace:
+        indices = indices[_interlace_order(h)]
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT present, 8-bit color res, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(8)  # LZW minimum code size
+    out += _subblocks(_lzw_encode(indices.reshape(-1), 8))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, all skipped
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor — first frame wins
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(stream), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: invert the pass order
+                rows = np.empty(h, dtype=np.int64)
+                rows[_interlace_order(h)] = np.arange(h)
+                idx = idx[rows]
+            return table[idx].copy()
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("no image data in GIF")
+
+
 # ---------------------------------------------------------------- dispatch
 
 def encode(img: np.ndarray, fmt: str) -> bytes:
@@ -737,6 +969,8 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(img)
     if fmt in ("jpeg", "jpg"):
         return encode_jpeg(img)
+    if fmt == "gif":
+        return encode_gif(img)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -750,6 +984,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return decode_bmp(data)
     if fmt in ("jpeg", "jpg"):
         return decode_jpeg(data)
+    if fmt == "gif":
+        return decode_gif(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -34,6 +34,11 @@ REAL_FMTS = ("ppm", "png", "qpng", "bmp")
 # fixture-cycle arithmetic in existing oracles stays byte-stable; new
 # fixtures opt into the 5-cycle with fmts=ALL_FMTS.
 ALL_FMTS = REAL_FMTS + ("jpeg",)
+# gif joined in round 5 (GIF89a palette + pure-python LZW in
+# ccbot_spark.codecs — the last container the sniffer recognized
+# without a decoder). Same stability rule: fixtures opt into the
+# 6-cycle with fmts=ALL_FMTS6.
+ALL_FMTS6 = ALL_FMTS + ("gif",)
 
 DECODED_META = T.StructType(
     [
@@ -63,7 +68,7 @@ def decode_bytes(data: bytes, fmt: str) -> np.ndarray:
     """Decode one blob → (h, w, 3) uint8. Closed-world formats decode
     for real; anything else is explicitly unimplemented (no silent
     fake pixels on the decode path)."""
-    if fmt in ALL_FMTS or fmt == "jpg":
+    if fmt in ALL_FMTS6 or fmt == "jpg":
         return codecs.decode(data, fmt)
     raise NotImplementedError(
         f"codec {fmt!r}: not available in this sandbox (needs Pillow/ffmpeg); "

@@ -143,3 +143,106 @@ def test_bmp_dispatch_and_rejects():
     assert np.array_equal(codecs.decode(codecs.encode(img, "bmp"), "bmp"), img)
     with pytest.raises(ValueError):
         codecs.decode_bmp(b"notbmp")
+
+
+# ------------------------------------------------------------------- GIF
+# GIF89a + pure-python LZW (round 5 — the last container the header
+# sniffer recognized without a decoder). Exact round trip when the
+# image fits one 256-color palette; 3-3-2 quantized otherwise.
+
+
+def _pal_img(w=83, h=60, n=17, seed=7):
+    rs = np.random.RandomState(seed)
+    pal = rs.randint(0, 256, size=(n, 3)).astype(np.uint8)
+    return pal[rs.randint(0, n, size=(h, w))]
+
+
+def test_gif_exact_roundtrip_small_palette():
+    img = _pal_img()
+    out = codecs.decode_gif(codecs.encode_gif(img))
+    assert np.array_equal(out, img)
+
+
+def test_gif_quantized_roundtrip_truecolor():
+    """>256 unique colors → the documented 3-3-2 lossy fallback;
+    decode returns EXACTLY the quantized palette mapping (no drift)."""
+    rs = np.random.RandomState(11)
+    noise = rs.randint(0, 256, size=(120, 140, 3), dtype=np.uint8)
+    out = codecs.decode_gif(codecs.encode_gif(noise))
+    assert np.array_equal(out, codecs.quantize_332(noise))
+
+
+def test_gif_lzw_dictionary_overflow_clear():
+    """An image large enough to overflow the 4096-entry LZW dictionary
+    forces mid-stream clear codes and full 12-bit width — the decoder
+    must resynchronize bit-exactly."""
+    rs = np.random.RandomState(13)
+    big = rs.randint(0, 256, size=(300, 400, 3), dtype=np.uint8)
+    out = codecs.decode_gif(codecs.encode_gif(big))
+    assert np.array_equal(out, codecs.quantize_332(big))
+
+
+def test_gif_interlaced_roundtrip():
+    img = _pal_img(seed=3)
+    data = codecs.encode_gif(img, interlace=True)
+    flag_at = 6 + 7 + 768 + 9  # sig + LSD + GCT + descriptor packed byte
+    assert data[flag_at] & 0x40  # interlace flag actually set
+    assert np.array_equal(codecs.decode_gif(data), img)
+    # the flag is load-bearing: stripping it yields the raw transmission
+    # (pass-order) rows — a real permutation of the image, not the image
+    stripped = (
+        data[:flag_at] + bytes([data[flag_at] & ~0x40]) + data[flag_at + 1 :]
+    )
+    raw = codecs.decode_gif(stripped)
+    assert not np.array_equal(raw, img)
+    assert np.array_equal(raw, img[codecs._interlace_order(img.shape[0])])
+
+
+def test_gif_extension_blocks_and_local_color_table():
+    """A spec-shaped GIF from the wild: graphic-control extension before
+    the image descriptor, palette delivered as a LOCAL color table.
+    Built by re-packing this repo's encoder output — framing offsets
+    are fixed by the spec, so the surgery is deterministic."""
+    img = _pal_img(seed=5)
+    data = codecs.encode_gif(img)
+    sig, lsd, gct = data[:6], data[6:13], data[13 : 13 + 768]
+    rest = data[13 + 768 :]  # image descriptor .. trailer
+    # drop the GCT flag from the logical screen descriptor
+    lsd2 = lsd[:4] + bytes([lsd[4] & 0x7F]) + lsd[5:]
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    comment = b"\x21\xfe\x05hello\x00"  # comment ext, 5-byte block
+    # set the LCT flag (bit 7) + size 7 (256 entries) on the packed
+    # byte — descriptor is 10 bytes: 0x2C + left/top/w/h u16s + packed
+    desc2 = rest[:9] + bytes([rest[9] | 0x87])
+    rebuilt = sig + lsd2 + gce + comment + desc2 + gct + rest[10:]
+    assert np.array_equal(codecs.decode_gif(rebuilt), img)
+
+
+def test_gif_single_color_and_dispatch():
+    flat = np.full((33, 50, 3), 42, dtype=np.uint8)
+    assert np.array_equal(codecs.decode(codecs.encode(flat, "gif"), "gif"), flat)
+
+
+def test_gif_rejects():
+    with pytest.raises(ValueError):
+        codecs.decode_gif(b"NOTAGIF" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        codecs.decode_gif(codecs.encode_gif(_pal_img())[:-20] * 0 + b"GIF89a")
+
+
+def test_gif_header_dims_match_sniffer_offsets():
+    """The multimodal sniffer reads w/h as little-endian u16 at byte
+    offsets 6/8 — the encoder must put them there."""
+    img = _pal_img(w=307, h=149)
+    data = codecs.encode_gif(img)
+    assert data[:6] == b"GIF89a"
+    w, h = struct.unpack_from("<HH", data, 6)
+    assert (w, h) == (307, 149)
+
+
+def test_gif_decode_bytes_integration():
+    from ccbot_spark.functions import multimodal
+
+    img = _pal_img(seed=9)
+    out = multimodal.decode_bytes(codecs.encode_gif(img), "gif")
+    assert np.array_equal(out, img)
