@@ -101,6 +101,7 @@ class CrawlEngine:
         error_backoff: int = 0,
         domain_budget: int = 0,
         ip_pool: int = 0,
+        ip_resolver: dict[str, str] | None = None,
         evict_every: int = 0,
         phash_blocklist: list[int] | None = None,
         blocklist_ham: int = 0,
@@ -297,7 +298,20 @@ class CrawlEngine:
         # fetch stage groups by IP so one worker owns each server's
         # clock. Host-level budgets / robots / 429 caps are unchanged.
         # Mirrors oracle.crawl(ip_pool=P) exactly (trace equality).
+        # ip_resolver: optional explicit host→address map (the
+        # deployment's DNS-resolver cache). Broadcast as a dimension
+        # into the schedule; unmapped hosts keep the ip_key hash, so
+        # the synthetic world needs no map. Mirrors
+        # oracle.crawl(ip_resolver=...) via urlkit.resolve_ip.
         self.ip_pool = ip_pool
+        self.ip_resolver = dict(ip_resolver or {})
+        self._ip_resolver_df = (
+            spark.createDataFrame(
+                sorted(self.ip_resolver.items()), "host string, ip string"
+            )
+            if self.ip_resolver
+            else None
+        )
         # phash_blocklist: known-bad perceptual hashes (the PhotoDNA-
         # style moderation gate). A matching decoded image (exact, or
         # Hamming ≤ blocklist_ham — complete prefilter for ≤ 3) is
@@ -1004,6 +1018,7 @@ class CrawlEngine:
                 pending, robots_df, skew_safe=skew_safe,
                 domain_budget=self.domain_budget,
                 ip_pool=self.ip_pool,
+                ip_resolver=self._ip_resolver_df,
             )
             # denied feeds both the trace and the frontier merge; persist so
             # the robots-UDF + window stage runs once
@@ -1015,7 +1030,10 @@ class CrawlEngine:
             # the salt fan-out follows the actual schedule owner.
             fetch_group_col = "ip" if self.ip_pool > 0 else None
             if self.ip_pool > 0 and hot:
-                hot = sorted({urlkit.ip_key(h, self.ip_pool) for h in hot})
+                hot = sorted({
+                    urlkit.resolve_ip(h, self.ip_pool, self.ip_resolver)
+                    for h in hot
+                })
             fetched = fetchparse.fetch(
                 parts["fetch"], cfg, hot_hosts=hot, salt_fanout=self.salt_fanout,
                 enforce_delay_wallclock=self.enforce_delay_wallclock,

@@ -169,6 +169,7 @@ def generate(
     skew_safe: bool = False,
     domain_budget: int = 0,
     ip_pool: int = 0,
+    ip_resolver: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The crawl GENERATE step (§3.1 step 1).
 
@@ -191,7 +192,10 @@ def generate(
     must share one courtesy schedule). Host-level semantics (robots,
     per-host budget, sched_slot, 429 slot caps) are UNCHANGED; only
     sched_time is recomputed over the selected fetch set: rows group
-    by urlops.ip_key(host, ip_pool) and each row's sched_time is the
+    by server address — ip_resolver (a host→ip dimension DataFrame,
+    broadcast; the deployment's DNS-resolver cache) when provided,
+    falling back to urlops.ip_key(host, ip_pool) — and each row's
+    sched_time is the
     cumulative sum of the PRECEDING rows' crawl_delay_ms within its
     IP, in the global candidate order — i.e. after fetching from host
     h, wait h's crawl-delay before touching the same server again,
@@ -296,14 +300,28 @@ def generate(
         skipped = ok.filter(F.col("sched_slot") >= F.col("budget_per_cycle"))
     fetch_cols = [*keep, "sched_slot", "sched_time", "crawl_delay_ms"]
     if ip_pool > 0:
+        # Server address: an explicit resolver cache (host → ip dim,
+        # what a deployment's DNS layer would publish) wins when
+        # provided; unmapped hosts fall back to the urlops.ip_key hash
+        # stub. The resolver dim is host-cardinality-sized, so it
+        # always broadcasts — the budgeted fetch set never shuffles to
+        # learn its addresses. Twin of urlkit.resolve_ip.
+        if ip_resolver is not None:
+            rdim = ip_resolver.select(
+                F.col("host"), F.col("ip").alias("_rip")
+            )
+            fetch = fetch.join(F.broadcast(rdim), on="host", how="left")
+            ip_col = F.coalesce(
+                F.col("_rip"), urlops.ip_key(F.col("host"), ip_pool)
+            )
+        else:
+            ip_col = urlops.ip_key(F.col("host"), ip_pool)
         wip = (
             Window.partitionBy("ip")
             .orderBy(*_cand_order(cand))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        fetch = fetch.withColumn(
-            "ip", urlops.ip_key(F.col("host"), ip_pool)
-        ).withColumn(
+        fetch = fetch.withColumn("ip", ip_col).withColumn(
             "sched_time",
             F.coalesce(F.sum("crawl_delay_ms").over(wip), F.lit(0)).cast("long"),
         )

@@ -106,6 +106,7 @@ def crawl(
     error_backoff: int = 0,
     domain_budget: int = 0,
     ip_pool: int = 0,
+    ip_resolver: dict[str, str] | None = None,
     phash_blocklist: frozenset[int] | set[int] = frozenset(),
     blocklist_ham: int = 0,
 ) -> OracleResult:
@@ -291,7 +292,9 @@ def crawl(
 
         # IP-level politeness (ip_pool > 0): host-level selection and
         # slots above are untouched; the SCHEDULE is recomputed per
-        # server — entries group by urlkit.ip_key(host, ip_pool), order
+        # server — entries group by urlkit.resolve_ip(host, ip_pool,
+        # ip_resolver) (explicit host→ip map wins, ip_key hash
+        # fallback), order
         # by the global candidate order (aging-aware priority, dt keys,
         # url), and each entry's sched_time is the cumulative sum of
         # the PRECEDING entries' host crawl-delays within its IP.
@@ -299,7 +302,9 @@ def crawl(
         if ip_pool > 0:
             by_ip: dict[str, list[int]] = {}
             for i, (_st, host, _url, _slot, e) in enumerate(fetch_list):
-                by_ip.setdefault(urlkit.ip_key(host, ip_pool), []).append(i)
+                by_ip.setdefault(
+                    urlkit.resolve_ip(host, ip_pool, ip_resolver), []
+                ).append(i)
             relisted = []
             for _ip, idxs in by_ip.items():
                 idxs.sort(

@@ -267,3 +267,20 @@ def ip_key(host: str | None, pool: int) -> str | None:
 
     h = int(hashlib.md5(host.encode("utf-8")).hexdigest()[:15], 16)
     return f"ip-{h % pool}"
+
+
+def resolve_ip(
+    host: str | None, pool: int, resolver: dict[str, str] | None = None
+) -> str | None:
+    """Server address of a hostname under a pluggable resolver cache:
+    an explicit host→address mapping (what a deployment's DNS-resolver
+    table would broadcast) wins; unmapped hosts fall back to the
+    deterministic ``ip_key`` hash so the synthetic world needs no map.
+    Twin of the engine's coalesce(resolver-join, ip_key) column."""
+    if host is None:
+        return None
+    if resolver:
+        hit = resolver.get(host)
+        if hit is not None:
+            return hit
+    return ip_key(host, pool)

@@ -168,3 +168,120 @@ def test_ip_wallclock_sleeps_follow_server_schedule(spark):
     for (st0, t0), (st1, t1) in zip(got, got[1:]):
         want_gap = (st1 - st0) / 1000.0
         assert t1 - t0 >= want_gap * 0.85, (st0, st1, t1 - t0, want_gap)
+
+
+# ---- pluggable resolver (r5): an explicit host→address map (the
+# deployment's DNS-resolver cache) replaces the ip_key hash wherever it
+# is provided; unmapped hosts keep the hash fallback. Co-hosts h0 with
+# h2 — a grouping the POOL=3 hash never produces (h0→ip-1, h2→ip-2) —
+# so the map is provably load-bearing in every test below.
+RESOLVER = {CFG.host(0): "203.0.113.9", CFG.host(2): "203.0.113.9"}
+
+
+def test_resolve_ip_map_wins_hash_falls_back():
+    assert urlkit.resolve_ip(CFG.host(0), POOL, RESOLVER) == "203.0.113.9"
+    assert urlkit.resolve_ip(CFG.host(1), POOL, RESOLVER) == urlkit.ip_key(
+        CFG.host(1), POOL
+    )
+    assert urlkit.resolve_ip(CFG.host(0), POOL, None) == urlkit.ip_key(
+        CFG.host(0), POOL
+    )
+    assert urlkit.resolve_ip(None, POOL, RESOLVER) is None
+
+
+def test_generate_ip_resolver_column_twin(spark, pending):
+    """The generate step's ip column under a resolver dim equals the
+    python twin (coalesce of broadcast-join hit and hash fallback), and
+    the per-IP cumulative-delay invariant holds over the REMAPPED
+    groups."""
+    robots = politeness.build_robots_table(
+        pending.select("host").distinct(), CFG
+    )
+    rdf = spark.createDataFrame(
+        sorted(RESOLVER.items()), "host string, ip string"
+    )
+    got = politeness.generate(
+        pending, robots, ip_pool=POOL, ip_resolver=rdf
+    )["fetch"].collect()
+    assert got, "empty fetch set"
+    for r in got:
+        assert r.ip == urlkit.resolve_ip(r.host, POOL, RESOLVER)
+    by_ip: dict[str, list] = {}
+    for r in got:
+        by_ip.setdefault(r.ip, []).append(r)
+    assert len({r.host for r in by_ip["203.0.113.9"]}) == 2
+    for rows in by_ip.values():
+        rows.sort(key=lambda r: (-r.priority, r.dt_cycle, r.dt_seq, r.url_norm))
+        acc = 0
+        for r in rows:
+            assert r.sched_time == acc, (r.ip, r.url_norm, r.sched_time, acc)
+            acc += r.crawl_delay_ms
+
+
+@pytest.fixture(scope="module")
+def oracle_ip_resolver():
+    return oracle.crawl(
+        CFG, SEEDS, cycles=CYCLES, ip_pool=POOL, ip_resolver=RESOLVER
+    )
+
+
+def test_ip_resolver_trace_exact_vs_oracle(
+    spark, tmp_path_factory, oracle_ip, oracle_ip_resolver
+):
+    eng = CrawlEngine(
+        spark, CFG, str(tmp_path_factory.mktemp("ipr")), n_buckets=8,
+        record_trace=True, hot_host_min=10, bloom_min_seen=0,
+        ip_pool=POOL, ip_resolver=RESOLVER,
+    )
+    eng.crawl(SEEDS, cycles=CYCLES)
+    got = _trace(eng)
+    want = oracle_ip_resolver.trace
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+    seen = {r.url_norm for r in eng.seen.read().select("url_norm").collect()}
+    assert seen == oracle_ip_resolver.seen
+    # non-vacuous: the explicit map actually changed the schedule vs
+    # the hash-fallback run on the same web — while the fetched SET is
+    # identical (budgets and robots are host-level in both).
+    assert got != oracle_ip.trace
+    f_map = [t for t in got if t[4] >= 0]
+    f_hash = [t for t in oracle_ip.trace if t[4] >= 0]
+    assert {t[2] for t in f_map} == {t[2] for t in f_hash}
+    assert [t[2] for t in f_map] != [t[2] for t in f_hash]
+
+
+def test_ip_resolver_loopback_http(spark, tmp_path):
+    """Explicit co-hosting map + REAL loopback transport: the urllib
+    fetcher does the transfers while two vhosts the hash would separate
+    share one wall-clock server schedule — trace/seen still equal the
+    oracle given the same map."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    import test_http_fetch as lh
+
+    cfg2 = lh.CFG
+    rmap = {cfg2.host(0): "198.51.100.7", cfg2.host(1): "198.51.100.7"}
+    assert urlkit.ip_key(cfg2.host(0), 2) != urlkit.ip_key(cfg2.host(1), 2)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), lh._Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        want = oracle.crawl(
+            cfg2, synthweb.seed_urls(cfg2, 12), cycles=2,
+            ip_pool=2, ip_resolver=rmap,
+        )
+        eng = CrawlEngine(
+            spark, cfg2, str(tmp_path / "iprh"), n_buckets=8,
+            bloom_min_seen=0, record_trace=True, hot_host_min=10,
+            fetcher=lh.make_http_fetcher(srv.server_address[1]),
+            enforce_delay_wallclock=True, delay_scale=0.02,
+            ip_pool=2, ip_resolver=rmap,
+        )
+        eng.crawl(synthweb.seed_urls(cfg2, 12), cycles=2)
+        assert _trace(eng) == want.trace
+        assert {
+            r.url_norm for r in eng.seen.read().collect()
+        } == set(want.seen)
+    finally:
+        srv.shutdown()
