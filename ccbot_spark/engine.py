@@ -1676,23 +1676,73 @@ class CrawlEngine:
 
         if use_phash_bloom and self._phash_bloom is not None:
             _mark("phash_bloom_build")
-        counts = {"cycle": cycle, "fetched": fetched.count()}
+        # All per-cycle observability counters come from ONE agg over
+        # the cached attempts frame (sums of the same boolean gate
+        # predicates the downstream filters use) — at 10^4 cycles the
+        # old one-job-per-counter shape was 10^5 scheduler round-trips
+        # of pure latency. Only the canonical / content-dedup verdicts
+        # aren't attempts-level predicates (python href resolve; digest
+        # election join), so when either flag is on ONE more agg runs
+        # over its cached frame (fd, falling back to fc) to produce the
+        # final fetched + content_dup counts. This first action also
+        # plays the counts' old role of materializing the shared fetch
+        # caches single-threaded.
+        _base = (
+            F.col("ok")
+            & F.col("redirect").isNull()
+            & ~F.col("not_modified")
+            & ~F.col("rate_limited")
+        )
+        _p = _base
+        _aggs = []
+        if self.recrawl_every:
+            _aggs.append(
+                F.sum((F.col("ok") & F.col("not_modified")).cast("long")).alias(
+                    "not_modified"
+                )
+            )
+        if cfg.rate_limit_pct:
+            _aggs.append(
+                F.sum(F.col("rate_limited").cast("long")).alias("rate_limited")
+            )
+        if overs is not None:
+            _big = F.octet_length(F.col("html")) > self.max_body_bytes
+            _aggs.append(F.sum((_p & _big).cast("long")).alias("oversized"))
+            _p = _p & ~_big
+        if bins is not None:
+            _p = _p & (F.col("content_type") == "text/html")
+        if soft404s is not None:
+            _s4 = fetchparse.soft404_col("html")
+            _aggs.append(F.sum((_p & _s4).cast("long")).alias("soft404"))
+            _p = _p & ~_s4
+        _aggs.append(F.sum(_p.cast("long")).alias("prefetched"))
+        _row = attempts.agg(*_aggs).first().asDict()
+        counts = {"cycle": cycle, "fetched": int(_row.pop("prefetched") or 0)}
+        if cdup_cache is not None:
+            _is_cdup = F.col("is_cdup")
+            _r2 = cdup_cache.agg(
+                F.sum((~_is_cdup).cast("long")).alias("fetched"),
+                F.sum(_is_cdup.cast("long")).alias("content_dup"),
+            ).first()
+            counts["fetched"] = int(_r2["fetched"] or 0)
+            counts["content_dup"] = int(_r2["content_dup"] or 0)
+        elif canon_cache is not None:
+            _is_canon = F.col("canonical").isNotNull() & (
+                F.col("canonical") != F.col("url_norm")
+            )
+            counts["fetched"] = int(
+                canon_cache.agg(
+                    F.sum((~_is_canon).cast("long")).alias("fetched")
+                ).first()["fetched"]
+                or 0
+            )
+        counts.update({k: int(v or 0) for k, v in _row.items()})
         if blocked_n is not None:
             counts["blocked_images"] = blocked_n
         # observability: which skew plan this cycle actually ran
         counts["skew_safe"] = bool(skew_safe)
         if fetch_parts:
             counts["fetch_partitions"] = int(fetch_parts)
-        if self.recrawl_every:
-            counts["not_modified"] = notmods.count()  # attempts is cached
-        if cfg.rate_limit_pct:
-            counts["rate_limited"] = rls.count()  # attempts is cached
-        if content_dups is not None:
-            counts["content_dup"] = content_dups.count()  # fd is cached
-        if soft404s is not None:
-            counts["soft404"] = soft404s.count()  # attempts is cached
-        if overs is not None:
-            counts["oversized"] = overs.count()  # attempts is cached
         _mark("fetch")
         links.count()
         cand.count()
