@@ -161,8 +161,19 @@ def registered_domain(host_col) -> Column:
     # F.get returns NULL out-of-bounds (never throws, unlike
     # element_at under ANSI); NULL isin(...) is NULL -> otherwise()
     second = F.get(parts, n - 2)
+    # round 5: the trailing "sld.tld" pair can also mark a two-label
+    # registrable suffix (urlkit.PSL_2LABEL — explicit well-known ccTLD
+    # families). Both isin sets compile to InSet hash lookups inside
+    # whole-stage codegen; union rule is a strict superset of the old
+    # generic-label-only behavior, so prior groupings are unchanged.
+    pair = F.concat_ws(".", second, F.get(parts, n - 1))
     k = F.when(
-        (n >= 3) & second.isin(*sorted(urlkit.MULTIPART_SLDS)), F.lit(3)
+        (n >= 3)
+        & (
+            second.isin(*sorted(urlkit.MULTIPART_SLDS))
+            | pair.isin(*sorted(urlkit.PSL_2LABEL))
+        ),
+        F.lit(3),
     ).otherwise(F.lit(2))
     tail = F.reverse(F.slice(F.reverse(parts), 1, k))
     return F.when(n <= 2, host_col).otherwise(F.concat_ws(".", tail))

@@ -231,9 +231,64 @@ def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
 #: itself; a.example.co.uk -> example.co.uk). A deliberate public-
 #: suffix-list STUB: the real PSL is a data file a deployment would
 #: broadcast; the GROUPING MECHANICS (and the Spark/python twin
-#: equality) are what this repo tests.
+#: equality) are what this repo tests. These generic labels apply under
+#: ANY TLD (keeps rounds 1-4 traces byte-identical); country-specific
+#: second labels that are NOT generic (go.jp, gob.mx, govt.nz, idv.tw,
+#: ...) live in PSL_2LABEL below as explicit (sld, tld) pairs.
 MULTIPART_SLDS = frozenset(
     {"co", "com", "net", "org", "ac", "gov", "edu"}
+)
+
+#: Well-known multi-part registrable suffixes by ccTLD family (public
+#: knowledge from the Mozilla Public Suffix List — the stable, widely
+#: documented entries only; no fetch, no private-section suffixes).
+#: Round 5 expansion of the stub: an explicit "sld.tld" pair marks a
+#: two-label registrable suffix even when the sld is not one of the
+#: generic MULTIPART_SLDS labels above. The union rule is a strict
+#: SUPERSET of the old behavior, so every existing trace / oracle /
+#: budget grouping is unchanged; only previously-missplit hosts like
+#: a.news.go.jp (was news.go.jp -> go.jp) gain the correct split.
+_PSL_FAMILIES: dict[str, tuple[str, ...]] = {
+    "uk": ("me", "ltd", "plc", "sch", "nhs", "police", "mod"),
+    "jp": ("or", "ne", "ad", "ed", "go", "gr", "lg"),
+    "au": ("asn", "id", "csiro"),
+    "nz": ("govt", "school", "geek", "gen", "kiwi", "maori", "iwi",
+           "mil", "health", "cri", "parliament"),
+    "in": ("firm", "gen", "ind", "res", "mil", "nic"),
+    "za": ("web", "nom", "alt", "law", "mil", "school"),
+    "br": ("mil", "art", "blog", "eco", "emp", "far", "flog", "imb",
+           "ind", "inf", "jus", "leg", "mp", "psi", "radio", "rec",
+           "srv", "tur", "tv", "vlog", "wiki"),
+    "cn": ("mil", "ah", "bj", "cq", "fj", "gd", "gs", "gx", "gz",
+           "ha", "hb", "he", "hi", "hl", "hn", "jl", "js", "jx",
+           "ln", "nm", "nx", "qh", "sc", "sd", "sh", "sn", "sx",
+           "tj", "tw", "xj", "xz", "yn", "zj"),
+    "kr": ("ne", "or", "re", "pe", "go", "mil", "hs", "ms", "es",
+           "sc", "kg", "seoul", "busan", "daegu", "incheon"),
+    "mx": ("gob",),
+    "ar": ("gob", "int", "mil", "musica", "tur"),
+    "tr": ("mil", "web", "gen", "tel", "bel", "pol", "bbs", "k12",
+           "av", "dr", "info", "name", "tv", "biz"),
+    "tw": ("idv", "game", "ebiz", "club", "mil"),
+    "hk": ("idv",),
+    "sg": ("per",),
+    "il": ("muni", "idf", "k12"),
+    "id": ("or", "web", "sch", "go", "mil", "my", "biz", "desa",
+           "ponpes"),
+    "th": ("or", "go", "in", "mi"),
+    "my": ("mil", "name"),
+    "vn": ("int", "biz", "info", "name", "pro", "health"),
+    "ua": ("in", "biz"),
+    "pl": ("info", "waw", "biz", "mil", "nom", "sklep", "tm",
+           "gda", "krakow", "poznan", "wroc", "lodz", "lublin"),
+    "ke": ("or", "ne", "go", "sc", "me", "mobi", "info"),
+    "ng": ("mil", "mobi", "name", "sch", "i"),
+}
+
+PSL_2LABEL = frozenset(
+    f"{sld}.{tld}"
+    for tld, slds in _PSL_FAMILIES.items()
+    for sld in slds
 )
 
 
@@ -241,13 +296,21 @@ def registered_domain(host: str | None) -> str | None:
     """eTLD+1-style registered domain of a hostname: the unit sharing
     one crawl budget across subdomains (subdomain-spam defense — a
     thousand *.blogspot-style hosts must not get a thousand budgets).
-    Byte-identical twin of ``operators.urlops.registered_domain``."""
+    Suffix is two labels when the second-to-last label is a generic
+    registry label (MULTIPART_SLDS, any TLD) OR the trailing pair is a
+    known ccTLD suffix (PSL_2LABEL). Byte-identical twin of
+    ``operators.urlops.registered_domain``."""
     if host is None:
         return None
     parts = host.split(".")
     if len(parts) <= 2:
         return host
-    k = 3 if parts[-2] in MULTIPART_SLDS else 2
+    k = (
+        3
+        if parts[-2] in MULTIPART_SLDS
+        or f"{parts[-2]}.{parts[-1]}" in PSL_2LABEL
+        else 2
+    )
     return ".".join(parts[-k:])
 
 

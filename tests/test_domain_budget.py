@@ -38,6 +38,14 @@ def test_registered_domain_jvm_python_twin(spark):
         [CFG.host(k) for k in range(6)]
         + ["h3.test", "a.example.co.uk", "example.co.uk", "x.y.z.co.jp",
            "localhost", "a.b.gov.uk", "www.example.com", "sub.deep.example.org"]
+        # r5 PSL expansion: one host per ccTLD family, exercising pairs
+        # whose sld is NOT a generic MULTIPART_SLDS label — these split
+        # at 3 labels only via the explicit PSL_2LABEL set — plus
+        # near-misses (same sld under an unlisted TLD) that must NOT.
+        + ["a.news.go.jp", "w.x.gob.mx", "beehive.govt.nz", "fan.idv.tw",
+           "shop.or.kr", "blog.in.th", "cdn.web.za", "tv.mil.br",
+           "a.k12.tr", "uni.muni.il", "r.waw.pl", "biz.go.id",
+           "go.jp", "x.go.com", "y.gob.test", "deep.a.news.go.jp"]
     )
     df = spark.createDataFrame([(h,) for h in hosts], "host string")
     got = {

@@ -162,3 +162,42 @@ def test_surt_domain_prefix_property(url):
     if len(q) == 2:
         pairs = q[1].split("&")
         assert pairs == sorted(pairs)
+
+
+def test_registered_domain_psl_families():
+    """r5 PSL expansion: explicit ccTLD pairs split at 3 labels; the
+    same sld under an unlisted TLD stays a 2-label split; generic
+    MULTIPART_SLDS behavior is unchanged (strict superset)."""
+    cases = {
+        # explicit pairs (sld not a generic label)
+        "a.news.go.jp": "news.go.jp",
+        "w.x.gob.mx": "x.gob.mx",
+        "beehive.govt.nz": "beehive.govt.nz",   # already eTLD+1
+        "fan.idv.tw": "fan.idv.tw",
+        "shop.or.kr": "shop.or.kr",
+        "blog.in.th": "blog.in.th",
+        "cdn.web.za": "cdn.web.za",
+        "tv.mil.br": "tv.mil.br",
+        "site.k12.tr": "site.k12.tr",
+        "uni.muni.il": "uni.muni.il",
+        "r.waw.pl": "r.waw.pl",
+        "biz.go.id": "biz.go.id",
+        "deep.a.news.go.jp": "news.go.jp",
+        # near-misses: listed sld, unlisted TLD -> plain 2-label rule
+        "x.go.com": "go.com",
+        "y.gob.test": "gob.test",
+        "blog.in.test": "in.test",
+        # two labels or fewer: the host itself
+        "go.jp": "go.jp",
+        "localhost": "localhost",
+        # generic labels keep working under ANY TLD (old stub rule)
+        "a.example.co.uk": "example.co.uk",
+        "b.site.ac.test": "site.ac.test",
+    }
+    for host, want in cases.items():
+        assert urlkit.registered_domain(host) == want, host
+    assert urlkit.registered_domain(None) is None
+    # the expansion is well-formed: every entry is exactly "sld.tld"
+    for pair in urlkit.PSL_2LABEL:
+        sld, tld = pair.split(".")
+        assert sld and tld
