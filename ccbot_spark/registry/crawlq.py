@@ -1,0 +1,683 @@
+"""Crawl-domain queries: URL functions (SURT, CDX, url
+hash/salt/normalize, trap detection), host graph + authority +
+PageRank, WET extraction, recrawl scheduling, rate-limit / IP
+politeness windows (SURVEY §2.1/2.2)."""
+# Split from __spark_entry__.py (round 5): driver-facing surface
+# (entry/queries/oracle_sql/clear_caches) unchanged; this module
+# contributes its domain's entries via register()/register_sql().
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ccbot_spark.functions import (  # noqa: F401
+    dedup,
+    eventops,
+    linkrank,
+    multimodal,
+    sampling,
+    similarity,
+    textkit,
+)
+from ccbot_spark.operators import urlops  # noqa: F401
+from ccbot_spark.registry.common import (  # noqa: F401
+    _ACTIVE_CACHES,
+    _COS,
+    _DOC_URLS,
+    _EMB_D,
+    _MIXED_URLS,
+    _SHINGLES,
+    _STOP_SQL,
+    _cents,
+    _doc_urls,
+    _mixed_scheme_urls,
+    _sql_h64,
+    _sql_hmod,
+    _t,
+    q_a_metrics,
+)
+
+
+def register(q):
+
+    def a_domain_budget(spark, sf_dir):
+        # registered-domain (eTLD+1) budget cap — the subdomain-spam
+        # defense the engine runs pre-slotting (domain_budget flag,
+        # trace-equality in tests/test_domain_budget.py). Hosts are
+        # synthesized subdomained (h{k}.d{g}.test); Spark derives the
+        # domain FROM THE HOST STRING with the pure-JVM
+        # urlops.registered_domain, DuckDB re-derives it from the
+        # encoding arithmetic — a green row proves the split/slice
+        # expression groups exactly as encoded. Top-7 per domain by
+        # (priority DESC, url ASC), the generate window's shape.
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+        k = (F.col("event_id") % 24).cast("string")
+        g = (F.col("event_id") % 24 % 5).cast("string")
+        host = F.concat(F.lit("h"), k, F.lit(".d"), g, F.lit(".test"))
+        c = e.select(
+            urlops.registered_domain(host).alias("domain"),
+            F.concat(
+                F.lit("http://"), host, F.lit("/p/"),
+                F.col("event_id").cast("string"),
+            ).alias("url"),
+            (F.col("event_id") * 37 % 101).cast("long").alias("priority"),
+        )
+        w = Window.partitionBy("domain").orderBy(
+            F.col("priority").desc(), F.col("url").asc()
+        )
+        return (
+            c.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 7)
+        )
+    q["a_domain_budget"] = a_domain_budget
+
+    # ---------------- URL / scalar functions (§2.2)
+    def f_host(spark, sf_dir):
+        urls = _doc_urls(_t(spark, sf_dir, "documents"))
+        return (
+            urls.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"))
+            .groupBy("host")
+            .agg(F.count("*").alias("n_urls"))
+        )
+    q["f_host"] = f_host
+
+    def f_surt(spark, sf_dir):
+        # SURT canonical keys (web-archive CDX key), JVM-side
+        # (urlops.surt_key). URLs synthesized to exercise every rule:
+        # www-strip, host-label reversal, explicit port, sorted
+        # multi-param query, no-query/empty-path forms, fragments with
+        # embedded '?' (never a query — r3 ADVICE fix), and non-URL
+        # strings (NULL key on both sides).
+        d = _t(spark, sf_dir, "documents")
+        url = F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("?z="),
+                    F.col("n_chars").cast("string"),
+                    F.lit("&a="),
+                    F.col("lang"),
+                )
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#f?x=1")).otherwise(
+                F.lit("")
+            ),
+        )
+        url = F.when(F.col("doc_id") % 11 == 0, F.lit("not a url")).otherwise(
+            url
+        )
+        return d.select("doc_id", urlops.surt_key(url).alias("surt"))
+    q["f_surt"] = f_surt
+
+    def cdx_index(spark, sf_dir):
+        # CDX-style capture index: one row per captured URL with its
+        # SURT key, capture timestamp, content digest, and size,
+        # numbered in (surt, ts) order via the two-phase global
+        # sequence — at 10^10 captures the index build never collapses
+        # to a single-partition exchange, and range partitioning on
+        # surt keeps each domain's captures contiguous.
+        from ccbot_spark.operators import sequencing
+
+        d = _t(spark, sf_dir, "documents")
+        rows = _doc_urls(d).join(d, "doc_id").select(
+            urlops.surt_key(F.col("url")).alias("surt"),
+            (F.lit(20260101000000) + F.col("doc_id").cast("long")).alias(
+                "ts"
+            ),
+            F.md5(F.col("text")).alias("digest"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+        )
+        numbered, _n, cache = sequencing.global_sequence(
+            rows, keys=["surt", "ts"], num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return numbered.select("seq", "surt", "ts", "digest", "n_bytes")
+    q["cdx_index"] = cdx_index
+
+    def g_hostgraph(spark, sf_dir):
+        # Host-level webgraph rollup: page→page link edges aggregated
+        # to (src_host, dst_host) with edge counts and distinct source
+        # pages — the standard crawler export for seed ranking and
+        # domain-budget planning. Edges synthesized deterministically
+        # (doc i links to docs 2i+1 and 3i+2 mod n, host = source
+        # shard), aggregation is one hash-shuffle on the host pair.
+        d = _t(spark, sf_dir, "documents")
+        n = F.lit(500)  # sf0.01 documents row count is immaterial: mod
+        # by a fixed constant keeps the edge set deterministic per row
+        dst1 = (F.col("doc_id") * 2 + 1) % n
+        dst2 = (F.col("doc_id") * 3 + 2) % n
+        edges = (
+            d.select(
+                F.col("source").alias("src_host"),
+                F.col("doc_id").alias("src_page"),
+                F.explode(F.array(dst1, dst2)).alias("dst_page"),
+            )
+            .join(
+                d.select(
+                    F.col("doc_id").alias("dst_page"),
+                    F.col("source").alias("dst_host"),
+                ),
+                "dst_page",
+            )
+        )
+        return edges.groupBy("src_host", "dst_host").agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("src_page").alias("n_src_pages"),
+        )
+    q["g_hostgraph"] = g_hostgraph
+
+    def text_wet_extract(spark, sf_dir):
+        # WET-style conversion (textkit.wet_text — JVM regexp chain):
+        # markup synthesized around each document's text, then stripped
+        # back out; script/style drop, tag removal, entity decode, and
+        # whitespace collapse all exercised on every row.
+        d = _t(spark, sf_dir, "documents")
+        html = F.concat(
+            F.lit("<html><head><title>"),
+            F.col("source"),
+            F.lit(
+                "</title><style>p{margin:0}</style></head><body>"
+                "<script>var n=1;</script><h1>"
+            ),
+            F.col("lang"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><p>&amp; &lt;tail&gt;</p></body></html>"),
+        )
+        return d.select("doc_id", textkit.wet_text(html).alias("wet_text"))
+    q["text_wet_extract"] = text_wet_extract
+
+    def recrawl_schedule(spark, sf_dir):
+        # the adaptive revisit-interval fold (engine adaptive_recrawl /
+        # oracle ADAPT_MIN/MAX) as a pure relational query: per entity,
+        # fold the visit history in (ts, event_id) order — changed
+        # visit halves the interval (floor 1), unchanged doubles it
+        # (cap 64). JVM-side ordered fold via sort_array + F.aggregate
+        # with shift arithmetic (whole-stage codegen, no Python); the
+        # oracle folds the same list with DuckDB list_reduce.
+        e = _t(spark, sf_dir, "events")
+        chg = (F.col("event_id") % 3 == 0).cast("long")
+        per = e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), chg.alias("chg")
+            ).alias("v"),
+        )
+        agg = per.groupBy("user_id").agg(
+            F.sort_array(F.collect_list("v")).alias("vs")
+        )
+        flags = F.transform(F.col("vs"), lambda v: v.getField("chg"))
+        folded = F.aggregate(
+            flags,
+            F.lit(4).cast("long"),
+            lambda acc, x: F.when(
+                x == 1, F.greatest(F.shiftright(acc, 1), F.lit(1).cast("long"))
+            ).otherwise(F.least(F.shiftleft(acc, 1), F.lit(64).cast("long"))),
+        )
+        return agg.select(
+            "user_id",
+            F.size("vs").cast("long").alias("n_visits"),
+            folded.cast("long").alias("next_interval"),
+        )
+    q["recrawl_schedule"] = recrawl_schedule
+
+    def w_rate_limit(spark, sf_dir):
+        # the HTTP 429 politeness plan (synthweb.rate_limit_of + the
+        # fetch-stage verdict) as a pure relational query: md5-selected
+        # hosts (60%) enforce a per-cycle cap of 2 + h%4 slots with
+        # Retry-After 1 + h%2 cycles; a request's verdict is a pure
+        # function of (host, slot) — exactly the property that lets the
+        # engine's salted fetch workers decide 429s with no shared
+        # state. Slots come from the politeness window (w_schedule
+        # shape); the md5 bucket construction is sampling.key_hash_mod,
+        # mirrored by the oracle's Horner fold.
+        from ccbot_spark.functions.sampling import key_hash_mod
+
+        e = _t(spark, sf_dir, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".test")
+        )
+        w = Window.partitionBy("host").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        d = e.select("event_id", host.alias("host"), "ts").withColumn(
+            "slot", (F.row_number().over(w) - 1).cast("int")
+        )
+        limiting = key_hash_mod(F.concat(F.lit("sel:"), F.col("host")), 100) < 60
+        cap = F.lit(2) + key_hash_mod(F.concat(F.lit("rl:"), F.col("host")), 4)
+        ra = F.lit(1) + key_hash_mod(F.concat(F.lit("ra:"), F.col("host")), 2)
+        lim = limiting & (F.col("slot") >= cap)
+        return d.select(
+            "event_id",
+            "host",
+            "slot",
+            lim.alias("rate_limited"),
+            F.when(lim, F.lit(1) + ra)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("not_before"),
+        )
+    q["w_rate_limit"] = w_rate_limit
+
+    def w_ip_schedule(spark, sf_dir):
+        # IP-level politeness schedule (politeness.generate ip_pool) as
+        # a pure relational query: hosts hash into 7 server addresses
+        # (urlops.ip_key — md5/conv/pmod, whole-stage codegen) with a
+        # deterministic per-host crawl delay; each request's sched_ms
+        # is the cumulative sum of the PRECEDING requests' delays
+        # within its IP — after touching a server, wait that vhost's
+        # delay before the next request to the SAME server, whichever
+        # vhost it targets. One window over the candidate order; its
+        # partitions are bounded by the budgeted fetch set at engine
+        # scale, never the frontier.
+        from ccbot_spark.functions.sampling import key_hash_mod
+
+        e = _t(spark, sf_dir, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".test")
+        )
+        d = e.select("event_id", host.alias("host"), "ts").withColumns(
+            {
+                "ip": urlops.ip_key(F.col("host"), 7),
+                "delay_ms": (
+                    F.lit(100)
+                    + key_hash_mod(
+                        F.concat(F.lit("d:"), F.col("host")), 9
+                    )
+                    * 50
+                ).cast("long"),
+            }
+        )
+        wip = (
+            Window.partitionBy("ip")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return d.select(
+            "event_id",
+            "host",
+            "ip",
+            "delay_ms",
+            F.coalesce(F.sum("delay_ms").over(wip), F.lit(0))
+            .cast("long")
+            .alias("sched_ms"),
+        )
+    q["w_ip_schedule"] = w_ip_schedule
+
+    # ---------------- rows-only entries (no SQL equivalent; each has a
+    # stronger dedicated pytest check — see module docstring)
+    def f_url_hash(spark, sf_dir):
+        urls = _doc_urls(_t(spark, sf_dir, "documents"))
+        return urls.select(
+            "doc_id", urlops.url_hash(F.col("url")).alias("url_hash")
+        )
+    q["f_url_hash"] = f_url_hash
+
+    def f_url_normalize(spark, sf_dir):
+        urls = _doc_urls(_t(spark, sf_dir, "documents")).select(
+            "doc_id",
+            F.concat(
+                F.col("url"), F.lit("?utm_source=x&b=2&a=1#frag")
+            ).alias("url"),
+        )
+        return urls.select(
+            "doc_id", urlops.normalize_udf(F.col("url")).alias("url_norm")
+        )
+    q["f_url_normalize"] = f_url_normalize
+
+    def f_host_salt(spark, sf_dir):
+        urls = _doc_urls(_t(spark, sf_dir, "documents"))
+        host = F.parse_url(F.col("url"), F.lit("HOST"))
+        return urls.select(
+            "doc_id",
+            host.alias("host"),
+            F.pmod(F.xxhash64(host), F.lit(32)).cast("int").alias("salt_bucket"),
+        )
+    q["f_host_salt"] = f_host_salt
+
+    def link_pagerank(spark, sf_dir):
+        # frontier-priority recompute: integer-exact PageRank (3
+        # rounds, d=0.85) over the order→part bipartite "link graph"
+        # (endpoint id spaces disambiguated by parity so they never
+        # collide); rank_micro is int64 micro-units — order-free sums,
+        # engine-neutral by construction (linkrank.pagerank_int)
+        li = _t(spark, sf_dir, "lineitem")
+        edges = li.select(
+            (F.col("l_orderkey") * 10).cast("long").alias("src"),
+            (F.col("l_partkey") * 10 + 1).cast("long").alias("dst"),
+        )
+        return linkrank.pagerank_int(edges, iterations=3)
+    q["link_pagerank"] = link_pagerank
+
+    def f_trap_detect(spark, sf_dir):
+        # crawler-trap heuristics over synthesized URLs: every 5th URL
+        # is a calendar loop (repeated segments), every 5th+1 a 10-deep
+        # mirror path, every 5th+2 an over-long session id; the rest
+        # are clean. urlops.trap_features is all JVM array/regexp ops.
+        e = _t(spark, sf_dir, "events")
+        hostp = F.concat(
+            F.lit("https://h"), (F.col("event_id") % 7).cast("string"), F.lit(".test")
+        )
+        sid = F.col("event_id").cast("string")
+        url = (
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.concat(hostp, F.lit("/cal/2024/cal/2024/cal/"), sid),
+            )
+            .when(
+                F.col("event_id") % 5 == 1,
+                F.concat(hostp, F.lit("/a/b/c/d/e/f/g/h/i/"), sid),
+            )
+            .when(
+                F.col("event_id") % 5 == 2,
+                F.concat(hostp, F.lit("/p/"), F.repeat(F.lit("x"), 160), sid),
+            )
+            .otherwise(F.concat(hostp, F.lit("/p/"), sid))
+        )
+        return urlops.trap_features(e.select("event_id", url.alias("url"))).select(
+            "event_id", "depth", "n_repeat", "url_len", "is_trap"
+        )
+    q["f_trap_detect"] = f_trap_detect
+
+    def g_host_authority(spark, sf_dir):
+        # seed-ranking authority over the g_hostgraph rollup: each
+        # source host splits micro-units across its out-edges —
+        # integer div contract, broadcast outdeg, two hash-aggs.
+        from ccbot_spark.functions import linkrank
+
+        return linkrank.host_authority(g_hostgraph(spark, sf_dir))
+    q["g_host_authority"] = g_host_authority
+
+
+def register_sql(o):
+
+    # --- a_domain_budget: domain derived arithmetically (the Spark
+    # side must read the same grouping back out of the host STRING).
+    o["a_domain_budget"] = """
+        WITH c AS (
+          SELECT 'd' || CAST((event_id % 24) % 5 AS VARCHAR) || '.test' AS domain,
+                 'http://h' || CAST(event_id % 24 AS VARCHAR)
+                   || '.d' || CAST((event_id % 24) % 5 AS VARCHAR)
+                   || '.test/p/' || CAST(event_id AS VARCHAR) AS url,
+                 CAST(event_id * 37 % 101 AS BIGINT) AS priority
+          FROM events WHERE event_id < 5000
+        )
+        SELECT domain, url, priority, rnk FROM (
+          SELECT domain, url, priority,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY priority DESC, url ASC
+                 ) AS BIGINT) AS rnk
+          FROM c
+        ) WHERE rnk <= 7
+    """
+
+    o["f_host"] = f"""
+        SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+               COUNT(*) AS n_urls
+        FROM ({_DOC_URLS}) GROUP BY 1
+    """
+
+    # Independent SURT re-derivation: DuckDB string/list functions
+    # applying the same textual rules (host-lowered, www-stripped,
+    # labels reversed with ',', explicit port kept, empty path → '/',
+    # query pairs sorted) — not a transliteration of the Spark plan.
+    o["f_surt"] = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN 'not a url' ELSE
+                 'https://www.' || source || '.example.com'
+                 || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+                 || '/d/' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 5 = 0 THEN ''
+                         ELSE '?z=' || CAST(n_chars AS VARCHAR)
+                              || '&a=' || lang END
+                 || CASE WHEN doc_id % 3 = 0 THEN '#f?x=1' ELSE '' END
+                 END AS url
+          FROM documents
+        ), p AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+                 regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+                 regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+[^?#]*\?([^#]*)',
+                       1) AS qry
+          FROM u
+        ), h AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                                '^www\.', '') AS host,
+                 regexp_extract(hostport, '(:[0-9]+)$', 1) AS port,
+                 CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+                 COALESCE(array_to_string(list_sort(list_filter(
+                     string_split(qry, '&'), x -> x <> '')), '&'), '') AS sq
+          FROM p
+        )
+        SELECT doc_id,
+               CASE WHEN NOT regexp_matches(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+') THEN NULL
+               ELSE
+               array_to_string(list_reverse(string_split(host, '.')), ',')
+               || port || ')' || pth
+               || CASE WHEN sq = '' THEN '' ELSE '?' || sq END
+               END AS surt
+        FROM h
+    """
+
+    o["cdx_index"] = """
+        WITH r AS (
+          SELECT array_to_string(list_reverse(string_split(
+                     source || '.example.com', '.')), ',')
+                 || ')/d/' || CAST(doc_id AS VARCHAR) AS surt,
+                 CAST(20260101000000 AS BIGINT) + CAST(doc_id AS BIGINT) AS ts,
+                 md5(text) AS digest,
+                 CAST(n_chars AS BIGINT) AS n_bytes
+          FROM documents
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY surt, ts) - 1 AS BIGINT) AS seq,
+               surt, ts, digest, n_bytes
+        FROM r
+    """
+
+    o["g_hostgraph"] = """
+        WITH e AS (
+          SELECT d.source AS src_host, d.doc_id AS src_page,
+                 dst.dst_page
+          FROM documents d,
+               LATERAL (VALUES ((d.doc_id * 2 + 1) % 500),
+                               ((d.doc_id * 3 + 2) % 500)) AS dst(dst_page)
+        )
+        SELECT e.src_host, t.source AS dst_host,
+               COUNT(*) AS n_edges,
+               COUNT(DISTINCT e.src_page) AS n_src_pages
+        FROM e JOIN documents t ON t.doc_id = e.dst_page
+        GROUP BY 1, 2
+    """
+
+    # --- g_host_authority: the hostgraph rollup re-derived, then the
+    # same integer endorsement split (div truncation contractual).
+    o["g_host_authority"] = """
+        WITH e AS (
+          SELECT d.source AS src_host, d.doc_id AS src_page,
+                 dst.dst_page
+          FROM documents d,
+               LATERAL (VALUES ((d.doc_id * 2 + 1) % 500),
+                               ((d.doc_id * 3 + 2) % 500)) AS dst(dst_page)
+        ), hg AS (
+          SELECT e.src_host, t.source AS dst_host,
+                 COUNT(*) AS n_edges
+          FROM e JOIN documents t ON t.doc_id = e.dst_page
+          GROUP BY 1, 2
+        ), od AS (
+          SELECT src_host, SUM(n_edges) AS outdeg FROM hg GROUP BY 1
+        )
+        SELECT hg.dst_host AS host,
+               CAST(SUM((n_edges * 1000000) // outdeg) AS BIGINT)
+                 AS authority_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_in_hosts
+        FROM hg JOIN od USING (src_host)
+        GROUP BY hg.dst_host
+    """
+
+    o["text_wet_extract"] = r"""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>' || source
+                 || '</title><style>p{margin:0}</style></head><body>'
+                 || '<script>var n=1;</script><h1>' || lang
+                 || '</h1><p>' || text
+                 || '</p><p>&amp; &lt;tail&gt;</p></body></html>' AS html
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(regexp_replace(regexp_replace(html,
+                     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g')) AS wet_text
+        FROM h
+    """
+
+    o["recrawl_schedule"] = """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_visits,
+               CAST(list_reduce(
+                 list_prepend(CAST(4 AS BIGINT),
+                   list(CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END
+                             AS BIGINT) ORDER BY ts, event_id)),
+                 (acc, x) -> CASE WHEN x = 1 THEN greatest(acc // 2, 1)
+                                  ELSE least(acc * 2, 64) END
+               ) AS BIGINT) AS next_interval
+        FROM events GROUP BY user_id
+    """
+
+    # --- deterministic sampling / quotas: the Spark side hashes
+    o["w_rate_limit"] = f"""
+        WITH s AS (
+          SELECT event_id,
+                 'h' || CAST(user_id % 40 AS VARCHAR) || '.test' AS host,
+                 ts,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY 'h' || CAST(user_id % 40 AS VARCHAR) || '.test'
+                   ORDER BY ts ASC, event_id ASC
+                 ) - 1 AS INTEGER) AS slot
+          FROM events
+        )
+        SELECT event_id, host, slot,
+               ({_sql_hmod("'sel:' || host", 100)} < 60
+                AND slot >= 2 + {_sql_hmod("'rl:' || host", 4)}) AS rate_limited,
+               CAST(CASE WHEN {_sql_hmod("'sel:' || host", 100)} < 60
+                          AND slot >= 2 + {_sql_hmod("'rl:' || host", 4)}
+                    THEN 2 + {_sql_hmod("'ra:' || host", 2)}
+                    ELSE 0 END AS INTEGER) AS not_before
+        FROM s
+    """
+
+    o["w_ip_schedule"] = f"""
+        WITH b AS (
+          SELECT event_id,
+                 'h' || CAST(user_id % 40 AS VARCHAR) || '.test' AS host,
+                 ts
+          FROM events
+        ), c AS (
+          SELECT event_id, host, ts,
+                 'ip-' || CAST({_sql_hmod("host", 7)} AS VARCHAR) AS ip,
+                 CAST(100 + {_sql_hmod("'d:' || host", 9)} * 50 AS BIGINT)
+                   AS delay_ms
+          FROM b
+        )
+        SELECT event_id, host, ip, delay_ms,
+               CAST(COALESCE(SUM(delay_ms) OVER (
+                 PARTITION BY ip ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS sched_ms
+        FROM c
+    """
+
+    # --- link_pagerank: the 3 integer-exact rank rounds unrolled as
+    # CTEs (one per iteration — DuckDB's independent formulation of
+    # the Spark side's checkpointed loop). `//` here and `div` there
+    # both truncate, all values non-negative → bit-identical.
+    _pr_round = """
+        SELECT n.node,
+               CAST(150000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.r // o.outdeg) AS in_sum
+            FROM e
+            JOIN {prev} p ON p.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    """
+    o["link_pagerank"] = f"""
+        WITH e AS (
+          SELECT DISTINCT l_orderkey * 10 AS src, l_partkey * 10 + 1 AS dst
+          FROM lineitem
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        r1 AS ({_pr_round.format(prev="r0")}),
+        r2 AS ({_pr_round.format(prev="r1")}),
+        r3 AS ({_pr_round.format(prev="r2")})
+        SELECT node, r AS rank_micro FROM r3
+    """
+
+    # --- f_trap_detect: same synthesized URL mix; repeat detection is
+    # multiset-based (depth − distinct segments), no RE backreferences.
+    o["f_trap_detect"] = """
+        WITH urls AS (
+          SELECT event_id,
+                 CASE
+                   WHEN event_id % 5 = 0 THEN
+                     'https://h' || CAST(event_id % 7 AS VARCHAR)
+                       || '.test/cal/2024/cal/2024/cal/'
+                       || CAST(event_id AS VARCHAR)
+                   WHEN event_id % 5 = 1 THEN
+                     'https://h' || CAST(event_id % 7 AS VARCHAR)
+                       || '.test/a/b/c/d/e/f/g/h/i/'
+                       || CAST(event_id AS VARCHAR)
+                   WHEN event_id % 5 = 2 THEN
+                     'https://h' || CAST(event_id % 7 AS VARCHAR)
+                       || '.test/p/' || repeat('x', 160)
+                       || CAST(event_id AS VARCHAR)
+                   ELSE
+                     'https://h' || CAST(event_id % 7 AS VARCHAR)
+                       || '.test/p/' || CAST(event_id AS VARCHAR)
+                 END AS url
+          FROM events
+        ),
+        segs AS (
+          SELECT event_id, url,
+                 list_filter(string_split(
+                   regexp_replace(url, '^[a-z]+://[^/]+', ''), '/'),
+                   s -> s <> '') AS parts
+          FROM urls
+        ),
+        f AS (
+          SELECT event_id,
+                 CAST(len(parts) AS BIGINT) AS depth,
+                 CAST(len(parts) - len(list_distinct(parts)) AS BIGINT)
+                   AS n_repeat,
+                 CAST(length(url) AS BIGINT) AS url_len
+          FROM segs
+        )
+        SELECT event_id, depth, n_repeat, url_len,
+               CAST(CASE WHEN depth > 8 OR n_repeat > 1 OR url_len > 160
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+        FROM f
+    """

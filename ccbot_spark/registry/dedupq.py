@@ -1,0 +1,667 @@
+"""Deduplication + similarity search: exact / n-gram /
+edit-distance / MinHash-LSH / SimHash / embedding near-dup, phash
+joins, decontamination, dup-span features, connected components +
+keeper election, ANN brute/LSH/IVF."""
+# Split from __spark_entry__.py (round 5): driver-facing surface
+# (entry/queries/oracle_sql/clear_caches) unchanged; this module
+# contributes its domain's entries via register()/register_sql().
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ccbot_spark.functions import (  # noqa: F401
+    dedup,
+    eventops,
+    linkrank,
+    multimodal,
+    sampling,
+    similarity,
+    textkit,
+)
+from ccbot_spark.operators import urlops  # noqa: F401
+from ccbot_spark.registry.common import (  # noqa: F401
+    _ACTIVE_CACHES,
+    _COS,
+    _DOC_URLS,
+    _EMB_D,
+    _MIXED_URLS,
+    _SHINGLES,
+    _STOP_SQL,
+    _cents,
+    _doc_urls,
+    _mixed_scheme_urls,
+    _sql_h64,
+    _sql_hmod,
+    _t,
+    q_a_metrics,
+)
+
+
+def register(q):
+
+    def j_phash_dedup(spark, sf_dir):
+        # quantity filter on the right side → non-empty anti-join
+        # survivors (same de-vacuation rationale as j_seen_anti)
+        p = _t(spark, sf_dir, "part")
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") > 45)
+            .select(F.col("l_partkey").alias("p_partkey"))
+        )
+        return p.select("p_partkey", "p_brand").join(li, "p_partkey", "left_anti")
+    q["j_phash_dedup"] = j_phash_dedup
+
+    def j_phash_near(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        h = (F.col("n_chars") * 1103515245 + 12345).alias("h")
+        docs = d.select(F.col("doc_id"), h)
+        bands = docs.select(
+            "doc_id",
+            "h",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("h"), b * 16).bitwiseAND(
+                            F.lit(0xFFFF)
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band_id", "band_val"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .filter(F.col("hamming") <= 4)
+        )
+    q["j_phash_near"] = j_phash_near
+
+    # ---------------- training-data pipeline: dedup
+    def dedup_exact(spark, sf_dir):
+        return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=3, t10=1
+        )
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_edit_distance(spark, sf_dir):
+        # fuzzy near-dup: shingle-blocked candidates (never all-pairs)
+        # verified by exact Levenshtein — the JVM builtin and DuckDB's
+        # levenshtein() implement the identical distance, so the
+        # verify stage is value-checked end-to-end.
+        return dedup.edit_distance_pairs(
+            _t(spark, sf_dir, "documents"), max_dist=60, n=3, t10=1
+        )
+    q["dedup_edit_distance"] = dedup_edit_distance
+
+    def dedup_ngram_capped(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs_capped(
+            _t(spark, sf_dir, "documents"), n=3, t10=1, max_df=20
+        )
+    q["dedup_ngram_capped"] = dedup_ngram_capped
+
+    def text_decontaminate(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.contamination_hits(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=3,
+        )
+    q["text_decontaminate"] = text_decontaminate
+
+    def text_dup_spans(spark, sf_dir):
+        # Lee-et-al exact-substring dedup signal: per-doc count of
+        # tokens covered by a 5-gram occurring more than once in the
+        # corpus. Shingle equi-join mechanics (functions/dedup.py
+        # dup_span_features); DuckDB replays it with list slicing +
+        # interval union.
+        d = _t(spark, sf_dir, "documents")
+        return dedup.dup_span_features(d, n=5)
+    q["text_dup_spans"] = text_dup_spans
+
+    def dedup_embedding(spark, sf_dir):
+        return dedup.embedding_near_pairs(_t(spark, sf_dir, "embeddings"), t4=3500)
+    q["dedup_embedding"] = dedup_embedding
+
+    def dedup_embedding_lsh(spark, sf_dir):
+        return dedup.embedding_lsh_near_pairs(
+            _t(spark, sf_dir, "embeddings"), t4=3500
+        )
+    q["dedup_embedding_lsh"] = dedup_embedding_lsh
+
+    # ---------------- similarity search
+    def ann_topk(spark, sf_dir):
+        return similarity.ann_bruteforce_topk(
+            _t(spark, sf_dir, "embeddings"), n_queries=10, k=5
+        )
+    q["ann_topk"] = ann_topk
+
+    def ann_ivf(spark, sf_dir):
+        return similarity.ivf_topk_int(
+            _t(spark, sf_dir, "embeddings"),
+            n_centroids=16, nprobe=4, n_queries=10, k=5,
+        )
+    q["ann_ivf"] = ann_ivf
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf_dir):
+        return dedup.simhash_near_pairs(
+            _t(spark, sf_dir, "documents"), max_ham=16
+        )
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_components(spark, sf_dir):
+        # the dedup endgame: pairs → clusters → canonical keeper per
+        # cluster (min doc id), via O(log diameter) label propagation
+        # with pointer jumping (dedup.connected_components)
+        pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+        return dedup.connected_components(pairs)
+    q["dedup_components"] = dedup_components
+
+    def dedup_keep_best(spark, sf_dir):
+        # pairs → clusters → one keeper per cluster (highest n_chars,
+        # tie-break lowest doc_id); singletons keep themselves — the
+        # complete dedup endgame as a single query
+        docs = _t(spark, sf_dir, "documents")
+        clusters = dedup.connected_components(dedup.ngram_jaccard_pairs(docs))
+        return dedup.keep_best_per_cluster(docs, clusters)
+    q["dedup_keep_best"] = dedup_keep_best
+
+    def ann_lsh(spark, sf_dir):
+        return similarity.ann_lsh_topk(
+            _t(spark, sf_dir, "embeddings"), n_queries=10, k=5
+        )
+    q["ann_lsh"] = ann_lsh
+
+
+def register_sql(o):
+
+    o["j_phash_dedup"] = """
+        SELECT p_partkey, p_brand FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey
+                            AND l.l_quantity > 45)
+    """
+
+    o["j_phash_near"] = """
+        WITH h AS (
+          SELECT doc_id, n_chars * 1103515245 + 12345 AS h FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.h, b.h)) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+          AND (
+            (a.h & 65535) = (b.h & 65535)
+            OR ((a.h // 65536) & 65535) = ((b.h // 65536) & 65535)
+            OR ((a.h // 4294967296) & 65535) = ((b.h // 4294967296) & 65535)
+            OR ((a.h // 281474976710656) & 65535) = ((b.h // 281474976710656) & 65535)
+          )
+        WHERE bit_count(xor(a.h, b.h)) <= 4
+    """
+
+    o["dedup_exact"] = """
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS copies
+        FROM documents GROUP BY md5(text)
+    """
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH sh AS ({_SHINGLES}),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+    """
+
+    # --- dedup_edit_distance: the same shingle-blocked candidates,
+    # verified by DuckDB's levenshtein() (identical definition to the
+    # JVM builtin) + the length columns.
+    o["dedup_edit_distance"] = f"""
+        WITH sh AS ({_SHINGLES}),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        cand AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+        )
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+               CAST(length(ta.text) AS BIGINT) AS len_a,
+               CAST(length(tb.text) AS BIGINT) AS len_b
+        FROM cand
+        JOIN documents ta ON ta.doc_id = doc_a
+        JOIN documents tb ON tb.doc_id = doc_b
+        WHERE levenshtein(ta.text, tb.text) <= 60
+    """
+
+    # --- decontamination: corpus docs (doc_id%50 != 0) sharing any
+    # word 3-gram with the eval split (doc_id%50 = 0); per-doc grams
+    # are distinct, so COUNT(*) = distinct contaminated grams.
+    # --- text_dup_spans: independent relational formulation — list
+    # slicing builds the positional 5-grams, a HAVING>1 gram set joins
+    # back, UNNEST(range(5)) expands each hit to its covered token
+    # interval, DISTINCT unions the intervals.
+    o["text_dup_spans"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(l[i+1:i+5], ' ') AS gram
+          FROM toks, UNNEST(range(len(l) - 4)) AS r(i)
+          WHERE len(l) >= 5
+        ),
+        dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+        cov AS (
+          SELECT DISTINCT g.doc_id, g.pos + o.o AS idx
+          FROM grams g JOIN dupg USING (gram), UNNEST(range(5)) AS o(o)
+        ),
+        nt AS (SELECT doc_id, len(l) AS n_tokens FROM toks WHERE len(l) > 0)
+        SELECT nt.doc_id,
+               CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS dup_tokens,
+               CAST(1000 * COALESCE(c.n, 0) // nt.n_tokens AS BIGINT)
+                 AS dup_frac_x1000
+        FROM nt LEFT JOIN (
+          SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id
+        ) c USING (doc_id)
+    """
+
+    o["text_decontaminate"] = f"""
+        WITH sh AS ({_SHINGLES}),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+        SELECT sh.doc_id, COUNT(*) AS shared_grams
+        FROM sh JOIN ev USING (shingle)
+        WHERE sh.doc_id % 50 <> 0
+        GROUP BY sh.doc_id
+    """
+
+    o["dedup_ngram_capped"] = f"""
+        WITH sh0 AS ({_SHINGLES}),
+        rare AS (
+          SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 20
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 10 >= 1 * (sa.sz + sb.sz - inter)
+    """
+
+    o["dedup_embedding"] = f"""
+        WITH e AS ({_EMB_D})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 3500 / 10000.0
+    """
+
+    # --- Bucketed embedding near-dup: md5-seeded sign planes, integer
+    # quantized rerank (10^8·dot² vs t4²·‖a‖²·‖b‖² in int128/decimal38)
+    # — fully integer, so both engines agree bit-for-bit.
+    _pw = dedup.plane_weights(64)
+    planes_vals = ", ".join(
+        f"({p},{c + 1},{_pw[p][c]})" for p in range(dedup.EMB_PLANES) for c in range(64)
+    )
+    pb_vals = ", ".join(
+        f"({p},{p // dedup.EMB_BAND_BITS},{1 << (p % dedup.EMB_BAND_BITS)})"
+        for p in range(dedup.EMB_PLANES)
+    )
+    o["dedup_embedding_lsh"] = f"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, q,
+                 list_sum(list_transform(q, x -> x * x)) AS n2
+          FROM e
+        ),
+        planes(p, c, w) AS (VALUES {planes_vals}),
+        pb(p, band_id, bitw) AS (VALUES {pb_vals}),
+        dots AS (
+          SELECT vec_id, p, SUM(q[c] * w) AS dot
+          FROM e CROSS JOIN planes GROUP BY vec_id, p
+        ),
+        bands AS (
+          SELECT vec_id, band_id,
+                 CAST(SUM(CASE WHEN dot > 0 THEN bitw ELSE 0 END) AS BIGINT)
+                     AS band_val
+          FROM dots JOIN pb USING (p) GROUP BY vec_id, band_id
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id
+        ),
+        rr AS (
+          SELECT c.vec_a, c.vec_b,
+                 list_sum(list_transform(generate_series(1, len(na.q)),
+                          i -> na.q[i] * nb.q[i])) AS dot,
+                 na.n2 AS na2, nb.n2 AS nb2
+          FROM cand c
+          JOIN n na ON na.vec_id = c.vec_a
+          JOIN n nb ON nb.vec_id = c.vec_b
+        )
+        SELECT vec_a, vec_b FROM rr
+        WHERE dot > 0
+          AND CAST(100000000 AS HUGEINT) * dot * dot
+              >= CAST({3500 * 3500} AS HUGEINT) * na2 * nb2
+    """
+
+    o["ann_topk"] = f"""
+        WITH e AS ({_EMB_D}),
+        q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(q.emb)),
+                   i -> q.emb[i] * e.emb[i])) /
+                 (sqrt(list_sum(list_transform(q.emb, x -> x*x))) *
+                  sqrt(list_sum(list_transform(e.emb, x -> x*x)))) AS cos
+          FROM q JOIN e ON e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+    # --- ANN IVF (integer-exact): mirrors similarity.ivf_topk_int —
+    # unit-normalize with the same left-fold norm, quantize to
+    # floor(x·2^20), then centroid assignment / probing / rerank are
+    # all exact int64 dot products with id tie-breaks.
+    o["ann_ivf"] = f"""
+        WITH e AS ({_EMB_D}),
+        nq AS (
+          SELECT vec_id,
+                 list_transform(emb, x -> CAST(FLOOR(
+                   x / sqrt(list_sum(list_transform(emb, y -> y*y)))
+                     * 1048576.0) AS BIGINT)) AS q
+          FROM e
+        ),
+        cents AS (
+          SELECT vec_id AS cid, q AS cq FROM nq
+          WHERE vec_id % 997 < 31 ORDER BY vec_id LIMIT 16
+        ),
+        assign AS (
+          SELECT vec_id, q, cid FROM (
+            SELECT n.vec_id, n.q, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(n.q)),
+                       i -> n.q[i] * c.cq[i])) DESC, c.cid ASC) AS rn
+            FROM nq n CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        qs AS (SELECT vec_id AS query_id, q AS qq FROM nq WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qq, cid FROM (
+            SELECT s.query_id, s.qq, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(s.qq)),
+                       i -> s.qq[i] * c.cq[i])) DESC, c.cid ASC) AS rn
+            FROM qs s CROSS JOIN cents c
+          ) WHERE rn <= 4
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(p.qq)),
+                   i -> p.qq[i] * a.q[i])) AS dot
+          FROM probes p JOIN assign a
+            ON a.cid = p.cid AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id ASC) AS rn
+          FROM cand
+        ) WHERE rn <= 5
+    """
+
+    # --- ANN LSH: bucket assignment mirrors similarity._bucket_udf
+    # (md5-seeded integer planes over quantized vectors); rerank is the
+    # same left-fold cosine as the ann_topk oracle, restricted to the
+    # query's bucket.
+    _lw = dedup.plane_weights(64, n_planes=6)
+    lsh_planes_vals = ", ".join(
+        f"({p},{c + 1},{_lw[p][c]})" for p in range(6) for c in range(64)
+    )
+    o["ann_lsh"] = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        planes(p, c, w) AS (VALUES {lsh_planes_vals}),
+        pb(p, pow2) AS (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),(5,32)),
+        dots AS (
+          SELECT vec_id, p, SUM(q[c] * w) AS dot
+          FROM e CROSS JOIN planes GROUP BY vec_id, p
+        ),
+        buck AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot > 0 THEN pow2 ELSE 0 END) AS INTEGER)
+                     AS bucket
+          FROM dots JOIN pb USING (p) GROUP BY vec_id
+        ),
+        eb AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buck b USING (vec_id)),
+        qs AS (
+          SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+          FROM eb WHERE vec_id < 10
+        ),
+        scored AS (
+          SELECT qs.query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qs.q_emb)),
+                   i -> qs.q_emb[i] * c.emb[i])) /
+                 (sqrt(list_sum(list_transform(qs.q_emb, x -> x*x))) *
+                  sqrt(list_sum(list_transform(c.emb, x -> x*x)))) AS cos
+          FROM qs JOIN eb c
+            ON c.bucket = qs.q_bucket AND c.vec_id <> qs.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+    # --- MinHash+LSH: engine-neutral because both sides define the
+    # shingle hash as md5-hex-first-16 → uint64 → mod p, and the
+    # signature fold is explicit integer arithmetic (dedup.py:
+    # minhash_signatures does it with JVM min-aggregates).
+    mh_params = ", ".join(
+        f"({i}, {int(dedup.MH_A[i])}, {int(dedup.MH_B[i])})"
+        for i in range(dedup.MH_K)
+    )
+    o["dedup_minhash_lsh"] = f"""
+        WITH sh AS ({_SHINGLES}),
+        hx AS (
+          SELECT doc_id, CAST({_sql_h64('shingle')} % 2147483647 AS BIGINT) AS x
+          FROM sh
+        ),
+        params(i, a, b) AS (VALUES {mh_params}),
+        sigs0 AS (
+          SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS s
+          FROM hx CROSS JOIN params GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT d.doc_id, p.i, COALESCE(s0.s, 2147483647) AS s
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN params p
+          LEFT JOIN sigs0 s0 ON s0.doc_id = d.doc_id AND s0.i = p.i
+        ),
+        bands AS (
+          SELECT doc_id, i // 8 AS band_id,
+                 md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS band_hash
+          FROM sigs GROUP BY doc_id, i // 8
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 COUNT(*) FILTER (WHERE sa.s = sb.s) AS matches
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.doc_a
+          JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(matches * 10.0 / 64) AS BIGINT) AS est10
+        FROM est
+    """
+
+    # --- SimHash: per-token uint64 hash (same md5 construction), bit
+    # votes, sign → bit (weight −2^63 for bit 63), 4×16-bit band join.
+    sh_bits = ", ".join(
+        f"({j}, CAST({1 << j} AS HUGEINT), "
+        f"{(1 << j) if j < 63 else '-9223372036854775807 - 1'})"
+        for j in range(64)
+    )
+    o["dedup_simhash"] = f"""
+        WITH toks AS (
+          -- COALESCE([NULL]) mirrors Spark's explode_outer: a NULL text
+          -- keeps its doc with one NULL token (every vote then falls to
+          -- the ELSE -1 branch, sh = 0)
+          SELECT doc_id,
+                 unnest(COALESCE(string_split(lower(text), ' '),
+                                 [CAST(NULL AS VARCHAR)])) AS tok
+          FROM documents
+        ),
+        h AS (SELECT doc_id, {_sql_h64('tok')} AS hu FROM toks),
+        bits(j, pow, w) AS (VALUES {sh_bits}),
+        votes AS (
+          SELECT doc_id, j, w,
+                 SUM(CASE WHEN (hu // pow) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN bits GROUP BY doc_id, j, w
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN v > 0 THEN w ELSE 0 END) AS BIGINT) AS sh
+          FROM votes GROUP BY doc_id
+        ),
+        ub AS (
+          SELECT doc_id, sh,
+                 CASE WHEN sh < 0
+                      THEN CAST(sh AS HUGEINT)
+                           + CAST(18446744073709551616 AS HUGEINT)
+                      ELSE CAST(sh AS HUGEINT) END AS shu
+          FROM sig
+        ),
+        bands AS (
+          SELECT doc_id, sh, b AS band_id,
+                 CAST((shu // pow16) % 65536 AS BIGINT) AS band_val
+          FROM ub CROSS JOIN (VALUES
+            (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+            (2, CAST(4294967296 AS HUGEINT)),
+            (3, CAST(281474976710656 AS HUGEINT))) t(b, pow16)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sh AS sha, b.sh AS shb
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sha, shb)) AS hamming
+        FROM pairs WHERE bit_count(xor(sha, shb)) <= 16
+    """
+
+    # --- dedup_components: min-reachable-label over the ngram-Jaccard
+    # pair graph (WITH RECURSIVE; UNION-distinct bounds the state) —
+    # the independent fixpoint formulation of the Spark side's
+    # pointer-jumping label propagation.
+    o["dedup_components"] = f"""
+        WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        )
+        SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+    # --- dedup_keep_best: the components fixpoint extended with the
+    # keeper window (highest n_chars, then lowest doc_id; singletons
+    # keep themselves)
+    o["dedup_keep_best"] = f"""
+        WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY node
+        ),
+        joined AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster_id, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+          FROM joined
+        ) WHERE rn = 1
+    """

@@ -1,0 +1,155 @@
+"""Event-time operators: as-of join, bucketed range join,
+sessionization (SURVEY §2.3/2.4 addenda)."""
+# Split from __spark_entry__.py (round 5): driver-facing surface
+# (entry/queries/oracle_sql/clear_caches) unchanged; this module
+# contributes its domain's entries via register()/register_sql().
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ccbot_spark.functions import (  # noqa: F401
+    dedup,
+    eventops,
+    linkrank,
+    multimodal,
+    sampling,
+    similarity,
+    textkit,
+)
+from ccbot_spark.operators import urlops  # noqa: F401
+from ccbot_spark.registry.common import (  # noqa: F401
+    _ACTIVE_CACHES,
+    _COS,
+    _DOC_URLS,
+    _EMB_D,
+    _MIXED_URLS,
+    _SHINGLES,
+    _STOP_SQL,
+    _cents,
+    _doc_urls,
+    _mixed_scheme_urls,
+    _sql_h64,
+    _sql_hmod,
+    _t,
+    q_a_metrics,
+)
+
+
+def register(q):
+
+    def j_asof(spark, sf_dir):
+        # as-of join (most-recent-state lookup): each click joins the
+        # latest error ≤ its ts per user — union + one key shuffle +
+        # last(ignoreNulls) window, never a range explosion. Build
+        # side deduped per (user_id, ts) (max_by event_id) so the
+        # match is well-defined in both engines.
+        e = _t(spark, sf_dir, "events")
+        build = (
+            e.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias("value"))
+        )
+        probe = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return eventops.asof_join(probe, build)
+    q["j_asof"] = j_asof
+
+    def j_range_bucket(spark, sf_dir):
+        # band-range join: clicks inside each error's 10-minute window
+        # per user. Time-bucket equi-join (fan-out ≤ 2) + residual
+        # filter — the 100 TB shape; a naive ts-inequality join plans
+        # as a cartesian theta-join.
+        e = _t(spark, sf_dir, "events")
+        iv = e.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("iv_id"), "user_id",
+            F.col("ts").alias("start_ts"),
+        )
+        pr = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        return eventops.range_join_bucketed(iv, pr, width_s=600)
+    q["j_range_bucket"] = j_range_bucket
+
+    def a_sessionize(spark, sf_dir):
+        # batch gaps-and-islands sessionization (30-min inactivity
+        # gap): lag + running sum + rollup over one user_id shuffle —
+        # the batch twin of the streaming session_window agg
+        return eventops.sessionize(_t(spark, sf_dir, "events"), gap_s=1800)
+    q["a_sessionize"] = a_sessionize
+
+
+def register_sql(o):
+
+    # --- j_asof: DuckDB's native ASOF JOIN is the independent oracle
+    # for the union+window implementation
+    o["j_asof"] = """
+        WITH build AS (
+          SELECT user_id, ts, max_by(value, event_id) AS value
+          FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+        ),
+        probe AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS ts_us,
+               CAST(coalesce(epoch_us(b.ts), -1) AS BIGINT) AS asof_ts_us,
+               coalesce(b.value, -1.0) AS asof_value
+        FROM probe p ASOF LEFT JOIN build b
+          ON p.user_id = b.user_id AND p.ts >= b.ts
+    """
+
+    # --- j_range_bucket: plain inequality join at oracle scale; the
+    # Spark side buckets time so it never plans a theta-join
+    o["j_range_bucket"] = """
+        WITH iv AS (
+          SELECT event_id AS iv_id, user_id, ts AS start_ts
+          FROM events WHERE event_type = 'error'
+        ),
+        pr AS (
+          SELECT user_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT iv.iv_id, iv.user_id,
+               epoch_us(iv.start_ts) AS start_ts_us,
+               CAST(count(pr.ts) AS BIGINT) AS n_probes,
+               CAST(coalesce(sum(pr.cents), 0) AS BIGINT) AS sum_cents
+        FROM iv LEFT JOIN pr
+          ON iv.user_id = pr.user_id
+         AND pr.ts >= iv.start_ts
+         AND pr.ts < iv.start_ts + INTERVAL 600 SECOND
+        GROUP BY iv.iv_id, iv.user_id, iv.start_ts
+    """
+
+    # --- a_sessionize: gaps-and-islands with the same strict->gap
+    # boundary and (ts, event_id) tiebreak as eventops.sessionize
+    o["a_sessionize"] = """
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        n AS (
+          SELECT user_id, ts, cents,
+                 CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_id
+          FROM x
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(epoch_us(ts)) AS session_start_us,
+               max(epoch_us(ts)) AS session_end_us,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM n GROUP BY user_id, session_id
+    """

@@ -1,0 +1,930 @@
+"""Image / multimodal queries: decode pipeline, header
+sniffing (PNG/BMP/JPEG/GIF dims), phash near-dup + blocklist,
+curation gates, joint multimodal dedup + keeper, letterbox geometry,
+PNG scrub, hash family, size/aspect profiles, exact dedup, WDS shard
+planning."""
+# Split from __spark_entry__.py (round 5): driver-facing surface
+# (entry/queries/oracle_sql/clear_caches) unchanged; this module
+# contributes its domain's entries via register()/register_sql().
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ccbot_spark.functions import (  # noqa: F401
+    dedup,
+    eventops,
+    linkrank,
+    multimodal,
+    sampling,
+    similarity,
+    textkit,
+)
+from ccbot_spark.operators import urlops  # noqa: F401
+from ccbot_spark.registry.common import (  # noqa: F401
+    _ACTIVE_CACHES,
+    _COS,
+    _DOC_URLS,
+    _EMB_D,
+    _MIXED_URLS,
+    _SHINGLES,
+    _STOP_SQL,
+    _cents,
+    _doc_urls,
+    _mixed_scheme_urls,
+    _sql_h64,
+    _sql_hmod,
+    _t,
+    q_a_metrics,
+)
+
+
+def register(q):
+
+    def img_pipeline(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        return multimodal.decode_features(multimodal.synth_images_from_docs(docs))
+    q["img_pipeline"] = img_pipeline
+
+    def img_phash_near(spark, sf_dir):
+        # Exercises multimodal.phash_near_pairs (the banded Hamming
+        # join) through an ORACLED path: phashes are synthesized
+        # JVM-side from md5 so DuckDB reproduces them exactly —
+        # doc_id % 150 gives planted near-dup pairs (one flipped bit),
+        # bypassing only the binary decode step (which keeps its
+        # pixel-exact pytest + the rows-only img_pipeline entry).
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        # two 31-bit halves → base phash < 2^62 (no int64 overflow in
+        # either engine); docs ≥150 repeat an earlier base with ONE
+        # bit flipped → hamming-1 planted pairs
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        ph = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+        )
+        return multimodal.phash_near_pairs(ph, max_ham=6)
+    q["img_phash_near"] = img_phash_near
+
+    def img_blocklist(spark, sf_dir):
+        # the PhotoDNA-style moderation gate: images whose phash falls
+        # within Hamming ≤ 1 of a curated bad-hash list are flagged
+        # (and dropped from the kept set). Phash synthesis reuses the
+        # img_phash_near md5 idiom (bases 0..149, docs ≥150 repeat a
+        # base with ONE flipped bit); the blocklist holds the bases of
+        # doc_id % 7 == 0 under 50, so each bad hash flags its exact
+        # image (ham 0) AND its planted near-dup (ham 1). The banded
+        # prefilter is complete for this radius (pigeonhole ≤ 3).
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        ph = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+        )
+        bl = (
+            _t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 50) & (F.col("doc_id") % 7 == 0))
+            .select(
+                F.col("doc_id").cast("string").alias("_k")
+            )
+            .select(F.md5(F.concat(F.lit("img:"), F.col("_k"))).alias("_h"))
+            .select(
+                (
+                    (F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
+                     % F.lit(2147483648)) * F.lit(2147483648)
+                    + F.conv(F.substring(F.col("_h"), 9, 8), 16, 10).cast("long")
+                    % F.lit(2147483648)
+                ).alias("bad_phash")
+            )
+        )
+        return multimodal.phash_blocklist_filter(ph, bl, max_ham=1)["flagged"]
+    q["img_blocklist"] = img_blocklist
+
+    def img_curation(spark, sf_dir):
+        # LAION-style image-text curation over the input-hint image
+        # table shape (image_id, w, h, caption): dims + captions are
+        # synthesized JVM-side from md5/doc_id so DuckDB reproduces
+        # them exactly; the gates (multimodal.curation_features) are
+        # pure metadata column exprs — resolution floor, integer
+        # aspect-ratio cap, caption word band, boilerplate reject.
+        d = _t(spark, sf_dir, "documents")
+        hx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32).cast("int")
+        h = (F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32).cast("int")
+        cap = F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("IMG_"), F.col("doc_id").cast("string")),
+        ).otherwise(F.expr("substr(text, 1, CAST(doc_id % 120 + 1 AS INT))"))
+        meta = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            w.alias("w"),
+            h.alias("h"),
+            cap.alias("caption"),
+        )
+        return multimodal.curation_features(meta)
+    q["img_curation"] = img_curation
+
+    def img_mm_dedup(spark, sf_dir):
+        # multimodal joint dedup: perceptual phash-band near pairs ∪
+        # exact-caption star edges → connected components (min-id
+        # keeper). Phashes use the img_phash_near md5 synthesis
+        # (doc_id % 150 plants hamming-1 pairs); captions collide on
+        # doc_id % 120 — the two modalities chain DIFFERENT doc pairs,
+        # so clusters only emerge from the joint graph.
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        meta = d.select(
+            F.col("doc_id").cast("long").alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+            F.concat(F.lit("cap-"), (F.col("doc_id") % 120).cast("string")).alias(
+                "caption"
+            ),
+        )
+        edges = multimodal.mm_dedup_edges(meta)
+        return dedup.connected_components(edges, "img_a", "img_b")
+    q["img_mm_dedup"] = img_mm_dedup
+
+    def img_mm_keeper(spark, sf_dir):
+        # the multimodal dedup ENDGAME: joint phash∪caption clusters →
+        # one keeper per cluster, highest-resolution member wins
+        # (area = w·h from the img_curation md5 dim synthesis),
+        # unclustered images kept as singletons
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        dx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w_ = F.conv(F.substring(dx, 1, 8), 16, 10).cast("long") % 481 + 32
+        h_ = F.conv(F.substring(dx, 9, 8), 16, 10).cast("long") % 481 + 32
+        meta = d.select(
+            F.col("doc_id").cast("long").alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+            F.concat(F.lit("cap-"), (F.col("doc_id") % 120).cast("string")).alias(
+                "caption"
+            ),
+            (w_ * h_).cast("long").alias("area"),
+        )
+        clusters = dedup.connected_components(
+            multimodal.mm_dedup_edges(meta), "img_a", "img_b"
+        )
+        return dedup.keep_best_per_cluster(
+            meta.withColumnRenamed("image_id", "doc_id"),
+            clusters,
+            quality="area",
+        )
+    q["img_mm_keeper"] = img_mm_keeper
+
+    def img_header_meta(spark, sf_dir):
+        # JVM-side binary header parse: container sniffed and dims
+        # pulled from the blob's first bytes (PNG IHDR big-endian /
+        # PPM ASCII header) with zero Python and zero decode. The
+        # synth blobs are a pure function of doc_id (dims =
+        # 16 + (doc_id%150)*{7,11} % 97, fmt cycles ppm/png/qpng), so
+        # DuckDB re-derives the ENCODED dims arithmetically — a green
+        # row proves the binary parse reads back exactly what the
+        # codec wrote. qpng is a PNG container, hence 2/3 'png'.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(docs)
+        return multimodal.header_meta(imgs).select(
+            "image_id", "container", "hdr_w", "hdr_h"
+        )
+    q["img_header_meta"] = img_header_meta
+
+    def img_bmp_meta(spark, sf_dir):
+        # the 4-format cycle adds bmp (24-bit BITMAPINFOHEADER): dims
+        # are LITTLE-endian i32 at fixed offsets, parsed by per-byte
+        # hex reversal + conv — still zero Python, zero decode. The
+        # oracle re-derives container + dims from the doc_id synthesis
+        # arithmetic (cycle ppm/png/qpng/bmp; qpng is a PNG container).
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=multimodal.REAL_FMTS
+        )
+        return multimodal.header_meta(imgs).select(
+            "image_id", "container", "hdr_w", "hdr_h"
+        )
+    q["img_bmp_meta"] = img_bmp_meta
+
+    def img_jpeg_meta(spark, sf_dir):
+        # the 5-format cycle adds jpeg (pure-numpy baseline T.81
+        # encoder, round 5): container is sniffed from the FFD8FF
+        # magic, but JPEG dims live in the SOF segment at a variable
+        # offset — `jpeg_sof_dims` (the bounded JVM marker walk) is an
+        # INDEPENDENT parser of this repo's own Huffman encoder output,
+        # so a green row proves the encoder writes a spec-valid SOF0
+        # that a from-scratch reader extracts exactly. Dims for the
+        # fixed-offset containers come from header_meta; the two are
+        # coalesced into one (w, h) per image.
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=multimodal.ALL_FMTS
+        )
+        meta = multimodal.header_meta(imgs)
+        jdims = multimodal.jpeg_sof_dims(imgs)
+        return (
+            meta.join(jdims, "image_id", "left")
+            .select(
+                "image_id",
+                "container",
+                F.coalesce(F.col("hdr_w"), F.col("jpg_w")).alias("img_w"),
+                F.coalesce(F.col("hdr_h"), F.col("jpg_h")).alias("img_h"),
+            )
+        )
+    q["img_jpeg_meta"] = img_jpeg_meta
+
+    def img_gif_meta(spark, sf_dir):
+        # the 6-format cycle adds gif (GIF89a palette + pure-python
+        # LZW, round 5 — the last container the sniffer recognized
+        # without a decoder). Container is sniffed from the
+        # GIF87a/GIF89a magic; dims are the little-endian logical-
+        # screen u16s at fixed offsets — zero Python, zero decode.
+        # The oracle re-derives container + dims from the synthesis
+        # arithmetic; jpeg rows still coalesce in the SOF marker walk.
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=multimodal.ALL_FMTS6
+        )
+        meta = multimodal.header_meta(imgs)
+        jdims = multimodal.jpeg_sof_dims(imgs)
+        return (
+            meta.join(jdims, "image_id", "left")
+            .select(
+                "image_id",
+                "container",
+                F.coalesce(F.col("hdr_w"), F.col("jpg_w")).alias("img_w"),
+                F.coalesce(F.col("hdr_h"), F.col("jpg_h")).alias("img_h"),
+            )
+        )
+    q["img_gif_meta"] = img_gif_meta
+
+    def img_letterbox_plan(spark, sf_dir):
+        # training-export letterbox geometry: bucket + target shape +
+        # aspect-preserving scaled dims + centered pads, ALL pure JVM
+        # integer arithmetic chained on the binary header parse (the
+        # pixel stage is a dumb executor of these numbers — pytest
+        # covers it pixel-exact). DuckDB replays the same integer
+        # formulas from the synthesis arithmetic.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        meta = multimodal.header_meta(
+            multimodal.synth_images_from_docs(docs)
+        )
+        return multimodal.letterbox_plan(meta, "hdr_w", "hdr_h").select(
+            "image_id", "bucket", "out_w", "out_h",
+            "scaled_w", "scaled_h", "pad_x", "pad_y",
+        )
+    q["img_letterbox_plan"] = img_letterbox_plan
+
+    def img_png_scrub(spark, sf_dir):
+        # privacy scrub: plant one CRC-correct tEXt chunk (keyword
+        # 'Comment', body length doc_id % 23) on every PNG-container
+        # row, then strip provenance chunks. The audit counters are
+        # pure arithmetic — 12-byte chunk framing + 7+1-byte keyword +
+        # body — so DuckDB re-derives exactly how many bytes the scrub
+        # must remove per row; ppm rows pass through untouched.
+        import pandas as _pd
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(docs)
+
+        def plant(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    b = bytes(r.bytes)
+                    d = int(r.image_id.split("-")[1])
+                    if r.fmt in ("png", "qpng"):
+                        b = multimodal.inject_png_text_chunk(
+                            b, b"Comment", b"x" * (d % 23)
+                        )
+                    rows.append((r.image_id, b, r.fmt))
+                yield _pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+        planted = imgs.mapInPandas(
+            plant, schema="image_id string, bytes binary, fmt string"
+        )
+        return multimodal.strip_png_metadata(planted).select(
+            "image_id", "stripped_chunks", "stripped_bytes"
+        )
+    q["img_png_scrub"] = img_png_scrub
+
+    def img_hash_family(spark, sf_dir):
+        # rows-only by necessity (pixel-derived: DCT/gradient/mean
+        # hashes have no SQL form; exactness vs the python reference
+        # is pytest-gated in tests/test_phash.py): all three
+        # perceptual-hash family members from one decode pass.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        return multimodal.hash_features(
+            multimodal.synth_images_from_docs(docs)
+        )
+    q["img_hash_family"] = img_hash_family
+
+    def img_bucketed_shards(spark, sf_dir):
+        # group-pure WebDataset planning: shards never mix aspect
+        # buckets (fixed-tensor-shape shards after bucket_resize).
+        # Pure relational: two-phase running total over (bucket, key)
+        # order + group-cardinality-sized base offsets — DuckDB replays
+        # it as per-bucket SQL windows.
+        from ccbot_spark import wds
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        s = multimodal.synth_images_from_docs(docs).withColumn(
+            "caption",
+            F.concat(
+                F.lit("caption for image "),
+                F.regexp_extract("image_id", r"(\d+)", 1),
+            ),
+        )
+        costed = s.withColumn(
+            "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+        ).withColumn("bucket", multimodal.aspect_bucket_col("w", "h"))
+        assigned, cache = wds.plan_shards_grouped(
+            costed, 96 * 1024, "bucket", num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return assigned.groupBy("shard_id").agg(
+            F.min("bucket").alias("bucket"),
+            F.count("*").alias("n_samples"),
+            F.sum("plan_cost").alias("plan_bytes"),
+            F.min("image_id").alias("key_min"),
+            F.max("image_id").alias("key_max"),
+        )
+    q["img_bucketed_shards"] = img_bucketed_shards
+
+    def img_size_hist(spark, sf_dir):
+        # corpus resolution profile chained ON the header parse (one
+        # metadata-speed scan + one tiny hash-agg) — class bounds over
+        # the max side, pixel totals summed as int64
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        meta = multimodal.header_meta(multimodal.synth_images_from_docs(docs))
+        return multimodal.size_histogram(meta)
+    q["img_size_hist"] = img_size_hist
+
+    def img_aspect_profile(spark, sf_dir):
+        # SDXL-style bucketed-batching report: per (container, aspect
+        # bucket) counts + pixels over HEADER-PARSED dims. The bucket
+        # ladder's cut points are integer thresholds on (1000*w) div h,
+        # so DuckDB states the identical CASE; a green row proves the
+        # JVM binary parse + integer-div ladder land every image in the
+        # encoded bucket.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        meta = multimodal.header_meta(multimodal.synth_images_from_docs(docs))
+        return multimodal.aspect_profile(meta)
+    q["img_aspect_profile"] = img_aspect_profile
+
+    def img_exact_dedup(spark, sf_dir):
+        # byte-exact image dedup via JVM md5 over the binary column:
+        # blobs reduce to 16-byte digests map-side, the shuffle moves
+        # digests, not pixels. Synth images are byte-identical iff
+        # doc_id % 150 collides (same pixel seed; fmt cycle period 3
+        # divides 150, so the container matches too) — the oracle
+        # groups on that arithmetic instead of the digest.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        return multimodal.exact_dup_groups(
+            multimodal.synth_images_from_docs(docs)
+        )
+    q["img_exact_dedup"] = img_exact_dedup
+
+    def img_wds_shards(spark, sf_dir):
+        # WebDataset training-export PLAN: size-balanced tar shards cut
+        # by a global running total of DECLARED sample cost (tar
+        # framing + raw pixel bytes + caption bytes — metadata only,
+        # no blob scan), in image_id order. The assignment is a pure
+        # relational expression, so DuckDB replays it with the same
+        # window formula; write_shards/read_shards byte-determinism and
+        # the exact round trip are pytest gates (tests/test_wds.py).
+        from ccbot_spark import wds
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        s = multimodal.synth_images_from_docs(docs).withColumn(
+            "caption",
+            F.concat(
+                F.lit("caption for image "),
+                F.regexp_extract("image_id", r"(\d+)", 1),
+            ),
+        )
+        costed = s.withColumn(
+            "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+        )
+        assigned, cache = wds.plan_shards(
+            costed, 96 * 1024, num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return assigned.groupBy("shard_id").agg(
+            F.count("*").alias("n_samples"),
+            F.sum("plan_cost").alias("plan_bytes"),
+            F.min("image_id").alias("key_min"),
+            F.max("image_id").alias("key_max"),
+        )
+    q["img_wds_shards"] = img_wds_shards
+
+
+def register_sql(o):
+
+    # --- img_phash_near: md5-synthesized phashes (two 31-bit halves →
+    # value < 2^62), banded 4×16-bit Hamming join — the same
+    # construction as the Spark side's multimodal.phash_near_pairs
+    # input, reproduced on HUGEINT then narrowed to BIGINT.
+    o["img_phash_near"] = f"""
+        WITH ph AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+                 a.phash AS pa, b.phash AS pb
+          FROM ph a JOIN ph b ON a.image_id < b.image_id
+           AND (
+             (a.phash & 65535) = (b.phash & 65535)
+             OR ((a.phash // 65536) & 65535) = ((b.phash // 65536) & 65535)
+             OR ((a.phash // 4294967296) & 65535)
+                = ((b.phash // 4294967296) & 65535)
+             OR ((a.phash // 281474976710656) & 65535)
+                = ((b.phash // 281474976710656) & 65535)
+           )
+        )
+        SELECT img_a, img_b, bit_count(xor(pa, pb)) AS hamming
+        FROM pairs WHERE bit_count(xor(pa, pb)) <= 6
+    """
+
+    # --- img_curation: md5-synthesized (w, h) + doc_id-sliced captions,
+    # then the LAION-style metadata gates — integer aspect (×10, floor
+    # division) keeps the threshold engine-exact.
+    o["img_blocklist"] = f"""
+        WITH ph AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        bl AS (
+          SELECT CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                   + CAST((h64 % 4294967296) % 2147483648 AS BIGINT) AS bad_phash
+          FROM (SELECT {_sql_h64("'img:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 50 AND doc_id % 7 = 0)
+        ),
+        hits AS (
+          SELECT p.image_id, p.phash, b.bad_phash,
+                 CAST(bit_count(xor(p.phash, b.bad_phash)) AS INTEGER) AS hamming,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.image_id
+                   ORDER BY bit_count(xor(p.phash, b.bad_phash)), b.bad_phash
+                 ) AS rn
+          FROM ph p JOIN bl b
+            ON bit_count(xor(p.phash, b.bad_phash)) <= 1
+        )
+        SELECT image_id, phash, bad_phash, hamming FROM hits WHERE rn = 1
+    """
+
+    o["img_curation"] = f"""
+        WITH meta AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 CAST((h64 // 4294967296) % 481 + 32 AS INTEGER) AS w,
+                 CAST((h64 % 4294967296) % 481 + 32 AS INTEGER) AS h,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN 'IMG_' || CAST(doc_id AS VARCHAR)
+                      ELSE substr(text, 1, CAST(doc_id % 120 + 1 AS INT))
+                 END AS caption
+          FROM (SELECT doc_id, text,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents)
+        ),
+        feat AS (
+          SELECT image_id, w, h, caption,
+                 CAST((greatest(w, h) * 10) // least(w, h) AS BIGINT) AS aspect_x10,
+                 CAST(length(caption) AS BIGINT) AS cap_chars,
+                 CAST(len(list_filter(string_split(caption, ' '), t -> t <> ''))
+                      AS BIGINT) AS cap_words
+          FROM meta
+        )
+        SELECT image_id, w, h, aspect_x10, cap_chars, cap_words,
+               CAST(CASE WHEN least(w, h) >= 64 AND aspect_x10 <= 30
+                          AND cap_words BETWEEN 3 AND 64 AND cap_chars <= 256
+                          AND NOT regexp_matches(lower(caption),
+                               '^(img_[0-9]+|dsc[0-9]+|untitled|no caption)')
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM feat
+    """
+
+    # --- img_header_meta: the synth images encode dims that are a pure
+    # function of doc_id, so the oracle re-derives WHAT THE CODEC WROTE
+    # arithmetically; Spark must read the same numbers back out of the
+    # binary headers (PNG IHDR / PPM ASCII) to hash-match.
+    o["img_header_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'png' END AS container,
+               CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS hdr_w,
+               CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS hdr_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_bmp_meta: 4-format cycle (ppm/png/qpng/bmp) — a green row
+    # proves the little-endian BMP branch reads back exactly what
+    # encode_bmp wrote, alongside the big-endian PNG and ASCII PPM
+    # branches on the same scan.
+    o["img_bmp_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE doc_id % 4 WHEN 0 THEN 'ppm'
+                               WHEN 3 THEN 'bmp'
+                               ELSE 'png' END AS container,
+               CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS hdr_w,
+               CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS hdr_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_jpeg_meta: 5-format cycle (ppm/png/qpng/bmp/jpeg). The
+    # oracle re-derives container + dims from the synthesis arithmetic;
+    # for jpeg rows Spark must pull the SAME dims out of the SOF0
+    # marker segment this repo's own T.81 encoder wrote — two
+    # independent codepaths (numpy Huffman writer, JVM substring/conv
+    # marker walk) agreeing with pure arithmetic.
+    o["img_jpeg_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE doc_id % 5 WHEN 0 THEN 'ppm'
+                               WHEN 3 THEN 'bmp'
+                               WHEN 4 THEN 'jpeg'
+                               ELSE 'png' END AS container,
+               CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS img_w,
+               CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS img_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_gif_meta: 6-format cycle (ppm/png/qpng/bmp/jpeg/gif). A
+    # green gif row proves the fixed-offset little-endian logical-
+    # screen parse reads back exactly what this repo's own GIF89a/LZW
+    # encoder wrote — the container round 5 closed.
+    o["img_gif_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE doc_id % 6 WHEN 0 THEN 'ppm'
+                               WHEN 3 THEN 'bmp'
+                               WHEN 4 THEN 'jpeg'
+                               WHEN 5 THEN 'gif'
+                               ELSE 'png' END AS container,
+               CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS img_w,
+               CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS img_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_letterbox_plan: the letterbox geometry restated as SQL —
+    # same integer fit rule (w·th ≥ h·tw picks the wide branch), same
+    # floor divisions, same centered pads. A green row proves every
+    # number the Arrow pixel stage consumes.
+    o["img_letterbox_plan"] = """
+        WITH dims AS (
+          SELECT doc_id,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h
+          FROM documents WHERE doc_id < 450
+        ), b AS (
+          SELECT doc_id, w, h,
+                 CASE WHEN (1000 * w) // h < 649 THEN '9:16'
+                      WHEN (1000 * w) // h < 866 THEN '3:4'
+                      WHEN (1000 * w) // h < 1154 THEN '1:1'
+                      WHEN (1000 * w) // h < 1539 THEN '4:3'
+                      ELSE '16:9' END AS bucket
+          FROM dims
+        ), t AS (
+          SELECT *,
+                 CASE bucket WHEN '9:16' THEN 36 WHEN '3:4' THEN 48
+                             WHEN '1:1' THEN 64 WHEN '4:3' THEN 64
+                             ELSE 64 END AS out_w,
+                 CASE bucket WHEN '9:16' THEN 64 WHEN '3:4' THEN 64
+                             WHEN '1:1' THEN 64 WHEN '4:3' THEN 48
+                             ELSE 36 END AS out_h
+          FROM b
+        ), s AS (
+          SELECT *,
+                 CASE WHEN w * out_h >= h * out_w THEN out_w
+                      ELSE greatest(1, (w * out_h) // h) END AS scaled_w,
+                 CASE WHEN w * out_h >= h * out_w
+                      THEN greatest(1, (h * out_w) // w)
+                      ELSE out_h END AS scaled_h
+          FROM t
+        )
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id, bucket,
+               CAST(out_w AS BIGINT) AS out_w,
+               CAST(out_h AS BIGINT) AS out_h,
+               CAST(scaled_w AS BIGINT) AS scaled_w,
+               CAST(scaled_h AS BIGINT) AS scaled_h,
+               CAST((out_w - scaled_w) // 2 AS BIGINT) AS pad_x,
+               CAST((out_h - scaled_h) // 2 AS BIGINT) AS pad_y
+        FROM s
+    """
+
+    # --- img_png_scrub: the planted tEXt chunk costs 12 (framing) +
+    # 8 ('Comment' + NUL) + doc_id % 23 (body) bytes on PNG-container
+    # rows; ppm rows scrub nothing. Green = the chunk walk removed
+    # exactly the planted metadata, no more, no less.
+    o["img_png_scrub"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                 AS stripped_chunks,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                         ELSE 20 + doc_id % 23 END AS BIGINT)
+                 AS stripped_bytes
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_size_hist: same dim arithmetic folded to the class
+    # histogram (sums cast to BIGINT — DuckDB SUM is HUGEINT).
+    o["img_size_hist"] = """
+        WITH dims AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'png' END AS container,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h
+          FROM documents WHERE doc_id < 450
+        )
+        SELECT container,
+               CASE WHEN greatest(w, h) < 32 THEN 'icon'
+                    WHEN greatest(w, h) < 64 THEN 'small'
+                    WHEN greatest(w, h) < 96 THEN 'medium'
+                    ELSE 'large' END AS size_class,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(w * h) AS BIGINT) AS total_px
+        FROM dims GROUP BY 1, 2
+    """
+
+    # --- img_aspect_profile: same dim arithmetic through the integer
+    # aspect ladder ((1000*w)//h vs the geometric-midpoint cuts).
+    o["img_aspect_profile"] = """
+        WITH dims AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'png' END AS container,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h
+          FROM documents WHERE doc_id < 450
+        )
+        SELECT container,
+               CASE WHEN (1000 * w) // h < 649 THEN '9:16'
+                    WHEN (1000 * w) // h < 866 THEN '3:4'
+                    WHEN (1000 * w) // h < 1154 THEN '1:1'
+                    WHEN (1000 * w) // h < 1539 THEN '4:3'
+                    ELSE '16:9' END AS aspect_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(w * h) AS BIGINT) AS total_px
+        FROM dims GROUP BY 1, 2
+    """
+
+    # --- img_exact_dedup: byte-identity groups are doc_id % 150
+    # classes by construction (same pixel seed, same container);
+    # Spark groups on md5(bytes) and must land on the same keepers.
+    o["img_exact_dedup"] = """
+        WITH g AS (
+          SELECT doc_id % 150 AS grp,
+                 MIN('doc-' || CAST(doc_id AS VARCHAR)) AS keeper,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM documents WHERE doc_id < 450 GROUP BY 1
+        )
+        SELECT keeper, n_copies FROM g WHERE n_copies >= 2
+    """
+
+    # --- img_wds_shards: the WDS shard plan is a pure relational
+    # expression over metadata (dims arithmetic + tar block rounding +
+    # one running-total window), so the oracle states the identical
+    # formula: cost = 512 + ceil(3wh/512)*512 + 512 +
+    # ceil(len(caption)/512)*512; shard = (run_before) // 96KiB.
+    o["img_wds_shards"] = """
+        WITH s AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h,
+                 'caption for image ' || CAST(doc_id AS VARCHAR) AS caption
+          FROM documents WHERE doc_id < 450
+        ), c AS (
+          SELECT image_id,
+                 CAST(512 + ((3 * w * h + 511) // 512) * 512
+                    + 512 + ((length(caption) + 511) // 512) * 512
+                      AS BIGINT) AS plan_cost
+          FROM s
+        ), a AS (
+          SELECT image_id, plan_cost,
+                 CAST((SUM(plan_cost) OVER (
+                        ORDER BY image_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) - plan_cost) // 98304 AS BIGINT) AS shard_id
+          FROM c
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(plan_cost) AS BIGINT) AS plan_bytes,
+               MIN(image_id) AS key_min,
+               MAX(image_id) AS key_max
+        FROM a GROUP BY shard_id
+    """
+
+    # --- img_bucketed_shards: group-pure planning replayed as SQL —
+    # per-bucket running windows, shard counts from the last sample's
+    # pre-cost running total (a straddling sample stays in its shard),
+    # bases = shards of lexicographically earlier buckets.
+    o["img_bucketed_shards"] = """
+        WITH s AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 16 + (doc_id % 150) * 7 % 97 AS w,
+                 16 + (doc_id % 150) * 11 % 97 AS h,
+                 'caption for image ' || CAST(doc_id AS VARCHAR) AS caption
+          FROM documents WHERE doc_id < 450
+        ), c AS (
+          SELECT image_id,
+                 CAST(512 + ((3 * w * h + 511) // 512) * 512
+                    + 512 + ((length(caption) + 511) // 512) * 512
+                      AS BIGINT) AS plan_cost,
+                 CASE WHEN (1000 * w) // h < 649 THEN '9:16'
+                      WHEN (1000 * w) // h < 866 THEN '3:4'
+                      WHEN (1000 * w) // h < 1154 THEN '1:1'
+                      WHEN (1000 * w) // h < 1539 THEN '4:3'
+                      ELSE '16:9' END AS bucket
+          FROM s
+        ), a AS (
+          SELECT image_id, bucket, plan_cost,
+                 SUM(plan_cost) OVER (
+                   PARTITION BY bucket ORDER BY image_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - plan_cost AS bef
+          FROM c
+        ), g AS (
+          SELECT bucket, MAX(bef) // 98304 + 1 AS n_shards
+          FROM a GROUP BY bucket
+        ), b AS (
+          SELECT bucket,
+                 COALESCE(SUM(n_shards) OVER (
+                   ORDER BY bucket ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS base
+          FROM g
+        ), x AS (
+          SELECT a.image_id, a.bucket, a.plan_cost,
+                 CAST(b.base + a.bef // 98304 AS BIGINT) AS shard_id
+          FROM a JOIN b USING (bucket)
+        )
+        SELECT shard_id, MIN(bucket) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(plan_cost) AS BIGINT) AS plan_bytes,
+               MIN(image_id) AS key_min,
+               MAX(image_id) AS key_max
+        FROM x GROUP BY shard_id
+    """
+
+    # --- img_mm_dedup: phash-band near pairs (img_phash_near synthesis,
+    # numeric ids) ∪ exact-caption star edges, then the min-reachable
+    # fixpoint — the independent formulation of
+    # multimodal.mm_dedup_edges + dedup.connected_components.
+    o["img_mm_dedup"] = f"""
+        WITH RECURSIVE ph AS (
+          SELECT doc_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash,
+                 'cap-' || CAST(doc_id % 120 AS VARCHAR) AS caption
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        ph_pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           AND (
+             (a.phash & 65535) = (b.phash & 65535)
+             OR ((a.phash // 65536) & 65535) = ((b.phash // 65536) & 65535)
+             OR ((a.phash // 4294967296) & 65535)
+                = ((b.phash // 4294967296) & 65535)
+             OR ((a.phash // 281474976710656) & 65535)
+                = ((b.phash // 281474976710656) & 65535)
+           )
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        cap_pairs AS (
+          SELECT r.a, m.doc_id AS b
+          FROM ph m JOIN (SELECT caption, MIN(doc_id) AS a
+                          FROM ph GROUP BY caption) r
+            ON m.caption = r.caption AND m.doc_id <> r.a
+        ),
+        edges AS (
+          SELECT a, b FROM ph_pairs UNION SELECT a, b FROM cap_pairs
+          UNION SELECT b, a FROM ph_pairs UNION SELECT b, a FROM cap_pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(MIN(lab) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+    # --- img_mm_keeper: the joint-cluster fixpoint extended with the
+    # keeper window (largest md5-synthesized area, then lowest id;
+    # singletons keep themselves) — mirrors keep_best_per_cluster over
+    # mm_dedup_edges clusters.
+    o["img_mm_keeper"] = f"""
+        WITH RECURSIVE ph AS (
+          SELECT doc_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash,
+                 'cap-' || CAST(doc_id % 120 AS VARCHAR) AS caption
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        dims AS (
+          SELECT doc_id,
+                 CAST(((d64 // 4294967296) % 481 + 32)
+                      * ((d64 % 4294967296) % 481 + 32) AS BIGINT) AS area
+          FROM (SELECT doc_id,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS d64
+                FROM documents WHERE doc_id < 200)
+        ),
+        ph_pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           AND (
+             (a.phash & 65535) = (b.phash & 65535)
+             OR ((a.phash // 65536) & 65535) = ((b.phash // 65536) & 65535)
+             OR ((a.phash // 4294967296) & 65535)
+                = ((b.phash // 4294967296) & 65535)
+             OR ((a.phash // 281474976710656) & 65535)
+                = ((b.phash // 281474976710656) & 65535)
+           )
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        cap_pairs AS (
+          SELECT r.a, m.doc_id AS b
+          FROM ph m JOIN (SELECT caption, MIN(doc_id) AS a
+                          FROM ph GROUP BY caption) r
+            ON m.caption = r.caption AND m.doc_id <> r.a
+        ),
+        edges AS (
+          SELECT a, b FROM ph_pairs UNION SELECT a, b FROM cap_pairs
+          UNION SELECT b, a FROM ph_pairs UNION SELECT b, a FROM cap_pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY node
+        ),
+        joined AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.area
+          FROM dims d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id, area
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY area DESC, doc_id) AS rn
+          FROM joined
+        ) WHERE rn = 1
+    """

@@ -1,0 +1,111 @@
+"""Deterministic sampling / quotas: hash-Bernoulli,
+train/val/test split, stratified rates, per-source caps."""
+# Split from __spark_entry__.py (round 5): driver-facing surface
+# (entry/queries/oracle_sql/clear_caches) unchanged; this module
+# contributes its domain's entries via register()/register_sql().
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ccbot_spark.functions import (  # noqa: F401
+    dedup,
+    eventops,
+    linkrank,
+    multimodal,
+    sampling,
+    similarity,
+    textkit,
+)
+from ccbot_spark.operators import urlops  # noqa: F401
+from ccbot_spark.registry.common import (  # noqa: F401
+    _ACTIVE_CACHES,
+    _COS,
+    _DOC_URLS,
+    _EMB_D,
+    _MIXED_URLS,
+    _SHINGLES,
+    _STOP_SQL,
+    _cents,
+    _doc_urls,
+    _mixed_scheme_urls,
+    _sql_h64,
+    _sql_hmod,
+    _t,
+    q_a_metrics,
+)
+
+
+def register(q):
+
+    # ---------------- deterministic sampling / quotas (corpus curation;
+    # functions/sampling.py — hash-of-key selection, reproducible by
+    # an independent engine, unlike df.sample's partition-seeded RNG)
+    def sample_hash(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return sampling.hash_sample(d, "doc_id", pct=10).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+    q["sample_hash"] = sample_hash
+
+    def sample_split(spark, sf_dir):
+        # deterministic train/val/test assignment: stable under corpus
+        # growth (depends only on the row's own key hash), zero
+        # shuffle, the same md5 bucket construction as sample_hash.
+        d = _t(spark, sf_dir, "documents")
+        return sampling.hash_split(d, "doc_id").select(
+            "doc_id", "split_bucket", "split"
+        )
+    q["sample_split"] = sample_split
+
+    def sample_stratified(spark, sf_dir):
+        # per-language rates; strata absent from the dict (es, fr) are
+        # dropped — the downsample-the-head corpus-balancing move
+        d = _t(spark, sf_dir, "documents")
+        return sampling.stratified_sample(
+            d, "lang", "doc_id", rates={"en": 20, "de": 50, "zh": 80}
+        ).select("doc_id", "lang", "source")
+    q["sample_stratified"] = sample_stratified
+
+    def doc_source_cap(spark, sf_dir):
+        # per-source contribution cap (≤ 10 docs per source, by doc_id)
+        d = _t(spark, sf_dir, "documents")
+        return sampling.group_cap(
+            d, "source", order_by=["doc_id"], k=10
+        ).select("doc_id", "source")
+    q["doc_source_cap"] = doc_source_cap
+
+
+def register_sql(o):
+
+    o["sample_hash"] = f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 10
+    """
+
+    o["sample_split"] = f"""
+        SELECT doc_id,
+               {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} AS split_bucket,
+               CASE WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 90
+                    THEN 'train'
+                    WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 95
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    """
+
+    o["sample_stratified"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} <
+              CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50
+                        WHEN 'zh' THEN 80 ELSE 0 END
+    """
+
+    o["doc_source_cap"] = """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 10
+    """
