@@ -74,19 +74,29 @@ def st_host_politeness_state(
     State is O(1) per host (two longs) — at 10^8 hosts that is a few
     GB across the cluster's state stores, rebuilt from the checkpoint
     on restart.
+
+    Per-host budgets (r5, the streaming crawl-cycle composition): when
+    the events frame carries a ``budget`` column (constant within a
+    host — e.g. the robots table's budget_per_cycle joined in the
+    stateless projection), that value wins over the ``budget`` default;
+    the column never enters the state, so state stays two longs.
     """
+    has_budget_col = "budget" in events.columns
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
+        host_budget = budget
         if state.exists:
             total, last_us = state.get
         else:
             total, last_us = 0, -1
         for pdf in pdfs:
+            if has_budget_col and len(pdf):
+                host_budget = int(pdf["budget"].iloc[0])
             out, total, last_us = _annotate_batch(
-                host, pdf, total, last_us, budget, min_delay_ms
+                host, pdf, total, last_us, host_budget, min_delay_ms
             )
             yield out
         state.update((total, last_us))

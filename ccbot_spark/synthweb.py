@@ -269,7 +269,9 @@ def image_pixels(cfg: WebConfig, img_url: str) -> np.ndarray:
 def fetch_image(cfg: WebConfig, img_url: str) -> tuple[bytes, int, int, str]:
     """Encoded bytes + (w, h, fmt) for an image URL."""
     fmt = img_url.rsplit(".", 1)[-1]
-    if fmt not in _FMTS and fmt not in ("bmp", "jpeg", "jpg"):
+    # every container ccbot_spark.codecs can encode goes on the wire
+    # verbatim (gif joined in r5); unknown extensions serve ppm
+    if fmt not in _FMTS and fmt not in ("bmp", "jpeg", "jpg", "gif"):
         fmt = "ppm"
     px = image_pixels(cfg, img_url)
     return codecs.encode(px, fmt), px.shape[1], px.shape[0], fmt
