@@ -83,6 +83,40 @@ def register(q):
         )
     q["f_host"] = f_host
 
+    def f_registered_domain(spark, sf_dir):
+        # eTLD+1 grouping incl. the r5 PSL ccTLD families: hosts are
+        # synthesized across six suffix shapes — plain 2-label, generic
+        # registry label (any TLD), explicit ccTLD pairs (go.jp /
+        # gob.mx / idv.tw — slds the generic set does NOT contain), a
+        # near-miss (go.com: listed sld, unlisted TLD), and a 4-label
+        # subdomain under a pair. Spark derives the domain FROM THE
+        # HOST STRING with the pure-JVM split/slice+InSet expression;
+        # DuckDB re-derives it from the synthesis arithmetic — a green
+        # row proves the JVM suffix rule groups exactly as encoded.
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 10000)
+        i = F.col("event_id").cast("string")
+        host = (
+            F.when(F.col("event_id") % 6 == 0,
+                   F.concat(F.lit("a"), i, F.lit(".h"),
+                            (F.col("event_id") % 7).cast("string"),
+                            F.lit(".test")))
+            .when(F.col("event_id") % 6 == 1,
+                  F.concat(F.lit("a"), i, F.lit(".co.uk")))
+            .when(F.col("event_id") % 6 == 2,
+                  F.concat(F.lit("w"), i, F.lit(".news.go.jp")))
+            .when(F.col("event_id") % 6 == 3,
+                  F.concat(F.lit("w"), i, F.lit(".x.gob.mx")))
+            .when(F.col("event_id") % 6 == 4,
+                  F.concat(F.lit("b"), i, F.lit(".go.com")))
+            .otherwise(F.concat(F.lit("b"), i, F.lit(".idv.tw")))
+        )
+        return e.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            host.alias("host"),
+            urlops.registered_domain(host).alias("domain"),
+        )
+    q["f_registered_domain"] = f_registered_domain
+
     def f_surt(spark, sf_dir):
         # SURT canonical keys (web-archive CDX key), JVM-side
         # (urlops.surt_key). URLs synthesized to exercise every rule:
@@ -399,6 +433,32 @@ def register(q):
 
 
 def register_sql(o):
+
+    # --- f_registered_domain: the r5 PSL suffix rule restated as
+    # arithmetic — generic labels split at 2 unless the sld is generic
+    # (none here except co.uk via the generic set) or the trailing pair
+    # is a known ccTLD suffix; go.com is the near-miss control.
+    o["f_registered_domain"] = """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CASE event_id % 6
+                 WHEN 0 THEN 'a' || CAST(event_id AS VARCHAR) || '.h'
+                             || CAST(event_id % 7 AS VARCHAR) || '.test'
+                 WHEN 1 THEN 'a' || CAST(event_id AS VARCHAR) || '.co.uk'
+                 WHEN 2 THEN 'w' || CAST(event_id AS VARCHAR) || '.news.go.jp'
+                 WHEN 3 THEN 'w' || CAST(event_id AS VARCHAR) || '.x.gob.mx'
+                 WHEN 4 THEN 'b' || CAST(event_id AS VARCHAR) || '.go.com'
+                 ELSE 'b' || CAST(event_id AS VARCHAR) || '.idv.tw'
+               END AS host,
+               CASE event_id % 6
+                 WHEN 0 THEN 'h' || CAST(event_id % 7 AS VARCHAR) || '.test'
+                 WHEN 1 THEN 'a' || CAST(event_id AS VARCHAR) || '.co.uk'
+                 WHEN 2 THEN 'news.go.jp'
+                 WHEN 3 THEN 'x.gob.mx'
+                 WHEN 4 THEN 'go.com'
+                 ELSE 'b' || CAST(event_id AS VARCHAR) || '.idv.tw'
+               END AS domain
+        FROM events WHERE event_id < 10000
+    """
 
     # --- a_domain_budget: domain derived arithmetically (the Spark
     # side must read the same grouping back out of the host STRING).

@@ -178,6 +178,10 @@ def parse_args():
                    help="IP-level politeness: hosts hash into this many "
                         "server addresses sharing one cumulative-delay "
                         "schedule and one fetch worker (0 = per-host)")
+    p.add_argument("--ip-resolver", default=None, metavar="JSON",
+                   help="explicit host→address map for --ip-pool (path "
+                        "to a JSON object file — the deployment's DNS "
+                        "cache); unmapped hosts keep the hash fallback")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="run a tiny crawl first to spin up UDF workers")
@@ -252,6 +256,9 @@ def main() -> None:
         error_backoff=args.error_backoff,
         domain_budget=args.domain_budget,
         ip_pool=args.ip_pool,
+        ip_resolver=(
+            json.load(open(args.ip_resolver)) if args.ip_resolver else None
+        ),
         evict_every=args.evict_every,
         wds_dir=args.wds_dir,
         wds_grouped=args.wds_grouped,
