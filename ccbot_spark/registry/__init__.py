@@ -7,6 +7,7 @@ dict contents are byte-identical to the pre-split single file.
 """
 
 from ccbot_spark.registry import (  # noqa: F401
+    audioq,
     crawlq,
     dedupq,
     eventq,
@@ -16,5 +17,15 @@ from ccbot_spark.registry import (  # noqa: F401
     textq,
 )
 
-#: merge order (original single-file section order preserved)
-ALL_MODULES = (relational, crawlq, eventq, dedupq, textq, sampleq, imageq)
+#: merge order (original single-file section order preserved; new
+#: round-5 domains appended)
+ALL_MODULES = (
+    relational,
+    crawlq,
+    eventq,
+    dedupq,
+    textq,
+    sampleq,
+    imageq,
+    audioq,
+)

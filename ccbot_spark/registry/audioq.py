@@ -1,0 +1,171 @@
+"""Audio queries (round-5 audiokit): WAV header sniff/parse, decoded
+signal features, curation gates, integer decimation resample.
+
+Same oracle discipline as the image domain: the synthetic audio table
+is a pure integer function of doc_id (square wave of amplitude A,
+half-period p — see functions/audiokit.synth_params), so DuckDB can
+re-derive BOTH what the encoder wrote into the RIFF header AND what
+the decoder must compute from the samples (peak == rms == A for a
+constant-|A| wave; zero crossings = floor((n-1)/p)). A green row on
+aud_features therefore proves the full binary round trip: numpy
+encoder → Spark Arrow decode → integer feature math, all three
+agreeing with closed-form arithmetic."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccbot_spark.functions import audiokit
+from ccbot_spark.registry.common import _t
+
+#: shared synthesis arithmetic restated once as SQL (single source of
+#: truth for all four oracles; mirrors audiokit.synth_params exactly)
+_PARAMS_CTE = """
+    params AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             1 + doc_id % 2 AS channels,
+             256 + (doc_id % 150) * 37 % 4096 AS n_samples,
+             CASE WHEN doc_id % 10 = 0 THEN 0
+                  ELSE 500 + (doc_id % 150) * 131 % 30000 END AS amp,
+             8 + doc_id % 23 AS period
+      FROM documents WHERE doc_id < 400
+    )
+"""
+
+
+def _synth(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return audiokit.synth_audio_from_docs(docs)
+
+
+def register(q):
+
+    def aud_header_meta(spark, sf_dir):
+        # Pure-JVM RIFF/WAVE header parse from the binary column alone
+        # (fixed-offset little-endian conv idiom, zero Python, zero
+        # sample decode — the scan-speed gate a 100 TB audio crawl
+        # runs before spending any decode cycles). The oracle
+        # re-derives every header field from the synthesis arithmetic;
+        # a green row proves the JVM parse reads back exactly what the
+        # numpy encoder wrote.
+        return audiokit.wav_header_meta(_synth(spark, sf_dir)).select(
+            "audio_id",
+            "container",
+            "hdr_channels",
+            "hdr_rate",
+            "hdr_bits",
+            "hdr_n_samples",
+            "hdr_duration_ms",
+            "nbytes",
+        )
+    q["aud_header_meta"] = aud_header_meta
+
+    def aud_features(spark, sf_dir):
+        # Arrow-batched PCM decode + integer-exact signal features
+        # (peak / integer-sqrt rms / zero crossings). Oracled because
+        # a square wave makes every feature closed-form.
+        return audiokit.audio_features(_synth(spark, sf_dir))
+    q["aud_features"] = aud_features
+
+    def aud_curation(spark, sf_dir):
+        # Curation gates over the feature table — silence, too-short,
+        # low-sample-rate, channel cap — pure column exprs that
+        # collapse into the feature scan. max_channels=1 so the
+        # stereo half of the fixture actually fires the gate.
+        return audiokit.curation_flags(
+            audiokit.audio_features(_synth(spark, sf_dir)), max_channels=1
+        )
+    q["aud_curation"] = aud_curation
+
+    def aud_resample_meta(spark, sf_dir):
+        # Integer decimation (keep every 2nd frame, halve the rate),
+        # verified by re-running the JVM header parse over the
+        # RE-ENCODED bytes: the oracle states the post-resample header
+        # closed-form (n' = ceil(n/2), rate' = rate/2), so a green row
+        # proves decode → decimate → encode → independent re-parse all
+        # agree.
+        out = audiokit.resample_decimate(_synth(spark, sf_dir), k=2)
+        return audiokit.wav_header_meta(out).select(
+            "audio_id",
+            "container",
+            "hdr_rate",
+            "hdr_n_samples",
+            "hdr_duration_ms",
+            "nbytes",
+        )
+    q["aud_resample_meta"] = aud_resample_meta
+
+
+def register_sql(o):
+
+    o["aud_header_meta"] = f"""
+        WITH {_PARAMS_CTE}
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS audio_id,
+               'wav' AS container,
+               CAST(channels AS BIGINT) AS hdr_channels,
+               CAST(rate AS BIGINT) AS hdr_rate,
+               CAST(16 AS BIGINT) AS hdr_bits,
+               CAST(n_samples AS BIGINT) AS hdr_n_samples,
+               CAST(n_samples * 1000 // rate AS BIGINT) AS hdr_duration_ms,
+               CAST(44 + n_samples * channels * 2 AS BIGINT) AS nbytes
+        FROM params
+    """
+
+    o["aud_features"] = f"""
+        WITH {_PARAMS_CTE}
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS audio_id,
+               CAST(rate AS BIGINT) AS rate,
+               CAST(channels AS BIGINT) AS channels,
+               CAST(n_samples AS BIGINT) AS n_samples,
+               CAST(amp AS BIGINT) AS peak,
+               CAST(amp AS BIGINT) AS rms,
+               CAST(CASE WHEN amp = 0 THEN 0
+                         ELSE (n_samples - 1) // period END AS BIGINT)
+                   AS zero_crossings
+        FROM params
+    """
+
+    o["aud_curation"] = f"""
+        WITH {_PARAMS_CTE},
+        feat AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS audio_id,
+                 n_samples * 1000 // rate AS duration_ms,
+                 rate, channels, amp
+          FROM params
+        )
+        SELECT audio_id,
+               CAST(duration_ms AS BIGINT) AS duration_ms,
+               CAST(rate AS BIGINT) AS rate,
+               CAST(channels AS BIGINT) AS channels,
+               CAST(amp AS BIGINT) AS peak,
+               CAST(amp AS BIGINT) AS rms,
+               CAST(CASE WHEN amp = 0 THEN 1 ELSE 0 END AS BIGINT) AS silent,
+               CAST(CASE WHEN duration_ms < 20 THEN 1 ELSE 0 END AS BIGINT)
+                   AS too_short,
+               CAST(CASE WHEN rate < 16000 THEN 1 ELSE 0 END AS BIGINT)
+                   AS low_rate,
+               CAST(CASE WHEN channels > 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS too_many_ch,
+               CAST(CASE WHEN amp > 0 AND duration_ms >= 20
+                          AND rate >= 16000 AND channels <= 1
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM feat
+    """
+
+    o["aud_resample_meta"] = f"""
+        WITH {_PARAMS_CTE},
+        r AS (
+          SELECT doc_id, channels,
+                 rate // 2 AS rate2,
+                 (n_samples + 1) // 2 AS n2
+          FROM params
+        )
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS audio_id,
+               'wav' AS container,
+               CAST(rate2 AS BIGINT) AS hdr_rate,
+               CAST(n2 AS BIGINT) AS hdr_n_samples,
+               CAST(n2 * 1000 // rate2 AS BIGINT) AS hdr_duration_ms,
+               CAST(44 + n2 * channels * 2 AS BIGINT) AS nbytes
+        FROM r
+    """
