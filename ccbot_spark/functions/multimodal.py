@@ -169,17 +169,31 @@ def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing. No video codec exists in this
-    sandbox, so the decode call is the NotImplementedError boundary;
-    the operator shape (binary in → exploded frame rows out via
-    mapInPandas) is the real, tested part."""
+    """Video frame-sampling: real for Y4M (round-5 videokit — every
+    n-th frame re-encoded as a single-frame clip); compressed
+    containers (mp4/webm) still raise at the decode boundary —
+    `videokit.decode_y4m`'s NotImplementedError — with the operator
+    shape (binary in → exploded frame rows out) unchanged."""
+    from . import videokit
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            rows = []
             for r in pdf.itertuples(index=False):
-                decode_bytes(bytes(r.bytes), r.fmt)  # raises for video fmts
+                if getattr(r, "fmt", "y4m") == "y4m":
+                    frames, fps = videokit.decode_y4m(bytes(r.bytes))
+                    for f in range(0, frames.shape[0], every_n):
+                        rows.append(
+                            (
+                                r.image_id,
+                                f,
+                                videokit.encode_y4m(frames[f : f + 1], fps),
+                            )
+                        )
+                else:
+                    decode_bytes(bytes(r.bytes), r.fmt)  # raises: no codec
             yield pd.DataFrame(
-                columns=["image_id", "frame_no", "bytes"]
+                rows, columns=["image_id", "frame_no", "bytes"]
             )
 
     schema = T.StructType(

@@ -15,6 +15,7 @@ from ccbot_spark.registry import (  # noqa: F401
     relational,
     sampleq,
     textq,
+    videoq,
 )
 
 #: merge order (original single-file section order preserved; new
@@ -28,4 +29,5 @@ ALL_MODULES = (
     sampleq,
     imageq,
     audioq,
+    videoq,
 )

@@ -1,0 +1,135 @@
+"""Video queries (round-5 videokit): Y4M stream-header sniff/parse,
+strided frame sampling with per-plane features, scene-cut detection.
+
+Oracle discipline: the synthetic clips are solid-color frames whose
+plane values are pure integer functions of (doc_id, frame_no) — see
+functions/videokit.synth_params / synth_plane_means — so DuckDB
+re-derives the header fields (incl. the byte-arithmetic frame count
+and total stream size), the sampled frame numbers (unnest over a
+step range), the per-plane means (== the constants), and the cut
+positions (wrap points of the mod-256 Y sequence) in closed form."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccbot_spark.functions import videokit
+from ccbot_spark.registry.common import _t
+
+#: synthesis arithmetic restated once as SQL (mirrors
+#: videokit.synth_params; fps cycle 24 / 25 / 30 / 30000:1001)
+_PARAMS_CTE = """
+    params AS (
+      SELECT doc_id,
+             16 + (doc_id % 150) * 5 % 49 AS w,
+             16 + (doc_id % 150) * 3 % 49 AS h,
+             2 + doc_id % 9 AS n_frames,
+             CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 25
+                             WHEN 2 THEN 30 ELSE 30000 END AS fps_num,
+             CASE doc_id % 4 WHEN 3 THEN 1001 ELSE 1 END AS fps_den
+      FROM documents WHERE doc_id < 300
+    )
+"""
+
+
+def _synth(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return videokit.synth_videos_from_docs(docs)
+
+
+def register(q):
+
+    def vid_header_meta(spark, sf_dir):
+        # Pure-JVM parse of the Y4M ASCII stream header (hex-isolated
+        # prefix, ASCII-validated, regexp'd tokens) PLUS the frame
+        # count from byte arithmetic — the scan-speed gate that lets a
+        # 100 TB video crawl curate on dims/fps/duration without
+        # inflating one pixel. The oracle restates the header the
+        # encoder wrote — including total stream size down to the
+        # digit widths of W/H/F in the header line — purely in SQL.
+        return videokit.y4m_header_meta(_synth(spark, sf_dir)).select(
+            "video_id",
+            "container",
+            "vid_w",
+            "vid_h",
+            "fps_num",
+            "fps_den",
+            "colorspace",
+            "n_frames",
+            "nbytes",
+        )
+    q["vid_header_meta"] = vid_header_meta
+
+    def vid_frame_features(spark, sf_dir):
+        # Strided frame sampling (every 3rd frame) + integer per-plane
+        # means from one Arrow decode pass — the standard video →
+        # training-frames extraction step.
+        return videokit.frame_features(_synth(spark, sf_dir), every_n=3)
+    q["vid_frame_features"] = vid_frame_features
+
+    def vid_scene_cut(spark, sf_dir):
+        # Shot-boundary detection: lag window over the full frame-
+        # feature table; a cut is a ≥100 jump in Y mean. The fixture's
+        # Y sequence steps +17 mod 256, so cuts are exactly the wrap
+        # frames — closed-form for the oracle, non-vacuous for Spark.
+        return videokit.scene_cuts(
+            videokit.frame_features(_synth(spark, sf_dir)), min_jump=100
+        )
+    q["vid_scene_cut"] = vid_scene_cut
+
+
+def register_sql(o):
+
+    o["vid_header_meta"] = f"""
+        WITH {_PARAMS_CTE}
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS video_id,
+               'y4m' AS container,
+               CAST(w AS BIGINT) AS vid_w,
+               CAST(h AS BIGINT) AS vid_h,
+               CAST(fps_num AS BIGINT) AS fps_num,
+               CAST(fps_den AS BIGINT) AS fps_den,
+               '444' AS colorspace,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(length('YUV4MPEG2 W' || w || ' H' || h || ' F' ||
+                           fps_num || ':' || fps_den || ' Ip A1:1 C444') + 1
+                    + n_frames * (6 + 3 * w * h) AS BIGINT) AS nbytes
+        FROM params
+    """
+
+    o["vid_frame_features"] = f"""
+        WITH {_PARAMS_CTE},
+        fr AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(n_frames AS BIGINT), 3)) AS frame_no
+          FROM params
+        )
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS video_id,
+               CAST(frame_no AS BIGINT) AS frame_no,
+               CAST((doc_id * 31 + frame_no * 17) % 256 AS BIGINT) AS y_mean,
+               CAST((doc_id * 7 + frame_no * 5) % 256 AS BIGINT) AS u_mean,
+               CAST((doc_id * 13 + frame_no * 11) % 256 AS BIGINT) AS v_mean
+        FROM fr
+    """
+
+    o["vid_scene_cut"] = f"""
+        WITH {_PARAMS_CTE},
+        fr AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(n_frames AS BIGINT), 1)) AS frame_no
+          FROM params
+        ),
+        y AS (
+          SELECT doc_id, frame_no,
+                 (doc_id * 31 + frame_no * 17) % 256 AS y_mean,
+                 (doc_id * 31 + greatest(frame_no - 1, 0) * 17) % 256
+                     AS prev_y_mean
+          FROM fr
+        )
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS video_id,
+               CAST(frame_no AS BIGINT) AS frame_no,
+               CAST(y_mean AS BIGINT) AS y_mean,
+               CAST(prev_y_mean AS BIGINT) AS prev_y_mean,
+               CAST(CASE WHEN frame_no > 0
+                          AND abs(y_mean - prev_y_mean) >= 100
+                         THEN 1 ELSE 0 END AS BIGINT) AS cut
+        FROM y
+    """

@@ -1,0 +1,227 @@
+"""Video (Y4M) plumbing: codec round trip incl. C420 upsample and
+frame params, JVM header gate vs python decode truth (and vs junk),
+frame sampling/features on random (non-constant) frames, scene cuts,
+the bridge into the image pipeline, and the multimodal dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ccbot_spark import codecs
+from ccbot_spark.functions import multimodal, videokit
+from ccbot_spark.plans import explainkit
+
+# ------------------------------------------------------------------
+# Pure-python codec
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,h,w", [(1, 1, 1), (4, 17, 23), (9, 48, 64)])
+def test_y4m_round_trip_exact(n, h, w):
+    rng = np.random.default_rng(n * h * w)
+    fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    blob = videokit.encode_y4m(fr, (30000, 1001))
+    out, fps = videokit.decode_y4m(blob)
+    assert fps == (30000, 1001)
+    np.testing.assert_array_equal(out, fr)
+
+
+def test_y4m_decode_c420_upsample():
+    w, h = 6, 4
+    y = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    u = np.arange(6, dtype=np.uint8).reshape(2, 3) + 10
+    v = np.arange(6, dtype=np.uint8).reshape(2, 3) + 40
+    data = (
+        b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+    )
+    fr, fps = videokit.decode_y4m(data)
+    assert fr.shape == (1, h, w, 3) and fps == (25, 1)
+    np.testing.assert_array_equal(fr[0, :, :, 0], y)
+    # nearest upsample: each chroma sample covers a 2x2 block
+    np.testing.assert_array_equal(
+        fr[0, :, :, 1], u.repeat(2, axis=0).repeat(2, axis=1)
+    )
+
+
+def test_y4m_decode_frame_params_and_default_c420():
+    # spec allows per-frame params after FRAME and defaults C to 420
+    u = np.full((1, 1), 9, np.uint8)
+    data = (
+        b"YUV4MPEG2 W2 H2 F25:1\n"
+        + b"FRAME Ixyz\n" + bytes([1, 2, 3, 4]) + u.tobytes() + u.tobytes()
+    )
+    fr, _ = videokit.decode_y4m(data)
+    assert fr.shape == (1, 2, 2, 3)
+    np.testing.assert_array_equal(fr[0, :, :, 0], [[1, 2], [3, 4]])
+    assert (fr[0, :, :, 1] == 9).all()
+
+
+def test_y4m_decode_rejects():
+    with pytest.raises(NotImplementedError):
+        videokit.decode_y4m(b"\x00\x00\x00 ftypmp42" + b"\x00" * 50)
+    with pytest.raises(NotImplementedError):  # unsupported colorspace
+        videokit.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C422\n" + b"\x00" * 20)
+    with pytest.raises(ValueError):  # truncated payload
+        videokit.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n\x00\x00")
+
+
+# ------------------------------------------------------------------
+# Spark: header gate
+# ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vids(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    return videokit.synth_videos_from_docs(docs).cache()
+
+
+def test_header_meta_matches_decode(vids):
+    meta = {
+        r["video_id"]: r
+        for r in videokit.y4m_header_meta(vids).collect()
+    }
+    for row in vids.collect():
+        frames, fps = videokit.decode_y4m(bytes(row["bytes"]))
+        m = meta[row["video_id"]]
+        assert m["container"] == "y4m"
+        assert m["colorspace"] == "444"
+        assert (m["vid_w"], m["vid_h"]) == (frames.shape[2], frames.shape[1])
+        assert (m["fps_num"], m["fps_den"]) == fps
+        assert m["n_frames"] == frames.shape[0]
+        assert m["nbytes"] == len(bytes(row["bytes"]))
+
+
+def test_header_meta_junk_is_null(spark):
+    rows = [
+        ("a", bytearray(b"\x00\x01" + bytes(range(200, 250)))),  # binary junk
+        ("b", bytearray(b"YUV4MPEG2 \xff\xfegarbage\n123")),  # non-ASCII hdr
+        ("c", bytearray(b"YUV4MPEG2 W4 H4 no newline")),
+        ("d", bytearray(b"RIFF1234WAVEfmt ")),  # wrong container
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    for r in videokit.y4m_header_meta(df).collect():
+        assert r["container"] is None and r["n_frames"] is None
+        assert r["nbytes"] > 0
+
+
+def test_header_meta_c420_count_and_shadowed_metadata(spark):
+    # C420 stream: frame count uses the subsampled payload size; a
+    # LYING upstream n_frames column is re-derived, not trusted
+    u = np.full((2, 3), 7, np.uint8)
+    y = np.zeros((4, 6), np.uint8)
+    blob = b"YUV4MPEG2 W6 H4 F30:1 C420\n" + 2 * (
+        b"FRAME\n" + y.tobytes() + u.tobytes() + u.tobytes()
+    )
+    df = spark.createDataFrame(
+        [("v", bytearray(blob), 99)], "video_id string, bytes binary, n_frames int"
+    )
+    r = videokit.y4m_header_meta(df).collect()[0]
+    assert r["colorspace"] == "420" and r["n_frames"] == 2
+    assert r["vid_w"] == 6 and r["fps_num"] == 30
+
+
+def test_header_meta_stays_jvm(vids):
+    plan = explainkit.formatted_plan(videokit.y4m_header_meta(vids))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+# ------------------------------------------------------------------
+# Frame tier: sampling, features, cuts, image-pipeline bridge
+# ------------------------------------------------------------------
+
+
+def _random_clip(seed, n=7, h=9, w=11):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+
+
+def test_frame_sample_every_n(spark):
+    fr = _random_clip(3)
+    df = spark.createDataFrame(
+        [("v", bytearray(videokit.encode_y4m(fr, (24, 1))))],
+        "video_id string, bytes binary",
+    )
+    rows = sorted(
+        videokit.frame_sample(df, every_n=3).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert [r["frame_no"] for r in rows] == [0, 3, 6]
+    for r in rows:
+        one, fps = videokit.decode_y4m(bytes(r["bytes"]))
+        assert fps == (24, 1) and one.shape[0] == 1
+        np.testing.assert_array_equal(one[0], fr[r["frame_no"]])
+
+
+def test_frame_sample_rejects_bad_n(spark):
+    with pytest.raises(ValueError):
+        videokit.frame_sample(None, every_n=0)
+
+
+def test_frame_features_match_numpy(spark):
+    fr = _random_clip(5)
+    df = spark.createDataFrame(
+        [("v", bytearray(videokit.encode_y4m(fr)))],
+        "video_id string, bytes binary",
+    )
+    got = {
+        r["frame_no"]: (r["y_mean"], r["u_mean"], r["v_mean"])
+        for r in videokit.frame_features(df).collect()
+    }
+    npx = fr.shape[1] * fr.shape[2]
+    for f in range(fr.shape[0]):
+        sums = fr[f].astype(np.int64).sum(axis=(0, 1))
+        assert got[f] == tuple(int(s) // npx for s in sums)
+
+
+def test_scene_cuts_fire_exactly_at_wraps(vids):
+    cuts = videokit.scene_cuts(videokit.frame_features(vids), min_jump=100)
+    for r in cuts.collect():
+        d = int(r["video_id"].split("-")[1])
+        f = r["frame_no"]
+        y_now = videokit.synth_plane_means(d, f)[0]
+        assert r["y_mean"] == y_now
+        # fixture Y steps +17 mod 256 → a ≥100 jump iff the sequence
+        # wrapped between f-1 and f
+        expect = 1 if f > 0 and y_now < videokit.synth_plane_means(d, f - 1)[0] else 0
+        assert r["cut"] == expect, (d, f)
+
+
+def test_frames_to_ppm_bridges_into_image_pipeline(spark):
+    fr = _random_clip(11, n=4)
+    df = spark.createDataFrame(
+        [("v", bytearray(videokit.encode_y4m(fr)))],
+        "video_id string, bytes binary",
+    )
+    imgs = videokit.frames_to_ppm(videokit.frame_sample(df, every_n=2))
+    rows = {r["image_id"]: r for r in imgs.collect()}
+    assert set(rows) == {"v#f0", "v#f2"}
+    for fid, r in rows.items():
+        f = int(fid.split("#f")[1])
+        exp = codecs._ycbcr_to_rgb(
+            fr[f, :, :, 0].astype(np.float64),
+            fr[f, :, :, 1].astype(np.float64),
+            fr[f, :, :, 2].astype(np.float64),
+        )
+        np.testing.assert_array_equal(
+            codecs.decode_ppm(bytes(r["bytes"])), exp
+        )
+    # and the unchanged image feature pass consumes the bridge output
+    feats = multimodal.decode_features(imgs).collect()
+    assert len(feats) == 2 and all(x["phash"] is not None for x in feats)
+
+
+def test_multimodal_frame_sample_dispatches_y4m(spark):
+    fr = _random_clip(13, n=5)
+    df = spark.createDataFrame(
+        [("v1", bytearray(videokit.encode_y4m(fr)), "y4m")],
+        "image_id string, bytes binary, fmt string",
+    )
+    rows = multimodal.frame_sample(df, every_n=2).collect()
+    assert sorted(r["frame_no"] for r in rows) == [0, 2, 4]
