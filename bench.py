@@ -224,6 +224,30 @@ def main() -> None:
     bench("q_img_letterbox", img_letterbox)
     bench("q_classifier", lambda: run(qs["text_classifier"](spark, SF_DIR)))
 
+    # ---- audio / video tiers (round 5): encode + JVM header gate +
+    # Arrow decode-features over the full documents table (the
+    # registry entries cap doc_id for oracle size; the bench removes
+    # the cap so the rows scale with sf like the image pipeline).
+    from ccbot_spark.functions import audiokit, videokit
+
+    def aud_features():
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).select("doc_id")
+        run(audiokit.audio_features(audiokit.synth_audio_from_docs(docs)))
+
+    bench("q_aud_features", aud_features)
+
+    def vid_frame_features():
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).select("doc_id")
+        run(videokit.frame_features(
+            videokit.synth_videos_from_docs(docs), every_n=3
+        ))
+
+    bench("q_vid_frame_features", vid_frame_features)
+
     # ---- WebDataset training export: encode + plan + tar-write the
     # full synth image corpus (samples/sec is the export-side
     # throughput twin of q_img_pipeline's decode side). Shards land in
