@@ -102,15 +102,16 @@ def synth_params(doc_id: int) -> tuple[int, int, int, int, int]:
     """(rate, channels, n_samples, amplitude, half_period) for one doc —
     the single source of truth the encoder, the tests, and the DuckDB
     oracles all re-derive. Square wave s[i] = ±A flipping every p
-    samples; every 10th doc is silence (A = 0) so curation gates have
-    real work. doc_id % 150 repeats content → planted duplicates,
-    same convention as the image fixtures."""
+    samples; every 10th base is silence (A = 0) so curation gates have
+    real work. EVERY parameter derives from doc_id % 150, so docs 150
+    apart are byte-identical WAVs → planted exact duplicates, same
+    convention as the image fixtures."""
     base = doc_id % 150
-    rate = AUDIO_RATES[doc_id % 4]
-    channels = 1 + (doc_id % 2)
+    rate = AUDIO_RATES[base % 4]
+    channels = 1 + (base % 2)
     n = 256 + (base * 37) % 4096
-    amp = 0 if doc_id % 10 == 0 else 500 + (base * 131) % 30000
-    period = 8 + (doc_id % 23)
+    amp = 0 if base % 10 == 0 else 500 + (base * 131) % 30000
+    period = 8 + (base % 23)
     return rate, channels, n, amp, period
 
 

@@ -152,22 +152,26 @@ VIDEO_SCHEMA = T.StructType(
 
 def synth_params(doc_id: int) -> tuple[int, int, int, tuple[int, int]]:
     """(w, h, n_frames, fps) for one doc — the single source of truth
-    the encoder, the tests, and the DuckDB oracles all re-derive."""
+    the encoder, the tests, and the DuckDB oracles all re-derive.
+    EVERY parameter (and every plane value) derives from doc_id % 150,
+    so docs 150 apart are byte-identical clips → planted exact
+    duplicates, same convention as the image fixtures."""
     base = doc_id % 150
     w = 16 + base * 5 % 49
     h = 16 + base * 3 % 49
-    n = 2 + doc_id % 9
-    return w, h, n, VIDEO_FPS[doc_id % 4]
+    n = 2 + base % 9
+    return w, h, n, VIDEO_FPS[base % 4]
 
 
 def synth_plane_means(doc_id: int, f: int) -> tuple[int, int, int]:
     """Constant plane values of frame f — every frame is a solid YUV
     color, so per-plane mean == the constant (integer-exact for any
     engine) and scene cuts are wrap points of the Y sequence."""
+    base = doc_id % 150
     return (
-        (doc_id * 31 + f * 17) % 256,
-        (doc_id * 7 + f * 5) % 256,
-        (doc_id * 13 + f * 11) % 256,
+        (base * 31 + f * 17) % 256,
+        (base * 7 + f * 5) % 256,
+        (base * 13 + f * 11) % 256,
     )
 
 

@@ -22,13 +22,13 @@ from ccbot_spark.registry.common import _t
 _PARAMS_CTE = """
     params AS (
       SELECT doc_id,
-             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                             WHEN 2 THEN 22050 ELSE 44100 END AS rate,
-             1 + doc_id % 2 AS channels,
+             CASE (doc_id % 150) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                     WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             1 + (doc_id % 150) % 2 AS channels,
              256 + (doc_id % 150) * 37 % 4096 AS n_samples,
-             CASE WHEN doc_id % 10 = 0 THEN 0
+             CASE WHEN (doc_id % 150) % 10 = 0 THEN 0
                   ELSE 500 + (doc_id % 150) * 131 % 30000 END AS amp,
-             8 + doc_id % 23 AS period
+             8 + (doc_id % 150) % 23 AS period
       FROM documents WHERE doc_id < 400
     )
 """
@@ -95,6 +95,18 @@ def register(q):
             "nbytes",
         )
     q["aud_resample_meta"] = aud_resample_meta
+
+    def aud_exact_dedup(spark, sf_dir):
+        # byte-exact audio dedup (content-addressable-store step):
+        # JVM md5 over the blob — digests shuffle, samples don't. The
+        # fixture derives EVERY wave parameter from doc_id % 150, so
+        # byte-identity groups are exactly the mod-150 classes.
+        from ccbot_spark.functions import multimodal
+
+        return multimodal.exact_dup_groups(
+            _synth(spark, sf_dir), id_col="audio_id"
+        )
+    q["aud_exact_dedup"] = aud_exact_dedup
 
 
 def register_sql(o):
@@ -168,4 +180,14 @@ def register_sql(o):
                CAST(n2 * 1000 // rate2 AS BIGINT) AS hdr_duration_ms,
                CAST(44 + n2 * channels * 2 AS BIGINT) AS nbytes
         FROM r
+    """
+
+    o["aud_exact_dedup"] = """
+        WITH g AS (
+          SELECT doc_id % 150 AS grp,
+                 MIN('doc-' || CAST(doc_id AS VARCHAR)) AS keeper,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM documents WHERE doc_id < 400 GROUP BY 1
+        )
+        SELECT keeper, n_copies FROM g WHERE n_copies >= 2
     """

@@ -22,10 +22,10 @@ _PARAMS_CTE = """
       SELECT doc_id,
              16 + (doc_id % 150) * 5 % 49 AS w,
              16 + (doc_id % 150) * 3 % 49 AS h,
-             2 + doc_id % 9 AS n_frames,
-             CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 25
-                             WHEN 2 THEN 30 ELSE 30000 END AS fps_num,
-             CASE doc_id % 4 WHEN 3 THEN 1001 ELSE 1 END AS fps_den
+             2 + (doc_id % 150) % 9 AS n_frames,
+             CASE (doc_id % 150) % 4 WHEN 0 THEN 24 WHEN 1 THEN 25
+                                     WHEN 2 THEN 30 ELSE 30000 END AS fps_num,
+             CASE (doc_id % 150) % 4 WHEN 3 THEN 1001 ELSE 1 END AS fps_den
       FROM documents WHERE doc_id < 300
     )
 """
@@ -76,6 +76,20 @@ def register(q):
         )
     q["vid_scene_cut"] = vid_scene_cut
 
+    def vid_exact_dedup(spark, sf_dir):
+        # byte-exact video dedup: JVM md5 over the clip blob — digests
+        # shuffle, frames don't (at video scale this is THE bulk-dedup
+        # pass; mirrors and re-posts are byte-identical). The fixture
+        # derives every clip parameter and plane value from
+        # doc_id % 150, so byte-identity groups are the mod-150
+        # classes.
+        from ccbot_spark.functions import multimodal
+
+        return multimodal.exact_dup_groups(
+            _synth(spark, sf_dir), id_col="video_id"
+        )
+    q["vid_exact_dedup"] = vid_exact_dedup
+
 
 def register_sql(o):
 
@@ -104,9 +118,9 @@ def register_sql(o):
         )
         SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS video_id,
                CAST(frame_no AS BIGINT) AS frame_no,
-               CAST((doc_id * 31 + frame_no * 17) % 256 AS BIGINT) AS y_mean,
-               CAST((doc_id * 7 + frame_no * 5) % 256 AS BIGINT) AS u_mean,
-               CAST((doc_id * 13 + frame_no * 11) % 256 AS BIGINT) AS v_mean
+               CAST(((doc_id % 150) * 31 + frame_no * 17) % 256 AS BIGINT) AS y_mean,
+               CAST(((doc_id % 150) * 7 + frame_no * 5) % 256 AS BIGINT) AS u_mean,
+               CAST(((doc_id % 150) * 13 + frame_no * 11) % 256 AS BIGINT) AS v_mean
         FROM fr
     """
 
@@ -119,8 +133,8 @@ def register_sql(o):
         ),
         y AS (
           SELECT doc_id, frame_no,
-                 (doc_id * 31 + frame_no * 17) % 256 AS y_mean,
-                 (doc_id * 31 + greatest(frame_no - 1, 0) * 17) % 256
+                 ((doc_id % 150) * 31 + frame_no * 17) % 256 AS y_mean,
+                 ((doc_id % 150) * 31 + greatest(frame_no - 1, 0) * 17) % 256
                      AS prev_y_mean
           FROM fr
         )
@@ -132,4 +146,14 @@ def register_sql(o):
                           AND abs(y_mean - prev_y_mean) >= 100
                          THEN 1 ELSE 0 END AS BIGINT) AS cut
         FROM y
+    """
+
+    o["vid_exact_dedup"] = """
+        WITH g AS (
+          SELECT doc_id % 150 AS grp,
+                 MIN('doc-' || CAST(doc_id AS VARCHAR)) AS keeper,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM documents WHERE doc_id < 300 GROUP BY 1
+        )
+        SELECT keeper, n_copies FROM g WHERE n_copies >= 2
     """

@@ -39,6 +39,16 @@ def test_decode_rejects_non_wav():
         audiokit.decode_wav(b"OggS" + b"\x00" * 100)
 
 
+def test_synth_planted_duplicates():
+    # every parameter is base-150 derived → docs 150 apart are
+    # byte-identical WAVs (the aud_exact_dedup contract)
+    for d in (3, 7, 149):
+        a, ra = audiokit.synth_wave(d)
+        b, rb = audiokit.synth_wave(d + 150)
+        assert ra == rb and np.array_equal(a, b)
+        assert audiokit.encode_wav(a, ra) == audiokit.encode_wav(b, rb)
+
+
 def test_synth_matches_params():
     for d in (0, 1, 10, 37, 149, 150, 299, 399):
         rate, ch, n, amp, period = audiokit.synth_params(d)

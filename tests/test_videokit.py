@@ -59,6 +59,16 @@ def test_y4m_decode_frame_params_and_default_c420():
     assert (fr[0, :, :, 1] == 9).all()
 
 
+def test_synth_planted_duplicates():
+    # every clip parameter and plane value is base-150 derived → docs
+    # 150 apart are byte-identical clips (the vid_exact_dedup contract)
+    for d in (2, 11, 149):
+        fa, ra = videokit.synth_frames(d)
+        fb, rb = videokit.synth_frames(d + 150)
+        assert ra == rb and np.array_equal(fa, fb)
+        assert videokit.encode_y4m(fa, ra) == videokit.encode_y4m(fb, rb)
+
+
 def test_y4m_decode_rejects():
     with pytest.raises(NotImplementedError):
         videokit.decode_y4m(b"\x00\x00\x00 ftypmp42" + b"\x00" * 50)
