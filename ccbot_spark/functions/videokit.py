@@ -409,6 +409,20 @@ def scene_cuts(feats: DataFrame, min_jump: int = 100) -> DataFrame:
     )
 
 
+def keyframes(feats: DataFrame, min_jump: int = 100) -> DataFrame:
+    """Keyframe selection: frame 0 plus the first frame of every shot
+    (scene_cuts over the same feature table) — the standard
+    one-frame-per-shot reduction before vision-language training
+    export. Pure filter over scene_cuts: zero extra decode; join the
+    result back to `frame_sample(every_n=1)` rows (or re-sample just
+    these frame numbers) to materialize pixels for ONLY the keepers."""
+    return (
+        scene_cuts(feats, min_jump=min_jump)
+        .filter((F.col("cut") == 1) | (F.col("frame_no") == 0))
+        .select("video_id", "frame_no", "y_mean")
+    )
+
+
 def frames_to_ppm(frames: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Bridge into the image pipeline: single-frame Y4M → RGB ppm
     (BT.601 full-range, the same `_ycbcr_to_rgb` the JPEG codec uses),

@@ -90,6 +90,15 @@ def register(q):
         )
     q["vid_exact_dedup"] = vid_exact_dedup
 
+    def vid_keyframes(spark, sf_dir):
+        # one frame per shot (frame 0 + first frame after each cut) —
+        # the byte-REDUCING selection a vision-language export runs
+        # before materializing any pixels.
+        return videokit.keyframes(
+            videokit.frame_features(_synth(spark, sf_dir)), min_jump=100
+        )
+    q["vid_keyframes"] = vid_keyframes
+
 
 def register_sql(o):
 
@@ -146,6 +155,28 @@ def register_sql(o):
                           AND abs(y_mean - prev_y_mean) >= 100
                          THEN 1 ELSE 0 END AS BIGINT) AS cut
         FROM y
+    """
+
+    o["vid_keyframes"] = f"""
+        WITH {_PARAMS_CTE},
+        fr AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(n_frames AS BIGINT), 1)) AS frame_no
+          FROM params
+        ),
+        y AS (
+          SELECT doc_id, frame_no,
+                 ((doc_id % 150) * 31 + frame_no * 17) % 256 AS y_mean,
+                 ((doc_id % 150) * 31 + greatest(frame_no - 1, 0) * 17) % 256
+                     AS prev_y_mean
+          FROM fr
+        )
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS video_id,
+               CAST(frame_no AS BIGINT) AS frame_no,
+               CAST(y_mean AS BIGINT) AS y_mean
+        FROM y
+        WHERE frame_no = 0
+           OR (frame_no > 0 AND abs(y_mean - prev_y_mean) >= 100)
     """
 
     o["vid_exact_dedup"] = """

@@ -203,6 +203,20 @@ def test_scene_cuts_fire_exactly_at_wraps(vids):
         assert r["cut"] == expect, (d, f)
 
 
+def test_keyframes_one_per_shot(vids):
+    feats = videokit.frame_features(vids)
+    kf = videokit.keyframes(feats, min_jump=100).collect()
+    cuts = {
+        (r["video_id"], r["frame_no"])
+        for r in videokit.scene_cuts(feats, min_jump=100).collect()
+        if r["cut"] == 1
+    }
+    got = {(r["video_id"], r["frame_no"]) for r in kf}
+    vids_ids = {r["video_id"] for r in feats.select("video_id").distinct().collect()}
+    # exactly: frame 0 of every video + every cut frame
+    assert got == cuts | {(v, 0) for v in vids_ids}
+
+
 def test_frames_to_ppm_bridges_into_image_pipeline(spark):
     fr = _random_clip(11, n=4)
     df = spark.createDataFrame(
