@@ -241,6 +241,44 @@ def test_frames_to_ppm_bridges_into_image_pipeline(spark):
     assert len(feats) == 2 and all(x["phash"] is not None for x in feats)
 
 
+def test_keyframes_to_wds_export_roundtrip(spark, vids, tmp_path):
+    """The full video → training-export chain: keyframe selection
+    (metadata only) → pixel materialization for ONLY the keepers
+    (semi join into frame_sample) → image-pipeline bridge → WDS shard
+    plan + tar write + exact read-back."""
+    from ccbot_spark import wds
+
+    small = vids.limit(12).cache()
+    feats = videokit.frame_features(small)
+    keep = videokit.keyframes(feats, min_jump=100).select(
+        "video_id", "frame_no"
+    )
+    frames = videokit.frame_sample(small, every_n=1).join(
+        keep, ["video_id", "frame_no"], "left_semi"
+    )
+    imgs = videokit.frames_to_ppm(frames).withColumn(
+        "caption", F.concat(F.lit("keyframe "), F.col("image_id"))
+    )
+    costed = imgs.withColumn(
+        "plan_cost", wds.sample_cost(F.col("w"), F.col("h"), F.col("caption"))
+    )
+    assigned, cache = wds.plan_shards(costed, 64 * 1024, num_partitions=4)
+    out = str(tmp_path / "wds")
+    try:
+        wds.write_shards(assigned, out).collect()
+        back = {
+            r["image_id"]: r for r in wds.read_shards(spark, out).collect()
+        }
+    finally:
+        cache.unpersist()
+        small.unpersist()
+    want = {r["image_id"]: r for r in imgs.collect()}
+    assert set(back) == set(want) and len(want) > 0
+    for k, r in back.items():
+        assert bytes(r["bytes"]) == bytes(want[k]["bytes"])
+        assert r["caption"] == want[k]["caption"]
+
+
 def test_multimodal_frame_sample_dispatches_y4m(spark):
     fr = _random_clip(13, n=5)
     df = spark.createDataFrame(
