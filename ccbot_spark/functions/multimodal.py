@@ -419,6 +419,55 @@ def jpeg_sof_dims(
     return pruned.mapInPandas(gen, schema=schema)
 
 
+def media_container_col(bytes_col: str = "bytes"):
+    """Cross-modal container sniff as ONE JVM expression: the image
+    magics (same constants as `header_meta`), plus RIFF/WAVE (audio)
+    and YUV4MPEG2 (video) — the first gate of a mixed media ingest
+    stream where blobs arrive unlabeled. Unknown magic → NULL."""
+    b = F.col(bytes_col)
+    return (
+        F.when(F.hex(F.substring(b, 1, 8)) == F.lit(PNG_MAGIC_HEX), F.lit("png"))
+        .when(
+            F.decode(F.substring(b, 1, 32), "ISO-8859-1").rlike(
+                r"^P6\s+[0-9]+\s+[0-9]+\s"
+            ),
+            F.lit("ppm"),
+        )
+        .when(
+            (F.hex(F.substring(b, 1, 2)) == F.lit("424D"))
+            & (_le_uint(b, 15, 4) == 40),
+            F.lit("bmp"),
+        )
+        .when(
+            F.hex(F.substring(b, 1, 6)).isin("474946383761", "474946383961"),
+            F.lit("gif"),
+        )
+        .when(F.hex(F.substring(b, 1, 3)) == F.lit("FFD8FF"), F.lit("jpeg"))
+        .when(
+            (F.hex(F.substring(b, 1, 4)) == F.lit("52494646"))  # 'RIFF'
+            & (F.hex(F.substring(b, 9, 8)) == F.lit("57415645666D7420")),
+            F.lit("wav"),
+        )
+        .when(
+            F.hex(F.substring(b, 1, 10)) == F.lit("595556344D5045473220"),
+            F.lit("y4m"),
+        )
+    )
+
+
+def modality_col(container_col: str = "container"):
+    """container → modality (image / audio / video; NULL → unknown) —
+    the routing key a mixed ingest stream partitions its downstream
+    per-modality pipelines on."""
+    c = F.col(container_col)
+    return (
+        F.when(c.isin("png", "ppm", "bmp", "gif", "jpeg"), F.lit("image"))
+        .when(c == "wav", F.lit("audio"))
+        .when(c == "y4m", F.lit("video"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
 def size_class_col(w_col="hdr_w", h_col="hdr_h"):
     """Resolution class from the max side — shared by the batch
     histogram and the streaming ingest profile so both report the

@@ -370,3 +370,116 @@ def test_streaming_wds_export_matches_batch_inputs(spark, tmp_path):
         p: hashlib.sha256(open(p, "rb").read()).hexdigest()
         for p in glob.glob(os.path.join(out, "*", "*.tar"))
     } == hashes
+
+
+# ------------------------------------------------- mixed media ingest
+
+@pytest.fixture(scope="module")
+def media_dir(spark, tmp_path_factory):
+    """Interleaved image + audio + video blobs (one crawl media sink)
+    plus one unknown-magic blob, spread over 2 files."""
+    from ccbot_spark.functions import audiokit, multimodal, videokit
+    from ccbot_spark.streaming import media_stream as mds
+
+    docs = spark.range(30).withColumnRenamed("id", "doc_id")
+    imgs = multimodal.synth_images_from_docs(docs).collect()
+    auds = audiokit.synth_audio_from_docs(docs).collect()
+    vids = videokit.synth_videos_from_docs(docs).collect()
+    rows = []
+    for i in range(30):
+        base = T0 + dt.timedelta(seconds=37 * i)
+        rows.append((base, f"img-{i}", bytes(imgs[i]["bytes"])))
+        rows.append((base + dt.timedelta(seconds=5),
+                     f"aud-{i}", bytes(auds[i]["bytes"])))
+        rows.append((base + dt.timedelta(seconds=9),
+                     f"vid-{i}", bytes(vids[i]["bytes"])))
+    rows.append((T0 + dt.timedelta(seconds=2000), "junk", b"\x7fELF\x02junk"))
+    df = spark.createDataFrame(rows, mds.MEDIA_EVENTS)
+    import glob
+    import shutil
+
+    d = tmp_path_factory.mktemp("media_events")
+    out = tmp_path_factory.mktemp("media_flat")
+    df1, df2 = df.limit(46), df.subtract(df.limit(46))
+    df1.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    df2.coalesce(1).write.mode("overwrite").parquet(str(d / "b"))
+    n = 0
+    for sub in ("a", "b"):
+        for f in sorted(glob.glob(str(d / sub / "*.parquet"))):
+            shutil.copy(f, str(out / f"part-{n}.parquet"))
+            n += 1
+    return str(out)
+
+
+def test_media_profile_stream_matches_batch(spark, media_dir):
+    """st_media_profile: one JVM sniff classifies interleaved
+    image/audio/video blobs inside the stream; per-minute
+    (modality, container) counts == the batch grouping, all three
+    modalities present, unknown magic lands in ('unknown','unknown')."""
+    from ccbot_spark.functions import multimodal
+    from ccbot_spark.streaming import media_stream as mds
+
+    stream = mds.st_media_profile(mds.read_media_events(spark, media_dir))
+    ms.run_complete_to_memory(stream, "media_prof")
+    got = {
+        (r.win_start, r.modality, r.container): (r.n_blobs, r.total_bytes)
+        for r in spark.table("media_prof").collect()
+    }
+    batch = (
+        spark.read.parquet(media_dir)
+        .select(
+            "ts",
+            multimodal.media_container_col("bytes").alias("container"),
+            F.length("bytes").cast("long").alias("nbytes"),
+        )
+        .groupBy(
+            F.window("ts", "1 minute").alias("win"),
+            multimodal.modality_col("container").alias("modality"),
+            F.coalesce("container", F.lit("unknown")).alias("container"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("nbytes").alias("b"))
+    )
+    want = {
+        (r["win"].start, r.modality, r.container): (r.n, r.b)
+        for r in batch.collect()
+    }
+    assert got == want and got
+    mods = {m for (_, m, _) in got}
+    assert mods == {"image", "audio", "video", "unknown"}
+    # container classification is right (and never leaks across
+    # modality): wav ↔ audio, y4m ↔ video only
+    for (_, m, c) in got:
+        if c == "wav":
+            assert m == "audio"
+        if c == "y4m":
+            assert m == "video"
+        if c in ("ppm", "png", "bmp", "gif", "jpeg"):
+            assert m == "image"
+
+
+def test_media_container_col_matches_header_meta_on_images(spark, sf_dir):
+    """The unified sniff agrees with the image header parse container
+    classification row-for-row (same constants, one expression)."""
+    from ccbot_spark.functions import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 90
+    )
+    imgs = multimodal.synth_images_from_docs(
+        docs, fmts=multimodal.ALL_FMTS6
+    )
+    joined = (
+        multimodal.header_meta(imgs)
+        .select("image_id", "container")
+        .join(
+            imgs.select(
+                "image_id",
+                multimodal.media_container_col("bytes").alias("sniff"),
+            ),
+            "image_id",
+        )
+    )
+    assert joined.filter(
+        F.col("container") != F.col("sniff")
+    ).count() == 0
+    assert joined.count() == 90
