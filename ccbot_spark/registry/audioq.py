@@ -108,6 +108,26 @@ def register(q):
         )
     q["aud_exact_dedup"] = aud_exact_dedup
 
+    def aud_pipeline(spark, sf_dir):
+        # the composed curation pipeline in tier order: the SCAN-SPEED
+        # header gate (rate / duration, zero decode) prunes first, the
+        # Arrow decode tier runs only on survivors (semi join back to
+        # the blobs), and the sample-level gates (silence, channel
+        # cap) finish the keep verdict — the shape that makes a 100 TB
+        # audio corpus affordable: most rejects never get decoded.
+        audio = _synth(spark, sf_dir)
+        meta = audiokit.wav_header_meta(audio)
+        survivors = meta.filter(
+            (F.col("hdr_rate") >= 16000) & (F.col("hdr_duration_ms") >= 20)
+        ).select("audio_id")
+        feats = audiokit.audio_features(
+            audio.join(survivors, "audio_id", "left_semi")
+        )
+        return audiokit.curation_flags(feats, max_channels=1).filter(
+            F.col("keep") == 1
+        ).select("audio_id", "duration_ms", "rate", "channels", "peak", "rms")
+    q["aud_pipeline"] = aud_pipeline
+
 
 def register_sql(o):
 
@@ -180,6 +200,21 @@ def register_sql(o):
                CAST(n2 * 1000 // rate2 AS BIGINT) AS hdr_duration_ms,
                CAST(44 + n2 * channels * 2 AS BIGINT) AS nbytes
         FROM r
+    """
+
+    o["aud_pipeline"] = f"""
+        WITH {_PARAMS_CTE}
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS audio_id,
+               CAST(n_samples * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(rate AS BIGINT) AS rate,
+               CAST(channels AS BIGINT) AS channels,
+               CAST(amp AS BIGINT) AS peak,
+               CAST(amp AS BIGINT) AS rms
+        FROM params
+        WHERE rate >= 16000
+          AND n_samples * 1000 // rate >= 20
+          AND amp > 0
+          AND channels <= 1
     """
 
     o["aud_exact_dedup"] = """
