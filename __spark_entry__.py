@@ -17,8 +17,10 @@ Entries without an oracle (rows-only check) are the genuinely
 non-SQL-expressible ops: xxhash64-keyed url hash/salt (xxhash64 is
 Spark-only; the ENGINE keeps it — it is the right hash at scale — so
 the demo queries stay rows-only rather than misrepresenting the
-operator), python-urlkit URL normalization, and the binary image
-decode pipeline (img_pipeline). Each of those has a stronger dedicated
+operator), python-urlkit URL normalization, the binary image
+decode pipeline (img_pipeline), the pixel-hash family
+(img_hash_family), and the FFT-based robust audio fingerprint
+(aud_fingerprint_near). Each of those has a stronger dedicated
 check in tests/ (property tests vs pure-Python references; see
 SURVEY.md §5). The md5-seeded ops (MinHash, SimHash, fingerprint,
 embedding-LSH near-dup, ANN LSH, img_phash_near's banded Hamming

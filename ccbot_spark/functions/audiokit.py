@@ -307,6 +307,87 @@ def resample_decimate(
 
 
 # ------------------------------------------------------------------
+# Robust perceptual fingerprint (Haitsma–Kalker shape)
+# ------------------------------------------------------------------
+
+#: (FP_WINDOWS-1) × (FP_BANDS-1) = 63 sign bits → non-negative int64
+FP_WINDOWS, FP_BANDS = 10, 8
+
+FP_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ]
+)
+
+
+def fingerprint_bits(s: np.ndarray) -> int:
+    """Robust 63-bit audio fingerprint (the Haitsma–Kalker / Philips
+    robust-hash shape, public ISMIR 2002 algorithm): mono mix → 10
+    equal time windows → per-window energy spectrum (numpy rfft, DC
+    dropped) folded into 8 bands → each bit is the SIGN of the
+    band-energy second difference (across band, then across window).
+    Signs of second differences are invariant to global amplitude
+    scaling and robust to small perturbations — exactly what survives
+    re-encoding while distinguishing unrelated content. Degenerate
+    inputs (too short, silence) fingerprint as 0."""
+    mono = s.astype(np.float64).mean(axis=1)
+    n = mono.size - (mono.size % FP_WINDOWS)
+    if n < FP_WINDOWS:
+        return 0
+    wins = mono[:n].reshape(FP_WINDOWS, -1)
+    spec = np.abs(np.fft.rfft(wins, axis=1)) ** 2
+    spec = spec[:, 1:]  # drop DC: constant offsets carry no content
+    m = spec.shape[1] - (spec.shape[1] % FP_BANDS)
+    if m < FP_BANDS:
+        return 0
+    bands = spec[:, :m].reshape(FP_WINDOWS, FP_BANDS, -1).sum(axis=2)
+    dd = np.diff(np.diff(bands, axis=1), axis=0)
+    fp = 0
+    for bit in (dd > 0).flatten():
+        fp = (fp << 1) | int(bit)
+    return fp
+
+
+def audio_fingerprints(
+    audio: DataFrame, bytes_col: str = "bytes", id_col: str = "audio_id"
+) -> DataFrame:
+    """(audio_id, fp) per blob — decode + fingerprint in one bounded
+    Arrow pass; the 8-byte fp is what shuffles downstream, never the
+    samples."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s, _rate = decode_wav(bytes(getattr(r, bytes_col)))
+                rows.append((getattr(r, id_col), fingerprint_bits(s)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FP_SCHEMA.fields]
+            )
+
+    return audio.select(id_col, bytes_col).mapInPandas(gen, schema=FP_SCHEMA)
+
+
+def fingerprint_near_pairs(fps: DataFrame, max_ham: int = 6) -> DataFrame:
+    """Perceptual audio near-dup pairs: the SAME banded Hamming join
+    the image pipeline uses (multimodal.phash_near_pairs is
+    hash-agnostic — 4×16-bit band equi-join prefilter, exact
+    bit_count verify). Output (aud_a, aud_b, hamming)."""
+    from . import multimodal
+
+    pairs = multimodal.phash_near_pairs(
+        fps.select(F.col("audio_id").alias("image_id"), F.col("fp").alias("phash")),
+        max_ham=max_ham,
+    )
+    return pairs.select(
+        F.col("img_a").alias("aud_a"),
+        F.col("img_b").alias("aud_b"),
+        "hamming",
+    )
+
+
+# ------------------------------------------------------------------
 # Curation gates (column exprs over the feature/header tables)
 # ------------------------------------------------------------------
 

@@ -128,6 +128,28 @@ def register(q):
         ).select("audio_id", "duration_ms", "rate", "channels", "peak", "rms")
     q["aud_pipeline"] = aud_pipeline
 
+    def aud_fingerprint_near(spark, sf_dir):
+        # ROWS-ONLY by documented necessity: the Haitsma–Kalker robust
+        # fingerprint is numpy-FFT band energies — not SQL-expressible
+        # (same club as the pixel-hash img_hash_family). The dedicated
+        # pytest gate is stronger: amplitude-scaling invariance,
+        # near-vs-unrelated separation, Spark == pure-python per row.
+        # Silence fingerprints as 0, so the silent slice is gated out
+        # first (peak > 0 semi join) — otherwise every silent pair
+        # matches trivially. Planted base-150 duplicates pair at
+        # hamming 0.
+        audio = _synth(spark, sf_dir)
+        voiced = (
+            audiokit.audio_features(audio)
+            .filter(F.col("peak") > 0)
+            .select("audio_id")
+        )
+        fps = audiokit.audio_fingerprints(
+            audio.join(voiced, "audio_id", "left_semi")
+        )
+        return audiokit.fingerprint_near_pairs(fps, max_ham=4)
+    q["aud_fingerprint_near"] = aud_fingerprint_near
+
 
 def register_sql(o):
 

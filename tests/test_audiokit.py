@@ -176,6 +176,68 @@ def test_resample_rejects_bad_k(spark):
 
 
 # ------------------------------------------------------------------
+# Robust fingerprint (Haitsma–Kalker shape)
+# ------------------------------------------------------------------
+
+
+def _even_noise(seed, n=4000, ch=1):
+    rng = np.random.default_rng(seed)
+    # even-valued samples: exact halving keeps energy ratios exact
+    return (rng.integers(-15000, 15000, size=(n, ch), dtype=np.int16) * 2).astype(
+        np.int16
+    )
+
+
+def test_fingerprint_amplitude_scaling_invariant():
+    s = _even_noise(1)
+    assert audiokit.fingerprint_bits(s) == audiokit.fingerprint_bits(
+        (s // 2).astype(np.int16)
+    )
+    assert audiokit.fingerprint_bits(s) != 0
+
+
+def test_fingerprint_near_vs_unrelated():
+    s = _even_noise(2)
+    fp = audiokit.fingerprint_bits(s)
+    # small perturbation: ±1 on 2% of samples
+    rng = np.random.default_rng(3)
+    pert = s.copy()
+    idx = rng.choice(s.shape[0], size=s.shape[0] // 50, replace=False)
+    pert[idx, 0] += rng.choice([-2, 2], size=idx.size).astype(np.int16)
+    near = bin(fp ^ audiokit.fingerprint_bits(pert)).count("1")
+    far = bin(fp ^ audiokit.fingerprint_bits(_even_noise(4))).count("1")
+    assert near <= 8 < far, (near, far)
+
+
+def test_fingerprint_degenerate_inputs():
+    assert audiokit.fingerprint_bits(np.zeros((5, 1), np.int16)) == 0
+    assert audiokit.fingerprint_bits(np.zeros((5000, 2), np.int16)) == 0
+
+
+def test_fingerprint_spark_matches_python_and_near_pairs(spark):
+    rows, expect = [], {}
+    base = _even_noise(7)
+    variants = {
+        "orig": base,
+        "half": (base // 2).astype(np.int16),  # planted near-dup (ham 0)
+        "other": _even_noise(8),  # unrelated
+    }
+    for k, s in variants.items():
+        rows.append((k, bytearray(audiokit.encode_wav(s, 16000))))
+        expect[k] = audiokit.fingerprint_bits(s)
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    fps = audiokit.audio_fingerprints(df)
+    got = {r["audio_id"]: r["fp"] for r in fps.collect()}
+    assert got == expect
+    pairs = {
+        (r["aud_a"], r["aud_b"]): r["hamming"]
+        for r in audiokit.fingerprint_near_pairs(fps, max_ham=6).collect()
+    }
+    assert ("half", "orig") in pairs and pairs[("half", "orig")] == 0
+    assert not any("other" in p for p in pairs)
+
+
+# ------------------------------------------------------------------
 # Curation gates
 # ------------------------------------------------------------------
 
