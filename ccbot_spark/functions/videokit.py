@@ -409,6 +409,49 @@ def scene_cuts(feats: DataFrame, min_jump: int = 100) -> DataFrame:
     )
 
 
+def curation_flags(
+    meta: DataFrame,
+    min_side: int = 32,
+    min_frames: int = 3,
+    min_duration_ms: int = 100,
+) -> DataFrame:
+    """Video curation gates over the HEADER table — too-small dims,
+    too-few frames, too-short duration (frame count × fps from the
+    stream header; integer cross-multiplication, no floats) — pure
+    column exprs that collapse into the header scan: every verdict
+    lands before a single frame is decoded. Non-y4m rows (NULL parse)
+    gate as not-kept with `unparsed` set."""
+    unparsed = F.col("container").isNull().cast("long")
+    too_small = (
+        F.least("vid_w", "vid_h") < min_side
+    ).cast("long")
+    too_few = (F.col("n_frames") < min_frames).cast("long")
+    # duration_ms = n·1000·den/num < min  ⇔  n·1000·den < min·num
+    too_short = (
+        F.col("n_frames") * 1000 * F.col("fps_den")
+        < F.lit(min_duration_ms) * F.col("fps_num")
+    ).cast("long")
+    keep = (
+        (unparsed == 0)
+        & (too_small == 0)
+        & (too_few == 0)
+        & (too_short == 0)
+    ).cast("long")
+    return meta.select(
+        "video_id",
+        "vid_w",
+        "vid_h",
+        "n_frames",
+        "fps_num",
+        "fps_den",
+        unparsed.alias("unparsed"),
+        F.coalesce(too_small, F.lit(0)).alias("too_small"),
+        F.coalesce(too_few, F.lit(0)).alias("too_few"),
+        F.coalesce(too_short, F.lit(0)).alias("too_short"),
+        F.coalesce(keep, F.lit(0)).alias("keep"),
+    )
+
+
 def keyframes(feats: DataFrame, min_jump: int = 100) -> DataFrame:
     """Keyframe selection: frame 0 plus the first frame of every shot
     (scene_cuts over the same feature table) — the standard

@@ -99,6 +99,16 @@ def register(q):
         )
     q["vid_keyframes"] = vid_keyframes
 
+    def vid_curation(spark, sf_dir):
+        # header-tier curation: dims / frame-count / duration gates as
+        # pure column exprs over the JVM header parse — every verdict
+        # lands before a single frame is decoded (duration via integer
+        # cross-multiplication: n·1000·den < min·num, no floats).
+        return videokit.curation_flags(
+            videokit.y4m_header_meta(_synth(spark, sf_dir))
+        )
+    q["vid_curation"] = vid_curation
+
 
 def register_sql(o):
 
@@ -155,6 +165,27 @@ def register_sql(o):
                           AND abs(y_mean - prev_y_mean) >= 100
                          THEN 1 ELSE 0 END AS BIGINT) AS cut
         FROM y
+    """
+
+    o["vid_curation"] = f"""
+        WITH {_PARAMS_CTE}
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS video_id,
+               CAST(w AS BIGINT) AS vid_w,
+               CAST(h AS BIGINT) AS vid_h,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(fps_num AS BIGINT) AS fps_num,
+               CAST(fps_den AS BIGINT) AS fps_den,
+               CAST(0 AS BIGINT) AS unparsed,
+               CAST(CASE WHEN least(w, h) < 32 THEN 1 ELSE 0 END AS BIGINT)
+                   AS too_small,
+               CAST(CASE WHEN n_frames < 3 THEN 1 ELSE 0 END AS BIGINT)
+                   AS too_few,
+               CAST(CASE WHEN n_frames * 1000 * fps_den < 100 * fps_num
+                         THEN 1 ELSE 0 END AS BIGINT) AS too_short,
+               CAST(CASE WHEN least(w, h) >= 32 AND n_frames >= 3
+                          AND n_frames * 1000 * fps_den >= 100 * fps_num
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM params
     """
 
     o["vid_keyframes"] = f"""

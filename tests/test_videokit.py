@@ -203,6 +203,39 @@ def test_scene_cuts_fire_exactly_at_wraps(vids):
         assert r["cut"] == expect, (d, f)
 
 
+def test_curation_gates_fire(spark, vids):
+    meta = videokit.y4m_header_meta(vids.select("video_id", "bytes"))
+    junk = spark.createDataFrame(
+        [("junk", bytearray(b"\x00not video"))], "video_id string, bytes binary"
+    )
+    flags = {
+        r["video_id"]: r
+        for r in videokit.curation_flags(
+            videokit.y4m_header_meta(junk).unionByName(meta)
+        ).collect()
+    }
+    assert flags["junk"]["unparsed"] == 1 and flags["junk"]["keep"] == 0
+    fired = {g: 0 for g in ("too_small", "too_few", "too_short")}
+    for vid, r in flags.items():
+        if vid == "junk":
+            continue
+        d = int(vid.split("-")[1])
+        w, h, n, (num, den) = videokit.synth_params(d)
+        assert r["too_small"] == (1 if min(w, h) < 32 else 0)
+        assert r["too_few"] == (1 if n < 3 else 0)
+        assert r["too_short"] == (1 if n * 1000 * den < 100 * num else 0)
+        assert r["keep"] == (
+            1 - max(r["too_small"], r["too_few"], r["too_short"])
+        )
+        for g in fired:
+            fired[g] += r[g]
+    n_rows = len(flags) - 1
+    assert all(0 < v < n_rows for v in fired.values()), fired
+    assert 0 < sum(
+        r["keep"] for v, r in flags.items() if v != "junk"
+    ) < n_rows
+
+
 def test_keyframes_one_per_shot(vids):
     feats = videokit.frame_features(vids)
     kf = videokit.keyframes(feats, min_jump=100).collect()
