@@ -421,9 +421,14 @@ def jpeg_sof_dims(
 
 def media_container_col(bytes_col: str = "bytes"):
     """Cross-modal container sniff as ONE JVM expression: the image
-    magics (same constants as `header_meta`), plus RIFF/WAVE (audio)
-    and YUV4MPEG2 (video) — the first gate of a mixed media ingest
-    stream where blobs arrive unlabeled. Unknown magic → NULL."""
+    magics (same constants as `header_meta`), the decodable audio/video
+    containers (RIFF/WAVE, YUV4MPEG2), and the RECOGNIZED-but-
+    undecodable compressed containers a real crawl sees — mp4/quicktime
+    ('ftyp' at byte 5), webm/mkv (EBML 1A45DFA3), ogg ('OggS'), flac
+    ('fLaC'), mp3 (ID3 tag or an MPEG frame-sync FFFB/FFFA/FFF3/FFF2) —
+    so the ingest profile reports them by name instead of lumping real
+    traffic into 'unknown' (the same sniff-before-decoder posture GIF
+    had before round 5 gave it a decoder). Unknown magic → NULL."""
     b = F.col(bytes_col)
     return (
         F.when(F.hex(F.substring(b, 1, 8)) == F.lit(PNG_MAGIC_HEX), F.lit("png"))
@@ -452,18 +457,31 @@ def media_container_col(bytes_col: str = "bytes"):
             F.hex(F.substring(b, 1, 10)) == F.lit("595556344D5045473220"),
             F.lit("y4m"),
         )
+        .when(F.hex(F.substring(b, 5, 4)) == F.lit("66747970"), F.lit("mp4"))
+        .when(F.hex(F.substring(b, 1, 4)) == F.lit("1A45DFA3"), F.lit("webm"))
+        .when(F.hex(F.substring(b, 1, 4)) == F.lit("4F676753"), F.lit("ogg"))
+        .when(F.hex(F.substring(b, 1, 4)) == F.lit("664C6143"), F.lit("flac"))
+        .when(
+            (F.hex(F.substring(b, 1, 3)) == F.lit("494433"))  # 'ID3'
+            | F.hex(F.substring(b, 1, 2)).isin(
+                "FFFB", "FFFA", "FFF3", "FFF2"
+            ),
+            F.lit("mp3"),
+        )
     )
 
 
 def modality_col(container_col: str = "container"):
     """container → modality (image / audio / video; NULL → unknown) —
     the routing key a mixed ingest stream partitions its downstream
-    per-modality pipelines on."""
+    per-modality pipelines on. Recognized compressed containers route
+    to their modality too: their DECODE boundary raises, but profiling
+    and routing work from the sniff alone."""
     c = F.col(container_col)
     return (
         F.when(c.isin("png", "ppm", "bmp", "gif", "jpeg"), F.lit("image"))
-        .when(c == "wav", F.lit("audio"))
-        .when(c == "y4m", F.lit("video"))
+        .when(c.isin("wav", "mp3", "ogg", "flac"), F.lit("audio"))
+        .when(c.isin("y4m", "mp4", "webm"), F.lit("video"))
         .otherwise(F.lit("unknown"))
     )
 

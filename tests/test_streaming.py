@@ -483,3 +483,37 @@ def test_media_container_col_matches_header_meta_on_images(spark, sf_dir):
         F.col("container") != F.col("sniff")
     ).count() == 0
     assert joined.count() == 90
+
+
+def test_media_sniff_recognizes_compressed_containers(spark):
+    """mp4/webm/ogg/flac/mp3 are recognized by magic and routed to
+    their modality (profile-by-name), even though their DECODE
+    boundary raises — the sniff-before-decoder posture."""
+    from ccbot_spark.functions import multimodal
+
+    rows = [
+        ("mp4", bytearray(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 24)),
+        ("webm", bytearray(b"\x1a\x45\xdf\xa3" + b"\x00" * 28)),
+        ("ogg", bytearray(b"OggS\x00\x02" + b"\x00" * 26)),
+        ("flac", bytearray(b"fLaC\x00\x00\x00\x22" + b"\x00" * 24)),
+        ("mp3", bytearray(b"ID3\x04\x00" + b"\x00" * 27)),
+        ("mp3_sync", bytearray(b"\xff\xfb\x90\x64" + b"\x00" * 28)),
+        ("junk", bytearray(b"\x7fELF\x02" + b"\x00" * 27)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    out = {
+        r["media_id"]: (r["container"], r["modality"])
+        for r in df.select(
+            "media_id",
+            multimodal.media_container_col("bytes").alias("container"),
+        )
+        .withColumn("modality", multimodal.modality_col("container"))
+        .collect()
+    }
+    assert out["mp4"] == ("mp4", "video")
+    assert out["webm"] == ("webm", "video")
+    assert out["ogg"] == ("ogg", "audio")
+    assert out["flac"] == ("flac", "audio")
+    assert out["mp3"] == ("mp3", "audio")
+    assert out["mp3_sync"] == ("mp3", "audio")
+    assert out["junk"] == (None, "unknown")
