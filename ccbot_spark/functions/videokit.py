@@ -94,11 +94,11 @@ def _parse_header(line: bytes) -> tuple[int, int, tuple[int, int], str]:
 
 def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     """Y4M bytes → ((n, h, w, 3) uint8 YUV444, (fps_num, fps_den)).
-    C444 is exact; C420/C420jpeg/C420mpeg2/C420paldv chroma is
-    upsampled nearest-neighbor to 444 (sited variants differ only in
-    sample siting, which nearest upsampling ignores — documented).
-    Anything else (C422, mono, compressed containers) is explicitly
-    unimplemented."""
+    C444 is exact; C420/C420jpeg/C420mpeg2/C420paldv (quarter chroma)
+    and C422 (half-width chroma) are upsampled nearest-neighbor to 444
+    (sited variants differ only in sample siting, which nearest
+    upsampling ignores — documented). Anything else (mono, compressed
+    containers) is explicitly unimplemented."""
     nl = data.find(b"\n")
     if nl < 0:
         raise NotImplementedError("codec: not a YUV4MPEG2 stream")
@@ -107,6 +107,8 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         cw, chh = w, h
     elif cs.startswith("420"):
         cw, chh = (w + 1) // 2, (h + 1) // 2
+    elif cs == "422":
+        cw, chh = (w + 1) // 2, h
     else:
         raise NotImplementedError(f"y4m colorspace C{cs} not decodable")
     ysz, csz = w * h, cw * chh
@@ -122,9 +124,12 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         y = raw[:ysz].reshape(h, w)
         u = raw[ysz : ysz + csz].reshape(chh, cw)
         v = raw[ysz + csz :].reshape(chh, cw)
-        if cs != "444":
-            u = u.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
-            v = v.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+        if chh != h:
+            u = u.repeat(2, axis=0)[:h]
+            v = v.repeat(2, axis=0)[:h]
+        if cw != w:
+            u = u.repeat(2, axis=1)[:, :w]
+            v = v.repeat(2, axis=1)[:, :w]
         frames.append(np.stack([y, u, v], axis=-1))
         pos += ysz + 2 * csz
     return (
@@ -257,6 +262,9 @@ def y4m_header_meta(videos: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         cs.startswith("420"),
         vid_w * vid_h
         + F.lit(2) * _floor_div(vid_w + 1, F.lit(2)) * _floor_div(vid_h + 1, F.lit(2)),
+    ).when(
+        cs == "422",
+        vid_w * vid_h + F.lit(2) * _floor_div(vid_w + 1, F.lit(2)) * vid_h,
     )
     hdr_len = (F.length(line) + 1).cast("long")
     nbytes = F.length(b).cast("long")

@@ -69,11 +69,44 @@ def test_synth_planted_duplicates():
         assert videokit.encode_y4m(fa, ra) == videokit.encode_y4m(fb, rb)
 
 
+def test_y4m_decode_c422_upsample():
+    # half-width chroma, full height: columns repeat, rows don't
+    w, h = 5, 3
+    y = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    u = np.arange(9, dtype=np.uint8).reshape(3, 3) + 20
+    v = np.arange(9, dtype=np.uint8).reshape(3, 3) + 60
+    data = (
+        b"YUV4MPEG2 W5 H3 F25:1 C422\n"
+        + b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+    )
+    fr, _ = videokit.decode_y4m(data)
+    assert fr.shape == (1, h, w, 3)
+    np.testing.assert_array_equal(fr[0, :, :, 0], y)
+    np.testing.assert_array_equal(
+        fr[0, :, :, 1], u.repeat(2, axis=1)[:, :w]
+    )
+    np.testing.assert_array_equal(
+        fr[0, :, :, 2], v.repeat(2, axis=1)[:, :w]
+    )
+
+
+def test_y4m_header_meta_c422_count(spark):
+    w, h = 5, 3
+    blob = b"YUV4MPEG2 W5 H3 F25:1 C422\n" + 3 * (
+        b"FRAME\n" + bytes(w * h + 2 * 3 * h)
+    )
+    df = spark.createDataFrame(
+        [("v", bytearray(blob))], "video_id string, bytes binary"
+    )
+    r = videokit.y4m_header_meta(df).collect()[0]
+    assert r["colorspace"] == "422" and r["n_frames"] == 3
+
+
 def test_y4m_decode_rejects():
     with pytest.raises(NotImplementedError):
         videokit.decode_y4m(b"\x00\x00\x00 ftypmp42" + b"\x00" * 50)
     with pytest.raises(NotImplementedError):  # unsupported colorspace
-        videokit.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C422\n" + b"\x00" * 20)
+        videokit.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Cmono\n" + b"\x00" * 20)
     with pytest.raises(ValueError):  # truncated payload
         videokit.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n\x00\x00")
 
