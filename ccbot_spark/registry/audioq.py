@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ccbot_spark.functions import audiokit
-from ccbot_spark.registry.common import _t
+from ccbot_spark.registry.common import _ACTIVE_CACHES, _t
 
 #: shared synthesis arithmetic restated once as SQL (single source of
 #: truth for all four oracles; mirrors audiokit.synth_params exactly)
@@ -150,6 +150,40 @@ def register(q):
         return audiokit.fingerprint_near_pairs(fps, max_ham=4)
     q["aud_fingerprint_near"] = aud_fingerprint_near
 
+    def aud_wds_shards(spark, sf_dir):
+        # WebDataset shard PLAN for (audio, caption) samples: unlike
+        # images (priced at raw-pixel bytes), the WAV blob IS the raw
+        # samples, so the declared cost is the header-derived byte
+        # size — metadata only, no blob scan; cuts come from the same
+        # two-phase global running total the image planner uses.
+        from ccbot_spark import wds
+
+        meta = audiokit.wav_header_meta(_synth(spark, sf_dir)).withColumn(
+            "caption",
+            F.concat(
+                F.lit("caption for audio "),
+                F.regexp_extract("audio_id", r"(\d+)", 1),
+            ),
+        )
+        costed = meta.select(
+            "audio_id",
+            (
+                wds.entry_cost(F.col("nbytes"))
+                + wds.entry_cost(F.octet_length("caption"))
+            ).alias("plan_cost"),
+        )
+        assigned, cache = wds.plan_shards(
+            costed, 96 * 1024, key_col="audio_id", num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return assigned.groupBy("shard_id").agg(
+            F.count("*").alias("n_samples"),
+            F.sum("plan_cost").alias("plan_bytes"),
+            F.min("audio_id").alias("key_min"),
+            F.max("audio_id").alias("key_max"),
+        )
+    q["aud_wds_shards"] = aud_wds_shards
+
 
 def register_sql(o):
 
@@ -237,6 +271,35 @@ def register_sql(o):
           AND n_samples * 1000 // rate >= 20
           AND amp > 0
           AND channels <= 1
+    """
+
+    o["aud_wds_shards"] = f"""
+        WITH {_PARAMS_CTE},
+        s AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS audio_id,
+                 44 + n_samples * channels * 2 AS nbytes,
+                 'caption for audio ' || CAST(doc_id AS VARCHAR) AS caption
+          FROM params
+        ), c AS (
+          SELECT audio_id,
+                 CAST(512 + ((nbytes + 511) // 512) * 512
+                    + 512 + ((length(caption) + 511) // 512) * 512
+                      AS BIGINT) AS plan_cost
+          FROM s
+        ), a AS (
+          SELECT audio_id, plan_cost,
+                 CAST((SUM(plan_cost) OVER (
+                        ORDER BY audio_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) - plan_cost) // 98304 AS BIGINT) AS shard_id
+          FROM c
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(plan_cost) AS BIGINT) AS plan_bytes,
+               MIN(audio_id) AS key_min,
+               MAX(audio_id) AS key_max
+        FROM a GROUP BY shard_id
     """
 
     o["aud_exact_dedup"] = """
