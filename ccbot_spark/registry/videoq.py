@@ -109,6 +109,44 @@ def register(q):
         )
     q["vid_curation"] = vid_curation
 
+    def mm_media_profile(spark, sf_dir):
+        # the batch twin of st_media_profile: image + audio + video
+        # blobs interleaved in one table, classified by the unified
+        # JVM sniff (multimodal.media_container_col) and profiled per
+        # (modality, container) with byte totals. Fully oracled — the
+        # encoded SIZE of every modality is closed-form (ppm header +
+        # 3wh; RIFF 44 + n·ch·2; Y4M header digits + n(6+3wh)), so a
+        # green row proves sniff, routing, AND the three encoders'
+        # byte-level output in one shot.
+        from ccbot_spark.functions import audiokit, multimodal
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        imgs = multimodal.synth_images_from_docs(docs, fmt_cycle=False).select(
+            F.col("image_id").alias("media_id"), "bytes"
+        )
+        auds = audiokit.synth_audio_from_docs(docs).select(
+            F.col("audio_id").alias("media_id"), "bytes"
+        )
+        vids = videokit.synth_videos_from_docs(docs).select(
+            F.col("video_id").alias("media_id"), "bytes"
+        )
+        media = imgs.unionByName(auds).unionByName(vids)
+        classified = media.select(
+            multimodal.media_container_col("bytes").alias("container"),
+            F.length("bytes").cast("long").alias("nbytes"),
+        )
+        return (
+            classified.groupBy(
+                multimodal.modality_col("container").alias("modality"),
+                "container",
+            )
+            .agg(
+                F.count("*").alias("n_blobs"),
+                F.sum("nbytes").alias("total_bytes"),
+            )
+        )
+    q["mm_media_profile"] = mm_media_profile
+
 
 def register_sql(o):
 
@@ -208,6 +246,47 @@ def register_sql(o):
         FROM y
         WHERE frame_no = 0
            OR (frame_no > 0 AND abs(y_mean - prev_y_mean) >= 100)
+    """
+
+    o["mm_media_profile"] = """
+        WITH b AS (
+          SELECT doc_id, doc_id % 150 AS base FROM documents
+          WHERE doc_id < 200
+        ),
+        img AS (
+          SELECT length('P6' || chr(10) || CAST(16 + base * 7 % 97 AS VARCHAR)
+                        || ' ' || CAST(16 + base * 11 % 97 AS VARCHAR)
+                        || chr(10) || '255' || chr(10))
+                 + 3 * (16 + base * 7 % 97) * (16 + base * 11 % 97) AS nbytes
+          FROM b
+        ),
+        aud AS (
+          SELECT 44 + (256 + base * 37 % 4096) * (1 + base % 2) * 2 AS nbytes
+          FROM b
+        ),
+        vid AS (
+          SELECT length('YUV4MPEG2 W' || CAST(16 + base * 5 % 49 AS VARCHAR)
+                        || ' H' || CAST(16 + base * 3 % 49 AS VARCHAR)
+                        || ' F' || CAST(CASE base % 4 WHEN 0 THEN 24
+                                        WHEN 1 THEN 25 WHEN 2 THEN 30
+                                        ELSE 30000 END AS VARCHAR)
+                        || ':' || CAST(CASE base % 4 WHEN 3 THEN 1001
+                                       ELSE 1 END AS VARCHAR)
+                        || ' Ip A1:1 C444') + 1
+                 + (2 + base % 9)
+                   * (6 + 3 * (16 + base * 5 % 49) * (16 + base * 3 % 49))
+                     AS nbytes
+          FROM b
+        )
+        SELECT 'image' AS modality, 'ppm' AS container,
+               CAST(COUNT(*) AS BIGINT) AS n_blobs,
+               CAST(SUM(nbytes) AS BIGINT) AS total_bytes FROM img
+        UNION ALL
+        SELECT 'audio', 'wav', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(nbytes) AS BIGINT) FROM aud
+        UNION ALL
+        SELECT 'video', 'y4m', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(nbytes) AS BIGINT) FROM vid
     """
 
     o["vid_exact_dedup"] = """
