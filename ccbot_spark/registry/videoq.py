@@ -147,6 +147,41 @@ def register(q):
         )
     q["mm_media_profile"] = mm_media_profile
 
+    def vid_wds_shards(spark, sf_dir):
+        # WebDataset shard PLAN for (clip, caption) samples: the Y4M
+        # blob is the raw frames, so the declared cost is the
+        # header-derived stream size (JVM parse, no blob scan) — same
+        # two-phase global running total as the image/audio planners.
+        from ccbot_spark import wds
+
+        meta = videokit.y4m_header_meta(_synth(spark, sf_dir)).withColumn(
+            "caption",
+            F.concat(
+                F.lit("caption for clip "),
+                F.regexp_extract("video_id", r"(\d+)", 1),
+            ),
+        )
+        costed = meta.select(
+            "video_id",
+            (
+                wds.entry_cost(F.col("nbytes"))
+                + wds.entry_cost(F.octet_length("caption"))
+            ).alias("plan_cost"),
+        )
+        assigned, cache = wds.plan_shards(
+            costed, 96 * 1024, key_col="video_id", num_partitions=16
+        )
+        from ccbot_spark.registry.common import _ACTIVE_CACHES
+
+        _ACTIVE_CACHES.append(cache)
+        return assigned.groupBy("shard_id").agg(
+            F.count("*").alias("n_samples"),
+            F.sum("plan_cost").alias("plan_bytes"),
+            F.min("video_id").alias("key_min"),
+            F.max("video_id").alias("key_max"),
+        )
+    q["vid_wds_shards"] = vid_wds_shards
+
 
 def register_sql(o):
 
@@ -246,6 +281,37 @@ def register_sql(o):
         FROM y
         WHERE frame_no = 0
            OR (frame_no > 0 AND abs(y_mean - prev_y_mean) >= 100)
+    """
+
+    o["vid_wds_shards"] = f"""
+        WITH {_PARAMS_CTE},
+        s AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS video_id,
+                 length('YUV4MPEG2 W' || w || ' H' || h || ' F' ||
+                        fps_num || ':' || fps_den || ' Ip A1:1 C444') + 1
+                 + n_frames * (6 + 3 * w * h) AS nbytes,
+                 'caption for clip ' || CAST(doc_id AS VARCHAR) AS caption
+          FROM params
+        ), c AS (
+          SELECT video_id,
+                 CAST(512 + ((nbytes + 511) // 512) * 512
+                    + 512 + ((length(caption) + 511) // 512) * 512
+                      AS BIGINT) AS plan_cost
+          FROM s
+        ), a AS (
+          SELECT video_id, plan_cost,
+                 CAST((SUM(plan_cost) OVER (
+                        ORDER BY video_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) - plan_cost) // 98304 AS BIGINT) AS shard_id
+          FROM c
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(plan_cost) AS BIGINT) AS plan_bytes,
+               MIN(video_id) AS key_min,
+               MAX(video_id) AS key_max
+        FROM a GROUP BY shard_id
     """
 
     o["mm_media_profile"] = """
