@@ -39,6 +39,27 @@ def read_media_events(spark: SparkSession, media_dir: str) -> DataFrame:
     )
 
 
+def st_media_dedup(media: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Streaming byte-exact dedup across the WHOLE mixed stream: a
+    reposted blob is a repost whatever its modality, so the md5 digest
+    is computed once in the stateless projection (JVM, over the blob),
+    the blob replaced by its sniffed container + size, and state keyed
+    on the 16-byte digest within the watermark — the cross-modal twin
+    of st_image_dedup (the EXACT forever-seen set stays the batch
+    anti-join's job). Emits each distinct blob once with its modality
+    routing attached."""
+    classified = media.select(
+        "ts",
+        "media_id",
+        F.md5("bytes").alias("digest"),
+        multimodal.media_container_col("bytes").alias("container"),
+        F.length("bytes").cast("long").alias("nbytes"),
+    ).withColumn("modality", multimodal.modality_col("container"))
+    return classified.withWatermark("ts", late).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )
+
+
 def st_media_profile(media: DataFrame, late: str = "10 minutes") -> DataFrame:
     """Tumbling 1-minute mixed-media ingest profile: one JVM sniff →
     (modality, container) counts + byte totals per window. Unknown

@@ -517,3 +517,20 @@ def test_media_sniff_recognizes_compressed_containers(spark):
     assert out["mp3"] == ("mp3", "audio")
     assert out["mp3_sync"] == ("mp3", "audio")
     assert out["junk"] == (None, "unknown")
+
+
+def test_media_stream_dedup_cross_modal(spark, media_dir, tmp_path):
+    """st_media_dedup: byte-exact repost suppression across the whole
+    mixed stream — distinct count matches batch md5 distinct; blob
+    column projected away; survivors carry modality routing."""
+    from ccbot_spark.streaming import media_stream as mds
+
+    stream = mds.st_media_dedup(mds.read_media_events(spark, media_dir))
+    ms.run_available_now(stream, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = spark.read.parquet(media_dir)
+    n_distinct = batch.select(F.md5("bytes")).distinct().count()
+    assert got.count() == n_distinct
+    assert "bytes" not in got.columns and "digest" in got.columns
+    mods = {r["modality"] for r in got.select("modality").distinct().collect()}
+    assert mods == {"image", "audio", "video", "unknown"}
