@@ -447,12 +447,35 @@ def _encode_block(
     return dc
 
 
+def exif_app1(orientation: int) -> bytes:
+    """Minimal spec-valid Exif APP1 segment carrying ONE IFD0 entry —
+    the orientation tag (0x0112, SHORT). Little-endian TIFF header
+    ('II'), IFD0 at offset 8, zero next-IFD pointer: 26 TIFF bytes,
+    34-byte segment. What every camera writes, reduced to the one tag
+    the training pipeline must honor."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF orientation must be 1..8, got {orientation}")
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)  # TIFF header, IFD0 @ 8
+        + struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
 def encode_jpeg(
-    img: np.ndarray, quality: int = JPEG_QUALITY, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = JPEG_QUALITY,
+    restart_interval: int = 0,
+    exif_orientation: int | None = None,
 ) -> bytes:
     """Baseline sequential JPEG. (h, w, 3) RGB → 3-component 4:4:4;
     (h, w) → single-component grayscale. `restart_interval` > 0 emits
-    DRI + RSTn markers every that many MCUs."""
+    DRI + RSTn markers every that many MCUs. `exif_orientation` (1..8)
+    emits an Exif APP1 right after the JFIF APP0; None (default) keeps
+    output byte-identical to the historical encoder."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qlum, qchr = _jpeg_qtables(quality)
@@ -472,6 +495,8 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if exif_orientation is not None:
+        out += exif_app1(exif_orientation)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qlum[_ZIG].astype(np.uint8))
     if not gray:
         out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qchr[_ZIG].astype(np.uint8))

@@ -77,7 +77,8 @@ def decode_bytes(data: bytes, fmt: str) -> np.ndarray:
 
 
 def synth_images_from_docs(
-    docs: DataFrame, fmt_cycle: bool = True, fmts: tuple = REAL_FMTS[:3]
+    docs: DataFrame, fmt_cycle: bool = True, fmts: tuple = REAL_FMTS[:3],
+    exif_orient: bool = False,
 ) -> DataFrame:
     """Deterministic image table derived from `documents` (for tests and
     benchmarks — the driver testdata ships no binary media). One image
@@ -85,7 +86,10 @@ def synth_images_from_docs(
     over `fmts` (default ppm/png/qpng — the historical 3-cycle every
     oracle's doc_id%3 arithmetic assumes; pass REAL_FMTS for the
     4-cycle that adds bmp). Pure function of doc_id ⇒ reproducible
-    anywhere."""
+    anywhere. `exif_orient=True` stamps jpeg rows with an Exif APP1
+    orientation = 1 + doc_id % 8 (the doc_id % 4 == 3 slice stays
+    unstamped — the no-EXIF case a parser must answer NULL on);
+    False keeps every historical fixture byte-identical."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -100,9 +104,13 @@ def synth_images_from_docs(
                 h = 16 + base * 11 % 97
                 px = rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
                 fmt = fmts[d % len(fmts)] if fmt_cycle else "ppm"
-                rows.append(
-                    (f"doc-{d}", codecs.encode(px, fmt), w, h, fmt)
-                )
+                if exif_orient and fmt in ("jpeg", "jpg") and d % 4 != 3:
+                    data = codecs.encode_jpeg(
+                        px, exif_orientation=1 + d % 8
+                    )
+                else:
+                    data = codecs.encode(px, fmt)
+                rows.append((f"doc-{d}", data, w, h, fmt))
             yield pd.DataFrame(
                 rows, columns=["image_id", "bytes", "w", "h", "fmt"]
             )
@@ -417,6 +425,182 @@ def jpeg_sof_dims(
         F.substring(F.col(bytes_col), 1, head).alias("head_bytes"),
     )
     return pruned.mapInPandas(gen, schema=schema)
+
+
+# ---- EXIF orientation (tag 0x0112): the stored pixels need this
+# transform to display upright (EXIF spec §4.6.4 / PIL exif_transpose):
+# 1=identity 2=mirror 3=rot180 4=flip 5=transpose 6=rot90CW
+# 7=transverse 8=rot90CCW. 2/3/4/5/7 are involutions; 6 and 8 invert
+# each other — _EXIF_INVERSE gives the stamp whose upright view is the
+# original (the test fixture's construction).
+_EXIF_INVERSE = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
+
+def apply_exif_orientation(px: np.ndarray, orient: int) -> np.ndarray:
+    """Upright view of EXIF-oriented pixels — pure numpy views/rot90,
+    no resampling (pixel-exact for the lossless-transform tests)."""
+    if orient == 2:
+        return px[:, ::-1]
+    if orient == 3:
+        return px[::-1, ::-1]
+    if orient == 4:
+        return px[::-1]
+    if orient == 5:
+        return np.swapaxes(px, 0, 1)
+    if orient == 6:
+        return np.rot90(px, 3)
+    if orient == 7:
+        return np.swapaxes(px, 0, 1)[::-1, ::-1]
+    if orient == 8:
+        return np.rot90(px, 1)
+    return px
+
+
+def _jpeg_exif_walk(data: bytes):
+    """(sof_w, sof_h, orientation|None) from one bounded marker walk —
+    SOF dims exactly as `jpeg_sof_dims`, plus the APP1/Exif TIFF-IFD0
+    orientation tag when present. Handles both TIFF byte orders;
+    malformed TIFF → orientation None, never a guess."""
+    if data[:3] != b"\xff\xd8\xff":
+        return None, None, None
+    pos = 2
+    n = len(data)
+    w = h = orient = None
+    while pos + 3 < n:
+        if data[pos] != 0xFF:
+            return w, h, orient  # desynced — keep what's parsed so far
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return w, h, orient
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if pos + 9 > n:
+                return w, h, orient
+            h, w = struct.unpack_from(">HH", data, pos + 5)
+            return w, h, orient  # SOF ends the head in any real file
+        if marker == 0xE1 and orient is None:  # APP1
+            seg = data[pos + 4 : pos + 2 + seglen]
+            if seg[:6] == b"Exif\x00\x00" and len(seg) >= 14:
+                tiff = seg[6:]
+                bo = tiff[:2]
+                e = "<" if bo == b"II" else ">" if bo == b"MM" else None
+                if e is not None and struct.unpack_from(e + "H", tiff, 2)[0] == 42:
+                    (ifd_off,) = struct.unpack_from(e + "I", tiff, 4)
+                    if ifd_off + 2 <= len(tiff):
+                        (cnt,) = struct.unpack_from(e + "H", tiff, ifd_off)
+                        for i in range(cnt):
+                            ep = ifd_off + 2 + 12 * i
+                            if ep + 12 > len(tiff):
+                                break
+                            tag, typ = struct.unpack_from(e + "HH", tiff, ep)
+                            if tag == 0x0112 and typ == 3:
+                                (orient,) = struct.unpack_from(
+                                    e + "H", tiff, ep + 8
+                                )
+                                break
+        if marker == 0xD9 or seglen < 2:
+            return w, h, orient
+        pos += 2 + seglen
+    return w, h, orient
+
+
+def jpeg_exif_orient(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    head: int = JPEG_HEAD_BYTES,
+) -> DataFrame:
+    """EXIF orientation + upright dimensions per JPEG — the camera-
+    rotation metadata a training pipeline must honor before any
+    geometry (a 6/8-oriented photo letterboxed by its STORED dims gets
+    the wrong bucket). One bounded marker walk per blob yields the SOF
+    dims and the APP1/TIFF orientation tag together; orientations 5–8
+    swap the upright width/height. Same scale shape as jpeg_sof_dims:
+    `substring` prunes the payload JVM-side (a 20 MB JPEG ships 64 KB),
+    the blob never enters the output.
+
+    Output: (image_id, exif_orient:long NULL when unstamped,
+    up_w/up_h: the display-upright dims)."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("exif_orient", T.LongType(), True),
+            T.StructField("up_w", T.LongType(), True),
+            T.StructField("up_h", T.LongType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, o = _jpeg_exif_walk(bytes(r.head_bytes))
+                if w is not None and o is not None and o >= 5:
+                    up_w, up_h = h, w
+                else:
+                    up_w, up_h = w, h
+                rows.append((r.image_id, o, up_w, up_h))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "exif_orient", "up_w", "up_h"]
+            )
+
+    pruned = images.select(
+        F.col(id_col).alias("image_id"),
+        F.substring(F.col(bytes_col), 1, head).alias("head_bytes"),
+    )
+    return pruned.mapInPandas(gen, schema=schema)
+
+
+def exif_normalize(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Upright every EXIF-oriented JPEG: decode, apply the orientation
+    transform (lossless numpy views — no resampling), re-emit as ppm
+    with display dims. Non-JPEG rows and unstamped/identity JPEGs pass
+    through decoded-but-untransformed, so the stage composes in front
+    of letterbox/phash exactly like decode_features. Iterator
+    mapInPandas, bounded batches; the output schema matches the decode
+    stage (image_id, bytes, w, h, fmt)."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(getattr(r, bytes_col))
+                px = decode_bytes(data, r.fmt)
+                if r.fmt in ("jpeg", "jpg"):
+                    _w, _h, o = _jpeg_exif_walk(data[:JPEG_HEAD_BYTES])
+                    if o is not None and o != 1:
+                        px = apply_exif_orientation(px, o)
+                rows.append(
+                    (
+                        r.image_id,
+                        codecs.encode_ppm(np.ascontiguousarray(px)),
+                        px.shape[1],
+                        px.shape[0],
+                        "ppm",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return images.select(
+        "image_id", F.col(bytes_col).alias(bytes_col), "fmt"
+    ).mapInPandas(gen, schema=schema)
 
 
 def media_container_col(bytes_col: str = "bytes"):

@@ -282,6 +282,36 @@ def register(q):
         )
     q["img_gif_meta"] = img_gif_meta
 
+    def img_exif_orient(spark, sf_dir):
+        # EXIF orientation (tag 0x0112) — the camera-rotation metadata
+        # a training pipeline must honor before any geometry (a 6/8-
+        # oriented photo letterboxed by its STORED dims lands in the
+        # wrong bucket). The fixture stamps jpeg blobs with an APP1
+        # orientation = 1 + doc_id % 8 (doc_id % 4 == 3 stays
+        # unstamped — the NULL case), so DuckDB re-derives both the
+        # tag and the swap-for-5..8 upright dims arithmetically while
+        # Spark must pull them out of the TIFF IFD this repo's own
+        # encoder wrote — two independent codepaths (numpy APP1
+        # writer, bounded marker-walk + IFD reader) agreeing with
+        # pure arithmetic. Pixel-side transforms are pytest-gated
+        # (tests/test_exif_orientation.py, lossless-view round trips).
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=("jpeg",), exif_orient=True
+        )
+        # unstamped → 0 sentinel (a NULL BIGINT renders float64 in
+        # DuckDB's fetchdf and can never hash-match an int column)
+        return multimodal.jpeg_exif_orient(imgs).select(
+            "image_id",
+            F.coalesce(F.col("exif_orient"), F.lit(0))
+            .cast("long")
+            .alias("exif_orient"),
+            "up_w",
+            "up_h",
+        )
+    q["img_exif_orient"] = img_exif_orient
+
     def img_letterbox_plan(spark, sf_dir):
         # training-export letterbox geometry: bucket + target shape +
         # aspect-preserving scaled dims + centered pads, ALL pure JVM
@@ -602,6 +632,25 @@ def register_sql(o):
                                ELSE 'png' END AS container,
                CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS img_w,
                CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS img_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_exif_orient: orientation stamped as 1 + doc_id % 8
+    # (doc_id % 4 == 3 unstamped → NULL), upright dims swap for
+    # orientations 5..8 — all re-derived arithmetically; Spark must
+    # read the same values back out of the APP1 TIFF IFD.
+    o["img_exif_orient"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                    ELSE 1 + doc_id % 8 END AS BIGINT) AS exif_orient,
+               CAST(CASE WHEN doc_id % 4 <> 3 AND 1 + doc_id % 8 >= 5
+                         THEN 16 + (doc_id % 150) * 11 % 97
+                         ELSE 16 + (doc_id % 150) * 7 % 97
+                    END AS BIGINT) AS up_w,
+               CAST(CASE WHEN doc_id % 4 <> 3 AND 1 + doc_id % 8 >= 5
+                         THEN 16 + (doc_id % 150) * 7 % 97
+                         ELSE 16 + (doc_id % 150) * 11 % 97
+                    END AS BIGINT) AS up_h
         FROM documents WHERE doc_id < 450
     """
 
