@@ -96,6 +96,7 @@ class CrawlEngine:
         wds_grouped: bool = False,
         canonical_dedup: bool = False,
         soft404_detect: bool = False,
+        meta_robots: bool = False,
         max_body_bytes: int = 0,
         dead_host_backoff: int = 0,
         error_backoff: int = 0,
@@ -263,6 +264,15 @@ class CrawlEngine:
         # or stored, terminal status 'soft404', traced 'soft404'
         # (mirrors oracle.crawl(soft404_detect=True))
         self.soft404_detect = soft404_detect
+        # page-level robots meta gate (REP <meta name="robots">):
+        # noindex = the page's content must not enter the index —
+        # images/captions are never stored (WARC/WET stay archival);
+        # nofollow = the page endorses none of its outlinks — nothing
+        # is extracted, discovered, or enqueued from it. Slot consumed,
+        # status 'fetched', trace unchanged; verdicts are one JVM
+        # regexp_extract over the cached fetch output
+        # (mirrors oracle.crawl(meta_robots=True))
+        self.meta_robots = meta_robots
         # max_body_bytes = CAP > 0 (the Heritrix maxLength rule): a
         # response longer than CAP is aborted at the cap — slot
         # consumed, CAP bytes counted, terminal status 'oversize',
@@ -1169,8 +1179,27 @@ class CrawlEngine:
             content_dups = fd.filter(F.col("is_cdup"))
             fetched = fd.filter(~F.col("is_cdup"))
 
+        # ---- page-level robots meta gate (REP <meta name="robots">,
+        # LAST among the body gates: an alias, error template, or
+        # content dup is never parsed, so its directives are never
+        # read). noindex keeps the page out of the STORE path only
+        # (WARC/WET stay archival — archiving is not indexing);
+        # nofollow keeps it out of the PARSE path only (no links, no
+        # rank edges, no discovery). Both verdicts are one JVM
+        # regexp_extract over the cached fetch output; slot, bytes,
+        # 'fetched' status and trace are unchanged in both engines.
+        parse_src = fetched
+        store_src = fetched
+        noindexed = nofollowed = None
+        if self.meta_robots:
+            mr_ni, mr_nf = fetchparse.meta_robots_cols("html")
+            noindexed = fetched.filter(mr_ni)
+            nofollowed = fetched.filter(mr_nf)
+            parse_src = fetched.filter(~mr_nf)
+            store_src = fetched.filter(~mr_ni)
+
         # ---- links path (§3.1 step 6)
-        links = fetchparse.extract_links(fetched).persist(StorageLevel.MEMORY_AND_DISK)
+        links = fetchparse.extract_links(parse_src).persist(StorageLevel.MEMORY_AND_DISK)
         # cand feeds BOTH the new-link chain and the dup-trace chain —
         # persist so neither recomputes the links aggregation
         # redirect Location targets join the same discovered pool as
@@ -1267,7 +1296,7 @@ class CrawlEngine:
 
         # ---- images path (§3.1 step 5)
         decoded = imageops.fetch_decode_phash(
-            fetchparse.extract_images(fetched), cfg
+            fetchparse.extract_images(store_src), cfg
         ).persist(StorageLevel.MEMORY_AND_DISK)
         blocked_n = None
         if self._blocklist_df is not None:
@@ -1385,6 +1414,20 @@ class CrawlEngine:
             m_over = self.spark.createDataFrame(
                 [], "host string, oversized long"
             )
+        if noindexed is not None:
+            m_mrni = noindexed.groupBy("host").agg(
+                F.count("*").alias("noindexed")
+            )
+            m_mrnf = nofollowed.groupBy("host").agg(
+                F.count("*").alias("nofollowed")
+            )
+        else:
+            m_mrni = self.spark.createDataFrame(
+                [], "host string, noindexed long"
+            )
+            m_mrnf = self.spark.createDataFrame(
+                [], "host string, nofollowed long"
+            )
         metrics_df = (
             m_fetch.join(m_links, "host", "left")
             .join(m_store, "host", "left")
@@ -1393,6 +1436,8 @@ class CrawlEngine:
             .join(m_canon, "host", "left")
             .join(m_s404, "host", "left")
             .join(m_over, "host", "left")
+            .join(m_mrni, "host", "left")
+            .join(m_mrnf, "host", "left")
             .select(
                 F.lit(cycle).cast("int").alias("cycle"),
                 urlops.host_bucket(F.col("host"), self.n_buckets).alias("partition_id"),
@@ -1421,6 +1466,12 @@ class CrawlEngine:
                 F.coalesce(F.col("oversized"), F.lit(0))
                 .cast("long")
                 .alias("oversized"),
+                F.coalesce(F.col("noindexed"), F.lit(0))
+                .cast("long")
+                .alias("noindexed"),
+                F.coalesce(F.col("nofollowed"), F.lit(0))
+                .cast("long")
+                .alias("nofollowed"),
             )
         )
 
@@ -1715,27 +1766,59 @@ class CrawlEngine:
             _s4 = fetchparse.soft404_col("html")
             _aggs.append(F.sum((_p & _s4).cast("long")).alias("soft404"))
             _p = _p & ~_s4
+        # meta-robots verdicts are attempts-level predicates too (one
+        # regexp over html) — exact via _p when no later gate exists;
+        # when canonical / content-dedup runs they fold into that
+        # gate's second agg instead (same job, post-gate exactness).
+        _mr_ni = _mr_nf = None
+        if self.meta_robots:
+            _mr_ni, _mr_nf = fetchparse.meta_robots_cols("html")
+            if cdup_cache is None and canon_cache is None:
+                _aggs.append(
+                    F.sum((_p & _mr_ni).cast("long")).alias("noindexed")
+                )
+                _aggs.append(
+                    F.sum((_p & _mr_nf).cast("long")).alias("nofollowed")
+                )
         _aggs.append(F.sum(_p.cast("long")).alias("prefetched"))
         _row = attempts.agg(*_aggs).first().asDict()
         counts = {"cycle": cycle, "fetched": int(_row.pop("prefetched") or 0)}
         if cdup_cache is not None:
             _is_cdup = F.col("is_cdup")
-            _r2 = cdup_cache.agg(
+            _aggs2 = [
                 F.sum((~_is_cdup).cast("long")).alias("fetched"),
                 F.sum(_is_cdup.cast("long")).alias("content_dup"),
-            ).first()
+            ]
+            if _mr_ni is not None:
+                _aggs2.append(
+                    F.sum((~_is_cdup & _mr_ni).cast("long")).alias("noindexed")
+                )
+                _aggs2.append(
+                    F.sum((~_is_cdup & _mr_nf).cast("long")).alias("nofollowed")
+                )
+            _r2 = cdup_cache.agg(*_aggs2).first()
             counts["fetched"] = int(_r2["fetched"] or 0)
             counts["content_dup"] = int(_r2["content_dup"] or 0)
+            if _mr_ni is not None:
+                counts["noindexed"] = int(_r2["noindexed"] or 0)
+                counts["nofollowed"] = int(_r2["nofollowed"] or 0)
         elif canon_cache is not None:
             _is_canon = F.col("canonical").isNotNull() & (
                 F.col("canonical") != F.col("url_norm")
             )
-            counts["fetched"] = int(
-                canon_cache.agg(
-                    F.sum((~_is_canon).cast("long")).alias("fetched")
-                ).first()["fetched"]
-                or 0
-            )
+            _aggs2 = [F.sum((~_is_canon).cast("long")).alias("fetched")]
+            if _mr_ni is not None:
+                _aggs2.append(
+                    F.sum((~_is_canon & _mr_ni).cast("long")).alias("noindexed")
+                )
+                _aggs2.append(
+                    F.sum((~_is_canon & _mr_nf).cast("long")).alias("nofollowed")
+                )
+            _r2 = canon_cache.agg(*_aggs2).first()
+            counts["fetched"] = int(_r2["fetched"] or 0)
+            if _mr_ni is not None:
+                counts["noindexed"] = int(_r2["noindexed"] or 0)
+                counts["nofollowed"] = int(_r2["nofollowed"] or 0)
         counts.update({k: int(v or 0) for k, v in _row.items()})
         if blocked_n is not None:
             counts["blocked_images"] = blocked_n

@@ -342,6 +342,20 @@ def soft404_col(html_col="html"):
     return F.lower(c).rlike(parsekit.SOFT404_PATTERN)
 
 
+def meta_robots_cols(html_col="html"):
+    """JVM (noindex, nofollow) verdicts from the page-level
+    ``<meta name="robots">`` directive — lower + one regexp_extract
+    inside whole-stage codegen, zero Python. The pattern is parsekit's
+    META_ROBOTS_PATTERN verbatim (backreference-free; leftmost match on
+    both engines), so the python twin used by the oracle crawler agrees
+    byte-for-byte (equality pytest-gated in tests/test_meta_robots.py)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    content = F.regexp_extract(
+        F.lower(c), parsekit.META_ROBOTS_PATTERN, 1
+    )
+    return content.contains("noindex"), content.contains("nofollow")
+
+
 def extract_links(fetched: DataFrame) -> DataFrame:
     """One row per extracted (already normalized) outlink occurrence.
     href scan = JVM regexp_extract_all over anchor tags, nofollow

@@ -101,6 +101,7 @@ def crawl(
     age_boost: int = 0,
     canonical_dedup: bool = False,
     soft404_detect: bool = False,
+    meta_robots: bool = False,
     max_body_bytes: int = 0,
     dead_host_backoff: int = 0,
     error_backoff: int = 0,
@@ -337,6 +338,7 @@ def crawl(
                     dedup_hits=0, errors=0, bytes=0, redirects=0,
                     not_modified=0, rate_limited=0, content_dup=0,
                     canonicals=0, soft404s=0, oversized=0,
+                    noindexed=0, nofollowed=0,
                 )
             return host_metrics[host]
 
@@ -520,8 +522,24 @@ def crawl(
             m["fetched"] += 1
             m["bytes"] += len(html.encode("utf-8"))
             events.append((2, st, host, url, slot, "fetched"))
+            # page-level robots meta gate (LAST among the body gates —
+            # an alias, error template, or content dup is never parsed,
+            # so its directives are never read). noindex keeps the page
+            # out of the STORE path only; nofollow keeps it out of the
+            # PARSE path only. Slot, bytes, status, trace unchanged —
+            # mirrors the engine's JVM meta_robots_cols filters.
+            page_ni = page_nf = False
+            if meta_robots:
+                # read from the BODY (parsekit twin of the JVM regexp),
+                # like the soft-404 / canonical gates — a directive only
+                # exists if the served page actually declared it
+                page_ni, page_nf = parsekit.meta_robots(html)
+                if page_ni:
+                    m["noindexed"] += 1
+                if page_nf:
+                    m["nofollowed"] += 1
             # links
-            for link in parsekit.extract_links(url, html):
+            for link in [] if page_nf else parsekit.extract_links(url, html):
                 m["parsed_links"] += 1
                 if rank_every:
                     edges_acc.add((url, link))
@@ -546,7 +564,9 @@ def crawl(
                     if dprev is None or e.depth + 1 < dprev:
                         disc_depth[link] = e.depth + 1
             # images
-            for img_url, caption in parsekit.extract_images(url, html):
+            for img_url, caption in (
+                [] if page_ni else parsekit.extract_images(url, html)
+            ):
                 data, w, h, fmt = synthweb.fetch_image(cfg, img_url)
                 px = codecs.decode(data, fmt)
                 ph = phash.phash64(px)

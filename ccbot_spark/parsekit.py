@@ -150,3 +150,25 @@ _SOFT404_RE = re.compile(SOFT404_PATTERN)
 def is_soft404(html: str) -> bool:
     """Python twin of fetchparse.soft404_col (engine-equality tested)."""
     return html is not None and _SOFT404_RE.search(html.lower()) is not None
+
+
+# Page-level robots meta directive (REP <meta name="robots">): ONE
+# pattern string, backreference-free and applied to the LOWERCASED
+# body, so Java regex (fetchparse.meta_robots_cols) and python `re`
+# (this twin, used by the oracle crawler) extract the exact same
+# content attribute. First tag wins on both engines (regexp_extract
+# and re.search both take the leftmost match).
+META_ROBOTS_PATTERN = r'<meta\s+name="robots"\s+content="([^"]*)"'
+_META_ROBOTS_RE = re.compile(META_ROBOTS_PATTERN)
+
+
+def meta_robots(html: str) -> tuple[bool, bool]:
+    """(noindex, nofollow) verdicts from the page-level robots meta.
+    Python twin of fetchparse.meta_robots_cols (equality tested)."""
+    if not html:
+        return (False, False)
+    mm = _META_ROBOTS_RE.search(html.lower())
+    if mm is None:
+        return (False, False)
+    content = mm.group(1)
+    return ("noindex" in content, "nofollow" in content)

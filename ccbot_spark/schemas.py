@@ -132,6 +132,12 @@ METRICS = T.StructType(
         # transfers aborted at max_body_bytes (the Heritrix maxLength
         # rule): slot consumed, cap bytes counted, never parsed
         T.StructField("oversized", T.LongType(), False),
+        # pages whose <meta name="robots"> declared noindex
+        # (meta_robots=True): fetched + parsed, content never stored
+        T.StructField("noindexed", T.LongType(), False),
+        # pages whose <meta name="robots"> declared nofollow
+        # (meta_robots=True): fetched + stored, outlinks never followed
+        T.StructField("nofollowed", T.LongType(), False),
     ]
 )
 

@@ -55,6 +55,8 @@ class WebConfig:
     # answers a server error — RFC 9309 §2.3.1.4: complete disallow
     dead_host_pct: int = 0  # % of hosts that are DOWN: every page
     # fetch fails (the dead-host-circuit-breaker fixture)
+    meta_robots_pct: int = 0  # % of pages declaring a page-level
+    # <meta name="robots"> directive (noindex / nofollow / both)
     img_fmts: tuple = _FMTS  # image format cycle; the default 3-cycle
     # keeps every existing fixture byte-stable — pass
     # ("ppm", "png", "qpng", "jpeg") to put real JPEGs (pure-numpy
@@ -185,8 +187,17 @@ def render_page(cfg: WebConfig, url: str, ver: int = 0) -> str:
                 < cfg.canonical_pct
             ):
                 canon_tag = f'<link rel="canonical" href="/p/{j - 1}">'
+    # page-level robots meta (enabled by meta_robots_pct): render_page
+    # always receives the mirror-canonical URL (synthweb.fetch resolves
+    # mirrors before rendering), so the slice below and meta_robots_of
+    # agree on every URL. meta_robots_pct=0 keeps bodies byte-identical.
+    mr_tag = ""
+    if cfg.meta_robots_pct:
+        mr = meta_robots_of(cfg, url)
+        if mr is not None:
+            mr_tag = f'<meta name="robots" content="{mr}">'
     parts = [
-        f"<html><head><title>Page {url}</title>{canon_tag}</head><body>",
+        f"<html><head><title>Page {url}</title>{canon_tag}{mr_tag}</head><body>",
         f"<h1>host {host}</h1><p>lorem {d.hex()[:16]}</p>",
     ]
     for i in range(n_links):
@@ -476,6 +487,30 @@ def soft404_of(cfg: WebConfig, url: str) -> bool:
     if len(parts) != 5 or parts[3] != "p":
         return False
     return _digest(f"s404:{cfg.seed}:{u}")[0] % 100 < cfg.soft404_pct
+
+
+_META_ROBOTS_VALUES = ("noindex", "nofollow", "noindex, nofollow")
+
+
+def meta_robots_of(cfg: WebConfig, url: str) -> str | None:
+    """Page-level robots meta directive (enabled by meta_robots_pct):
+    a deterministic slice of ``/p/N`` pages declares
+    ``<meta name="robots" content="...">`` with one of noindex /
+    nofollow / both (REP page-level directives every production
+    indexer honors). Mirrors follow their canonical page (same body,
+    same directives); independent of the content epoch. Pure function
+    of (cfg, url) so oracle and engine agree."""
+    if not cfg.meta_robots_pct:
+        return None
+    canon = mirror_of(cfg, url)
+    u = canon if canon is not None else url
+    parts = u.split("/")
+    if len(parts) != 5 or parts[3] != "p":
+        return None
+    d = _digest(f"mrobots:{cfg.seed}:{u}")
+    if d[0] % 100 >= cfg.meta_robots_pct:
+        return None
+    return _META_ROBOTS_VALUES[d[1] % 3]
 
 
 def soft404_body(url: str) -> str:

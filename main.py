@@ -107,6 +107,13 @@ def parse_args():
     p.add_argument("--soft404-pct", type=int, default=0,
                    help="synthetic-web knob: %% of pages answering 200 "
                         "with an error-template body")
+    p.add_argument("--meta-robots", action="store_true",
+                   help="honor page-level <meta name=\"robots\"> "
+                        "directives: noindex pages are never stored, "
+                        "nofollow pages' outlinks are never followed")
+    p.add_argument("--meta-robots-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of pages declaring a "
+                        "robots meta directive (noindex/nofollow/both)")
     p.add_argument("--max-body-bytes", type=int, default=0,
                    help="abort transfers longer than this many bytes "
                         "(terminal 'oversize', never parsed)")
@@ -228,6 +235,7 @@ def main() -> None:
         binary_pct=args.binary_pct,
         canonical_pct=args.canonical_pct,
         soft404_pct=args.soft404_pct,
+        meta_robots_pct=args.meta_robots_pct,
         robots_5xx_pct=args.robots_5xx_pct,
         dead_host_pct=args.dead_host_pct,
         robots_change_every=args.robots_change_every,
@@ -266,6 +274,7 @@ def main() -> None:
         content_dedup=args.content_dedup,
         canonical_dedup=args.canonical,
         soft404_detect=args.soft404_detect,
+        meta_robots=args.meta_robots,
         max_body_bytes=args.max_body_bytes,
         dead_host_backoff=args.dead_host_backoff,
         age_boost=args.age_boost,

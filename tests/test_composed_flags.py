@@ -41,8 +41,14 @@ CFG = synthweb.WebConfig(
     soft404_pct=15,
     robots_5xx_pct=20,
     dead_host_pct=15,
+    # 40%: enough directive pages survive the earlier body gates
+    # (binary/soft404/canonical/content-dup all bite first) for BOTH
+    # directive kinds to fire non-vacuously under composition
+    meta_robots_pct=40,
 )
-SEEDS = synthweb.seed_urls(CFG, 18)
+SEEDS = synthweb.seed_urls(CFG, 30)  # 18→30 when meta_robots joined:
+# page-level nofollow thins discovery; a fatter seed list keeps the
+# per-host and per-domain budget hazards binding
 CYCLES = 4
 # oversize cap: the 90th-percentile body length of the composed web,
 # derived from the fixture itself so the gate binds without starving
@@ -65,8 +71,12 @@ KNOBS = dict(
     max_body_bytes=MAX_BODY,
     dead_host_backoff=2,
     error_backoff=1,
-    domain_budget=12,
+    # 12→8 when meta_robots joined the composition: page-level nofollow
+    # thins discovery enough that a 12-slot domain cap never binds on
+    # this web — 8 keeps the domain_skipped hazard firing
+    domain_budget=8,
     ip_pool=3,
+    meta_robots=True,
 )
 
 
@@ -120,6 +130,10 @@ def test_composed_seen_and_images(engine_res, oracle_res):
         for r in engine_res.images.read().select("image_id").collect()
     }
     assert imgs == {r["image_id"] for r in oracle_res.images}
+    # the meta-robots directives (no trace action of their own — slot
+    # and status are unchanged) fired under composition too
+    assert sum(m["noindexed"] for m in oracle_res.metrics) > 0
+    assert sum(m["nofollowed"] for m in oracle_res.metrics) > 0
 
 
 def test_composed_frontier_hot_cold(engine_res, oracle_res):
