@@ -983,6 +983,50 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------- dispatch
 
+def webp_header(w: int, h: int, kind: str = "vp8x") -> bytes:
+    """Spec-valid WebP container header (RIFF/WEBP) with the dims
+    encoded exactly as the chosen first chunk carries them — VP8X
+    (24-bit canvas-1), VP8L (two packed 14-bit dims-1 after the 0x2F
+    signature), or lossy VP8 (14-bit u16 dims after the 9D012A start
+    code) — and NO coded payload: the recognize-and-measure tier the
+    sniffer already applies to mp4/webm (a VP8/VP8L entropy codec is
+    out of the closed world). What a real muxer writes up to the first
+    coded byte."""
+    if kind == "vp8x":
+        chunk = b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+        chunk += struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    elif kind == "vp8l":
+        if not (1 <= w <= 16384 and 1 <= h <= 16384):
+            raise ValueError("VP8L dims are 14-bit")
+        packed = (w - 1) | ((h - 1) << 14)  # + alpha/version bits = 0
+        chunk = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", packed)
+        chunk += b"\x00"  # even-size padding per RIFF
+    elif kind == "vp8":
+        if not (1 <= w < 16384 and 1 <= h < 16384):
+            raise ValueError("VP8 dims are 14-bit")
+        chunk = (
+            b"VP8 " + struct.pack("<I", 10)
+            + b"\x00\x00\x00"  # frame tag (key frame)
+            + b"\x9d\x01\x2a"  # start code
+            + struct.pack("<HH", w, h)
+        )
+    else:
+        raise ValueError(f"unknown webp chunk kind {kind!r}")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def tiff_header(little_endian: bool = True) -> bytes:
+    """Minimal structurally-valid TIFF: byte-order mark, magic 42, one
+    empty IFD. Recognize-only in the sniff (dims live in IFD entries a
+    fixed-offset JVM expression cannot walk) — the mp4/webm posture."""
+    e = "<" if little_endian else ">"
+    bom = b"II" if little_endian else b"MM"
+    return (
+        bom + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", 0) + struct.pack(e + "I", 0)
+    )
+
+
 def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "ppm":
         return encode_ppm(img)

@@ -127,6 +127,40 @@ def synth_images_from_docs(
     return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
+def synth_webp_tiff_from_docs(docs: DataFrame) -> DataFrame:
+    """Header-tier WebP/TIFF fixture (the two big web image containers
+    outside the closed decodable world): one blob per doc, kind cycling
+    vp8x/vp8l/vp8/tiff by doc_id % 4, dims from the same arithmetic as
+    synth_images_from_docs — so a DuckDB oracle re-derives exactly what
+    the container writer encoded."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d % 150
+                w = 16 + base * 7 % 97
+                h = 16 + base * 11 % 97
+                k = d % 4
+                if k == 3:
+                    data = codecs.tiff_header(little_endian=d % 8 == 3)
+                else:
+                    data = codecs.webp_header(
+                        w, h, kind=("vp8x", "vp8l", "vp8")[k]
+                    )
+                rows.append((f"doc-{d}", data))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
 def decode_features(images: DataFrame) -> DataFrame:
     """Decode + feature-extract: (image_id, w, h, fmt, phash, mean RGB).
     Drops the blob on output — downstream analytics never re-reads
@@ -312,6 +346,36 @@ def header_meta(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     )
     is_gif = F.hex(F.substring(b, 1, 6)).isin("474946383761", "474946383961")
     is_jpeg = F.hex(F.substring(b, 1, 3)) == F.lit("FFD8FF")
+    # WebP: RIFF/WEBP container; dims are fixed-offset per first-chunk
+    # kind (all little-endian): VP8X carries 24-bit canvas_{w,h}-1 at
+    # 25/28; VP8L packs two 14-bit dims-1 into the u32 after the 0x2F
+    # signature byte; lossy VP8 puts 14-bit u16 dims after the 9D012A
+    # start code. A RIFF/WEBP blob whose first chunk is none of these
+    # (ANIM-first, truncated) still sniffs 'webp' with NULL dims.
+    is_riff_webp = (F.hex(F.substring(b, 1, 4)) == F.lit("52494646")) & (
+        F.hex(F.substring(b, 9, 4)) == F.lit("57454250")
+    )
+    chunk4 = F.hex(F.substring(b, 13, 4))
+    is_vp8x = is_riff_webp & (chunk4 == F.lit("56503858"))
+    is_vp8l = is_riff_webp & (chunk4 == F.lit("5650384C")) & (
+        F.hex(F.substring(b, 21, 1)) == F.lit("2F")
+    )
+    is_vp8 = is_riff_webp & (chunk4 == F.lit("56503820")) & (
+        F.hex(F.substring(b, 24, 3)) == F.lit("9D012A")
+    )
+    vp8x_w = _le_uint(b, 25, 3) + 1
+    vp8x_h = _le_uint(b, 28, 3) + 1
+    _vp8l_u = _le_uint(b, 22, 4)
+    vp8l_w = F.pmod(_vp8l_u, F.lit(16384)) + 1
+    vp8l_h = F.pmod(
+        (_vp8l_u - F.pmod(_vp8l_u, F.lit(16384))) / 16384, F.lit(16384)
+    ).cast("long") + 1
+    vp8_w = F.pmod(_le_uint(b, 27, 2), F.lit(16384))
+    vp8_h = F.pmod(_le_uint(b, 29, 2), F.lit(16384))
+    # TIFF: both byte orders sniff; dims live in an IFD a fixed-offset
+    # expression cannot walk (variable entry count/position) → NULL,
+    # the jpeg-dims posture. (EXIF's IFD reader is the slow path.)
+    is_tiff = F.hex(F.substring(b, 1, 4)).isin("49492A00", "4D4D002A")
     png_w = F.conv(F.hex(F.substring(b, 17, 4)), 16, 10).cast("long")
     png_h = F.conv(F.hex(F.substring(b, 21, 4)), 16, 10).cast("long")
     ppm_w = F.regexp_extract(hdr, r"^P6\s+([0-9]+)\s+([0-9]+)\s", 1).cast("long")
@@ -329,18 +393,26 @@ def header_meta(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .when(is_bmp, F.lit("bmp"))
         .when(is_gif, F.lit("gif"))
         .when(is_jpeg, F.lit("jpeg"))
+        .when(is_riff_webp, F.lit("webp"))
+        .when(is_tiff, F.lit("tiff"))
     )
     hdr_w = (
         F.when(is_png, png_w)
         .when(is_ppm, ppm_w)
         .when(is_bmp, bmp_w)
         .when(is_gif, gif_w)
+        .when(is_vp8x, vp8x_w)
+        .when(is_vp8l, vp8l_w)
+        .when(is_vp8, vp8_w)
     )
     hdr_h = (
         F.when(is_png, png_h)
         .when(is_ppm, ppm_h)
         .when(is_bmp, bmp_h)
         .when(is_gif, gif_h)
+        .when(is_vp8x, vp8x_h)
+        .when(is_vp8l, vp8l_h)
+        .when(is_vp8, vp8_h)
     )
     keep = [c for c in images.columns if c != bytes_col]
     return images.select(
@@ -609,7 +681,8 @@ def media_container_col(bytes_col: str = "bytes"):
     containers (RIFF/WAVE, YUV4MPEG2), and the RECOGNIZED-but-
     undecodable compressed containers a real crawl sees — mp4/quicktime
     ('ftyp' at byte 5), webm/mkv (EBML 1A45DFA3), ogg ('OggS'), flac
-    ('fLaC'), mp3 (ID3 tag or an MPEG frame-sync FFFB/FFFA/FFF3/FFF2) —
+    ('fLaC'), mp3 (ID3 tag or an MPEG frame-sync FFFB/FFFA/FFF3/FFF2),
+    webp (RIFF/WEBP), tiff (II*./MM.*) —
     so the ingest profile reports them by name instead of lumping real
     traffic into 'unknown' (the same sniff-before-decoder posture GIF
     had before round 5 gave it a decoder). Unknown magic → NULL."""
@@ -638,6 +711,15 @@ def media_container_col(bytes_col: str = "bytes"):
             F.lit("wav"),
         )
         .when(
+            (F.hex(F.substring(b, 1, 4)) == F.lit("52494646"))  # 'RIFF'
+            & (F.hex(F.substring(b, 9, 4)) == F.lit("57454250")),  # 'WEBP'
+            F.lit("webp"),
+        )
+        .when(
+            F.hex(F.substring(b, 1, 4)).isin("49492A00", "4D4D002A"),
+            F.lit("tiff"),
+        )
+        .when(
             F.hex(F.substring(b, 1, 10)) == F.lit("595556344D5045473220"),
             F.lit("y4m"),
         )
@@ -663,7 +745,10 @@ def modality_col(container_col: str = "container"):
     and routing work from the sniff alone."""
     c = F.col(container_col)
     return (
-        F.when(c.isin("png", "ppm", "bmp", "gif", "jpeg"), F.lit("image"))
+        F.when(
+            c.isin("png", "ppm", "bmp", "gif", "jpeg", "webp", "tiff"),
+            F.lit("image"),
+        )
         .when(c.isin("wav", "mp3", "ogg", "flac"), F.lit("audio"))
         .when(c.isin("y4m", "mp4", "webm"), F.lit("video"))
         .otherwise(F.lit("unknown"))

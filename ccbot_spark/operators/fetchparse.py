@@ -389,6 +389,66 @@ def extract_links(fetched: DataFrame) -> DataFrame:
     ).filter(F.col("url_norm").isNotNull())
 
 
+_A_ELEM_PAT = r'(?is)<a\s[^>]*?href="[^"]*"[^>]*?>[^<]*</a>'
+
+
+def extract_anchor_texts(
+    pages: DataFrame, url_col: str = "page_url", html_col: str = "html"
+) -> DataFrame:
+    """One row per followed (raw href, anchor text) occurrence — the
+    search-index staple: the words OTHER pages use to link to a target
+    are a description/ranking signal the target's own body can't
+    forge, so crawlers aggregate them per target at parse time.
+    Whole-element scan + nofollow filter + href/text picks are all JVM
+    regexps and array lambdas inside one codegen stage, zero Python
+    (hrefs are returned RAW — resolution stays in extract_links'
+    seam). Inner text is the no-markup case (`[^<]*`) — an anchor
+    wrapping nested tags yields no row rather than a wrong one."""
+    elems = F.regexp_extract_all(
+        F.col(html_col), F.lit(_A_ELEM_PAT), F.lit(0)
+    )
+    kept = F.filter(elems, lambda t: ~t.rlike(_NOFOLLOW_PAT))
+    pairs = F.transform(
+        kept,
+        lambda t: F.struct(
+            F.regexp_extract(t, _HREF_PAT, 1).alias("href"),
+            F.trim(
+                F.regexp_extract(t, r"(?is)>([^<]*)</a>", 1)
+            ).alias("anchor"),
+        ),
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("page_url"),
+            F.explode_outer(pairs).alias("_a"),
+        )
+        .filter(F.col("_a").isNotNull() & (F.col("_a.href") != ""))
+        .select(
+            "page_url",
+            F.col("_a.href").alias("href"),
+            F.col("_a.anchor").alias("anchor"),
+        )
+    )
+
+
+def anchor_term_counts(pairs: DataFrame) -> DataFrame:
+    """(target, term, cnt) from (href, anchor) pairs: lowercase,
+    whitespace-split, one hash-shuffle on (target, term) with map-side
+    combine — at 10^10 links the shuffle moves (url, word, partial
+    count) triples, never pages. Empty anchors contribute nothing."""
+    terms = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("anchor")), r"\s+"),
+            lambda w: w != "",
+        )
+    )
+    return (
+        pairs.select(F.col("href").alias("target"), terms.alias("term"))
+        .groupBy("target", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def extract_images(fetched: DataFrame) -> DataFrame:
     """One row per (img_url, caption) pair with page-order keys for the
     deterministic phash-dedup tie-break (SURVEY.md §7.5). Block scan =

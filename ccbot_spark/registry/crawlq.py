@@ -431,6 +431,63 @@ def register(q):
         return linkrank.host_authority(g_hostgraph(spark, sf_dir))
     q["g_host_authority"] = g_host_authority
 
+    def g_anchor_text(spark, sf_dir):
+        # anchor-text aggregation (the search-index staple: the words
+        # OTHER pages use to link to a target, a signal the target's
+        # own body can't forge). The fixture builds real HTML in pure
+        # JVM concat — 1 + doc_id%3 anchors per doc, targets and the
+        # two anchor words picked arithmetically, a rel="nofollow"
+        # slice planted on the i=1 anchor of doc_id%5==2 docs — then
+        # Spark must PARSE the tags back out with the JVM regexp
+        # extractor (fetchparse.extract_anchor_texts: whole-element
+        # scan, nofollow filter, href/text picks) and aggregate terms
+        # per target, while DuckDB re-derives what was embedded from
+        # the same arithmetic. A green row proves the extraction and
+        # the nofollow exclusion, not just the agg.
+        from ccbot_spark.operators import fetchparse
+
+        d = F.col("doc_id")
+        W = ("alpha", "beta", "gamma", "delta",
+             "omega", "sigma", "kappa", "lambda")
+
+        def word(expr):
+            c = F.when(expr % 8 == 0, F.lit(W[0]))
+            for ix in range(1, 8):
+                c = c.when(expr % 8 == ix, F.lit(W[ix]))
+            return c
+
+        def tag(i):
+            tgt = F.concat(
+                F.lit("https://h"), ((d + i) % 7).cast("string"),
+                F.lit(".test/p/"), ((d * 3 + i) % 500).cast("string"),
+            )
+            rel = (
+                F.when(
+                    (F.lit(i) == 1) & (d % 5 == 2),
+                    F.lit(' rel="nofollow"'),
+                ).otherwise(F.lit(""))
+            )
+            return F.when(
+                d % 3 >= i,
+                F.concat(
+                    F.lit('<a href="'), tgt, F.lit('"'), rel, F.lit(">"),
+                    word(d + 3 * i), F.lit(" "), word(d + 3 * i + 1),
+                    F.lit("</a>"),
+                ),
+            ).otherwise(F.lit(""))
+
+        docs = _t(spark, sf_dir, "documents").filter(d < 2000)
+        pages = docs.select(
+            F.concat(F.lit("doc:"), d.cast("string")).alias("page_url"),
+            F.concat(
+                F.lit("<html><body><p>no anchors here</p>"),
+                tag(0), tag(1), tag(2), F.lit("</body></html>"),
+            ).alias("html"),
+        )
+        pairs = fetchparse.extract_anchor_texts(pages)
+        return fetchparse.anchor_term_counts(pairs)
+    q["g_anchor_text"] = g_anchor_text
+
 
 def register_sql(o):
 
@@ -587,6 +644,33 @@ def register_sql(o):
                CAST(COUNT(*) AS BIGINT) AS n_in_hosts
         FROM hg JOIN od USING (src_host)
         GROUP BY hg.dst_host
+    """
+
+    # --- g_anchor_text: the embedded anchors re-derived from the same
+    # arithmetic (1 + doc_id%3 anchors; the i=1 anchor of doc_id%5==2
+    # docs is nofollow and must be absent), each contributing its two
+    # words; Spark must parse the rendered HTML back to the same
+    # (target, term, cnt) multiset.
+    o["g_anchor_text"] = """
+        WITH anchors AS (
+          SELECT doc_id, v.i
+          FROM documents, (VALUES (0), (1), (2)) AS v(i)
+          WHERE doc_id < 2000
+            AND doc_id % 3 >= v.i
+            AND NOT (v.i = 1 AND doc_id % 5 = 2)
+        ), terms AS (
+          SELECT 'https://h' || CAST((doc_id + i) % 7 AS VARCHAR)
+                 || '.test/p/'
+                 || CAST((doc_id * 3 + i) % 500 AS VARCHAR) AS target,
+                 CASE (doc_id + 3 * i + w.j) % 8
+                      WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                      WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta'
+                      WHEN 4 THEN 'omega' WHEN 5 THEN 'sigma'
+                      WHEN 6 THEN 'kappa' ELSE 'lambda' END AS term
+          FROM anchors, (VALUES (0), (1)) AS w(j)
+        )
+        SELECT target, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM terms GROUP BY target, term
     """
 
     o["text_wet_extract"] = r"""

@@ -282,6 +282,27 @@ def register(q):
         )
     q["img_gif_meta"] = img_gif_meta
 
+    def img_webp_meta(spark, sf_dir):
+        # WebP + TIFF — the two big web image containers outside the
+        # closed decodable world, sniffed + measured at header tier
+        # (the mp4/webm posture). All three WebP dim encodings are
+        # exercised: VP8X 24-bit canvas-1, VP8L packed 14-bit dims-1,
+        # lossy VP8 u16 dims — each a different little-endian layout
+        # parsed by pure JVM substring/conv arithmetic; TIFF rows
+        # sniff by byte-order mark (both orders) with dims NULL→0 (an
+        # IFD walk is not fixed-offset). DuckDB re-derives container
+        # + dims from the doc_id arithmetic the container writer used.
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        blobs = multimodal.synth_webp_tiff_from_docs(docs)
+        return multimodal.header_meta(blobs).select(
+            "image_id",
+            "container",
+            F.coalesce(F.col("hdr_w"), F.lit(0)).cast("long").alias("hdr_w"),
+            F.coalesce(F.col("hdr_h"), F.lit(0)).cast("long").alias("hdr_h"),
+        )
+    q["img_webp_meta"] = img_webp_meta
+
     def img_exif_orient(spark, sf_dir):
         # EXIF orientation (tag 0x0112) — the camera-rotation metadata
         # a training pipeline must honor before any geometry (a 6/8-
@@ -632,6 +653,24 @@ def register_sql(o):
                                ELSE 'png' END AS container,
                CAST(16 + (doc_id % 150) * 7 % 97 AS BIGINT) AS img_w,
                CAST(16 + (doc_id % 150) * 11 % 97 AS BIGINT) AS img_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_webp_meta: container + dims re-derived from the doc_id
+    # arithmetic the writer used — kind cycles vp8x/vp8l/vp8/tiff by
+    # doc_id % 4; tiff dims are the 0 sentinel (IFD walk not
+    # fixed-offset). Spark must read the same numbers out of three
+    # different little-endian bit layouts.
+    o["img_webp_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE WHEN doc_id % 4 = 3 THEN 'tiff'
+                    ELSE 'webp' END AS container,
+               CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                         ELSE 16 + (doc_id % 150) * 7 % 97
+                    END AS BIGINT) AS hdr_w,
+               CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                         ELSE 16 + (doc_id % 150) * 11 % 97
+                    END AS BIGINT) AS hdr_h
         FROM documents WHERE doc_id < 450
     """
 

@@ -1218,3 +1218,92 @@ def test_sessionize_matches_bruteforce(spark):
     want = {k: tuple(v) for k, v in want.items()}
     assert got == want
     assert max(sid for _, sid in want) >= 2
+
+
+def test_anchor_text_extraction_and_counts(spark):
+    """fetchparse.extract_anchor_texts + anchor_term_counts: whole-
+    element JVM scan — nofollow excluded case-insensitively, nested
+    markup yields no row (never a wrong one), empty anchors contribute
+    no terms, counts aggregate across pages; the plan stays pure-JVM
+    (no Python eval nodes — the extractor is codegen-resident)."""
+    pages = [
+        ("p1", '<a href="http://t/a">Big Fish</a>'
+               '<a href="http://t/b" rel="NOFOLLOW">secret</a>'
+               '<a href="http://t/a">big  fish</a>'),
+        ("p2", '<a href="http://t/a">fish</a>'
+               '<a href="http://t/c"></a>'  # empty anchor: pair, no terms
+               '<a href="http://t/d"><b>nested</b></a>'  # markup: no row
+               "<p>no anchor</p>"),
+        ("p3", "<html><body>nothing</body></html>"),
+    ]
+    df = spark.createDataFrame(pages, "page_url string, html string")
+    pairs = {
+        (r.page_url, r.href, r.anchor)
+        for r in __import__(
+            "ccbot_spark.operators.fetchparse", fromlist=["x"]
+        ).extract_anchor_texts(df).collect()
+    }
+    assert pairs == {
+        ("p1", "http://t/a", "Big Fish"),
+        ("p1", "http://t/a", "big  fish"),
+        ("p2", "http://t/a", "fish"),
+        ("p2", "http://t/c", ""),
+    }
+    from ccbot_spark.operators import fetchparse
+
+    counts = fetchparse.anchor_term_counts(
+        fetchparse.extract_anchor_texts(df)
+    )
+    got = {(r.target, r.term): r.cnt for r in counts.collect()}
+    assert got == {
+        ("http://t/a", "big"): 2,
+        ("http://t/a", "fish"): 3,
+    }
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_webp_tiff_header_sniff(spark):
+    """WebP's three dim layouts (VP8X 24-bit canvas-1, VP8L packed
+    14-bit, lossy VP8 u16) parse exactly; an ANIM-first WebP still
+    sniffs 'webp' with NULL dims; TIFF sniffs by both byte-order marks
+    with NULL dims; the cross-modal sniff routes both to image."""
+    import struct as _s
+
+    from ccbot_spark import codecs as _c
+    from ccbot_spark.functions import multimodal as _mm
+
+    anim_first = (
+        b"RIFF" + _s.pack("<I", 16) + b"WEBP"
+        + b"ANIM" + _s.pack("<I", 6) + b"\x00" * 6
+    )
+    rows = [
+        ("x", _c.webp_header(16383, 9000, "vp8x")),
+        ("l", _c.webp_header(300, 200, "vp8l")),
+        ("v", _c.webp_header(640, 480, "vp8")),
+        ("a", anim_first),
+        ("ti", _c.tiff_header(little_endian=True)),
+        ("tm", _c.tiff_header(little_endian=False)),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {
+        r.image_id: (r.container, r.hdr_w, r.hdr_h)
+        for r in _mm.header_meta(df).collect()
+    }
+    assert got == {
+        "x": ("webp", 16383, 9000),
+        "l": ("webp", 300, 200),
+        "v": ("webp", 640, 480),
+        "a": ("webp", None, None),
+        "ti": ("tiff", None, None),
+        "tm": ("tiff", None, None),
+    }
+    routed = {
+        r.image_id: r.modality
+        for r in df.select(
+            "image_id", _mm.media_container_col("bytes").alias("c")
+        )
+        .select("image_id", _mm.modality_col("c").alias("modality"))
+        .collect()
+    }
+    assert set(routed.values()) == {"image"}
