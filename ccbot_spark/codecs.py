@@ -1015,15 +1015,33 @@ def webp_header(w: int, h: int, kind: str = "vp8x") -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
-def tiff_header(little_endian: bool = True) -> bytes:
+def tiff_header(
+    little_endian: bool = True,
+    w: int | None = None,
+    h: int | None = None,
+    long_type: bool = False,
+) -> bytes:
     """Minimal structurally-valid TIFF: byte-order mark, magic 42, one
-    empty IFD. Recognize-only in the sniff (dims live in IFD entries a
-    fixed-offset JVM expression cannot walk) — the mp4/webm posture."""
+    IFD. Bare call (no dims) emits an empty IFD — the recognize-only
+    fixture. With dims, IFD0 carries ImageWidth (0x0100) and
+    ImageLength (0x0101) as SHORT or (long_type) LONG entries, value
+    inline — exactly where every real TIFF writer puts them, read back
+    by multimodal.tiff_dims' bounded IFD walk."""
     e = "<" if little_endian else ">"
     bom = b"II" if little_endian else b"MM"
+    out = bom + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    if w is None:
+        return out + struct.pack(e + "H", 0) + struct.pack(e + "I", 0)
+    typ = 4 if long_type else 3
+    def entry(tag: int, val: int) -> bytes:
+        if long_type:
+            return struct.pack(e + "HHII", tag, typ, 1, val)
+        # SHORT value sits in the FIRST two bytes of the 4-byte slot
+        return struct.pack(e + "HHIHH", tag, typ, 1, val, 0)
     return (
-        bom + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
-        + struct.pack(e + "H", 0) + struct.pack(e + "I", 0)
+        out + struct.pack(e + "H", 2)
+        + entry(0x0100, w) + entry(0x0101, h)
+        + struct.pack(e + "I", 0)
     )
 
 

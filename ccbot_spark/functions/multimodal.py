@@ -144,7 +144,13 @@ def synth_webp_tiff_from_docs(docs: DataFrame) -> DataFrame:
                 h = 16 + base * 11 % 97
                 k = d % 4
                 if k == 3:
-                    data = codecs.tiff_header(little_endian=d % 8 == 3)
+                    # dims stamped in IFD0 (both byte orders, SHORT and
+                    # LONG types cycled) — invisible to the fixed-offset
+                    # header_meta sniff, read back by tiff_dims' walk
+                    data = codecs.tiff_header(
+                        little_endian=d % 8 == 3,
+                        w=w, h=h, long_type=d % 3 == 0,
+                    )
                 else:
                     data = codecs.webp_header(
                         w, h, kind=("vp8x", "vp8l", "vp8")[k]
@@ -621,6 +627,75 @@ def jpeg_exif_orient(
             yield pd.DataFrame(
                 rows, columns=["image_id", "exif_orient", "up_w", "up_h"]
             )
+
+    pruned = images.select(
+        F.col(id_col).alias("image_id"),
+        F.substring(F.col(bytes_col), 1, head).alias("head_bytes"),
+    )
+    return pruned.mapInPandas(gen, schema=schema)
+
+
+def _tiff_ifd0_dims(data: bytes):
+    """(w, h) from a TIFF blob's IFD0 ImageWidth/ImageLength entries
+    (SHORT or LONG, value inline), both byte orders; anything
+    malformed → (None, None), never a guess. The same IFD grammar the
+    EXIF reader walks — TIFF *is* EXIF's container."""
+    if len(data) < 8:
+        return None, None
+    bo = data[:2]
+    e = "<" if bo == b"II" else ">" if bo == b"MM" else None
+    if e is None or struct.unpack_from(e + "H", data, 2)[0] != 42:
+        return None, None
+    (off,) = struct.unpack_from(e + "I", data, 4)
+    if off + 2 > len(data):
+        return None, None
+    (cnt,) = struct.unpack_from(e + "H", data, off)
+    w = h = None
+    for i in range(cnt):
+        ep = off + 2 + 12 * i
+        if ep + 12 > len(data):
+            break
+        tag, typ = struct.unpack_from(e + "HH", data, ep)
+        if tag in (0x0100, 0x0101):
+            if typ == 3:  # SHORT, left-justified in the value slot
+                (v,) = struct.unpack_from(e + "H", data, ep + 8)
+            elif typ == 4:  # LONG
+                (v,) = struct.unpack_from(e + "I", data, ep + 8)
+            else:
+                continue
+            if tag == 0x0100:
+                w = v
+            else:
+                h = v
+    return w, h
+
+
+def tiff_dims(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    head: int = JPEG_HEAD_BYTES,
+) -> DataFrame:
+    """TIFF dimensions via the bounded IFD walk a fixed-offset JVM
+    expression cannot express (variable entry count/position) — the
+    jpeg_sof_dims posture: `substring` prunes the payload JVM-side,
+    only the head crosses to Python, the blob never enters the output.
+    Output: (image_id, tif_w, tif_h) — NULL for non-TIFF/malformed."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("tif_w", T.LongType(), True),
+            T.StructField("tif_h", T.LongType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = _tiff_ifd0_dims(bytes(r.head_bytes))
+                rows.append((r.image_id, w, h))
+            yield pd.DataFrame(rows, columns=["image_id", "tif_w", "tif_h"])
 
     pruned = images.select(
         F.col(id_col).alias("image_id"),

@@ -303,6 +303,24 @@ def register(q):
         )
     q["img_webp_meta"] = img_webp_meta
 
+    def img_tiff_meta(spark, sf_dir):
+        # TIFF dims via the bounded IFD walk (the jpeg_sof_dims
+        # posture: variable entry position, so a Python head-walk, not
+        # a fixed-offset expr). The fixture stamps ImageWidth/
+        # ImageLength in IFD0 cycling BOTH byte orders and BOTH value
+        # types (SHORT/LONG); webp rows in the same table must answer
+        # 0 (non-TIFF → NULL sentinel). DuckDB re-derives everything
+        # from the writer arithmetic.
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        blobs = multimodal.synth_webp_tiff_from_docs(docs)
+        return multimodal.tiff_dims(blobs).select(
+            "image_id",
+            F.coalesce(F.col("tif_w"), F.lit(0)).cast("long").alias("tif_w"),
+            F.coalesce(F.col("tif_h"), F.lit(0)).cast("long").alias("tif_h"),
+        )
+    q["img_tiff_meta"] = img_tiff_meta
+
     def img_exif_orient(spark, sf_dir):
         # EXIF orientation (tag 0x0112) — the camera-rotation metadata
         # a training pipeline must honor before any geometry (a 6/8-
@@ -671,6 +689,19 @@ def register_sql(o):
                CAST(CASE WHEN doc_id % 4 = 3 THEN 0
                          ELSE 16 + (doc_id % 150) * 11 % 97
                     END AS BIGINT) AS hdr_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_tiff_meta: IFD0-stamped dims re-derived from the writer
+    # arithmetic (tiff rows are doc_id % 4 == 3; everything else 0).
+    o["img_tiff_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CAST(CASE WHEN doc_id % 4 = 3
+                         THEN 16 + (doc_id % 150) * 7 % 97
+                         ELSE 0 END AS BIGINT) AS tif_w,
+               CAST(CASE WHEN doc_id % 4 = 3
+                         THEN 16 + (doc_id % 150) * 11 % 97
+                         ELSE 0 END AS BIGINT) AS tif_h
         FROM documents WHERE doc_id < 450
     """
 

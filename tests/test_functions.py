@@ -1307,3 +1307,35 @@ def test_webp_tiff_header_sniff(spark):
         .collect()
     }
     assert set(routed.values()) == {"image"}
+
+
+def test_tiff_ifd_dims_walk(spark):
+    """tiff_dims reads IFD0 ImageWidth/ImageLength across both byte
+    orders and both value types; truncated or non-TIFF blobs answer
+    NULL, never a guess."""
+    from ccbot_spark import codecs as _c
+    from ccbot_spark.functions import multimodal as _mm
+
+    rows = [
+        ("ils", _c.tiff_header(True, w=640, h=480, long_type=False)),
+        ("ill", _c.tiff_header(True, w=70000, h=50000, long_type=True)),
+        ("mms", _c.tiff_header(False, w=123, h=45, long_type=False)),
+        ("mml", _c.tiff_header(False, w=99999, h=88888, long_type=True)),
+        ("bare", _c.tiff_header(True)),
+        ("trunc", _c.tiff_header(True, w=10, h=10)[:12]),
+        ("png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {
+        r.image_id: (r.tif_w, r.tif_h)
+        for r in _mm.tiff_dims(df).collect()
+    }
+    assert got == {
+        "ils": (640, 480),
+        "ill": (70000, 50000),
+        "mms": (123, 45),
+        "mml": (99999, 88888),
+        "bare": (None, None),
+        "trunc": (None, None),
+        "png": (None, None),
+    }
