@@ -97,6 +97,7 @@ class CrawlEngine:
         canonical_dedup: bool = False,
         soft404_detect: bool = False,
         meta_robots: bool = False,
+        anchor_texts: bool = False,
         max_body_bytes: int = 0,
         dead_host_backoff: int = 0,
         error_backoff: int = 0,
@@ -387,6 +388,20 @@ class CrawlEngine:
         if rank_every:
             self.edges = make_table_store(spark, workdir, "edges", schemas.EDGES)
             self._tables.append(self.edges)
+        # anchor-text aggregation sink: per cycle, (target, term, cnt)
+        # over every followed anchor on every parsed page — the words
+        # OTHER pages use to describe a target (mirrors
+        # oracle.crawl(anchor_texts=True)). Element scan + nofollow
+        # filter + term split are JVM; only the short href string
+        # crosses to Python for RFC-3986 resolution (the canonical-
+        # link seam). Page-level nofollow (meta_robots) excludes the
+        # whole page — anchors ride the same parse_src as links.
+        self.anchor_texts = anchor_texts
+        if anchor_texts:
+            self.anchors = make_table_store(
+                spark, workdir, "anchors", schemas.ANCHORS
+            )
+            self._tables.append(self.anchors)
         if content_dedup:
             self.digests = make_table_store(
                 spark, workdir, "digests", _with_bucket(schemas.DIGESTS), ("bucket",)
@@ -2086,6 +2101,38 @@ class CrawlEngine:
                     )
                 )
             )
+        if self.anchor_texts:
+            def _anchors_sink():
+                ap = fetchparse.extract_anchor_texts(
+                    parse_src, url_col="url_norm"
+                )
+                resolved = ap.select(
+                    fetchparse._resolve_one_udf(
+                        F.col("page_url"), F.col("href")
+                    ).alias("target"),
+                    "anchor",
+                ).filter(F.col("target").isNotNull())
+                terms = resolved.select(
+                    "target",
+                    F.explode(
+                        F.filter(
+                            F.split(F.lower(F.col("anchor")), r"\s+"),
+                            lambda w: w != "",
+                        )
+                    ).alias("term"),
+                )
+                self.anchors.append(
+                    terms.groupBy("target", "term")
+                    .agg(F.count("*").alias("cnt"))
+                    .select(
+                        F.lit(cycle).cast("int").alias("cycle"),
+                        "target",
+                        "term",
+                        F.col("cnt").cast("long").alias("cnt"),
+                    )
+                )
+
+            sinks.append(_anchors_sink)
         with ThreadPoolExecutor(max_workers=len(sinks)) as ex:
             for fut in [ex.submit(s) for s in sinks]:
                 fut.result()  # surface the first failure

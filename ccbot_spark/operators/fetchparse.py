@@ -389,7 +389,8 @@ def extract_links(fetched: DataFrame) -> DataFrame:
     ).filter(F.col("url_norm").isNotNull())
 
 
-_A_ELEM_PAT = r'(?is)<a\s[^>]*?href="[^"]*"[^>]*?>[^<]*</a>'
+# shared verbatim with the python twin parsekit.extract_anchor_pairs
+_A_ELEM_PAT = parsekit.ANCHOR_ELEM_PATTERN
 
 
 def extract_anchor_texts(

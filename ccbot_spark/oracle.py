@@ -85,6 +85,8 @@ class OracleResult:
     frontier: dict = field(default_factory=dict)      # url_norm → FrontierEntry
     metrics: list[dict] = field(default_factory=list)  # METRICS schema dicts
     blocked_images: int = 0  # phash-blocklist moderation drops
+    anchors: list[tuple] = field(default_factory=list)  # ANCHORS tuples
+    # (cycle, target, term, cnt) when anchor_texts=True
 
 
 def crawl(
@@ -102,6 +104,7 @@ def crawl(
     canonical_dedup: bool = False,
     soft404_detect: bool = False,
     meta_robots: bool = False,
+    anchor_texts: bool = False,
     max_body_bytes: int = 0,
     dead_host_backoff: int = 0,
     error_backoff: int = 0,
@@ -344,6 +347,7 @@ def crawl(
 
         discovered: dict[str, int] = {}  # url_norm → max parent priority
         disc_depth: dict[str, int] = {}  # url_norm → min(parent depth) + 1
+        anchor_cnt: dict[tuple, int] = {}  # (target, term) → occurrences
         dup_this_cycle: set[str] = set()
         cur_ver = synthweb.content_version(cfg, cycle)
         for st, host, url, slot, e in fetch_list:
@@ -538,6 +542,15 @@ def crawl(
                     m["noindexed"] += 1
                 if page_nf:
                     m["nofollowed"] += 1
+            # anchor-text aggregation (anchor_texts=True): occurrence
+            # counts per (resolved target, lowercased term) — same
+            # parse_src as links, so page-level nofollow excludes the
+            # whole page (mirrors the engine's anchors sink exactly)
+            if anchor_texts and not page_nf:
+                for tgt, text in parsekit.extract_anchor_pairs(url, html):
+                    for term in text.lower().split():
+                        k = (tgt, term)
+                        anchor_cnt[k] = anchor_cnt.get(k, 0) + 1
             # links
             for link in [] if page_nf else parsekit.extract_links(url, html):
                 m["parsed_links"] += 1
@@ -616,6 +629,8 @@ def crawl(
         for ph_, st, host, url, slot, action in events:
             res.trace.append((seq, cycle, url, host, slot, action))
             seq += 1
+        for tgt, term in sorted(anchor_cnt):
+            res.anchors.append((cycle, tgt, term, anchor_cnt[(tgt, term)]))
         for host in sorted(host_metrics):
             m = host_metrics[host]
             res.metrics.append(dict(cycle=cycle, partition_id=-1, host=host, **m))

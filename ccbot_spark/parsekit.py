@@ -172,3 +172,33 @@ def meta_robots(html: str) -> tuple[bool, bool]:
         return (False, False)
     content = mm.group(1)
     return ("noindex" in content, "nofollow" in content)
+
+
+# Whole anchor ELEMENT (open tag + markup-free inner text + close):
+# ONE pattern string shared verbatim with the JVM extractor
+# (fetchparse.extract_anchor_texts) — an anchor wrapping nested markup
+# matches neither engine, so both yield no row rather than a wrong one.
+ANCHOR_ELEM_PATTERN = r'(?is)<a\s[^>]*?href="[^"]*"[^>]*?>[^<]*</a>'
+_ANCHOR_ELEM_RE = re.compile(ANCHOR_ELEM_PATTERN)
+_ANCHOR_TEXT_RE = re.compile(r"(?is)>([^<]*)</a>")
+_NOFOLLOW_RE2 = re.compile('(?i)rel="nofollow"')
+
+
+def extract_anchor_pairs(page_url: str, html: str) -> list[tuple[str, str]]:
+    """(resolved target, anchor text) per followed anchor occurrence,
+    document order, NO within-page dedup (occurrence counts are the
+    point of anchor aggregation). Python twin of the engine's
+    extract_anchor_texts + per-href resolve — same element pattern,
+    same nofollow filter, same urlkit.resolve_link drop of
+    non-fetchable schemes. Engine-equality tested on the anchors
+    table."""
+    out: list[tuple[str, str]] = []
+    for el in _ANCHOR_ELEM_RE.findall(html or ""):
+        if _NOFOLLOW_RE2.search(el):
+            continue
+        href = _HREF_RE.search(el).group(1)
+        u = urlkit.resolve_link(page_url, href) if href else None
+        if u is None:
+            continue
+        out.append((u, _ANCHOR_TEXT_RE.search(el).group(1).strip()))
+    return out

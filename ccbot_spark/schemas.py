@@ -232,6 +232,19 @@ EDGES = T.StructType(
     ]
 )
 
+# Anchor-text aggregation sink (engine state when anchor_texts=True):
+# per cycle, how many followed anchors pointed at `target` using
+# `term` — the search-index description/ranking signal a target's own
+# body can't forge. Occurrence counts, no within-page dedup.
+ANCHORS = T.StructType(
+    [
+        T.StructField("cycle", T.IntegerType(), False),
+        T.StructField("target", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
 
 # WebDataset export manifest (engine state when the wds_dir sink is
 # on): one row per written shard per cycle — the loader's index and

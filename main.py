@@ -114,6 +114,9 @@ def parse_args():
     p.add_argument("--meta-robots-pct", type=int, default=0,
                    help="synthetic-web knob: %% of pages declaring a "
                         "robots meta directive (noindex/nofollow/both)")
+    p.add_argument("--anchor-texts", action="store_true",
+                   help="aggregate anchor-text terms per link target "
+                        "into an 'anchors' table while parsing")
     p.add_argument("--max-body-bytes", type=int, default=0,
                    help="abort transfers longer than this many bytes "
                         "(terminal 'oversize', never parsed)")
@@ -275,6 +278,7 @@ def main() -> None:
         canonical_dedup=args.canonical,
         soft404_detect=args.soft404_detect,
         meta_robots=args.meta_robots,
+        anchor_texts=args.anchor_texts,
         max_body_bytes=args.max_body_bytes,
         dead_host_backoff=args.dead_host_backoff,
         age_boost=args.age_boost,
