@@ -785,7 +785,7 @@ class CrawlEngine:
                 from . import robots as robots_mod
 
                 for pdf in batches:
-                    hs, us, ps = [], [], []
+                    hs, us, ps, prs = [], [], [], []
                     for h in pdf["host"]:
                         if sitemap_seeds == "robots":
                             declared = (
@@ -807,27 +807,45 @@ class CrawlEngine:
                         for xml in xmls:
                             # index-aware (sitemap_shards): shared
                             # helper with oracle.crawl — a
-                            # <sitemapindex> expands its child shards
-                            for u in synthweb.expand_sitemap_urls(cfg, xml):
+                            # <sitemapindex> expands its child shards.
+                            # Declared <priority> (sitemaps.org, ×10
+                            # integer) rides along; -1 = undeclared.
+                            for u, pri in synthweb.expand_sitemap_entries(
+                                cfg, xml
+                            ):
                                 hs.append(h)
                                 us.append(u)
                                 ps.append(pos)
+                                prs.append(-1 if pri is None else pri)
                                 pos += 1
-                    yield pd.DataFrame({"host": hs, "url_norm": us, "pos": ps})
+                    yield pd.DataFrame(
+                        {"host": hs, "url_norm": us, "pos": ps, "pri": prs}
+                    )
 
             sm = (
                 self.spark.createDataFrame([(h,) for h in hosts], "host string")
                 .repartition(max(1, min(len(hosts), self.n_buckets)))
-                .mapInPandas(gen, "host string, url_norm string, pos long")
+                .mapInPandas(
+                    gen, "host string, url_norm string, pos long, pri long"
+                )
                 .join(df.select("url_norm"), "url_norm", "left_anti")
             )
             numbered, _, sm_cache = sequencing.global_sequence(
                 sm, ["host", "pos"], self.n_buckets, seq_col="_seq", offset=idx
             )
+            # declared sitemap priority seeds the frontier priority:
+            # 0.p maps to SEED_PRIORITY − (10 − p)·10, so declared URLs
+            # rank below explicit seeds and above each other exactly by
+            # their site's own ranking; undeclared keeps SEED_PRIORITY
+            # (mirrors oracle.crawl — same integer mapping)
+            sm_pri = F.when(
+                F.col("pri") >= 0,
+                F.lit(SEED_PRIORITY) - (F.lit(10) - F.col("pri")) * 10,
+            ).otherwise(F.lit(SEED_PRIORITY))
             sm_rows = numbered.select(
                 "url_norm",
                 "host",
-                F.lit(SEED_PRIORITY).cast("long").alias("priority"),
+                sm_pri.cast("long").alias("priority"),
                 F.lit(0).cast("int").alias("dt_cycle"),
                 F.col("_seq").cast("long").alias("dt_seq"),
                 F.lit("pending").alias("status"),

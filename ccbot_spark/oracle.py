@@ -168,14 +168,23 @@ def crawl(
                 xmls = [synthweb.sitemap_xml(cfg, host)]
             for xml in xmls:
                 # index-aware: a <sitemapindex> fetches its child
-                # shards (one level) — synthweb.expand_sitemap_urls is
-                # the same helper the engine's seeding task runs
-                for u in synthweb.expand_sitemap_urls(cfg, xml):
+                # shards (one level) — synthweb.expand_sitemap_entries
+                # is the same helper the engine's seeding task runs.
+                # A declared <priority> 0.p seeds the frontier at
+                # SEED_PRIORITY − (10 − p)·10 (below explicit seeds,
+                # ranked by the site's own declaration); undeclared
+                # keeps SEED_PRIORITY — the engine's exact mapping.
+                for u, pri in synthweb.expand_sitemap_entries(cfg, xml):
                     if u in seen:
                         continue
                     seen.add(u)
+                    p0 = (
+                        SEED_PRIORITY
+                        if pri is None
+                        else SEED_PRIORITY - (10 - pri) * 10
+                    )
                     frontier[u] = FrontierEntry(
-                        u, urlkit.host_of(u), SEED_PRIORITY, 0, idx,
+                        u, urlkit.host_of(u), p0, 0, idx,
                         "pending", 0, 0, interval=recrawl_every,
                     )
                     idx += 1

@@ -52,6 +52,37 @@ def extract_sitemap_urls(xml: str) -> list[str]:
     return out
 
 
+_URL_BLOCK_RE = re.compile(r"<url>(.*?)</url>", re.IGNORECASE | re.DOTALL)
+_SM_PRI_RE = re.compile(
+    r"<priority>\s*([01])\.([0-9])\s*</priority>", re.IGNORECASE
+)
+
+
+def extract_sitemap_entries(xml: str) -> list[tuple[str, int | None]]:
+    """(url, priority×10 | None) per urlset ``<url>`` block, document
+    order, deduped by url (first block wins — same rule as
+    extract_sitemap_urls). The sitemaps.org priority is a 0.0–1.0
+    decimal; it parses as an INTEGER x10 (0..10) so every downstream
+    comparison stays engine-exact, never float-thresholded. A block
+    without <priority> yields None (spec default is the CRAWLER's
+    business, not the parser's)."""
+    seen: set[str] = set()
+    out: list[tuple[str, int | None]] = []
+    for m in _URL_BLOCK_RE.finditer(xml or ""):
+        block = m.group(1)
+        lm = _LOC_RE.search(block)
+        if lm is None:
+            continue
+        u = urlkit.normalize_url(lm.group(1))
+        if u is None or u in seen:
+            continue
+        seen.add(u)
+        pm = _SM_PRI_RE.search(block)
+        pri = 10 * int(pm.group(1)) + int(pm.group(2)) if pm else None
+        out.append((u, pri if pri is None or pri <= 10 else 10))
+    return out
+
+
 def extract_links(page_url: str, html: str) -> list[str]:
     """Resolved+normalized outlinks, document order, within-page dedup."""
     out: list[str] = []

@@ -57,6 +57,9 @@ class WebConfig:
     # fetch fails (the dead-host-circuit-breaker fixture)
     meta_robots_pct: int = 0  # % of pages declaring a page-level
     # <meta name="robots"> directive (noindex / nofollow / both)
+    sitemap_priority: bool = False  # urlsets carry <priority>0.p</priority>
+    # per URL (sitemaps.org), p = sitemap_priority_of — seeds frontier
+    # priority when the engine honors it
     img_fmts: tuple = _FMTS  # image format cycle; the default 3-cycle
     # keeps every existing fixture byte-stable — pass
     # ("ppm", "png", "qpng", "jpeg") to put real JPEGs (pure-numpy
@@ -320,8 +323,23 @@ def _sitemap_pages(cfg: WebConfig, host: str) -> list[int]:
     ]
 
 
-def _urlset(host: str, pages: list[int]) -> str:
-    locs = [f"  <url><loc>http://{host}/p/{j}</loc></url>" for j in pages]
+def sitemap_priority_of(cfg: WebConfig, url: str) -> int:
+    """The ×10 integer priority a urlset declares for `url` (1..9 —
+    never the 0.5 default, so honoring it is always observable). Pure
+    function of (cfg, url) so oracle and engine agree."""
+    return 1 + _digest(f"smpri:{cfg.seed}:{url}")[0] % 9
+
+
+def _urlset(cfg: WebConfig, host: str, pages: list[int]) -> str:
+    locs = []
+    for j in pages:
+        u = f"http://{host}/p/{j}"
+        pri = (
+            f"<priority>0.{sitemap_priority_of(cfg, u)}</priority>"
+            if cfg.sitemap_priority
+            else ""
+        )
+        locs.append(f"  <url><loc>{u}</loc>{pri}</url>")
     return (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
@@ -349,14 +367,14 @@ def sitemap_xml(cfg: WebConfig, host: str) -> str:
             + "\n".join(entries)
             + "\n</sitemapindex>"
         )
-    return _urlset(host, _sitemap_pages(cfg, host))
+    return _urlset(cfg, host, _sitemap_pages(cfg, host))
 
 
 def sitemap_shard_xml(cfg: WebConfig, host: str, i: int) -> str:
     """Shard i of a host's sitemap index: positions ≡ i (mod S) of the
     host's sitemap page list."""
     pages = _sitemap_pages(cfg, host)
-    return _urlset(host, pages[i :: max(1, cfg.sitemap_shards)])
+    return _urlset(cfg, host, pages[i :: max(1, cfg.sitemap_shards)])
 
 
 def sitemap_body(cfg: WebConfig, url: str) -> str | None:
@@ -384,20 +402,31 @@ def expand_sitemap_urls(cfg: WebConfig, xml: str) -> list[str]:
     concatenates the children's <loc>s in index order. Deduped,
     document order. Shared by the oracle crawler and the engine's
     distributed seeding task so both expand identically."""
+    return [u for u, _ in expand_sitemap_entries(cfg, xml)]
+
+
+def expand_sitemap_entries(
+    cfg: WebConfig, xml: str
+) -> list[tuple[str, int | None]]:
+    """(url, declared priority×10 | None) pairs from one fetched
+    sitemap body — expand_sitemap_urls plus the sitemaps.org
+    <priority> each <url> block carries (None when undeclared). Same
+    dedup/order rules; on a cross-shard dup the FIRST declaration
+    wins, like the url itself."""
     from . import parsekit
 
     if not parsekit.is_sitemap_index(xml):
-        return parsekit.extract_sitemap_urls(xml)
-    out: list[str] = []
+        return parsekit.extract_sitemap_entries(xml)
+    out: list[tuple[str, int | None]] = []
     seen: set[str] = set()
     for sm_url in parsekit.extract_sitemap_urls(xml):
         body = sitemap_body(cfg, sm_url)
         if body is None or parsekit.is_sitemap_index(body):
             continue  # dangling loc / illegal nested index
-        for u in parsekit.extract_sitemap_urls(body):
+        for u, pri in parsekit.extract_sitemap_entries(body):
             if u not in seen:
                 seen.add(u)
-                out.append(u)
+                out.append((u, pri))
     return out
 
 

@@ -114,6 +114,10 @@ def parse_args():
     p.add_argument("--meta-robots-pct", type=int, default=0,
                    help="synthetic-web knob: %% of pages declaring a "
                         "robots meta directive (noindex/nofollow/both)")
+    p.add_argument("--sitemap-priority", action="store_true",
+                   help="synthetic-web knob: urlsets declare a "
+                        "<priority> per URL (the engine always honors "
+                        "declared priorities when seeding)")
     p.add_argument("--anchor-texts", action="store_true",
                    help="aggregate anchor-text terms per link target "
                         "into an 'anchors' table while parsing")
@@ -239,6 +243,7 @@ def main() -> None:
         canonical_pct=args.canonical_pct,
         soft404_pct=args.soft404_pct,
         meta_robots_pct=args.meta_robots_pct,
+        sitemap_priority=args.sitemap_priority,
         robots_5xx_pct=args.robots_5xx_pct,
         dead_host_pct=args.dead_host_pct,
         robots_change_every=args.robots_change_every,
