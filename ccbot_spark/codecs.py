@@ -62,15 +62,38 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """8-bit RGB PNG, filter type 0 on every scanline."""
+# Adam7 interlace passes: (x0, y0, dx, dy) — the spec's fixed grid.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """8-bit RGB PNG, filter type 0 on every scanline. `interlace=True`
+    emits the Adam7 pass structure (what progressive-rendering sites
+    serve); default output stays byte-identical to the historical
+    encoder."""
     img = img.astype(np.uint8)
     h, w = img.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # bitdepth 8, RGB
-    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
-    raw[:, 0] = 0  # filter byte: None
-    raw[:, 1:] = img.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue  # empty pass contributes no bytes (per spec)
+            raw = np.empty((ph, 1 + pw * 3), dtype=np.uint8)
+            raw[:, 0] = 0
+            raw[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(raw.tobytes())
+        idat = zlib.compress(b"".join(parts), 6)
+    else:
+        raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+        raw[:, 0] = 0  # filter byte: None
+        raw[:, 1:] = img.reshape(h, w * 3)
+        idat = zlib.compress(raw.tobytes(), 6)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -119,6 +142,7 @@ def decode_png(data: bytes) -> np.ndarray:
     pos = len(PNG_SIG)
     w = h = None
     color_type = bitdepth = None
+    interlace = 0
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -127,18 +151,38 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, bitdepth, color_type = struct.unpack(">IIBB", payload[:10])
+            interlace = payload[12]
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if bitdepth != 8 or color_type not in (0, 2):
         raise ValueError("only 8-bit gray/RGB PNG supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = 3 if color_type == 2 else 1
-    stride = w * channels
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, 1 + stride)
-    px = _unfilter(raw, h, stride, channels)
-    img = px.reshape(h, w, channels)
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, concatenated
+        # in pass order; each pass's scanlines reference only that
+        # pass's previous line, so _unfilter applies per pass.
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * channels
+            n = ph * (1 + stride)
+            sub = raw[pos : pos + n].reshape(ph, 1 + stride)
+            pos += n
+            px = _unfilter(sub, ph, stride, channels)
+            img[y0::dy, x0::dx] = px.reshape(ph, pw, channels)
+    else:
+        stride = w * channels
+        px = _unfilter(raw.reshape(h, 1 + stride), h, stride, channels)
+        img = px.reshape(h, w, channels)
     if channels == 1:
         img = np.repeat(img, 3, axis=2)
     return img.copy()
