@@ -1025,6 +1025,165 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("no image data in GIF")
 
 
+def _gif_frame_block(img: np.ndarray, delay_cs: int) -> bytes:
+    """One animation frame: Graphic Control Extension (delay, no
+    transparency, disposal 'do not dispose') + image descriptor with a
+    LOCAL color table + LZW data. Local tables per frame keep each
+    frame's palette exact without coordinating a global one."""
+    img = img.astype(np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) <= 256:
+        palette = np.zeros((256, 3), dtype=np.uint8)
+        palette[: len(colors)] = colors
+        indices = inverse.astype(np.uint8).reshape(h, w)
+    else:
+        palette = _palette_332()
+        indices = (
+            ((flat[:, 0].astype(np.uint16) >> 5) << 5)
+            | ((flat[:, 1].astype(np.uint16) >> 5) << 2)
+            | (flat[:, 2].astype(np.uint16) >> 6)
+        ).astype(np.uint8).reshape(h, w)
+    out = bytearray()
+    out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_cs, 0, 0)
+    # descriptor: at (0,0), full frame, LOCAL color table (256 entries)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x87)
+    out += palette.tobytes()
+    out.append(8)
+    out += _subblocks(_lzw_encode(indices.reshape(-1), 8))
+    return bytes(out)
+
+
+def encode_gif_anim(frames: list, delay_cs: int = 10) -> bytes:
+    """Animated GIF89a: NETSCAPE2.0 infinite-loop extension + one
+    GCE/descriptor/LZW block per frame (all frames full-size at (0,0),
+    local color tables, no transparency). Frames must share one
+    shape."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    # logical screen: NO global color table (every frame carries one)
+    out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("animation frames must share one shape")
+        out += _gif_frame_block(fr, delay_cs)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list:
+    """Every frame of a (possibly animated) GIF as full-canvas RGB
+    arrays: frames composite onto the logical screen at their declared
+    (left, top) over the previous frame ('do not dispose' semantics —
+    the common web-GIF case; transparency is out of the closed world).
+    A single-frame GIF yields a one-element list whose frame equals
+    decode_gif's output."""
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension (incl. GCE/NETSCAPE): skipped
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(stream), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if ipacked & 0x40:
+                rows = np.empty(h, dtype=np.int64)
+                rows[_interlace_order(h)] = np.arange(h)
+                idx = idx[rows]
+            canvas[top : top + h, left : left + w] = table[idx]
+            frames.append(canvas.copy())
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames
+
+
+def gif_anim_meta_py(data: bytes) -> tuple:
+    """(n_frames, duration_cs) by BLOCK-STRUCTURE walk alone — image
+    descriptors counted, GCE delays summed, LZW data skipped by
+    sub-block lengths, never decoded. The header-tier animation probe
+    (a 50 MB GIF costs a few thousand byte reads); malformed →
+    (None, None)."""
+    if data[:6] not in GIF_SIGS or len(data) < 13:
+        return None, None
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += (2 << (packed & 0x07)) * 3
+    n_frames = 0
+    duration = 0
+    try:
+        while pos < len(data):
+            block = data[pos]
+            pos += 1
+            if block == 0x21:
+                label = data[pos]
+                pos += 1
+                if label == 0xF9 and data[pos] >= 4:
+                    duration += struct.unpack_from("<H", data, pos + 2)[0]
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif block == 0x2C:
+                ipacked = data[pos + 8]
+                pos += 9
+                if ipacked & 0x80:
+                    pos += (2 << (ipacked & 0x07)) * 3
+                pos += 1  # LZW min code size
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+                n_frames += 1
+            elif block == 0x3B:
+                break
+            else:
+                return None, None
+    except IndexError:
+        return None, None
+    return (n_frames, duration) if n_frames else (None, None)
+
+
 # ---------------------------------------------------------------- dispatch
 
 def webp_header(w: int, h: int, kind: str = "vp8x") -> bytes:

@@ -127,6 +127,75 @@ def synth_images_from_docs(
     return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
+def gif_anim_meta(
+    images: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
+) -> DataFrame:
+    """(n_frames, duration_cs) per GIF — the animation probe that
+    separates a still logo from a 400-frame meme BEFORE any decode
+    decision. Block-structure walk only (codecs.gif_anim_meta_py):
+    image descriptors counted, GCE delays summed, LZW data skipped by
+    sub-block lengths, no pixel ever decoded. Unlike the JPEG/TIFF
+    head walks this one needs the whole blob (frame blocks interleave
+    with data to the trailer), so the honest cost is one Arrow pass
+    over the bytes — still structure-reads, not decode work. Non-GIF
+    or malformed rows answer NULL."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("duration_cs", T.LongType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n, dur = codecs.gif_anim_meta_py(bytes(getattr(r, bytes_col)))
+                rows.append((r.image_id, n, dur))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "n_frames", "duration_cs"]
+            )
+
+    return images.select(
+        F.col(id_col).alias("image_id"), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(gen, schema=schema)
+
+
+def synth_gif_anims_from_docs(docs: DataFrame) -> DataFrame:
+    """Animated-GIF fixture: one animation per doc, 1 + doc_id % 5
+    full-size frames at delay 4 + doc_id % 7 centiseconds, pixels
+    seeded per (doc, frame). Closed-form frame count and duration so a
+    DuckDB oracle re-derives what the animation writer encoded."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d % 150
+                w = 8 + base * 7 % 25
+                h = 8 + base * 11 % 25
+                frames = [
+                    np.random.RandomState(base * 10 + f).randint(
+                        0, 256, size=(h, w, 3), dtype=np.uint8
+                    )
+                    for f in range(1 + d % 5)
+                ]
+                rows.append(
+                    (f"doc-{d}", codecs.encode_gif_anim(frames, 4 + d % 7))
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
 def synth_webp_tiff_from_docs(docs: DataFrame) -> DataFrame:
     """Header-tier WebP/TIFF fixture (the two big web image containers
     outside the closed decodable world): one blob per doc, kind cycling

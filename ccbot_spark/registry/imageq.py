@@ -303,6 +303,21 @@ def register(q):
         )
     q["img_webp_meta"] = img_webp_meta
 
+    def img_gif_anim(spark, sf_dir):
+        # animation probe: frame count + total duration by BLOCK-
+        # STRUCTURE walk alone (descriptors counted, GCE delays
+        # summed, LZW skipped by sub-block lengths — no pixel
+        # decoded). The fixture's animation writer encodes
+        # 1 + doc_id % 5 frames at 4 + doc_id % 7 cs; DuckDB
+        # re-derives both, so a green row proves the writer emits
+        # spec-valid GCE/descriptor blocks AND the walk reads them
+        # back exactly.
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        blobs = multimodal.synth_gif_anims_from_docs(docs)
+        return multimodal.gif_anim_meta(blobs)
+    q["img_gif_anim"] = img_gif_anim
+
     def img_tiff_meta(spark, sf_dir):
         # TIFF dims via the bounded IFD walk (the jpeg_sof_dims
         # posture: variable entry position, so a Python head-walk, not
@@ -689,6 +704,16 @@ def register_sql(o):
                CAST(CASE WHEN doc_id % 4 = 3 THEN 0
                          ELSE 16 + (doc_id % 150) * 11 % 97
                     END AS BIGINT) AS hdr_h
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_gif_anim: frame count + duration re-derived from the
+    # animation writer's arithmetic.
+    o["img_gif_anim"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CAST(1 + doc_id % 5 AS BIGINT) AS n_frames,
+               CAST((1 + doc_id % 5) * (4 + doc_id % 7) AS BIGINT)
+                 AS duration_cs
         FROM documents WHERE doc_id < 450
     """
 

@@ -293,3 +293,60 @@ def test_png_adam7_per_pass_filters():
         + codecs._chunk(b"IEND", b"")
     )
     assert np.array_equal(codecs.decode_png(data), img)
+
+
+def test_gif_anim_roundtrip_and_meta():
+    """Animated GIF: encode_gif_anim → decode_gif_frames is pixel-exact
+    per frame (≤256 colors each); the block-structure meta walk counts
+    frames and sums delays without decoding; a single-frame GIF yields
+    exactly decode_gif's output."""
+    rs = np.random.RandomState(7)
+    frames = [
+        rs.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    data = codecs.encode_gif_anim(frames, delay_cs=6)
+    got = codecs.decode_gif_frames(data)
+    assert len(got) == 4
+    for g, want in zip(got, frames):
+        assert np.array_equal(g, want)
+    assert codecs.gif_anim_meta_py(data) == (4, 24)
+    # decode_gif (first-frame contract) agrees with frame 0
+    assert np.array_equal(codecs.decode_gif(data), frames[0])
+    # single-frame (global-table) GIF: one frame, meta (1, 0) — the
+    # still encoder emits no GCE
+    still = codecs.encode_gif(frames[0])
+    sf = codecs.decode_gif_frames(still)
+    assert len(sf) == 1 and np.array_equal(sf[0], codecs.decode_gif(still))
+    assert codecs.gif_anim_meta_py(still) == (1, 0)
+    # malformed / non-GIF → (None, None)
+    assert codecs.gif_anim_meta_py(b"GIF89a" + b"\x00" * 4) == (None, None)
+    assert codecs.gif_anim_meta_py(b"\x89PNG\r\n\x1a\n") == (None, None)
+
+
+def test_gif_anim_partial_frame_composites():
+    """A frame declared at (left, top) smaller than the canvas pastes
+    over the previous frame — the 'do not dispose' web-GIF case."""
+    import struct as _s
+
+    base = np.zeros((8, 8, 3), dtype=np.uint8)
+    base[:, :] = (10, 20, 30)
+    data = bytearray(codecs.encode_gif_anim([base], delay_cs=5))
+    assert data[-1] == 0x3B
+    patch = np.zeros((2, 3, 3), dtype=np.uint8)
+    patch[:, :] = (200, 100, 50)
+    colors = np.zeros((256, 3), dtype=np.uint8)
+    colors[0] = (200, 100, 50)
+    blk = bytearray()
+    blk += _s.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, 7, 0, 0)
+    blk += _s.pack("<BHHHHB", 0x2C, 4, 3, 3, 2, 0x87)
+    blk += colors.tobytes()
+    blk.append(8)
+    blk += codecs._subblocks(codecs._lzw_encode(np.zeros(6, np.uint8), 8))
+    data = bytes(data[:-1]) + bytes(blk) + b"\x3b"
+    frames = codecs.decode_gif_frames(data)
+    assert len(frames) == 2
+    want = frames[0].copy()
+    want[3:5, 4:7] = (200, 100, 50)
+    assert np.array_equal(frames[1], want)
+    assert codecs.gif_anim_meta_py(data) == (2, 12)
