@@ -196,6 +196,59 @@ def synth_gif_anims_from_docs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
+def gif_frames_to_images(
+    images: DataFrame,
+    every_n: int = 1,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Every n-th frame of each animated GIF exploded to its own
+    image-pipeline row (ppm bytes + dims, id suffixed ``#f<k>``) — the
+    GIF twin of videokit's frame_sample→frames_to_ppm bridge, so the
+    whole image machinery (phash banded dedup, curation, letterbox,
+    WDS export) applies to animation frames with zero new operators.
+    One decode per blob; rows multiply by ~n_frames/every_n but each
+    output is a single frame."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames = codecs.decode_gif_frames(
+                    bytes(getattr(r, bytes_col))
+                )
+                for f in range(0, len(frames), every_n):
+                    px = frames[f]
+                    rows.append(
+                        (
+                            f"{getattr(r, id_col)}#f{f}",
+                            f,
+                            codecs.encode_ppm(px),
+                            px.shape[1],
+                            px.shape[0],
+                            "ppm",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "frame_no", "bytes", "w", "h", "fmt"],
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(gen, schema=schema)
+
+
 def synth_webp_tiff_from_docs(docs: DataFrame) -> DataFrame:
     """Header-tier WebP/TIFF fixture (the two big web image containers
     outside the closed decodable world): one blob per doc, kind cycling

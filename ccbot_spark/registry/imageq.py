@@ -318,6 +318,24 @@ def register(q):
         return multimodal.gif_anim_meta(blobs)
     q["img_gif_anim"] = img_gif_anim
 
+    def img_gif_frames(spark, sf_dir):
+        # the GIF→image-pipeline bridge: every 2nd animation frame
+        # exploded to its own image row (ppm + dims, id#f<k>). DuckDB
+        # re-derives the exploded row set — which frame numbers exist
+        # (j ∈ {0,2,4}, j < 1 + doc_id % 5) and each frame's dims —
+        # so a green row proves the decode→explode→re-encode plumbing
+        # emits exactly the rows the animation writer implies.
+        from pyspark.sql import functions as F  # noqa: F811
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        blobs = multimodal.synth_gif_anims_from_docs(docs)
+        return multimodal.gif_frames_to_images(blobs, every_n=2).select(
+            "image_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.col("w").cast("long").alias("w"),
+            F.col("h").cast("long").alias("h"),
+        )
+    q["img_gif_frames"] = img_gif_frames
+
     def img_tiff_meta(spark, sf_dir):
         # TIFF dims via the bounded IFD walk (the jpeg_sof_dims
         # posture: variable entry position, so a Python head-walk, not
@@ -715,6 +733,19 @@ def register_sql(o):
                CAST((1 + doc_id % 5) * (4 + doc_id % 7) AS BIGINT)
                  AS duration_cs
         FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_gif_frames: the exploded frame rows re-derived — frame
+    # numbers are the even j below the frame count, dims the fixture
+    # arithmetic.
+    o["img_gif_frames"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) || '#f'
+                 || CAST(v.j AS VARCHAR) AS image_id,
+               CAST(v.j AS BIGINT) AS frame_no,
+               CAST(8 + (doc_id % 150) * 7 % 25 AS BIGINT) AS w,
+               CAST(8 + (doc_id % 150) * 11 % 25 AS BIGINT) AS h
+        FROM documents, (VALUES (0), (2), (4)) AS v(j)
+        WHERE doc_id < 300 AND v.j < 1 + doc_id % 5
     """
 
     # --- img_tiff_meta: IFD0-stamped dims re-derived from the writer

@@ -1339,3 +1339,34 @@ def test_tiff_ifd_dims_walk(spark):
         "trunc": (None, None),
         "png": (None, None),
     }
+
+
+def test_gif_frames_bridge_pixels(spark):
+    """gif_frames_to_images round-trips actual pixels: each exploded
+    ppm equals the corresponding decoded animation frame, and the
+    bridge output feeds the image pipeline (phash runs on frames)."""
+    from ccbot_spark import codecs as _c, phash as _ph
+    from ccbot_spark.functions import multimodal as _mm
+
+    rs = np.random.RandomState(21)
+    frames = [
+        rs.randint(0, 256, size=(10, 12, 3), dtype=np.uint8)
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(
+        [("g", _c.encode_gif_anim(frames, 5))],
+        "image_id string, bytes binary",
+    )
+    out = {
+        r.image_id: r for r in _mm.gif_frames_to_images(df).collect()
+    }
+    assert set(out) == {f"g#f{k}" for k in range(5)}
+    for k in range(5):
+        r = out[f"g#f{k}"]
+        px = _c.decode_ppm(bytes(r.bytes))
+        assert np.array_equal(px, frames[k])
+        assert (r.w, r.h, r.fmt) == (12, 10, "ppm")
+        assert isinstance(_ph.phash64(px), int)
+    # every_n=2 keeps frames 0,2,4 only
+    sampled = {r.frame_no for r in _mm.gif_frames_to_images(df, every_n=2).collect()}
+    assert sampled == {0, 2, 4}
