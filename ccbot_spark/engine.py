@@ -98,6 +98,8 @@ class CrawlEngine:
         soft404_detect: bool = False,
         meta_robots: bool = False,
         anchor_texts: bool = False,
+        focus_terms: list[str] | None = None,
+        focus_boost: int = 50,
         max_body_bytes: int = 0,
         dead_host_backoff: int = 0,
         error_backoff: int = 0,
@@ -402,6 +404,15 @@ class CrawlEngine:
                 spark, workdir, "anchors", schemas.ANCHORS
             )
             self._tables.append(self.anchors)
+        # focused (topical) crawling: a discovered link whose anchor
+        # text contains a focus term enters the pool with
+        # parent_priority + focus_boost — the crawl gravitates toward
+        # pages the web itself describes as on-topic (the classic
+        # focused-crawler shape; mirrors oracle.crawl(focus_terms=…)).
+        # Matching is one JVM arrays_overlap on the split anchor; only
+        # the short href crosses to Python for resolution.
+        self.focus_terms = [t.lower() for t in focus_terms] if focus_terms else None
+        self.focus_boost = focus_boost
         if content_dedup:
             self.digests = make_table_store(
                 spark, workdir, "digests", _with_bucket(schemas.DIGESTS), ("bucket",)
@@ -1243,9 +1254,55 @@ class CrawlEngine:
             F.col("priority").cast("long").alias("parent_priority"),
             F.col("depth").cast("int").alias("parent_depth"),
         )
-        pool = links.select(
-            "url_norm", "parent_priority", "parent_depth"
-        ).unionByName(redir_tgts)
+        if self.focus_terms is not None:
+            # focused crawling: (page, target) pairs whose anchor text
+            # contains a focus term (JVM arrays_overlap on the split
+            # anchor; resolution through the same seam as links) lift
+            # that link's pool entry by focus_boost BEFORE the
+            # max-priority dedup — so the boost survives exactly when
+            # a boosted parent wins, like the oracle's per-occurrence
+            # effective priority. Redirect/canonical targets carry no
+            # anchor and are never boosted.
+            ap = fetchparse.extract_anchor_texts(parse_src, url_col="url_norm")
+            matched = (
+                ap.filter(
+                    F.arrays_overlap(
+                        F.split(F.lower(F.col("anchor")), r"\s+"),
+                        F.array(*[F.lit(t) for t in self.focus_terms]),
+                    )
+                )
+                .select(
+                    "page_url",
+                    fetchparse._resolve_one_udf(
+                        F.col("page_url"), F.col("href")
+                    ).alias("url_norm"),
+                )
+                .filter(F.col("url_norm").isNotNull())
+                .dropDuplicates(["page_url", "url_norm"])
+                .withColumn("_focus", F.lit(True))
+            )
+            link_pool = (
+                links.select(
+                    "page_url", "url_norm", "parent_priority", "parent_depth"
+                )
+                .join(matched, ["page_url", "url_norm"], "left")
+                .select(
+                    "url_norm",
+                    (
+                        F.col("parent_priority")
+                        + F.when(
+                            F.col("_focus").isNotNull(),
+                            F.lit(self.focus_boost),
+                        ).otherwise(F.lit(0))
+                    ).cast("long").alias("parent_priority"),
+                    "parent_depth",
+                )
+            )
+        else:
+            link_pool = links.select(
+                "url_norm", "parent_priority", "parent_depth"
+            )
+        pool = link_pool.unionByName(redir_tgts)
         if canons is not None:
             # canonical targets: same discovered-pool rules as redirect
             # Location targets (already normalized in the resolve UDF)

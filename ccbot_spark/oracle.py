@@ -105,6 +105,8 @@ def crawl(
     soft404_detect: bool = False,
     meta_robots: bool = False,
     anchor_texts: bool = False,
+    focus_terms: list[str] | None = None,
+    focus_boost: int = 50,
     max_body_bytes: int = 0,
     dead_host_backoff: int = 0,
     error_backoff: int = 0,
@@ -560,6 +562,16 @@ def crawl(
                     for term in text.lower().split():
                         k = (tgt, term)
                         anchor_cnt[k] = anchor_cnt.get(k, 0) + 1
+            # focused crawling: targets whose anchor text contains a
+            # focus term get parent_priority + focus_boost at
+            # discovery (per page — mirrors the engine's pre-dedup
+            # boost join exactly)
+            boosted_targets: set[str] = set()
+            if focus_terms and not page_nf:
+                fset = {t.lower() for t in focus_terms}
+                for tgt, text in parsekit.extract_anchor_pairs(url, html):
+                    if fset & set(text.lower().split()):
+                        boosted_targets.add(tgt)
             # links
             for link in [] if page_nf else parsekit.extract_links(url, html):
                 m["parsed_links"] += 1
@@ -579,9 +591,12 @@ def crawl(
                             (3, 0, urlkit.host_of(link), link, -1, "dup")
                         )
                 else:
+                    eff = e.priority + (
+                        focus_boost if link in boosted_targets else 0
+                    )
                     prev = discovered.get(link)
-                    if prev is None or e.priority > prev:
-                        discovered[link] = e.priority
+                    if prev is None or eff > prev:
+                        discovered[link] = eff
                     dprev = disc_depth.get(link)
                     if dprev is None or e.depth + 1 < dprev:
                         disc_depth[link] = e.depth + 1

@@ -118,6 +118,12 @@ def parse_args():
                    help="synthetic-web knob: urlsets declare a "
                         "<priority> per URL (the engine always honors "
                         "declared priorities when seeding)")
+    p.add_argument("--focus-terms", type=str, default=None,
+                   help="comma-separated anchor-text terms: links "
+                        "described by these words get a priority boost "
+                        "(focused/topical crawling)")
+    p.add_argument("--focus-boost", type=int, default=50,
+                   help="priority boost for focus-term matches")
     p.add_argument("--anchor-texts", action="store_true",
                    help="aggregate anchor-text terms per link target "
                         "into an 'anchors' table while parsing")
@@ -284,6 +290,10 @@ def main() -> None:
         soft404_detect=args.soft404_detect,
         meta_robots=args.meta_robots,
         anchor_texts=args.anchor_texts,
+        focus_terms=(
+            args.focus_terms.split(",") if args.focus_terms else None
+        ),
+        focus_boost=args.focus_boost,
         max_body_bytes=args.max_body_bytes,
         dead_host_backoff=args.dead_host_backoff,
         age_boost=args.age_boost,
