@@ -77,6 +77,12 @@ KNOBS = dict(
     domain_budget=8,
     ip_pool=3,
     meta_robots=True,
+    # round-5 parse-layer features compose too: the anchors sink and
+    # anchor-driven focus boosts must not perturb any other feature's
+    # verdicts (and vice versa — nofollow/meta-robots/binary/soft404
+    # pages all shape what the anchor scan sees)
+    anchor_texts=True,
+    focus_terms=["3"],
 )
 
 
@@ -134,6 +140,15 @@ def test_composed_seen_and_images(engine_res, oracle_res):
     # and status are unchanged) fired under composition too
     assert sum(m["noindexed"] for m in oracle_res.metrics) > 0
     assert sum(m["nofollowed"] for m in oracle_res.metrics) > 0
+    # ... and so did the anchors sink and the focus boost
+    got_anchors = sorted(
+        (r.cycle, r.target, r.term, r.cnt)
+        for r in engine_res.anchors.read().collect()
+    )
+    assert got_anchors == sorted(oracle_res.anchors) and got_anchors
+    # the focus term is reachable in the anchor stream (the boost
+    # itself is pinned by trace equality against the boosting oracle)
+    assert any(t == "3" for _, _, t, _ in got_anchors)
 
 
 def test_composed_frontier_hot_cold(engine_res, oracle_res):
