@@ -394,7 +394,10 @@ _A_ELEM_PAT = parsekit.ANCHOR_ELEM_PATTERN
 
 
 def extract_anchor_texts(
-    pages: DataFrame, url_col: str = "page_url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "page_url",
+    html_col: str = "html",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """One row per followed (raw href, anchor text) occurrence — the
     search-index staple: the words OTHER pages use to link to a target
@@ -418,14 +421,18 @@ def extract_anchor_texts(
             ).alias("anchor"),
         ),
     )
+    keep = [F.col(c) for c in keep_cols]  # pass-through (e.g. a
+    # streaming event-time column the watermark needs downstream)
     return (
         pages.select(
             F.col(url_col).alias("page_url"),
+            *keep,
             F.explode_outer(pairs).alias("_a"),
         )
         .filter(F.col("_a").isNotNull() & (F.col("_a.href") != ""))
         .select(
             "page_url",
+            *keep_cols,
             F.col("_a.href").alias("href"),
             F.col("_a.anchor").alias("anchor"),
         )

@@ -59,6 +59,56 @@ def st_metrics_stream(events: DataFrame, late: str = "10 minutes") -> DataFrame:
     )
 
 
+PAGE_EVENTS = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("page_url", T.StringType(), False),
+        T.StructField("html", T.StringType(), False),
+    ]
+)
+
+
+def read_page_events(spark: SparkSession, pages_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGE_EVENTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+
+
+def st_anchor_terms(pages: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Windowed anchor-text aggregation over a parsed-page stream: the
+    batch anchors sink's streaming twin — per tumbling minute, how
+    many followed anchors used `term` for `target`. The element scan,
+    nofollow filter and term split are the SAME JVM expressions the
+    batch operator runs (fetchparse.extract_anchor_texts with the
+    event-time column passed through for the watermark); hrefs stay
+    raw here — a streaming ingest aggregates what pages say and leaves
+    resolution to the batch join that consumes the table. State is
+    bounded by the watermark horizon."""
+    from ccbot_spark.operators import fetchparse
+
+    pairs = fetchparse.extract_anchor_texts(
+        pages, url_col="page_url", keep_cols=("ts",)
+    )
+    terms = pairs.select(
+        "ts",
+        F.col("href").alias("target"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("anchor")), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("term"),
+    )
+    return (
+        terms.withWatermark("ts", late)
+        .groupBy(F.window("ts", "1 minute").alias("win"), "target", "term")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "target", "term", "cnt")
+    )
+
+
 def st_sessions(events: DataFrame, gap: str = "5 minutes",
                 late: str = "10 minutes") -> DataFrame:
     """Per-host fetch sessions (st_session): session window closes after

@@ -534,3 +534,83 @@ def test_media_stream_dedup_cross_modal(spark, media_dir, tmp_path):
     assert "bytes" not in got.columns and "digest" in got.columns
     mods = {r["modality"] for r in got.select("modality").distinct().collect()}
     assert mods == {"image", "audio", "video", "unknown"}
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    """Parsed-page stream: synthweb pages (real anchors, nofollow
+    slices) with event times, split into 2 source files."""
+    from ccbot_spark import synthweb
+
+    cfg = synthweb.WebConfig(n_hosts=3, pages_per_host=25, nofollow_pct=20)
+    rows = []
+    i = 0
+    for k in range(cfg.n_hosts):
+        for j in range(cfg.pages_per_host):
+            url = f"http://{cfg.host(k)}/p/{j}"
+            rows.append(
+                (T0 + dt.timedelta(seconds=11 * i), url,
+                 synthweb.fetch(cfg, url))
+            )
+            i += 1
+    df = spark.createDataFrame(rows, ms.PAGE_EVENTS)
+    out = tmp_path_factory.mktemp("pages_flat")
+    half = len(rows) // 2
+    df.limit(half).coalesce(1).write.mode("append").parquet(str(out))
+    df.subtract(df.limit(half)).coalesce(1).write.mode("append").parquet(
+        str(out)
+    )
+    return str(out)
+
+
+def test_anchor_terms_stream_matches_batch(spark, pages_dir):
+    """st_anchor_terms == the batch anchor aggregation windowed the
+    same way — the anchors sink's streaming twin is exact, and the
+    nofollow filter runs inside the stream."""
+    from ccbot_spark.operators import fetchparse
+
+    ms.run_complete_to_memory(
+        ms.st_anchor_terms(ms.read_page_events(spark, pages_dir)),
+        "anchor_terms",
+    )
+    got = {
+        (r.win_start, r.target, r.term): r.cnt
+        for r in spark.sql("select * from anchor_terms").collect()
+    }
+    batch = spark.read.parquet(pages_dir)
+    pairs = fetchparse.extract_anchor_texts(
+        batch, url_col="page_url", keep_cols=("ts",)
+    )
+    want = {
+        (r.win_start, r.target, r.term): r.cnt
+        for r in pairs.select(
+            F.window("ts", "1 minute").alias("win"),
+            F.col("href").alias("target"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("anchor")), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy(F.col("win.start").alias("win_start"), "target", "term")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want and got
+    # nofollow anchors never reached the stream's counts: the batch
+    # twin already filters them, so equality plus a raw recount proves
+    # the filter fired in-stream too
+    raw = batch.select(
+        F.explode(
+            F.regexp_extract_all(
+                "html", F.lit(fetchparse._A_ELEM_PAT), F.lit(0)
+            )
+        ).alias("el")
+    )
+    n_all = raw.count()
+    n_followed = raw.filter(
+        ~F.col("el").rlike(fetchparse._NOFOLLOW_PAT)
+    ).count()
+    assert n_followed < n_all  # the fixture planted nofollow anchors
+    assert sum(got.values()) < n_all * 2  # and they are absent above
