@@ -477,6 +477,63 @@ def register(q):
         )
     q["img_bucketed_shards"] = img_bucketed_shards
 
+    def imgcap_training_export(spark, sf_dir):
+        # the image+caption ENDGAME composed end-to-end (the north-rule
+        # sink's full batch pipeline): LAION-style curation gates →
+        # keep → letterbox geometry (aspect bucket + export dims) →
+        # bucket-pure WDS shard plan priced at the EXPORT tensor size
+        # (3·out_w·out_h + caption bytes), one summary row per planned
+        # shard. Every stage is individually oracled (img_curation /
+        # img_letterbox_plan / img_bucketed_shards); this entry proves
+        # the stages COMPOSE — gate verdicts feed geometry feeds cost
+        # feeds the running-total cut points, replayed in DuckDB as
+        # one chained CTE.
+        from ccbot_spark import wds
+
+        d = _t(spark, sf_dir, "documents")
+        hx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w = (
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32
+        ).cast("int")
+        h = (
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32
+        ).cast("int")
+        cap = F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("IMG_"), F.col("doc_id").cast("string")),
+        ).otherwise(F.expr("substr(text, 1, CAST(doc_id % 120 + 1 AS INT))"))
+        meta = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "image_id"
+            ),
+            w.alias("w"),
+            h.alias("h"),
+            cap.alias("caption"),
+        )
+        kept = (
+            multimodal.curation_features(meta)
+            .filter(F.col("keep") == 1)
+            .select("image_id", "w", "h")
+            .join(meta.select("image_id", "caption"), "image_id")
+        )
+        plan = multimodal.letterbox_plan(kept, "w", "h")
+        costed = plan.withColumn(
+            "plan_cost",
+            wds.sample_cost(F.col("out_w"), F.col("out_h"), F.col("caption")),
+        )
+        assigned, cache = wds.plan_shards_grouped(
+            costed, 96 * 1024, "bucket", num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return assigned.groupBy("shard_id").agg(
+            F.min("bucket").alias("bucket"),
+            F.count("*").alias("n_samples"),
+            F.sum("plan_cost").alias("plan_bytes"),
+            F.min("image_id").alias("key_min"),
+            F.max("image_id").alias("key_max"),
+        )
+    q["imgcap_training_export"] = imgcap_training_export
+
     def img_size_hist(spark, sf_dir):
         # corpus resolution profile chained ON the header parse (one
         # metadata-speed scan + one tiny hash-agg) — class bounds over
@@ -646,6 +703,85 @@ def register_sql(o):
                                '^(img_[0-9]+|dsc[0-9]+|untitled|no caption)')
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM feat
+    """
+
+    # --- imgcap_training_export: the composed pipeline replayed as one
+    # chained CTE — curation keep (img_curation formulas) → letterbox
+    # bucket + export dims (img_letterbox_plan thresholds) → WDS cost
+    # at export size → per-bucket running-total shard cuts
+    # (img_bucketed_shards windows). strlen = caption BYTES (Spark
+    # octet_length).
+    o["imgcap_training_export"] = f"""
+        WITH meta AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 CAST((h64 // 4294967296) % 481 + 32 AS INTEGER) AS w,
+                 CAST((h64 % 4294967296) % 481 + 32 AS INTEGER) AS h,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN 'IMG_' || CAST(doc_id AS VARCHAR)
+                      ELSE substr(text, 1, CAST(doc_id % 120 + 1 AS INT))
+                 END AS caption
+          FROM (SELECT doc_id, text,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents)
+        ), kept AS (
+          SELECT image_id, w, h, caption,
+                 len(list_filter(string_split(caption, ' '), t -> t <> ''))
+                   AS cap_words
+          FROM meta
+          WHERE least(w, h) >= 64
+            AND (greatest(w, h) * 10) // least(w, h) <= 30
+            AND len(list_filter(string_split(caption, ' '), t -> t <> ''))
+                BETWEEN 3 AND 64
+            AND length(caption) <= 256
+            AND NOT regexp_matches(lower(caption),
+                 '^(img_[0-9]+|dsc[0-9]+|untitled|no caption)')
+        ), t AS (
+          SELECT image_id, caption,
+                 CASE WHEN (1000 * w) // h < 649 THEN '9:16'
+                      WHEN (1000 * w) // h < 866 THEN '3:4'
+                      WHEN (1000 * w) // h < 1154 THEN '1:1'
+                      WHEN (1000 * w) // h < 1539 THEN '4:3'
+                      ELSE '16:9' END AS bucket
+          FROM kept
+        ), c AS (
+          SELECT image_id, bucket,
+                 CAST(512 + ((3 * (CASE bucket WHEN '9:16' THEN 36
+                                   WHEN '3:4' THEN 48 ELSE 64 END)
+                                * (CASE bucket WHEN '9:16' THEN 64
+                                   WHEN '3:4' THEN 64 WHEN '1:1' THEN 64
+                                   WHEN '4:3' THEN 48 ELSE 36 END)
+                              + 511) // 512) * 512
+                    + 512 + ((strlen(caption) + 511) // 512) * 512
+                      AS BIGINT) AS plan_cost
+          FROM t
+        ), a AS (
+          SELECT image_id, bucket, plan_cost,
+                 SUM(plan_cost) OVER (
+                   PARTITION BY bucket ORDER BY image_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - plan_cost AS bef
+          FROM c
+        ), g AS (
+          SELECT bucket, MAX(bef) // 98304 + 1 AS n_shards
+          FROM a GROUP BY bucket
+        ), b AS (
+          SELECT bucket,
+                 COALESCE(SUM(n_shards) OVER (
+                   ORDER BY bucket ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS base
+          FROM g
+        ), x AS (
+          SELECT a.image_id, a.bucket, a.plan_cost,
+                 CAST(b.base + a.bef // 98304 AS BIGINT) AS shard_id
+          FROM a JOIN b USING (bucket)
+        )
+        SELECT shard_id, MIN(bucket) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(plan_cost) AS BIGINT) AS plan_bytes,
+               MIN(image_id) AS key_min,
+               MAX(image_id) AS key_max
+        FROM x GROUP BY shard_id
     """
 
     # --- img_header_meta: the synth images encode dims that are a pure
