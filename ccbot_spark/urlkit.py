@@ -26,7 +26,12 @@ from urllib.parse import urljoin, urlsplit, urlunsplit
 import pandas as pd
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
-_TRACKING_RE = re.compile(r"^(utm_|fbclid$|gclid$|msclkid$)")
+_TRACKING_RE = re.compile(
+    r"^(utm_|fbclid$|gclid$|msclkid$|phpsessid$|jsessionid$)"
+)
+# servlet-style path parameter (`/cart;jsessionid=ABC` — the session id
+# lives in the PATH, not the query): the classic infinite-alias source
+_JSESSIONID_PATH_RE = re.compile(r";jsessionid=[^/;?#]*", re.IGNORECASE)
 _SCHEME_OK_RE = re.compile(r"^https?://", re.IGNORECASE)
 
 
@@ -87,7 +92,11 @@ def normalize_url(url: str) -> str | None:
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
-    path = _normalize_path(parts.path)
+    # drop servlet session-id path parameters before segment cleanup —
+    # every visitor gets a distinct alias of the same resource, the
+    # canonical crawler-trap/dup source (query-side session keys are
+    # handled by the tracking-param filter)
+    path = _normalize_path(_JSESSIONID_PATH_RE.sub("", parts.path))
     query = _normalize_query(parts.query)
     return urlunsplit((scheme, netloc, path, query, ""))
 

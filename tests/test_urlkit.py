@@ -201,3 +201,32 @@ def test_registered_domain_psl_families():
     for pair in urlkit.PSL_2LABEL:
         sld, tld = pair.split(".")
         assert sld and tld
+
+
+def test_session_id_stripping():
+    """Session identifiers are the canonical infinite-alias source: the
+    servlet path parameter (;jsessionid=...) and the PHP/J2EE query
+    keys must normalize away; lookalike keys must not."""
+    from ccbot_spark import urlkit
+
+    n = urlkit.normalize_url
+    assert (
+        n("http://h0.test/cart;jsessionid=ABC123?x=1")
+        == "http://h0.test/cart?x=1"
+    )
+    assert (
+        n("http://h0.test/a;JSESSIONID=zz/b") == "http://h0.test/a/b"
+    )
+    assert (
+        n("http://h0.test/p/1?PHPSESSID=deadbeef&q=2")
+        == "http://h0.test/p/1?q=2"
+    )
+    assert (
+        n("http://h0.test/p/1?jsessionid=x") == "http://h0.test/p/1"
+    )
+    # lookalikes survive: a session key must match the WHOLE key
+    assert n("http://h0.test/p?mysessionid=1") == "http://h0.test/p?mysessionid=1"
+    assert n("http://h0.test/p?sid=1") == "http://h0.test/p?sid=1"
+    # idempotent like every other normalization rule
+    u = n("http://h0.test/cart;jsessionid=A?PHPSESSID=b&k=v")
+    assert n(u) == u == "http://h0.test/cart?k=v"
