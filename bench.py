@@ -223,6 +223,16 @@ def main() -> None:
 
     bench("q_img_letterbox", img_letterbox)
     bench("q_classifier", lambda: run(qs["text_classifier"](spark, SF_DIR)))
+    # ---- round-5 session additions: anchor-text extraction+agg over
+    # rendered HTML, the composed image+caption export plan, and the
+    # animated-GIF frame bridge (decode + explode + re-encode).
+    bench("q_anchor_text", lambda: run(qs["g_anchor_text"](spark, SF_DIR)))
+    bench(
+        "q_imgcap_export",
+        lambda: run(qs["imgcap_training_export"](spark, SF_DIR)),
+    )
+    entry.clear_caches()  # the export plan registers a sequencing cache
+    bench("q_gif_frames", lambda: run(qs["img_gif_frames"](spark, SF_DIR)))
 
     # ---- audio / video tiers (round 5): encode + JVM header gate +
     # Arrow decode-features over the full documents table (the
