@@ -334,3 +334,130 @@ def ivf_topk_int(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+def pq_train(
+    df: DataFrame, m: int = 16, k: int = 32, iters: int = 8, dim: int = 64
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al.): the embedding
+    splits into m subvectors; each subspace gets k centroids from
+    Lloyd k-means on a DETERMINISTIC seeded sample (bounded driver
+    collect — the ivf_build posture; deterministic init = first k
+    sample rows, so retraining reproduces the index byte-for-byte).
+    Returns (m, k, dim/m) float64 — a few KB that every scorer
+    broadcasts."""
+    if dim % m:
+        raise ValueError("dim must divide into m subspaces")
+    rows = (
+        df.filter(F.col("vec_id") % 997 < 127)
+        .limit(max(2048, 4 * k))
+        .collect()
+    )
+    X = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in rows]
+    )
+    d_sub = dim // m
+    books = np.zeros((m, k, d_sub), dtype=np.float64)
+    for j in range(m):
+        sub = X[:, j * d_sub : (j + 1) * d_sub]
+        cents = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(k):
+                sel = sub[a == c]
+                if len(sel):
+                    cents[c] = sel.mean(0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(df: DataFrame, books: np.ndarray) -> DataFrame:
+    """(vec_id, codes: array<int> of length m) — each 64-dim float
+    vector compresses to m sub-space centroid ids (m·log2(k) bits; at the
+    m=16, k=32 defaults that is 10 bytes per vector, a ~26× shrink —
+    recall-calibrated on the fixture embeddings). One
+    Arrow-vectorized argmin pass; the codebooks ride the closure
+    (broadcast-sized)."""
+    m, k, d_sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(embs: pd.Series) -> pd.Series:
+        X = np.vstack(embs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * d_sub : (j + 1) * d_sub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return df.select("vec_id", enc(F.col("embedding")).alias("codes"))
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    books: np.ndarray,
+    n_queries: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its m×k subspace distance table driver-side (tiny),
+    every candidate's approximate L2 distance is m table lookups —
+    never a d-dim dot — and a per-query window ranks. At 10^9 vectors
+    the scan reads 4-byte codes instead of 256-byte vectors (the
+    memory-bandwidth win PQ exists for); compose with the IVF
+    partition layout for sub-linear candidates. Approximate by
+    construction — recall vs the exact brute-force scorer is the
+    pytest gate."""
+    m, kk, d_sub = books.shape
+    q_rows = (
+        df.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    tables = {}
+    for r in q_rows:
+        qv = np.asarray(r.embedding, dtype=np.float64)
+        t = np.empty((m, kk), dtype=np.float64)
+        for j in range(m):
+            qs = qv[j * d_sub : (j + 1) * d_sub]
+            t[j] = ((books[j] - qs[None, :]) ** 2).sum(-1)
+        tables[int(r.vec_id)] = t
+    codes = pq_encode(df, books)
+    qids = sorted(tables)
+    q_df = df.sparkSession.createDataFrame(
+        [(i,) for i in qids], "query_id long"
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def adist(qid: pd.Series, codes_s: pd.Series) -> pd.Series:
+        C = np.vstack(codes_s.to_numpy()).astype(np.int64)
+        out = np.empty(len(C), dtype=np.float64)
+        rng = np.arange(m)
+        for q in np.unique(qid.to_numpy()):
+            t = tables[int(q)]
+            sel = (qid == q).to_numpy()
+            out[sel] = t[rng[None, :], C[sel]].sum(1)
+        return pd.Series(out)
+
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.join(F.broadcast(q_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adist(F.col("query_id"), F.col("codes")).alias("adist"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+        )
+    )

@@ -160,6 +160,22 @@ def register(q):
         )
     q["ann_ivf"] = ann_ivf
 
+    def ann_pq(spark, sf_dir):
+        # product-quantization ADC top-k (rows-only by documented
+        # necessity: the codebooks come from Lloyd k-means, which no
+        # SQL replays — like the other iterative/numpy boundaries,
+        # the pytest gate is stronger: deterministic retrain equality,
+        # code-range exactness, and recall@10 ≥ 0.6 of the exact
+        # brute-force top-3, tests/test_functions.py). The scale story
+        # is the point: codes are ~10 bytes/vector (~26× shrink), the
+        # scorer does m table lookups per candidate instead of a
+        # 64-dim dot, and the layout composes with the IVF partition
+        # pruning for sub-linear candidate sets.
+        e = _t(spark, sf_dir, "embeddings")
+        books = similarity.pq_train(e, dim=64)
+        return similarity.ann_pq_topk(e, books, n_queries=10, k=5)
+    q["ann_pq"] = ann_pq
+
     def dedup_minhash_lsh(spark, sf_dir):
         return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
     q["dedup_minhash_lsh"] = dedup_minhash_lsh

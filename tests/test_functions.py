@@ -1370,3 +1370,37 @@ def test_gif_frames_bridge_pixels(spark):
     # every_n=2 keeps frames 0,2,4 only
     sampled = {r.frame_no for r in _mm.gif_frames_to_images(df, every_n=2).collect()}
     assert sampled == {0, 2, 4}
+
+
+def test_ann_pq_recall_and_compression(spark, embs):
+    """Product quantization (ADC): codes are m ints in [0,k); training
+    and encoding are deterministic (retrain == identical books); and
+    PQ top-10 recalls the exact brute-force top-3 far better than a
+    size-matched random guess would."""
+    books = similarity.pq_train(embs, dim=64)
+    assert books.shape == (16, 32, 4)
+    books2 = similarity.pq_train(embs, dim=64)
+    assert np.array_equal(books, books2)
+    codes = {r.vec_id: list(r.codes) for r in similarity.pq_encode(embs, books).collect()}
+    n = len(codes)
+    assert all(len(c) == 16 and all(0 <= x < 32 for x in c) for c in codes.values())
+    # exact L2 top-3 per query (numpy reference)
+    rows = embs.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    got = {}
+    for r in similarity.ann_pq_topk(embs, books, n_queries=5, k=10).collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = total = 0
+    for qid in range(5):
+        qv = vecs[qid]
+        exact = sorted(
+            (float(((v - qv) ** 2).sum()), nid)
+            for nid, v in vecs.items()
+            if nid != qid
+        )[:3]
+        want = {nid for _, nid in exact}
+        hits += len(want & set(got[qid]))
+        total += len(want)
+    recall = hits / total
+    # random top-10 over n candidates would recall ~10/n (< 5% here)
+    assert recall >= 0.6, (recall, n)
