@@ -457,6 +457,66 @@ def anchor_term_counts(pairs: DataFrame) -> DataFrame:
     )
 
 
+def og_image_cols(html_col="html"):
+    """(og_image, og_caption) from OpenGraph meta tags — the modern
+    image+caption discovery channel next to <img alt>/<figcaption>:
+    every social-shareable page declares its representative image as
+    `og:image` and its caption text as `og:title`/`og:description`
+    (title preferred). Three JVM regexp_extracts on the lowercase-
+    insensitive attribute forms; empty → NULL."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+
+    def meta(prop):
+        return F.regexp_extract(
+            c,
+            r'(?is)<meta\s[^>]*?property="og:' + prop
+            + r'"[^>]*?content="([^"]*)"',
+            1,
+        )
+
+    img = meta("image")
+    title = meta("title")
+    desc = meta("description")
+    cap = F.when(title != "", title).when(desc != "", desc)
+    return (
+        F.when(img != "", img).alias("og_image"),
+        cap.alias("og_caption"),
+    )
+
+
+def srcset_best_col(srcset_col):
+    """Highest-density candidate of an ``srcset`` attribute value —
+    the variant a training crawl should fetch ("a.jpg 1x, b.jpg 2x" →
+    b.jpg; width descriptors compare numerically too). Pure JVM array
+    ops: split on commas, parse each candidate's descriptor into an
+    integer sort key (w-descriptors count units, x-descriptors count
+    per-mille so 1.5x orders between 1x and 2x; a bare candidate is
+    1x), take the max by (key, url) — deterministic on ties."""
+    c = F.col(srcset_col) if isinstance(srcset_col, str) else srcset_col
+    cands = F.filter(
+        F.transform(F.split(c, r","), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    url_of = lambda s: F.regexp_extract(s, r"^(\S+)", 1)  # noqa: E731
+    wd = lambda s: F.regexp_extract(s, r"\s([0-9]+)w\s*$", 1)  # noqa: E731
+    xd = lambda s: F.regexp_extract(  # noqa: E731
+        s, r"\s([0-9]+(?:\.[0-9]+)?)x\s*$", 1
+    )
+    key = lambda s: (  # noqa: E731
+        F.when(wd(s) != "", wd(s).cast("long") * 1000)
+        .when(
+            xd(s) != "",
+            (xd(s).cast("double") * 1000).cast("long"),
+        )
+        .otherwise(F.lit(1000))
+    )
+    structs = F.transform(
+        cands, lambda s: F.struct(key(s).alias("k"), url_of(s).alias("u"))
+    )
+    best = F.array_max(structs)
+    return F.when(F.size(cands) > 0, best["u"]).alias("srcset_best")
+
+
 def extract_images(fetched: DataFrame) -> DataFrame:
     """One row per (img_url, caption) pair with page-order keys for the
     deterministic phash-dedup tie-break (SURVEY.md §7.5). Block scan =

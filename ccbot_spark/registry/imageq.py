@@ -534,6 +534,64 @@ def register(q):
         )
     q["imgcap_training_export"] = imgcap_training_export
 
+    def img_discovery_meta(spark, sf_dir):
+        # modern image+caption discovery channels beyond <img alt>:
+        # OpenGraph meta (og:image + og:title/og:description caption,
+        # title preferred) and srcset highest-density selection (the
+        # variant a training crawl should fetch — w-descriptors,
+        # x-descriptors incl. fractional, bare candidates). The
+        # fixture renders real HTML in JVM concat with arithmetic
+        # variants (no og:image on doc_id%7==0; no title on
+        # doc_id%3==0; four srcset shapes by doc_id%4); Spark must
+        # parse the attributes back out while DuckDB re-derives what
+        # was embedded.
+        from ccbot_spark.operators import fetchparse
+        from pyspark.sql import functions as F  # noqa: F811
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        og_img = F.when(
+            d % 7 != 0,
+            F.concat(F.lit('<meta property="og:image" content="http://h'),
+                     (d % 5).cast("string"), F.lit(".test/og/"), ds,
+                     F.lit('.jpg">')),
+        ).otherwise(F.lit(""))
+        og_title = F.when(
+            d % 3 != 0,
+            F.concat(F.lit('<meta property="og:title" content="title '),
+                     ds, F.lit('">')),
+        ).otherwise(F.lit(""))
+        og_desc = F.concat(
+            F.lit('<meta property="og:description" content="desc '),
+            ds, F.lit('">'),
+        )
+        u = lambda sfx: F.concat(F.lit("u"), ds, F.lit(sfx))  # noqa: E731
+        srcset = (
+            F.when(d % 4 == 0, u("a.jpg"))
+            .when(d % 4 == 1, F.concat(u("a.jpg 1x, "), u("b.jpg 2x")))
+            .when(d % 4 == 2, F.concat(u("a.jpg 2x, "), u("b.jpg 800w")))
+            .otherwise(F.concat(u("a.jpg 1.5x, "), u("b.jpg 1x")))
+        )
+        docs = _t(spark, sf_dir, "documents").filter(d < 2000)
+        pages = docs.select(
+            F.concat(F.lit("doc-"), ds).alias("image_id"),
+            F.concat(
+                F.lit("<html><head>"), og_img, og_title, og_desc,
+                F.lit('</head><body><img srcset="'), srcset,
+                F.lit('" alt="x"></body></html>'),
+            ).alias("html"),
+        )
+        ogi, ogc = fetchparse.og_image_cols("html")
+        return pages.select(
+            "image_id",
+            ogi,
+            ogc,
+            fetchparse.srcset_best_col(
+                F.regexp_extract("html", r'srcset="([^"]*)"', 1)
+            ),
+        )
+    q["img_discovery_meta"] = img_discovery_meta
+
     def img_size_hist(spark, sf_dir):
         # corpus resolution profile chained ON the header parse (one
         # metadata-speed scan + one tiny hash-agg) — class bounds over
@@ -782,6 +840,26 @@ def register_sql(o):
                MIN(image_id) AS key_min,
                MAX(image_id) AS key_max
         FROM x GROUP BY shard_id
+    """
+
+    # --- img_discovery_meta: the embedded OpenGraph/srcset variants
+    # re-derived arithmetically; Spark must parse the rendered HTML
+    # back to the same values (title-over-description preference,
+    # missing og:image → NULL, four srcset descriptor shapes).
+    o["img_discovery_meta"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE WHEN doc_id % 7 <> 0
+                    THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.test/og/' || CAST(doc_id AS VARCHAR) || '.jpg'
+               END AS og_image,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN 'title ' || CAST(doc_id AS VARCHAR)
+                    ELSE 'desc ' || CAST(doc_id AS VARCHAR)
+               END AS og_caption,
+               'u' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 4 IN (0, 3)
+                           THEN 'a.jpg' ELSE 'b.jpg' END AS srcset_best
+        FROM documents WHERE doc_id < 2000
     """
 
     # --- img_header_meta: the synth images encode dims that are a pure

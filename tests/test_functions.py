@@ -1404,3 +1404,53 @@ def test_ann_pq_recall_and_compression(spark, embs):
     recall = hits / total
     # random top-10 over n candidates would recall ~10/n (< 5% here)
     assert recall >= 0.6, (recall, n)
+
+
+def test_og_and_srcset_parsing(spark):
+    """OpenGraph image+caption discovery and srcset best-candidate
+    selection: title beats description, missing pieces are NULL,
+    descriptors compare numerically (800w > 2x, 1.5x between 1x and
+    2x), bare candidates count as 1x, and the plan stays pure-JVM."""
+    from ccbot_spark.operators import fetchparse as fp
+
+    rows = [
+        ("both", '<meta property="og:image" content="http://t/i.jpg">'
+                 '<meta property="og:title" content="T">'
+                 '<meta property="og:description" content="D">'),
+        ("desc_only", '<meta property="og:image" content="http://t/j.jpg">'
+                      '<meta property="og:description" content="D2">'),
+        ("none", "<html><body>plain</body></html>"),
+        ("caseless", '<META PROPERTY="og:image" CONTENT="http://t/k.jpg">'),
+    ]
+    df = spark.createDataFrame(rows, "id string, html string")
+    ogi, ogc = fp.og_image_cols("html")
+    out = df.select("id", ogi, ogc)
+    got = {r.id: (r.og_image, r.og_caption) for r in out.collect()}
+    assert got == {
+        "both": ("http://t/i.jpg", "T"),
+        "desc_only": ("http://t/j.jpg", "D2"),
+        "none": (None, None),
+        "caseless": ("http://t/k.jpg", None),
+    }
+    srows = [
+        ("w_beats_x", "a.jpg 2x, b.jpg 800w"),
+        ("frac", "a.jpg 1.5x, b.jpg 1x, c.jpg 1.4x"),
+        ("bare", "a.jpg"),
+        ("bare_vs_2x", "a.jpg, b.jpg 2x"),
+        ("empty", ""),
+        ("ties", "b.jpg 2x, a.jpg 2x"),  # (key, url) max → url tiebreak
+    ]
+    sdf = spark.createDataFrame(srows, "id string, srcset string")
+    sel = sdf.select("id", fp.srcset_best_col("srcset"))
+    sgot = {r.id: r.srcset_best for r in sel.collect()}
+    assert sgot == {
+        "w_beats_x": "b.jpg",
+        "frac": "a.jpg",
+        "bare": "a.jpg",
+        "bare_vs_2x": "b.jpg",
+        "empty": None,
+        "ties": "b.jpg",
+    }
+    for frame in (out, sel):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
