@@ -535,6 +535,14 @@ def extract_images(fetched: DataFrame) -> DataFrame:
             ),
         ),
     )
+    # OpenGraph channel appended LAST (lowest precedence: the resolve
+    # UDF dedups by url with first-wins, so a body reference keeps its
+    # figure/alt caption) — mirrors parsekit.extract_images exactly
+    ogi, ogc = og_image_cols("html")
+    pairs = F.when(
+        ogi.isNotNull(),
+        F.concat(pairs, F.array(F.array(ogi, F.coalesce(ogc, F.lit(""))))),
+    ).otherwise(pairs)
     per_page = fetched.select(
         F.col("host").alias("page_host"),
         F.col("url_norm").alias("page_url"),

@@ -113,8 +113,45 @@ def extract_canonical(page_url: str, html: str) -> str | None:
     return urlkit.resolve_link(page_url, m.group(1))
 
 
+# OpenGraph image+caption channel (og:image + og:title/og:description,
+# title preferred): the SAME patterns as the JVM fetchparse.og_image_cols
+# — case-insensitive attribute forms, leftmost declaration wins.
+_OG_IMG_RE = re.compile(
+    r'<meta\s[^>]*?property="og:image"[^>]*?content="([^"]*)"',
+    re.IGNORECASE | re.DOTALL,
+)
+_OG_TITLE_RE = re.compile(
+    r'<meta\s[^>]*?property="og:title"[^>]*?content="([^"]*)"',
+    re.IGNORECASE | re.DOTALL,
+)
+_OG_DESC_RE = re.compile(
+    r'<meta\s[^>]*?property="og:description"[^>]*?content="([^"]*)"',
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def og_image_pair(html: str) -> tuple[str, str] | None:
+    """(raw og:image url, caption) or None — python twin of the JVM
+    og_image_cols (engine-equality carried by the crawl trace tests)."""
+    if not html:
+        return None
+    m = _OG_IMG_RE.search(html)
+    if m is None or not m.group(1):
+        return None
+    t = _OG_TITLE_RE.search(html)
+    if t is not None and t.group(1):
+        cap = t.group(1)
+    else:
+        d = _OG_DESC_RE.search(html)
+        cap = d.group(1) if d is not None and d.group(1) else ""
+    return m.group(1), cap
+
+
 def extract_images(page_url: str, html: str) -> list[tuple[str, str]]:
-    """(img_url, caption) pairs, document order, within-page dedup by url."""
+    """(img_url, caption) pairs, document order, within-page dedup by
+    url. The OpenGraph channel (og:image + og:title caption) appends
+    LAST — lowest precedence, so a body reference to the same image
+    keeps its figure/alt caption."""
     html = html or ""
     pairs: list[tuple[int, str, str]] = []
     spans: list[tuple[int, int]] = []
@@ -126,6 +163,9 @@ def extract_images(page_url: str, html: str) -> list[tuple[str, str]]:
             continue  # already captured via its figure
         pairs.append((m.start(), m.group(1), m.group(2).strip()))
     pairs.sort(key=lambda t: t[0])
+    og = og_image_pair(html)
+    if og is not None:
+        pairs.append((len(html), og[0], og[1].strip()))
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
     for _, src, cap in pairs:

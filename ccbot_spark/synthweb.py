@@ -60,6 +60,9 @@ class WebConfig:
     sitemap_priority: bool = False  # urlsets carry <priority>0.p</priority>
     # per URL (sitemaps.org), p = sitemap_priority_of — seeds frontier
     # priority when the engine honors it
+    og_pct: int = 0  # % of pages declaring og:image + og:title — the
+    # OpenGraph image+caption discovery channel (always honored by the
+    # parse layer; the knob only plants the tags)
     img_fmts: tuple = _FMTS  # image format cycle; the default 3-cycle
     # keeps every existing fixture byte-stable — pass
     # ("ppm", "png", "qpng", "jpeg") to put real JPEGs (pure-numpy
@@ -199,8 +202,22 @@ def render_page(cfg: WebConfig, url: str, ver: int = 0) -> str:
         mr = meta_robots_of(cfg, url)
         if mr is not None:
             mr_tag = f'<meta name="robots" content="{mr}">'
+    # OpenGraph image+caption (enabled by og_pct): a hash slice of
+    # pages declares a representative image + title — the third
+    # image-discovery channel next to <img alt> and <figure>. The og
+    # image lives in the same /img/ namespace (fetchable like any
+    # other), caption from the shared caption function.
+    og_tag = ""
+    if cfg.og_pct and d[6] % 100 < cfg.og_pct:
+        dog = _digest(f"og:{cfg.seed}:{url}")
+        og_fmt = cfg.img_fmts[dog[0] % len(cfg.img_fmts)]
+        og_url = f"http://{host}/img/og{dog.hex()[:12]}.{og_fmt}"
+        og_tag = (
+            f'<meta property="og:image" content="{og_url}">'
+            f'<meta property="og:title" content="{caption_of(cfg, og_url)}">'
+        )
     parts = [
-        f"<html><head><title>Page {url}</title>{canon_tag}{mr_tag}</head><body>",
+        f"<html><head><title>Page {url}</title>{canon_tag}{mr_tag}{og_tag}</head><body>",
         f"<h1>host {host}</h1><p>lorem {d.hex()[:16]}</p>",
     ]
     for i in range(n_links):

@@ -118,6 +118,10 @@ def parse_args():
                    help="synthetic-web knob: urlsets declare a "
                         "<priority> per URL (the engine always honors "
                         "declared priorities when seeding)")
+    p.add_argument("--og-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of pages declaring "
+                        "og:image + og:title (the parse layer always "
+                        "honors OpenGraph image+caption pairs)")
     p.add_argument("--focus-terms", type=str, default=None,
                    help="comma-separated anchor-text terms: links "
                         "described by these words get a priority boost "
@@ -250,6 +254,7 @@ def main() -> None:
         soft404_pct=args.soft404_pct,
         meta_robots_pct=args.meta_robots_pct,
         sitemap_priority=args.sitemap_priority,
+        og_pct=args.og_pct,
         robots_5xx_pct=args.robots_5xx_pct,
         dead_host_pct=args.dead_host_pct,
         robots_change_every=args.robots_change_every,
