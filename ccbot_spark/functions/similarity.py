@@ -461,3 +461,117 @@ def ann_pq_topk(
             "neighbor_id",
         )
     )
+
+
+# ------------------------------------------------- CLIP-score-shaped filter
+
+
+def caption_tower_sparse(
+    docs: DataFrame, dim: int = 64, text: str = "text"
+) -> Column:
+    """Deterministic STUB text tower for the CLIP-score curation gate:
+    each lowercased caption token hashes into one of `dim` coordinates
+    (first-8-md5-hex-chars bucket — the repo's engine-neutral hash
+    idiom) with a ±1 sign from the 9th md5 hex char's parity; the
+    caption embedding is the signed token-count vector, kept SPARSE as
+    (doc_id, bucket, cval) rows.
+
+    A real deployment swaps this for an ONNX/torch text encoder
+    broadcast to the executors — the surrounding plumbing (sparse
+    per-coordinate rows, integer dot against the stored image
+    embedding, cross-multiplied cosine gate) is the part that has to
+    be Spark-shaped, and it is: one explode + one (doc_id, bucket)
+    hash-agg with map-side combine, ≤ min(n_tokens, dim) rows per
+    caption into the join. Returns a DataFrame (doc_id, bucket, cval),
+    zero rows for coordinates that cancel to 0."""
+    from . import textkit
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                textkit.tokens(F.lower(F.col(text))),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    sign = (
+        F.conv(F.substring(F.md5(F.col("tok")), 9, 1), 16, 10).cast("long")
+        % 2
+    ) * 2 - 1
+    return (
+        toks.select(
+            "doc_id",
+            textkit.feature_bucket(F.col("tok"), dim).alias("bucket"),
+            sign.alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("cval"))
+        .filter(F.col("cval") != 0)
+    )
+
+
+def clip_align_filter(
+    docs: DataFrame,
+    embs: DataFrame,
+    dim: int = 64,
+    t4: int = 200,
+    text: str = "text",
+) -> DataFrame:
+    """CLIP-score-shaped image–text alignment gate (the LAION-400M/5B
+    curation step: drop pairs whose caption does not describe the
+    image, cosine(text_emb, image_emb) < threshold).
+
+    The image tower's output is the stored `embedding` column
+    (embeddings table, vec_id = the pair id); the text tower is the
+    deterministic stub in `caption_tower_sparse` (a deployment
+    broadcasts real encoder weights there). Both sides are made
+    ENGINE-EXACT: the image embedding is unit-normalized and quantized
+    to int64 (floor(x/‖x‖·2^20) — `_quantized_unit`, the IVF
+    discipline), the caption vector is integer by construction, and
+    the cosine threshold is a cross-multiplied integer compare in
+    decimal(38,0) (exact: |10^8·dot²| < 10^26 ≪ 10^38), so there is no
+    float-hash hazard anywhere.
+
+    Scale shape: caption side explodes to ≤ min(n_tokens, dim) sparse
+    rows per doc and hash-aggregates with map-side combine; ONE
+    equi-join on the pair id attaches the image vector; the dot is
+    element_at on the quantized array (JVM, no shuffle beyond the
+    join); per-pair reduce is a second hash-agg on the same key. The
+    embedding array never leaves the JVM and the blob/text columns are
+    pruned before the shuffle. keep ⇔ dot > 0 ∧ 10^8·dot² ≥
+    t4²·cap_n2·img_n2 (t4 = cosine threshold in 1e-4 units).
+
+    Returns (image_id, dot, cap_n2, img_n2, keep) — all int64."""
+    cap = caption_tower_sparse(docs, dim=dim, text=text)
+    qv = _quantized_unit(embs).select(
+        F.col("vec_id").alias("image_id"),
+        "q",
+        _idot(F.col("q"), F.col("q")).alias("img_n2"),
+    )
+    j = cap.join(
+        qv, cap["doc_id"] == qv["image_id"]
+    ).select(
+        "image_id",
+        "img_n2",
+        (F.col("cval") * F.element_at("q", F.col("bucket").cast("int") + 1))
+        .alias("term"),
+        (F.col("cval") * F.col("cval")).alias("c2"),
+    )
+    per = j.groupBy("image_id", "img_n2").agg(
+        F.sum("term").cast("long").alias("dot"),
+        F.sum("c2").cast("long").alias("cap_n2"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lhs = d38(F.lit(100000000)) * d38(F.col("dot")) * d38(F.col("dot"))
+    rhs = (
+        d38(F.lit(t4 * t4)) * d38(F.col("cap_n2")) * d38(F.col("img_n2"))
+    )
+    keep = (F.col("dot") > 0) & (lhs >= rhs)
+    return per.select(
+        "image_id",
+        "dot",
+        "cap_n2",
+        "img_n2",
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )

@@ -659,6 +659,17 @@ def register(q):
         )
     q["img_wds_shards"] = img_wds_shards
 
+    def imgcap_clip_filter(spark, sf_dir):
+        # CLIP-score-shaped alignment gate (LAION curation): stored
+        # image embeddings (embeddings.vec_id = pair id) vs the
+        # deterministic stub caption tower over documents.text —
+        # cosine threshold as an integer cross-multiplied compare
+        # (t4 = 200 ⇒ cos ≥ 0.02; splits the fixture both ways).
+        docs = _t(spark, sf_dir, "documents")
+        embs = _t(spark, sf_dir, "embeddings")
+        return similarity.clip_align_filter(docs, embs, dim=64, t4=200)
+    q["imgcap_clip_filter"] = imgcap_clip_filter
+
 
 def register_sql(o):
 
@@ -1316,4 +1327,60 @@ def register_sql(o):
             PARTITION BY cluster_id ORDER BY area DESC, doc_id) AS rn
           FROM joined
         ) WHERE rn = 1
+    """
+
+    # --- imgcap_clip_filter: replay the stub caption tower (md5
+    # bucket + 9th-hex-char sign parity), the 2^20 unit quantization
+    # of the image embedding (identical fold order to ann_ivf), the
+    # sparse integer dot, and the HUGEINT cross-multiplied cosine
+    # gate (Spark side computes it in decimal(38,0) — both exact).
+    o["imgcap_clip_filter"] = f"""
+        WITH e AS ({_EMB_D}),
+        qn AS (
+          SELECT vec_id AS image_id,
+                 list_transform(emb, x -> CAST(FLOOR(
+                   x / sqrt(list_sum(list_transform(emb, y -> y*y)))
+                     * 1048576.0) AS BIGINT)) AS q
+          FROM e
+        ),
+        qv AS (
+          SELECT image_id, q,
+                 list_sum(list_transform(q, x -> x*x)) AS img_n2
+          FROM qn
+        ),
+        tok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        ),
+        hx AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(
+                   string_split(substr(md5(tok), 1, 8), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % 64 AS bucket,
+                 (CAST(strpos('0123456789abcdef',
+                              substr(md5(tok), 9, 1)) - 1 AS BIGINT) % 2)
+                   * 2 - 1 AS s
+          FROM tok WHERE tok <> ''
+        ),
+        cap AS (
+          SELECT doc_id, bucket, SUM(s) AS cval
+          FROM hx GROUP BY doc_id, bucket HAVING SUM(s) <> 0
+        ),
+        j AS (
+          SELECT image_id, img_n2,
+                 SUM(cval * q[CAST(bucket AS INTEGER) + 1]) AS dot,
+                 SUM(cval * cval) AS cap_n2
+          FROM cap JOIN qv ON qv.image_id = cap.doc_id
+          GROUP BY image_id, img_n2
+        )
+        SELECT image_id,
+               CAST(dot AS BIGINT) AS dot,
+               CAST(cap_n2 AS BIGINT) AS cap_n2,
+               CAST(img_n2 AS BIGINT) AS img_n2,
+               CAST(CASE WHEN dot > 0
+                          AND CAST(100000000 AS HUGEINT) * dot * dot
+                              >= CAST(40000 AS HUGEINT) * cap_n2 * img_n2
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM j
     """

@@ -1454,3 +1454,69 @@ def test_og_and_srcset_parsing(spark):
     for frame in (out, sel):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+# ------------------------------------------- CLIP-score alignment filter
+
+def test_clip_align_filter_matches_python(spark, docs, embs):
+    """clip_align_filter == an independent hashlib/numpy recomputation
+    of the stub caption tower, the 2^20 unit quantization, the sparse
+    integer dot, and the cross-multiplied cosine gate — and the gate
+    fires BOTH ways on the fixture."""
+    import hashlib
+
+    got = {
+        r.image_id: r
+        for r in similarity.clip_align_filter(docs, embs, dim=64, t4=200)
+        .collect()
+    }
+    emb_rows = {r.vec_id: list(r.embedding) for r in embs.collect()}
+    kept = rejected = 0
+    for row in docs.collect():
+        if row.doc_id not in emb_rows:
+            continue
+        # caption tower (sparse signed token counts)
+        vec = {}
+        for tok in row.text.lower().split(" "):
+            if tok == "":
+                continue
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            b = int(hx[:8], 16) % 64
+            s = (int(hx[8], 16) % 2) * 2 - 1
+            vec[b] = vec.get(b, 0) + s
+        vec = {b: v for b, v in vec.items() if v != 0}
+        # image tower: unit-normalize (left fold) + floor-quantize
+        e = [float(np.float64(x)) for x in emb_rows[row.doc_id]]
+        acc = 0.0
+        for x in e:
+            acc += x * x
+        nrm = float(np.sqrt(acc))
+        q = [int(np.floor(x / nrm * 1048576.0)) for x in e]
+        if not vec:
+            assert row.doc_id not in got
+            continue
+        dot = sum(v * q[b] for b, v in vec.items())
+        cap_n2 = sum(v * v for v in vec.values())
+        img_n2 = sum(x * x for x in q)
+        keep = int(dot > 0 and 10**8 * dot * dot >= 200 * 200 * cap_n2 * img_n2)
+        g = got[row.doc_id]
+        assert (g.dot, g.cap_n2, g.img_n2, g.keep) == (
+            dot, cap_n2, img_n2, keep,
+        ), row.doc_id
+        kept += keep
+        rejected += 1 - keep
+    assert kept > 0 and rejected > 0
+
+
+def test_clip_align_filter_jvm_only(spark, docs, embs):
+    """The alignment gate never leaves the JVM: no Python eval node of
+    any kind in the physical plan (the stub tower is md5/conv exprs;
+    the dot is element_at over the quantized array)."""
+    from ccbot_spark.plans import explainkit
+
+    plan = explainkit.formatted_plan(
+        similarity.clip_align_filter(docs, embs, dim=64, t4=200)
+    )
+    for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert pynode not in plan
