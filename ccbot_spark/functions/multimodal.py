@@ -1456,3 +1456,111 @@ def aspect_profile(meta: DataFrame) -> DataFrame:
             F.sum(F.col("hdr_w") * F.col("hdr_h")).alias("total_px"),
         )
     )
+
+
+# ----------------------------------------------- low-information image gate
+
+
+def synth_flat_mix_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic fixture for the low-information gate: three pixel
+    classes by doc_id % 3 — 0: SOLID (one color, zero variance),
+    1: LOW-CONTRAST checkerboard (two values 8 apart — per-pixel
+    variance 16, closed-form from (w, h, c) arithmetic so DuckDB can
+    replay the verdict), 2: full random noise (the keepable class).
+    Dims and base color are doc_id arithmetic; encoded round-robin
+    over the lossless containers (ppm/png/bmp) so the stats are
+    decode-invariant."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 24 + d % 50
+                h = 24 + (d * 3) % 50
+                c = d * 37 % 240
+                cls = d % 3
+                if cls == 0:
+                    px = np.full((h, w, 3), c, dtype=np.uint8)
+                elif cls == 1:
+                    ij = np.add.outer(np.arange(h), np.arange(w)) % 2
+                    px = np.repeat(
+                        (c + 8 * ij)[:, :, None], 3, axis=2
+                    ).astype(np.uint8)
+                else:
+                    px = np.random.RandomState(d).randint(
+                        0, 256, size=(h, w, 3), dtype=np.uint8
+                    )
+                fmt = ("ppm", "png", "bmp")[(d // 3) % 3]
+                rows.append((f"doc-{d}", codecs.encode(px, fmt), w, h, fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def pixel_stats(images: DataFrame, t2: int = 10) -> DataFrame:
+    """Flat / low-information image gate — the curation step that drops
+    solid-color placeholders, tracking pixels and near-blank banners a
+    web crawl inevitably stores (they carry no training signal but
+    plenty of bytes).
+
+    Per image, ONE Arrow decode pass computes exact integer pixel
+    moments over all channels: n_px = 3·w·h, and the variance
+    NUMERATOR var_num = n·Σx² − (Σx)² (so the verdicts are integer
+    cross-multiplications, never float thresholds):
+
+      is_flat  ⇔ var_num == 0            (every sample identical)
+      keep = 0 ⇔ 4·var_num < t2²·n_px²   (std < t2/2 gray levels)
+
+    Exactness bound: var_num ≤ n²·255² needs n < 1.19e7 samples, i.e.
+    images up to ~4 MP — beyond that, compute per-tile or in float;
+    crawl thumbnails are far below it. Scale shape: iterator
+    mapInPandas (bounded batches), blob consumed and DROPPED in the
+    same stage — downstream sees 6 integer columns, zero shuffle.
+
+    Returns (image_id, w, h, n_px, var_num, is_flat, keep)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("var_num", T.LongType(), False),
+            T.StructField("is_flat", T.LongType(), False),
+            T.StructField("keep", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_bytes(bytes(r.bytes), r.fmt)
+                flat = px.reshape(-1).astype(np.int64)
+                n = int(flat.size)
+                sx = int(flat.sum())
+                sx2 = int((flat * flat).sum())
+                var_num = n * sx2 - sx * sx
+                is_flat = int(var_num == 0)
+                keep = int(4 * var_num >= t2 * t2 * n * n)
+                rows.append(
+                    (r.image_id, px.shape[1], px.shape[0], n, var_num,
+                     is_flat, keep)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return images.mapInPandas(gen, schema=out_schema)

@@ -670,6 +670,22 @@ def register(q):
         return similarity.clip_align_filter(docs, embs, dim=64, t4=200)
     q["imgcap_clip_filter"] = imgcap_clip_filter
 
+    def img_flat_gate(spark, sf_dir):
+        # low-information gate: exact integer pixel moments from one
+        # Arrow decode pass; verdicts are integer cross-multiplied
+        # (is_flat ⇔ var_num = 0; keep ⇔ 4·var_num ≥ t2²·n²). The
+        # fixture plants three classes (solid / 8-level checkerboard /
+        # noise) whose verdicts DuckDB re-derives from the dims + base
+        # color arithmetic — var_num itself is pixel data, so only the
+        # closed-form columns are exposed here (the exact var_num is
+        # pytest-gated vs numpy in tests/test_functions.py).
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        imgs = multimodal.synth_flat_mix_from_docs(docs)
+        return multimodal.pixel_stats(imgs, t2=10).select(
+            "image_id", "w", "h", "is_flat", "keep"
+        )
+    q["img_flat_gate"] = img_flat_gate
+
 
 def register_sql(o):
 
@@ -1383,4 +1399,43 @@ def register_sql(o):
                               >= CAST(40000 AS HUGEINT) * cap_n2 * img_n2
                      THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM j
+    """
+
+    # --- img_flat_gate: re-derive the three-class fixture's verdicts
+    # from doc_id arithmetic. Solid → flat + reject; checkerboard →
+    # var_num computed in closed form from (w, h, c) — k = wh//2 cells
+    # hold c+8, the rest c — and compared 4·var_num ≥ 100·n²; noise →
+    # keep (fixture truth: uniform-random uint8 variance ≈ 5461 ≫ 25).
+    o["img_flat_gate"] = """
+        WITH d AS (
+          SELECT doc_id AS d,
+                 24 + doc_id % 50 AS w,
+                 24 + (doc_id * 3) % 50 AS h,
+                 (doc_id * 37) % 240 AS c,
+                 doc_id % 3 AS cls
+          FROM documents WHERE doc_id < 300
+        ),
+        chk AS (
+          SELECT *,
+                 (w * h) // 2 AS k,
+                 3 * w * h AS n
+          FROM d
+        ),
+        v AS (
+          SELECT *,
+                 3 * ((w * h - k) * c + k * (c + 8)) AS sx,
+                 3 * ((w * h - k) * c * c + k * (c + 8) * (c + 8)) AS sx2
+          FROM chk
+        )
+        SELECT 'doc-' || CAST(d AS VARCHAR) AS image_id,
+               CAST(w AS INTEGER) AS w,
+               CAST(h AS INTEGER) AS h,
+               CAST(CASE WHEN cls = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_flat,
+               CAST(CASE
+                 WHEN cls = 2 THEN 1
+                 WHEN cls = 0 THEN 0
+                 ELSE CASE WHEN 4 * (n * sx2 - sx * sx) >= 100 * n * n
+                           THEN 1 ELSE 0 END
+               END AS BIGINT) AS keep
+        FROM v
     """

@@ -1520,3 +1520,32 @@ def test_clip_align_filter_jvm_only(spark, docs, embs):
     for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert pynode not in plan
+
+
+# ------------------------------------------- low-information image gate
+
+def test_pixel_stats_matches_numpy(spark, docs):
+    """pixel_stats' exact integer moments == an independent numpy
+    recomputation on the decoded pixels (including var_num, which the
+    oracled entry cannot expose for the noise class), and the fixture
+    exercises every verdict combination."""
+    imgs = multimodal.synth_flat_mix_from_docs(
+        docs.filter(F.col("doc_id") < 60)
+    ).cache()
+    got = {r.image_id: r for r in multimodal.pixel_stats(imgs, t2=10).collect()}
+    seen = set()
+    for r in imgs.collect():
+        px = multimodal.decode_bytes(bytes(r.bytes), r.fmt)
+        flat = px.reshape(-1).astype(np.int64)
+        n = int(flat.size)
+        sx = int(flat.sum())
+        sx2 = int((flat * flat).sum())
+        var_num = n * sx2 - sx * sx
+        g = got[r.image_id]
+        assert (g.n_px, g.var_num) == (n, var_num), r.image_id
+        assert g.is_flat == int(var_num == 0)
+        assert g.keep == int(4 * var_num >= 100 * n * n)
+        seen.add((g.is_flat, g.keep))
+    imgs.unpersist()
+    # solid → (1, 0); checkerboard → (0, 0); noise → (0, 1)
+    assert seen == {(1, 0), (0, 0), (0, 1)}
