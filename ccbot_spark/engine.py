@@ -91,6 +91,7 @@ class CrawlEngine:
         warc_revisit: bool = True,
         fetcher=None,
         fetch_checkpoint: bool = False,
+        etag_revalidate: bool = False,
         wds_dir: str | None = None,
         wds_target_bytes: int = 1 << 20,
         wds_grouped: bool = False,
@@ -243,6 +244,13 @@ class CrawlEngine:
         # (url, retries) -> (ok, redirect, html) callable swaps in a
         # real HTTP client (loopback-tested in tests/test_http_fetch.py)
         self.fetcher = fetcher
+        # strong-validator conditional GET (If-None-Match): the epoch
+        # precheck stays as the Last-Modified fast path; the fetch
+        # worker additionally 304s revisits whose entity bytes equal
+        # the validator stored at the last 200 — the etag_stable_pct
+        # slice the epoch clock would needlessly re-download. Mirrored
+        # by oracle.crawl(etag_revalidate=True).
+        self.etag_revalidate = etag_revalidate
         # mid-cycle checkpoint: at 100 TB a cycle is hours and FETCH is
         # the stage that consumes politeness slots — a crash after it
         # must NOT re-fetch. With fetch_checkpoint on, the fetch output
@@ -1097,6 +1105,7 @@ class CrawlEngine:
                 fetcher=self.fetcher,
                 cycle=cycle,
                 group_col=fetch_group_col,
+                etag_revalidate=self.etag_revalidate,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             fetched_raw = fetched
             if fetch_parts and fetch_parts > 4 * self.n_buckets:

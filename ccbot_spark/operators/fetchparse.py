@@ -58,6 +58,8 @@ def fetch(
     fetcher=None,
     cycle: int = 0,
     group_col: str | None = None,
+    etag_revalidate: bool = False,
+    etag_prev_body=None,
 ) -> DataFrame:
     """batch: generate()['fetch'] → FETCHED DF (html attached).
 
@@ -96,6 +98,21 @@ def fetch(
 
     if fetcher is None:
         fetcher = default_fetcher(cfg, content_ver)
+
+    # etag_revalidate: strong-validator conditional GET. The epoch
+    # precheck (the Last-Modified model, decided JVM-side upstream)
+    # already 304s same-epoch revisits; this seam catches the rest —
+    # pages whose epoch moved but whose ENTITY BYTES did not
+    # (synthweb.etag_stable_pct slice). etag_prev_body is the validator
+    # source: ``(url, prev_ver) -> body`` whose bytes md5-equal the
+    # validator stored at the last 200 (a deployment reads the stored
+    # ETag from the frontier and lets the server compare via
+    # If-None-Match; the synthetic server is a pure function, so the
+    # worker reconstructs and compares locally — same observable).
+    if etag_revalidate and etag_prev_body is None:
+        def etag_prev_body(url, prev_ver, _cfg=cfg):
+            return synthweb.fetch(_cfg, url, prev_ver)
+    etag_check = etag_prev_body if etag_revalidate else None
 
     # group_col: the politeness unit owning one worker's schedule.
     # Default is the host; IP-level politeness passes "ip" (from
@@ -154,9 +171,10 @@ def fetch(
         }
         htmls, oks, redirs, nms, rls, nbs = [], [], [], [], [], []
         last = None
-        for url, st, rt, unch, slot, rl in zip(
+        for url, st, rt, unch, slot, rl, lc, stat in zip(
             pdf["url_norm"], pdf["sched_time"], pdf["retries"], unch_in,
             pdf["sched_slot"], pdf["host"].map(rl_by_host),
+            lc_in, st_in,
         ):
             if enforce_delay_wallclock and last is not None:
                 # delay_scale compresses the politeness clock for
@@ -195,8 +213,28 @@ def fetch(
             # 301: slot consumed, no body; normalized Location target
             # rides along for the discovered-link path
             redirs.append(tgt)
-            htmls.append(html if ok and tgt is None else "")
-            nms.append(False)
+            body = html if ok and tgt is None else ""
+            nm = False
+            if (
+                etag_check is not None
+                and ok
+                and tgt is None
+                and str(stat) == "fetched"
+                and int(lc) >= 0
+            ):
+                # If-None-Match: the entity's strong validator equals
+                # the one stored at the last 200 → 304, body withheld.
+                # Runs BEFORE every body gate (a 304 has no body), and
+                # only after the fail/redirect branches (a server
+                # revalidates only what it would have served).
+                prev_ver = (
+                    int(lc) // cfg.change_every if cfg.change_every else 0
+                )
+                if etag_check(url, prev_ver) == body:
+                    nm = True
+                    body = ""
+            htmls.append(body)
+            nms.append(nm)
         out = pdf[["url_norm", "host", "priority", "sched_slot", "sched_time", "retries"]].copy()
         out["html"] = htmls
         out["ok"] = pd.Series(oks, index=out.index, dtype=bool)

@@ -99,6 +99,7 @@ def crawl(
     max_depth: int = 0,
     recrawl_every: int = 0,
     adaptive_recrawl: bool = False,
+    etag_revalidate: bool = False,
     content_dedup: bool = False,
     age_boost: int = 0,
     canonical_dedup: bool = False,
@@ -437,6 +438,31 @@ def crawl(
                             disc_depth[tgt] = e.depth + 1
                 continue
             html = synthweb.fetch(cfg, url, cur_ver)
+            # strong-validator conditional GET (If-None-Match): the
+            # entity's bytes equal the validator stored at the last
+            # 200 → 304, body withheld. Decided by the server BEFORE
+            # any body gate (a 304 has no body to size/sniff), and
+            # only on the success path (fail/redirect already branched
+            # above). Mirrors fetchparse.fetch's worker-side compare.
+            if (
+                etag_revalidate
+                and e.status == "fetched"
+                and e.last_cycle >= 0
+                and html
+                == synthweb.fetch(
+                    cfg,
+                    url,
+                    e.last_cycle // cfg.change_every
+                    if cfg.change_every
+                    else 0,
+                )
+            ):
+                e.last_cycle = cycle
+                if adaptive_recrawl:
+                    e.interval = min(e.interval * 2, ADAPT_MAX)
+                m["not_modified"] += 1
+                events.append((2, st, host, url, slot, "not_modified"))
+                continue
             if (
                 max_body_bytes
                 and len(html.encode("utf-8")) > max_body_bytes

@@ -63,6 +63,11 @@ class WebConfig:
     og_pct: int = 0  # % of pages declaring og:image + og:title — the
     # OpenGraph image+caption discovery channel (always honored by the
     # parse layer; the knob only plants the tags)
+    etag_stable_pct: int = 0  # % of pages whose body NEVER re-renders
+    # across content epochs (boilerplate/landing pages): the slice the
+    # ETag validator exists for — Last-Modified says "stale", the
+    # entity bytes say "unchanged". 0 keeps every body byte-identical
+    # to the historical fixtures.
     img_fmts: tuple = _FMTS  # image format cycle; the default 3-cycle
     # keeps every existing fixture byte-stable — pass
     # ("ppm", "png", "qpng", "jpeg") to put real JPEGs (pure-numpy
@@ -582,4 +587,19 @@ def fetch(cfg: WebConfig, url: str, ver: int = 0) -> str:
     u = canon if canon is not None else url
     if soft404_of(cfg, url):
         return soft404_body(u)
+    if ver and etag_stable(cfg, u):
+        # epoch-invariant page: every epoch serves the epoch-0 bytes
+        ver = 0
     return render_page(cfg, u, ver)
+
+
+def etag_stable(cfg: WebConfig, url: str) -> bool:
+    """True for the deterministic etag_stable_pct slice of pages whose
+    body is EPOCH-INVARIANT: the content clock (Last-Modified model)
+    marks them changed every epoch, but the served bytes — and so the
+    strong validator — never move. Decided on the mirror-canonical URL
+    so a mirror and its canonical stay in lockstep. Pure function of
+    (cfg, url) — oracle and engine agree."""
+    if not cfg.etag_stable_pct:
+        return False
+    return _digest(f"etstable:{cfg.seed}:{url}")[0] % 100 < cfg.etag_stable_pct

@@ -114,6 +114,14 @@ def parse_args():
     p.add_argument("--meta-robots-pct", type=int, default=0,
                    help="synthetic-web knob: %% of pages declaring a "
                         "robots meta directive (noindex/nofollow/both)")
+    p.add_argument("--etag-revalidate", action="store_true",
+                   help="strong-validator conditional GET: revisits "
+                        "whose entity bytes match the stored ETag "
+                        "answer 304 even when the content clock says "
+                        "stale")
+    p.add_argument("--etag-stable-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of pages whose body "
+                        "never re-renders across content epochs")
     p.add_argument("--sitemap-priority", action="store_true",
                    help="synthetic-web knob: urlsets declare a "
                         "<priority> per URL (the engine always honors "
@@ -253,6 +261,7 @@ def main() -> None:
         canonical_pct=args.canonical_pct,
         soft404_pct=args.soft404_pct,
         meta_robots_pct=args.meta_robots_pct,
+        etag_stable_pct=args.etag_stable_pct,
         sitemap_priority=args.sitemap_priority,
         og_pct=args.og_pct,
         robots_5xx_pct=args.robots_5xx_pct,
@@ -294,6 +303,7 @@ def main() -> None:
         canonical_dedup=args.canonical,
         soft404_detect=args.soft404_detect,
         meta_robots=args.meta_robots,
+        etag_revalidate=args.etag_revalidate,
         anchor_texts=args.anchor_texts,
         focus_terms=(
             args.focus_terms.split(",") if args.focus_terms else None
