@@ -113,6 +113,21 @@ def fetch(
         def etag_prev_body(url, prev_ver, _cfg=cfg):
             return synthweb.fetch(_cfg, url, prev_ver)
     etag_check = etag_prev_body if etag_revalidate else None
+    # A transport that accepts a third positional arg gets the stored
+    # validator IN THE REQUEST (true If-None-Match: the server compares
+    # and answers 304, signalled by a 4th tuple element) — the loopback
+    # http.server test drives this. A 2-arg transport keeps the
+    # worker-side compare above.
+    fetcher_takes_etag = False
+    if etag_check is not None:
+        import inspect
+
+        try:
+            fetcher_takes_etag = (
+                len(inspect.signature(fetcher).parameters) >= 3
+            )
+        except (TypeError, ValueError):
+            fetcher_takes_etag = False
 
     # group_col: the politeness unit owning one worker's schedule.
     # Default is the host; IP-level politeness passes "ip" (from
@@ -208,28 +223,46 @@ def fetch(
                 continue
             # transport seam: synthetic pure function by default, real
             # sockets in production / the loopback test
-            ok, tgt, html = fetcher(url, int(rt))
+            revisit = (
+                etag_check is not None
+                and str(stat) == "fetched"
+                and int(lc) >= 0
+            )
+            prev_ver = (
+                (int(lc) // cfg.change_every if cfg.change_every else 0)
+                if revisit
+                else 0
+            )
+            if revisit and fetcher_takes_etag:
+                # true If-None-Match: the stored validator rides the
+                # request header; the SERVER compares and answers 304
+                # (4th tuple element) with no entity transferred.
+                import hashlib
+
+                presented = hashlib.md5(
+                    etag_check(url, prev_ver).encode("utf-8")
+                ).hexdigest()
+                res = fetcher(url, int(rt), presented)
+            else:
+                res = fetcher(url, int(rt))
+            ok, tgt, html = res[0], res[1], res[2]
+            nm = len(res) > 3 and bool(res[3])
             oks.append(bool(ok))
             # 301: slot consumed, no body; normalized Location target
             # rides along for the discovered-link path
             redirs.append(tgt)
-            body = html if ok and tgt is None else ""
-            nm = False
+            body = html if ok and tgt is None and not nm else ""
             if (
-                etag_check is not None
+                revisit
+                and not fetcher_takes_etag
                 and ok
                 and tgt is None
-                and str(stat) == "fetched"
-                and int(lc) >= 0
             ):
-                # If-None-Match: the entity's strong validator equals
+                # 2-arg transport: the entity's strong validator equals
                 # the one stored at the last 200 → 304, body withheld.
                 # Runs BEFORE every body gate (a 304 has no body), and
                 # only after the fail/redirect branches (a server
                 # revalidates only what it would have served).
-                prev_ver = (
-                    int(lc) // cfg.change_every if cfg.change_every else 0
-                )
                 if etag_check(url, prev_ver) == body:
                     nm = True
                     body = ""

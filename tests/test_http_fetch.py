@@ -154,3 +154,148 @@ def test_loopback_http_with_ip_politeness(spark, tmp_path, loopback_port):
     ]
     assert trace == want.trace
     assert {r.url_norm for r in eng.seen.read().collect()} == set(want.seen)
+
+
+# --------------------------------------------- If-None-Match over sockets
+
+CFG_ET = synthweb.WebConfig(
+    n_hosts=3, pages_per_host=20, change_every=2, etag_stable_pct=50,
+)
+ET_CYCLES = 4  # epochs 0,0,1,1 — one boundary for the validator to catch
+
+
+class _EtagHandler(BaseHTTPRequestHandler):
+    """Loopback server for a CHANGING web: serves the body of the
+    current content epoch (`ver`, advanced by the test between engine
+    cycles — a real server just serves current content) and honors
+    If-None-Match with the md5-of-entity strong validator."""
+
+    ver = 0
+    hits_304 = 0
+
+    def do_GET(self):  # noqa: N802 (stdlib API)
+        path, _, q = self.path.partition("?")
+        rt = int(parse_qs(q).get("rt", ["0"])[0])
+        vhost, _, vpath = path.lstrip("/").partition("/")
+        url = f"http://{vhost}/{vpath}"
+        if not synthweb.fetch_ok(CFG_ET, url, rt):
+            self.send_response(503)
+            self.end_headers()
+            return
+        tgt = synthweb.redirect_of(CFG_ET, url)
+        if tgt is not None:
+            self.send_response(301)
+            self.send_header("Location", tgt)
+            self.end_headers()
+            return
+        import hashlib
+
+        body = synthweb.fetch(CFG_ET, url, type(self).ver)
+        etag = hashlib.md5(body.encode("utf-8")).hexdigest()
+        if self.headers.get("If-None-Match") == etag:
+            type(self).hits_304 += 1
+            self.send_response(304)
+            self.send_header("ETag", etag)
+            self.end_headers()
+            return
+        data = body.encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("ETag", etag)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *args):
+        pass
+
+
+def make_etag_http_fetcher(port: int):
+    """3-arg transport for the fetchparse seam: the stored validator
+    rides as If-None-Match; an HTTP 304 comes back as the 4th tuple
+    element (not_modified) with no entity transferred."""
+
+    def http_fetch(url: str, retries: int, etag: str | None = None):
+        import urllib.error
+        import urllib.request
+
+        from ccbot_spark import urlkit
+
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        path = url[url.index("/", url.index("://") + 3):]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/{host}{path}?rt={retries}"
+        )
+        if etag is not None:
+            req.add_header("If-None-Match", etag)
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):
+                return None
+
+        opener = urllib.request.build_opener(_NoRedirect)
+        try:
+            with opener.open(req, timeout=10) as resp:
+                return True, None, resp.read().decode("utf-8"), False
+        except urllib.error.HTTPError as e:
+            if e.code == 304:
+                return True, None, "", True
+            if e.code == 301:
+                return (
+                    True, urlkit.normalize_url(e.headers["Location"]), "",
+                    False,
+                )
+            return False, None, "", False
+
+    return http_fetch
+
+
+def test_loopback_http_etag_revalidation(spark, tmp_path):
+    """ETag revalidation over REAL sockets: the engine sends the stored
+    validator as If-None-Match, the loopback server compares and
+    answers genuine HTTP 304s — and the trace/seen still equal both
+    the pure-function etag run and the oracle. Cycles run one at a
+    time so the test can advance the server's content epoch the way
+    wall-clock time would."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _EtagHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    seeds = synthweb.seed_urls(CFG_ET, 9)
+    want = oracle.crawl(
+        CFG_ET, seeds, cycles=ET_CYCLES, recrawl_every=1,
+        adaptive_recrawl=True, etag_revalidate=True,
+    )
+    kw = dict(
+        n_buckets=8, bloom_min_seen=0, record_trace=True, hot_host_min=10,
+        recrawl_every=1, adaptive_recrawl=True, etag_revalidate=True,
+    )
+    try:
+        eng = CrawlEngine(
+            spark, CFG_ET, str(tmp_path / "et_http"),
+            fetcher=make_etag_http_fetcher(port),
+            enforce_delay_wallclock=True, delay_scale=0.02, **kw,
+        )
+        for c in range(1, ET_CYCLES + 1):
+            _EtagHandler.ver = synthweb.content_version(CFG_ET, c)
+            eng.crawl(seeds, cycles=c, start_cycle=c - 1)
+    finally:
+        srv.shutdown()
+    pure = CrawlEngine(spark, CFG_ET, str(tmp_path / "et_pure"), **kw)
+    pure.crawl(seeds, cycles=ET_CYCLES)
+
+    def _t(eng):
+        return [
+            (r.seq, r.cycle, r.url_norm, r.host, r.sched_slot, r.action)
+            for r in eng.trace.read().orderBy("seq").collect()
+        ]
+
+    assert _t(eng) == _t(pure) == want.trace
+    assert (
+        {r.url_norm for r in eng.seen.read().collect()}
+        == {r.url_norm for r in pure.seen.read().collect()}
+        == set(want.seen)
+    )
+    # the wire really carried validators: the server answered ≥ 1
+    # genuine 304, and the trace recorded not_modified events
+    assert _EtagHandler.hits_304 > 0
+    assert any(a == "not_modified" for *_x, a in want.trace)
