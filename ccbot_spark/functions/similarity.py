@@ -575,3 +575,91 @@ def clip_align_filter(
         "img_n2",
         F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
     )
+
+
+def clip_align_project(
+    df: DataFrame,
+    dim: int = 64,
+    t4: int = 200,
+    caption: str = "caption",
+    embedding: str = "embedding",
+    id_col: str = "image_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Per-ROW projection form of `clip_align_filter` — the SAME
+    integers (stub tower, 2^20 quantization, dot, cross-multiplied
+    gate) computed as one stateless JVM expression per pair, no
+    explode, no shuffle, no state. This is the form a STREAM applies
+    (Structured Streaming stateless projection; also the right shape
+    when the pair row already carries both caption and embedding and a
+    dense O(dim·n_tokens) per-row fold beats two hash-aggs).
+
+    Rows whose caption tower is identically zero (no tokens, or every
+    coordinate cancels) are dropped — the sparse batch form never
+    emits them either. Returns (id, dot, cap_n2, img_n2, keep) +
+    keep_cols passthrough."""
+    toks = F.filter(
+        F.split(F.lower(F.col(caption)), " "), lambda t: t != F.lit("")
+    )
+    zero = F.lit(0).cast("long")
+
+    def bucket(t):
+        return F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(dim),
+        )
+
+    def sign(t):
+        return (
+            F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("long") % 2
+        ) * 2 - 1
+
+    cap_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.aggregate(
+            toks,
+            zero,
+            lambda acc, t: acc
+            + F.when(bucket(t) == b.cast("long"), sign(t)).otherwise(zero),
+        ),
+    )
+    v = F.transform(F.col(embedding), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    q = F.transform(
+        v, lambda x: F.floor(x / nrm * F.lit(float(IVF_SCALE))).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("image_id"),
+        *[F.col(c) for c in keep_cols],
+        cap_vec.alias("_cap"),
+        q.alias("_q"),
+    ).select(
+        "image_id",
+        *keep_cols,
+        F.aggregate(
+            F.zip_with(F.col("_cap"), F.col("_q"), lambda c, x: c * x),
+            zero,
+            lambda a, x: a + x,
+        ).alias("dot"),
+        F.aggregate(
+            F.col("_cap"), zero, lambda a, c: a + c * c
+        ).alias("cap_n2"),
+        _idot(F.col("_q"), F.col("_q")).alias("img_n2"),
+    ).filter(F.col("cap_n2") != 0)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    keep = (F.col("dot") > 0) & (
+        d38(F.lit(100000000)) * d38(F.col("dot")) * d38(F.col("dot"))
+        >= d38(F.lit(t4 * t4)) * d38(F.col("cap_n2")) * d38(F.col("img_n2"))
+    )
+    return base.select(
+        "image_id",
+        *keep_cols,
+        "dot",
+        "cap_n2",
+        "img_n2",
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )

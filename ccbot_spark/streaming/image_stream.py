@@ -159,3 +159,62 @@ def st_wds_export(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------- image+caption pair stream
+
+# Pair-ingest schema: the crawler's image+caption sink rows with the
+# stored embedding attached (the image tower runs at ingest in a real
+# deployment; here the stub discipline of functions/similarity.py).
+IMGCAP_EVENTS = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def read_imgcap_events(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(IMGCAP_EVENTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pairs_dir)
+    )
+
+
+def st_imgcap_filter(pairs: DataFrame) -> DataFrame:
+    """CLIP-score alignment gate IN the ingest stream: the per-row
+    projection form (`similarity.clip_align_project`) — stub caption
+    tower, 2^20-quantized image embedding, integer dot, cross-
+    multiplied cosine gate — as one STATELESS JVM expression per pair.
+    No shuffle, no state, blobs never involved; emits the same
+    integers as the batch `clip_align_filter`, so a pair admitted by
+    the stream is exactly the pair the batch curation would admit."""
+    from ..functions import similarity
+
+    return similarity.clip_align_project(pairs, keep_cols=("ts",))
+
+
+def st_imgcap_profile(pairs: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Per-minute alignment-keep-rate profile with a late-data
+    watermark: counts of kept vs dropped pairs per tumbling window —
+    the live dashboard for caption-quality drift at the crawl edge.
+    State is two counter rows per window; captions/embeddings are
+    reduced to one verdict column before the stateful operator."""
+    scored = st_imgcap_filter(pairs)
+    return (
+        scored.withWatermark("ts", late)
+        .groupBy(F.window("ts", "1 minute").alias("win"), F.col("keep"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("dot").alias("sum_dot"),
+        )
+        .select(
+            F.col("win").start.alias("win_start"),
+            "keep",
+            "n_pairs",
+            "sum_dot",
+        )
+    )

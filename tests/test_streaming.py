@@ -614,3 +614,91 @@ def test_anchor_terms_stream_matches_batch(spark, pages_dir):
     ).count()
     assert n_followed < n_all  # the fixture planted nofollow anchors
     assert sum(got.values()) < n_all * 2  # and they are absent above
+
+
+@pytest.fixture(scope="module")
+def imgcap_dir(spark, tmp_path_factory):
+    """Image+caption pair events: sf0.001 documents (captions) joined
+    to their embeddings, event times spread over 3 minutes, 2 files
+    (2 micro-batches)."""
+    from ccbot_spark.streaming import image_stream as ims
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    joined = docs.join(embs, docs.doc_id == embs.vec_id).select(
+        "doc_id", "text", "embedding"
+    ).collect()
+    rows = [
+        (
+            T0 + dt.timedelta(seconds=7 * i),
+            str(r.doc_id),
+            r.text,
+            [float(x) for x in r.embedding],
+        )
+        for i, r in enumerate(joined)
+    ]
+    df = spark.createDataFrame(rows, ims.IMGCAP_EVENTS)
+    d = tmp_path_factory.mktemp("imgcap_events")
+    half = len(rows) // 2
+    df.limit(half).coalesce(1).write.mode("append").parquet(str(d))
+    df.subtract(df.limit(half)).coalesce(1).write.mode("append").parquet(
+        str(d)
+    )
+    return str(d)
+
+
+def test_imgcap_filter_stream_matches_batch(spark, imgcap_dir, tmp_path):
+    """st_imgcap_filter: the stateless per-row alignment gate emits the
+    SAME integers (dot, cap_n2, img_n2, keep) as the batch
+    clip_align_filter over the same pairs — a pair admitted at the
+    stream edge is exactly the pair batch curation would admit."""
+    from ccbot_spark.functions import similarity
+    from ccbot_spark.streaming import image_stream as ims
+
+    out = str(tmp_path / "keeps")
+    ms.run_available_now(
+        ims.st_imgcap_filter(ims.read_imgcap_events(spark, imgcap_dir)),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    got = {
+        int(r.image_id): (r.dot, r.cap_n2, r.img_n2, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = {
+        r.image_id: (r.dot, r.cap_n2, r.img_n2, r.keep)
+        for r in similarity.clip_align_filter(docs, embs).collect()
+    }
+    assert got == want and got
+    assert {k for k, v in got.items() if v[3] == 1}  # both verdicts live
+    assert {k for k, v in got.items() if v[3] == 0}
+
+
+def test_imgcap_profile_stream_matches_batch(spark, imgcap_dir):
+    """st_imgcap_profile: per-minute keep-rate counters == the same
+    grouping computed in batch over the drained pair set."""
+    from ccbot_spark.functions import similarity
+    from ccbot_spark.streaming import image_stream as ims
+
+    ms.run_complete_to_memory(
+        ims.st_imgcap_profile(ims.read_imgcap_events(spark, imgcap_dir)),
+        "imgcap_prof",
+    )
+    got = {
+        (r.win_start, r.keep): (r.n_pairs, r.sum_dot)
+        for r in spark.table("imgcap_prof").collect()
+    }
+    batch = similarity.clip_align_project(
+        spark.read.parquet(imgcap_dir), keep_cols=("ts",)
+    )
+    want = {
+        (r["win"].start, r.keep): (r.n, r.d)
+        for r in batch.groupBy(
+            F.window("ts", "1 minute").alias("win"), "keep"
+        )
+        .agg(F.count("*").alias("n"), F.sum("dot").alias("d"))
+        .collect()
+    }
+    assert got == want and len({w for (w, _) in got}) >= 2
