@@ -157,3 +157,43 @@ def hash_split(
     for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
         lab = F.when(b < F.lit(cut), F.lit(name)).otherwise(lab)
     return df.select("*", b.alias("split_bucket"), lab.alias("split"))
+
+
+def temperature_plan(
+    df: DataFrame,
+    budget: int,
+    source: str = "source",
+    tokens: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled source mixture (the mBERT/XLM-R/mT5
+    multilingual recipe, T = 2): sampling weight per source ∝
+    availability^(1/T) = isqrt(avail_s) — low-resource sources are
+    upweighted relative to their share, high-resource ones damped.
+
+    All-integer semantics: avail_s from one hash-agg; w_s =
+    floor(sqrt(avail_s)) (sqrt is a correctly-rounded IEEE op on an
+    exact int64 → identical in every engine, the audiokit isqrt
+    discipline); rate_ppm = 10^6·w_s DIV Σw and take_tokens =
+    budget·w_s DIV Σw by integer division. One |sources|-row result —
+    broadcast-sized at any corpus scale; the corpus side is a single
+    scan + hash-agg with map-side combine.
+
+    Returns (source, avail_tokens, weight, rate_ppm, take_tokens)."""
+    avail = (
+        df.groupBy(source)
+        .agg(F.sum(F.col(tokens).cast("long")).alias("avail_tokens"))
+        .withColumn(
+            "weight", F.floor(F.sqrt(F.col("avail_tokens"))).cast("long")
+        )
+    )
+    tot = avail.select(F.sum("weight").alias("_tw"))
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            source,
+            "avail_tokens",
+            "weight",
+            F.expr("weight * 1000000 DIV _tw").alias("rate_ppm"),
+            F.expr(f"weight * {int(budget)} DIV _tw").alias("take_tokens"),
+        )
+    )

@@ -127,6 +127,17 @@ def register(q):
         )
     q["text_mixture_plan"] = text_mixture_plan
 
+    def text_temperature_plan(spark, sf_dir):
+        # mBERT/XLM-R/mT5 temperature mixing (T = 2): per-source
+        # sampling weight = isqrt(available tokens) — low-resource
+        # sources upweighted, high-resource damped; rates and token
+        # budgets by integer division.
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "n_tokens", textkit.token_count(F.col("text"))
+        )
+        return sampling.temperature_plan(d, budget=100000)
+    q["text_temperature_plan"] = text_temperature_plan
+
     def text_trigram_lm(spark, sf_dir):
         # CCNet-style LM-quality proxy with exact integer semantics:
         # corpus char-trigram counts (the "LM", broadcastable) scored
@@ -614,4 +625,27 @@ def register_sql(o):
                     THEN 'en' ELSE 'other' END AS lang_pred,
                s.n_tokens
         FROM surv s JOIN keepers USING (doc_id)
+    """
+
+    # --- text_temperature_plan: availability^(1/2) weights via
+    # floor(sqrt(int64)) (correctly-rounded IEEE sqrt — engine-neutral),
+    # rates/budgets by integer //.
+    o["text_temperature_plan"] = """
+        WITH avail AS (
+          SELECT source,
+                 SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                   AS avail_tokens
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, avail_tokens,
+                 CAST(FLOOR(SQRT(avail_tokens)) AS BIGINT) AS weight
+          FROM avail
+        ),
+        t AS (SELECT SUM(weight) AS _tw FROM w)
+        SELECT source, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+               weight,
+               CAST(weight * 1000000 // _tw AS BIGINT) AS rate_ppm,
+               CAST(weight * 100000 // _tw AS BIGINT) AS take_tokens
+        FROM w CROSS JOIN t
     """

@@ -204,3 +204,28 @@ def test_hash_split_partitions_exactly_and_stably(spark, docs):
 
     with _pt.raises(ValueError):
         sampling.hash_split(docs, "doc_id", cuts=(50,), names=("a", "b", "c"))
+
+
+def test_temperature_plan_matches_python(spark):
+    """temperature_plan == an independent math.isqrt recomputation,
+    and the damping actually bites: the largest source's sampling
+    share (rate_ppm) sits strictly below its availability share."""
+    import math
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+    got = {
+        r.source: (r.avail_tokens, r.weight, r.rate_ppm, r.take_tokens)
+        for r in sampling.temperature_plan(docs, budget=50000).collect()
+    }
+    avail = {}
+    for r in docs.select("source", "n_tokens").collect():
+        avail[r.source] = avail.get(r.source, 0) + r.n_tokens
+    tw = sum(math.isqrt(a) for a in avail.values())
+    n_tot = sum(avail.values())
+    for s, a in avail.items():
+        w = math.isqrt(a)
+        assert got[s] == (a, w, w * 10**6 // tw, w * 50000 // tw), s
+    big = max(avail, key=avail.get)
+    assert got[big][2] < avail[big] * 10**6 // n_tot
