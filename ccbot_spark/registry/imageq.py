@@ -670,6 +670,45 @@ def register(q):
         return similarity.clip_align_filter(docs, embs, dim=64, t4=200)
     q["imgcap_clip_filter"] = imgcap_clip_filter
 
+    def img_split_leakage(spark, sf_dir):
+        # split-contamination audit (image decontamination): near-dup
+        # pairs (banded Hamming join, the img_phash_near fixture with
+        # planted hamming-1 twins) whose endpoints land in DIFFERENT
+        # train/val/test splits — exactly the leakage an eval set must
+        # not have. Composition of hash_split (stable md5 buckets) and
+        # phash_near_pairs; both sides SQL-replayed.
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        ph = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+        )
+        pairs = multimodal.phash_near_pairs(ph, max_ham=6)
+        sp = sampling.hash_split(ph.select("image_id"), "image_id").select(
+            "image_id", "split"
+        )
+        return (
+            pairs.join(
+                sp.withColumnRenamed("image_id", "img_a")
+                .withColumnRenamed("split", "split_a"),
+                "img_a",
+            )
+            .join(
+                sp.withColumnRenamed("image_id", "img_b")
+                .withColumnRenamed("split", "split_b"),
+                "img_b",
+            )
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("img_a", "img_b", "split_a", "split_b", "hamming")
+        )
+    q["img_split_leakage"] = img_split_leakage
+
     def img_flat_gate(spark, sf_dir):
         # low-information gate: exact integer pixel moments from one
         # Arrow decode pass; verdicts are integer cross-multiplied
@@ -1399,6 +1438,51 @@ def register_sql(o):
                               >= CAST(40000 AS HUGEINT) * cap_n2 * img_n2
                      THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM j
+    """
+
+    # --- img_split_leakage: the img_phash_near fixture + banded join
+    # replay, split assignment by the sample_split md5-bucket rule,
+    # cross-split near-dup pairs only.
+    o["img_split_leakage"] = f"""
+        WITH ph AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        sp AS (
+          SELECT image_id,
+                 CASE WHEN {_sql_hmod("image_id", 100)} < 90 THEN 'train'
+                      WHEN {_sql_hmod("image_id", 100)} < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM ph
+        ),
+        pairs AS (
+          SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+                 a.phash AS pa, b.phash AS pb
+          FROM ph a JOIN ph b ON a.image_id < b.image_id
+           AND (
+             (a.phash & 65535) = (b.phash & 65535)
+             OR ((a.phash // 65536) & 65535) = ((b.phash // 65536) & 65535)
+             OR ((a.phash // 4294967296) & 65535)
+                = ((b.phash // 4294967296) & 65535)
+             OR ((a.phash // 281474976710656) & 65535)
+                = ((b.phash // 281474976710656) & 65535)
+           )
+        )
+        SELECT img_a, img_b, sa.split AS split_a, sb.split AS split_b,
+               bit_count(xor(pa, pb)) AS hamming
+        FROM pairs
+        JOIN sp sa ON sa.image_id = img_a
+        JOIN sp sb ON sb.image_id = img_b
+        WHERE bit_count(xor(pa, pb)) <= 6 AND sa.split <> sb.split
     """
 
     # --- img_flat_gate: re-derive the three-class fixture's verdicts
