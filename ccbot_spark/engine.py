@@ -92,6 +92,7 @@ class CrawlEngine:
         fetcher=None,
         fetch_checkpoint: bool = False,
         etag_revalidate: bool = False,
+        honor_max_age: bool = False,
         wds_dir: str | None = None,
         wds_target_bytes: int = 1 << 20,
         wds_grouped: bool = False,
@@ -251,6 +252,14 @@ class CrawlEngine:
         # slice the epoch clock would needlessly re-download. Mirrored
         # by oracle.crawl(etag_revalidate=True).
         self.etag_revalidate = etag_revalidate
+        # RFC 9111 freshness: a response declaring Cache-Control
+        # max-age pins that URL's revisit interval to the DECLARED
+        # lifetime (clamped to [ADAPT_MIN, ADAPT_MAX]) at every served
+        # response — the server knows its own change rate better than
+        # the client's multiplicative guess. Undeclared pages keep the
+        # adaptive (or fixed) policy. Mirrored by
+        # oracle.crawl(honor_max_age=True).
+        self.honor_max_age = honor_max_age
         # mid-cycle checkpoint: at 100 TB a cycle is hours and FETCH is
         # the stage that consumes politeness slots — a crash after it
         # must NOT re-fetch. With fetch_checkpoint on, the fetch output
@@ -1647,7 +1656,7 @@ class CrawlEngine:
         # first fetch keeps the base. Mirrors oracle.crawl.
         if self.adaptive_recrawl:
             iv = F.col("interval")
-            new_iv = (
+            _iv_policy = (
                 F.when(
                     F.col("not_modified"),
                     F.least(iv * 2, F.lit(ADAPT_MAX)),
@@ -1657,11 +1666,19 @@ class CrawlEngine:
                     F.greatest(F.expr("interval div 2"), F.lit(ADAPT_MIN)),
                 )
                 .otherwise(iv)
-                .cast("int")
-                .alias("interval")
             )
         else:
-            new_iv = F.col("interval").cast("int")
+            _iv_policy = F.col("interval")
+        if self.honor_max_age:
+            # declared freshness wins over the adaptive guess
+            _iv_policy = F.when(
+                F.col("max_age").isNotNull(),
+                F.least(
+                    F.greatest(F.col("max_age"), F.lit(ADAPT_MIN)),
+                    F.lit(ADAPT_MAX),
+                ),
+            ).otherwise(_iv_policy)
+        new_iv = _iv_policy.cast("int").alias("interval")
         # depth is insert-only (first-discovery value, like dt_*): the
         # update branches carry a dummy that merge_into never applies
         _dep0 = F.lit(0).cast("int").alias("depth")

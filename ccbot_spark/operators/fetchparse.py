@@ -292,6 +292,18 @@ def fetch(
             .map(lambda u: synthweb.content_type_of(cfg, u))
             .astype(str)
         )
+        # Cache-Control max-age header: present on every SERVED
+        # response (200 and 304 — RFC 9111: a 304 refreshes the stored
+        # response's lifetime), absent on errors / redirects / 429s.
+        out["max_age"] = pd.array(
+            [
+                synthweb.max_age_of(cfg, u)
+                if (o and r is None and not rl)
+                else None
+                for u, o, r, rl in zip(out["url_norm"], oks, redirs, rls)
+            ],
+            dtype="Int32",
+        )
         return out
 
     return salted.groupBy(*group_keys).applyInPandas(

@@ -100,6 +100,7 @@ def crawl(
     recrawl_every: int = 0,
     adaptive_recrawl: bool = False,
     etag_revalidate: bool = False,
+    honor_max_age: bool = False,
     content_dedup: bool = False,
     age_boost: int = 0,
     canonical_dedup: bool = False,
@@ -362,6 +363,22 @@ def crawl(
         anchor_cnt: dict[tuple, int] = {}  # (target, term) → occurrences
         dup_this_cycle: set[str] = set()
         cur_ver = synthweb.content_version(cfg, cycle)
+
+        def _revisit_interval(e, url, unchanged):
+            # one revisit-interval policy for every served response:
+            # a declared Cache-Control max-age pins the interval
+            # (honor_max_age; RFC 9111 freshness — clamped to the
+            # adaptive bounds), else the Cho & Garcia-Molina
+            # multiplicative rule (adaptive_recrawl), else unchanged.
+            ma = synthweb.max_age_of(cfg, url) if honor_max_age else None
+            if ma is not None:
+                e.interval = min(max(ma, ADAPT_MIN), ADAPT_MAX)
+            elif adaptive_recrawl:
+                if unchanged:
+                    e.interval = min(e.interval * 2, ADAPT_MAX)
+                elif e.last_cycle >= 0:
+                    e.interval = max(e.interval // 2, ADAPT_MIN)
+
         for st, host, url, slot, e in fetch_list:
             m = hm(host)
             # HTTP 429: a rate-limiting host refuses every request at
@@ -387,10 +404,8 @@ def crawl(
                 cfg.change_every == 0
                 or e.last_cycle // cfg.change_every == cur_ver
             ):
+                _revisit_interval(e, url, True)
                 e.last_cycle = cycle
-                if adaptive_recrawl:
-                    # unchanged revisit: back off this URL's interval
-                    e.interval = min(e.interval * 2, ADAPT_MAX)
                 m["not_modified"] += 1
                 events.append((2, st, host, url, slot, "not_modified"))
                 continue
@@ -457,9 +472,8 @@ def crawl(
                     else 0,
                 )
             ):
+                _revisit_interval(e, url, True)
                 e.last_cycle = cycle
-                if adaptive_recrawl:
-                    e.interval = min(e.interval * 2, ADAPT_MAX)
                 m["not_modified"] += 1
                 events.append((2, st, host, url, slot, "not_modified"))
                 continue
@@ -484,8 +498,7 @@ def crawl(
                 # no links, no images). Mirrors the engine's pre-parse
                 # content_type filter exactly.
                 e.status = "fetched"
-                if adaptive_recrawl and e.last_cycle >= 0:
-                    e.interval = max(e.interval // 2, ADAPT_MIN)
+                _revisit_interval(e, url, False)
                 e.last_cycle = cycle
                 m["fetched"] += 1
                 m["bytes"] += len(html.encode("utf-8"))
@@ -545,8 +558,7 @@ def crawl(
                 dig = _hl.md5(html.encode("utf-8")).hexdigest()
                 if dig in content_digests:
                     e.status = "fetched"
-                    if adaptive_recrawl and e.last_cycle >= 0:
-                        e.interval = max(e.interval // 2, ADAPT_MIN)
+                    _revisit_interval(e, url, False)
                     e.last_cycle = cycle
                     m["fetched"] += 1
                     m["content_dup"] += 1
@@ -555,10 +567,9 @@ def crawl(
                     continue
                 content_digests.add(dig)
             e.status = "fetched"
-            if adaptive_recrawl and e.last_cycle >= 0:
-                # changed revisit: the page moved epochs since the last
-                # fetch — tighten the interval
-                e.interval = max(e.interval // 2, ADAPT_MIN)
+            # changed revisit: declared freshness pins, else the page
+            # moved epochs since the last fetch — tighten the interval
+            _revisit_interval(e, url, False)
             e.last_cycle = cycle
             m["fetched"] += 1
             m["bytes"] += len(html.encode("utf-8"))

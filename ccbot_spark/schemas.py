@@ -187,6 +187,11 @@ FETCHED = T.StructType(
         # binary_pct types this page binary): the engine parses only
         # text/html bodies — binary payloads are stored, never parsed
         T.StructField("content_type", T.StringType(), False),
+        # Cache-Control max-age declared by the response, in crawl
+        # cycles (NULL = none declared / no response served): the
+        # server's freshness lifetime, honored by the revisit
+        # scheduler when CrawlEngine(honor_max_age=True)
+        T.StructField("max_age", T.IntegerType(), True),
     ]
 )
 

@@ -63,6 +63,10 @@ class WebConfig:
     og_pct: int = 0  # % of pages declaring og:image + og:title — the
     # OpenGraph image+caption discovery channel (always honored by the
     # parse layer; the knob only plants the tags)
+    cache_control_pct: int = 0  # % of pages declaring a Cache-Control
+    # max-age (in CYCLES — the crawl's clock): the server's own
+    # freshness lifetime, honored by the engine's revisit scheduler
+    # when honor_max_age is on
     etag_stable_pct: int = 0  # % of pages whose body NEVER re-renders
     # across content epochs (boilerplate/landing pages): the slice the
     # ETag validator exists for — Last-Modified says "stale", the
@@ -591,6 +595,24 @@ def fetch(cfg: WebConfig, url: str, ver: int = 0) -> str:
         # epoch-invariant page: every epoch serves the epoch-0 bytes
         ver = 0
     return render_page(cfg, u, ver)
+
+
+def max_age_of(cfg: WebConfig, url: str) -> int | None:
+    """Cache-Control max-age declared by this page's responses, in
+    crawl cycles (1..6), or None when the page declares none. Decided
+    on the mirror-canonical URL (headers describe the served resource).
+    Pure function of (cfg, url) — oracle and engine agree."""
+    if not cfg.cache_control_pct:
+        return None
+    canon = mirror_of(cfg, url)
+    u = canon if canon is not None else url
+    parts = u.split("/")
+    if len(parts) != 5 or parts[3] != "p":
+        return None
+    d = _digest(f"maxage:{cfg.seed}:{u}")
+    if d[0] % 100 >= cfg.cache_control_pct:
+        return None
+    return 1 + d[1] % 6
 
 
 def etag_stable(cfg: WebConfig, url: str) -> bool:

@@ -114,6 +114,13 @@ def parse_args():
     p.add_argument("--meta-robots-pct", type=int, default=0,
                    help="synthetic-web knob: %% of pages declaring a "
                         "robots meta directive (noindex/nofollow/both)")
+    p.add_argument("--honor-max-age", action="store_true",
+                   help="honor declared Cache-Control max-age as the "
+                        "revisit interval (RFC 9111 freshness; clamped "
+                        "to the adaptive bounds)")
+    p.add_argument("--cache-control-pct", type=int, default=0,
+                   help="synthetic-web knob: %% of pages declaring a "
+                        "Cache-Control max-age (in cycles)")
     p.add_argument("--etag-revalidate", action="store_true",
                    help="strong-validator conditional GET: revisits "
                         "whose entity bytes match the stored ETag "
@@ -262,6 +269,7 @@ def main() -> None:
         soft404_pct=args.soft404_pct,
         meta_robots_pct=args.meta_robots_pct,
         etag_stable_pct=args.etag_stable_pct,
+        cache_control_pct=args.cache_control_pct,
         sitemap_priority=args.sitemap_priority,
         og_pct=args.og_pct,
         robots_5xx_pct=args.robots_5xx_pct,
@@ -304,6 +312,7 @@ def main() -> None:
         soft404_detect=args.soft404_detect,
         meta_robots=args.meta_robots,
         etag_revalidate=args.etag_revalidate,
+        honor_max_age=args.honor_max_age,
         anchor_texts=args.anchor_texts,
         focus_terms=(
             args.focus_terms.split(",") if args.focus_terms else None
