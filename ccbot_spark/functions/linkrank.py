@@ -171,3 +171,153 @@ def host_authority(host_edges: DataFrame, micro: int = 1_000_000) -> DataFrame:
         F.sum("_c").alias("authority_micro"),
         F.count("*").alias("n_in_hosts"),
     )
+
+def _norm_expr(raw: str, total: str, scale: int) -> str:
+    """SQL for the exact integer normalization floor(raw·scale/total)
+    decomposed so no intermediate exceeds raw·scale:
+
+        (raw div total)·scale + ((raw % total)·scale) div total
+
+    (write raw = total·q + r: raw·scale/total = q·scale + r·scale/total
+    and q·scale is integral, so floor distributes). raw ≤ total always
+    holds here (raw is one non-negative summand of total), so q ∈
+    {0, 1} and the largest intermediate is raw·scale — int64-safe
+    while raw < 2^63/scale ≈ 9.2e12 at the default SCALE, i.e. per-node
+    in-degree below ~9.2e6 at unit mass. Hotter nodes than that mean
+    the page graph is the wrong granularity: run HITS on the host
+    graph (10^8 nodes, like host_authority) or move these two ops to
+    decimal(38,0)/HUGEINT at a constant-factor cost."""
+    return (
+        f"(({raw}) div ({total})) * {scale}"
+        f" + ((({raw}) % ({total})) * {scale}) div ({total})"
+    )
+
+
+def hits_int(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = SCALE,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg hubs & authorities) — the other
+    classic crawl-ordering signal next to PageRank: a page is a good
+    HUB if it links to good authorities, a good AUTHORITY if good hubs
+    link to it. Frontier schedulers use the hub score to prioritize
+    link-rich index pages and the authority score for content pages.
+
+    House oracle discipline: all arithmetic is int64 with truncating
+    division, so the result is bit-identical regardless of aggregation
+    order or engine. Per iteration (mirrored CTE-for-CTE by the
+    DuckDB oracle):
+
+        a_raw(v) = Σ_{u→v} hub(u)            # one shuffle on dst
+        A        = Σ_v a_raw(v)              # exact global int sum
+        auth(v)  = floor(a_raw(v)·scale / A) # _norm_expr, no overflow
+        h_raw(u) = Σ_{u→v} auth(v)           # one shuffle on src
+        H        = Σ_u h_raw(u)
+        hub(u)   = floor(h_raw(u)·scale / H)
+
+    The L1 normalization (sum, not the float L2 of the original
+    paper) keeps total mass ≈ scale each half-round — deterministic
+    and SQL-replayable where sqrt is not. Nodes with no in-edges have
+    auth 0; no out-edges, hub 0; every node starts at hub = scale.
+
+    Returns DF[node long, hub_micro long, auth_micro long].
+
+    Scale posture: each iteration is two equi-joins + two hash-aggs
+    (shuffles keyed on dst then src — the same two partitionings every
+    round, so AQE reuses exchange layouts), plus two single-row global
+    sums that broadcast back via crossJoin (no driver collect). Ranks
+    are 16 bytes/node on the wire; the loop localCheckpoints per
+    round so the plan stays O(1) deep, and intermediate blocks are
+    released round-by-round (same lifecycle as pagerank_int)."""
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = storagekit.local_checkpoint(e0)
+    nodes = storagekit.local_checkpoint(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    prev = None
+    prev_auths = None
+    auths = None
+    for _ in range(iterations):
+        storagekit.release(prev_auths)  # prior round's auths, superseded
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").alias("a_tot"))
+        auths = storagekit.local_checkpoint(
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.expr(
+                    _norm_expr("coalesce(a_raw, 0L)", "a_tot", scale)
+                ).cast("long").alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").alias("h_tot"))
+        new_hubs = storagekit.local_checkpoint(
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.expr(
+                    _norm_expr("coalesce(h_raw, 0L)", "h_tot", scale)
+                ).cast("long").alias("hub"),
+            )
+        )
+        storagekit.release(prev)
+        hubs = new_hubs
+        prev = new_hubs
+        prev_auths = auths
+    out = storagekit.local_checkpoint(
+        hubs.join(auths, "node").select(
+            "node",
+            F.col("hub").alias("hub_micro"),
+            F.col("auth").alias("auth_micro"),
+        )
+    )
+    storagekit.release(prev)
+    storagekit.release(auths)
+    storagekit.release(e)
+    storagekit.release(nodes)
+    _ACTIVE_CHECKPOINTS.append(out)
+    return out
+
+
+def hits_int_py(
+    edge_list: list[tuple], iterations: int = 2, scale: int = SCALE
+) -> dict:
+    """Pure-python reference of the same integer HITS rule (the
+    property-test oracle in tests/test_linkrank.py)."""
+    e = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(raw: int, total: int) -> int:
+        return (raw // total) * scale + ((raw % total) * scale) // total
+
+    for _ in range(iterations):
+        a_raw = {n: 0 for n in nodes}
+        for u, v in e:
+            a_raw[v] += hub[u]
+        a_tot = sum(a_raw.values())
+        auth = {n: norm(a_raw[n], a_tot) for n in nodes}
+        h_raw = {n: 0 for n in nodes}
+        for u, v in e:
+            h_raw[u] += auth[v]
+        h_tot = sum(h_raw.values())
+        hub = {n: norm(h_raw[n], h_tot) for n in nodes}
+    return {n: (hub[n], auth[n]) for n in nodes}

@@ -392,6 +392,22 @@ def register(q):
         return linkrank.pagerank_int(edges, iterations=3)
     q["link_pagerank"] = link_pagerank
 
+    def link_hits(spark, sf_dir):
+        # hubs & authorities (Kleinberg HITS), the second classic
+        # crawl-ordering signal: integer-exact L1-normalized updates
+        # (linkrank.hits_int) over a synthesized link graph whose
+        # endpoint id spaces OVERLAP (mod 3000), so nodes carry both
+        # roles — unlike the bipartite pagerank fixture. The oracle
+        # unrolls the 2 iterations CTE-for-CTE with the identical
+        # decomposed floor(raw·scale/total) normalization.
+        li = _t(spark, sf_dir, "lineitem")
+        edges = li.select(
+            (F.col("l_orderkey") % 3000).cast("long").alias("src"),
+            (F.col("l_partkey") % 3000).cast("long").alias("dst"),
+        )
+        return linkrank.hits_int(edges, iterations=2)
+    q["link_hits"] = link_hits
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -779,6 +795,60 @@ def register_sql(o):
         r2 AS ({_pr_round.format(prev="r1")}),
         r3 AS ({_pr_round.format(prev="r2")})
         SELECT node, r AS rank_micro FROM r3
+    """
+
+    # --- link_hits: 2 integer-exact HITS rounds unrolled (4 CTE
+    # layers — auth then hub per round), each normalized with the same
+    # overflow-safe decomposition as linkrank._norm_expr:
+    #   (raw // tot)*S + ((raw % tot)*S) // tot  ==  floor(raw·S/tot)
+    # (raw ≤ tot, both non-negative, so `//`/`div` agree bit-for-bit).
+    def _hits_norm(raw, tot):
+        return (
+            f"(({raw}) // ({tot})) * 1000000"
+            f" + ((({raw}) % ({tot})) * 1000000) // ({tot})"
+        )
+
+    _hits_auth = f"""
+        SELECT n.node,
+               CAST({_hits_norm("COALESCE(s.raw, 0)",
+                                "(SELECT SUM(raw) FROM {raws})")} AS BIGINT)
+                   AS auth
+        FROM nodes n LEFT JOIN {{raws}} s ON s.node = n.node
+    """.replace("{raws}", "{raws}")
+    _hits_araw = """
+        SELECT e.dst AS node, SUM(h.hub) AS raw
+        FROM e JOIN {hubs} h ON h.node = e.src GROUP BY e.dst
+    """
+    _hits_hraw = """
+        SELECT e.src AS node, SUM(a.auth) AS raw
+        FROM e JOIN {auths} a ON a.node = e.dst GROUP BY e.src
+    """
+    _hits_hub = f"""
+        SELECT n.node,
+               CAST({_hits_norm("COALESCE(s.raw, 0)",
+                                "(SELECT SUM(raw) FROM {raws})")} AS BIGINT)
+                   AS hub
+        FROM nodes n LEFT JOIN {{raws}} s ON s.node = n.node
+    """.replace("{raws}", "{raws}")
+    o["link_hits"] = f"""
+        WITH e AS (
+          SELECT DISTINCT l_orderkey % 3000 AS src, l_partkey % 3000 AS dst
+          FROM lineitem
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+        ar1 AS ({_hits_araw.format(hubs="h0")}),
+        a1 AS ({_hits_auth.format(raws="ar1")}),
+        hr1 AS ({_hits_hraw.format(auths="a1")}),
+        h1 AS ({_hits_hub.format(raws="hr1")}),
+        ar2 AS ({_hits_araw.format(hubs="h1")}),
+        a2 AS ({_hits_auth.format(raws="ar2")}),
+        hr2 AS ({_hits_hraw.format(auths="a2")}),
+        h2 AS ({_hits_hub.format(raws="hr2")})
+        SELECT n.node, h2.hub AS hub_micro, a2.auth AS auth_micro
+        FROM nodes n
+        JOIN h2 ON h2.node = n.node
+        JOIN a2 ON a2.node = n.node
     """
 
     # --- f_trap_detect: same synthesized URL mix; repeat detection is

@@ -53,3 +53,55 @@ def test_repeated_edges_count_once(spark):
     once = _spark_ranks(spark, [(0, 1), (1, 0)])
     dup = _spark_ranks(spark, [(0, 1), (0, 1), (1, 0)])
     assert once == dup
+
+
+# ---------------------------------------------------------------- HITS
+
+def _spark_hits(spark, edges, iterations=2, parts=4):
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+    out = linkrank.hits_int(df, iterations=iterations)
+    rows = {r.node: (r.hub_micro, r.auth_micro) for r in out.collect()}
+    linkrank.clear_caches()
+    return rows
+
+
+@settings(max_examples=12, deadline=None)
+@given(edge_st)
+def test_hits_matches_python_reference(spark, edges):
+    assert _spark_hits(spark, edges) == linkrank.hits_int_py(edges)
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    edges = [(i % 40, (i * 7 + 3) % 50) for i in range(200)] + [
+        (i % 50, (i * 13 + 1) % 40) for i in range(0, 200, 2)
+    ]
+    assert _spark_hits(spark, edges, parts=2) == _spark_hits(
+        spark, edges, parts=16
+    )
+
+
+def test_hits_hub_authority_roles():
+    # one hub linking to three authorities: the hub holds all hub
+    # mass, the authorities split the authority mass evenly
+    r = linkrank.hits_int_py([(9, 1), (9, 2), (9, 3)])
+    hub, auth = r[9]
+    assert auth == 0 and hub == linkrank.SCALE
+    a_vals = {r[v][1] for v in (1, 2, 3)}
+    assert len(a_vals) == 1 and a_vals.pop() > 0
+    assert all(r[v][0] == 0 for v in (1, 2, 3))
+
+
+def test_hits_norm_is_exact_floor():
+    # the decomposed normalization == true floor(raw*S/tot) on values
+    # near the int64-safety boundary (python bigints give the truth)
+    S = linkrank.SCALE
+    for raw, tot in [(1, 3), (2, 3), (10**12, 3 * 10**12),
+                     (9_200_000_000_000 - 1, 9_200_000_000_000)]:
+        got = (raw // tot) * S + ((raw % tot) * S) // tot
+        assert got == (raw * S) // tot
+
+
+def test_hits_repeated_edges_count_once(spark):
+    once = _spark_hits(spark, [(0, 1), (1, 0)])
+    dup = _spark_hits(spark, [(0, 1), (0, 1), (1, 0)])
+    assert once == dup
