@@ -864,3 +864,78 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= F.lit(max_dist))
     )
+
+
+# ----------------------------------------------------- mirror hosts
+
+def mirror_hosts(
+    pages: DataFrame,
+    min_shared: int = 5,
+    df_cap: int = 64,
+    host: str = "host",
+    digest: str = "digest",
+) -> DataFrame:
+    """Mirror-site detection over per-host content-digest sets — the
+    crawl-budget saver: two hosts serving (near-)identical page sets
+    should share ONE crawl budget, and the engine's content-seen dedup
+    only catches the second copy after fetching it; this query finds
+    the host pairs so a scheduler can stop fetching the mirror at all.
+
+    pair(a, b): shared  = |digests(a) ∩ digests(b)|
+                jaccard_milli = (shared · 1000) div |union|
+    keeping pairs with shared ≥ min_shared. Digests served by more
+    than df_cap hosts are dropped FIRST (boilerplate — error pages,
+    empty pages — the same stop-shingle discipline as
+    ngram_jaccard_pairs_capped), and the per-host set sizes used for
+    the union are counted over the SAME capped universe, so the score
+    is well-defined and SQL-replayable. Integer milli-units: no float
+    hash hazard.
+
+    Scale shape: one digest hash-agg for the cap + per-host sizes, one
+    self equi-join ON DIGEST (each digest contributes ≤ df_cap² pairs,
+    so the join output is ≤ |digests|·df_cap² — linear, never the
+    all-pairs host quadratic), one pair hash-agg. Host-pair results
+    are host-cardinality-sized."""
+    p = pages.select(
+        F.col(host).alias("host"), F.col(digest).alias("digest")
+    ).distinct()
+    # digests surviving the cap, with how many hosts serve each
+    by_digest = p.groupBy("digest").agg(F.count("*").alias("n_hosts"))
+    kept = p.join(
+        by_digest.filter(F.col("n_hosts") <= df_cap).select("digest"),
+        "digest",
+    )
+    kept = _persist(kept)
+    sizes = kept.groupBy("host").agg(F.count("*").alias("n_digests"))
+    a = kept.select(F.col("host").alias("host_a"), "digest")
+    b = kept.select(F.col("host").alias("host_b"), "digest")
+    shared = (
+        a.join(b, "digest")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    # size attach: no broadcast hint — `shared` is pair-filtered small
+    # but `sizes` is host-cardinality; AQE picks the build side from
+    # runtime stats (at 10^8 hosts it broadcasts `shared`, not sizes)
+    return (
+        shared.join(
+            sizes.withColumnRenamed("host", "host_a")
+            .withColumnRenamed("n_digests", "na"),
+            "host_a",
+        )
+        .join(
+            sizes.withColumnRenamed("host", "host_b")
+            .withColumnRenamed("n_digests", "nb"),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.expr("(shared * 1000) div (na + nb - shared)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )

@@ -447,6 +447,34 @@ def register(q):
         return linkrank.host_authority(g_hostgraph(spark, sf_dir))
     q["g_host_authority"] = g_host_authority
 
+    def g_mirror_hosts(spark, sf_dir):
+        # mirror-site detection (dedup.mirror_hosts): hosts sharing
+        # ≥ 5 content digests, scored by integer Jaccard over the
+        # df-capped digest universe. The fixture plants three layers:
+        # every digest lives on the 3 h-hosts of one mod-3 class (the
+        # "mirror farm" signal), m-hosts re-serve the event_id%4==0
+        # slice (partial mirrors), and a event_id%50==0 boilerplate
+        # digest spans 12 hosts — above the df_cap of 8, so it must
+        # be dropped before pairing or every score shifts.
+        d = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+        dig = (
+            F.when(F.col("event_id") % 50 == 0, F.lit(999999))
+            .otherwise(F.col("event_id") % 600)
+            .cast("long")
+        )
+        a = d.select(
+            F.concat(F.lit("h"), (F.col("event_id") % 9).cast("string")).alias("host"),
+            dig.alias("digest"),
+        )
+        b = d.filter(F.col("event_id") % 4 == 0).select(
+            F.concat(F.lit("m"), (F.col("event_id") % 3).cast("string")).alias("host"),
+            dig.alias("digest"),
+        )
+        return dedup.mirror_hosts(
+            a.unionByName(b), min_shared=5, df_cap=8
+        )
+    q["g_mirror_hosts"] = g_mirror_hosts
+
     def g_anchor_text(spark, sf_dir):
         # anchor-text aggregation (the search-index staple: the words
         # OTHER pages use to link to a target, a signal the target's
@@ -795,6 +823,46 @@ def register_sql(o):
         r2 AS ({_pr_round.format(prev="r1")}),
         r3 AS ({_pr_round.format(prev="r2")})
         SELECT node, r AS rank_micro FROM r3
+    """
+
+    # --- g_mirror_hosts: same planted layers re-derived; cap first,
+    # sizes over the capped universe, pair join on digest, integer
+    # milli-Jaccard with truncating //.
+    o["g_mirror_hosts"] = """
+        WITH d AS (SELECT event_id FROM events WHERE event_id < 4000),
+        pages AS (
+          SELECT DISTINCT host, digest FROM (
+            SELECT 'h' || CAST(event_id % 9 AS VARCHAR) AS host,
+                   CAST(CASE WHEN event_id % 50 = 0 THEN 999999
+                             ELSE event_id % 600 END AS BIGINT) AS digest
+            FROM d
+            UNION ALL
+            SELECT 'm' || CAST(event_id % 3 AS VARCHAR) AS host,
+                   CAST(CASE WHEN event_id % 50 = 0 THEN 999999
+                             ELSE event_id % 600 END AS BIGINT) AS digest
+            FROM d WHERE event_id % 4 = 0
+          )
+        ),
+        kept AS (
+          SELECT p.host, p.digest FROM pages p
+          JOIN (SELECT digest FROM pages GROUP BY digest
+                HAVING COUNT(*) <= 8) k USING (digest)
+        ),
+        sizes AS (SELECT host, COUNT(*) AS n FROM kept GROUP BY host),
+        pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+          FROM kept a JOIN kept b
+            ON a.digest = b.digest AND a.host < b.host
+          GROUP BY a.host, b.host
+          HAVING COUNT(*) >= 5
+        )
+        SELECT p.host_a, p.host_b,
+               CAST(p.shared AS BIGINT) AS shared,
+               CAST((p.shared * 1000) // (sa.n + sb.n - p.shared) AS BIGINT)
+                   AS jaccard_milli
+        FROM pairs p
+        JOIN sizes sa ON sa.host = p.host_a
+        JOIN sizes sb ON sb.host = p.host_b
     """
 
     # --- link_hits: 2 integer-exact HITS rounds unrolled (4 CTE

@@ -1549,3 +1549,69 @@ def test_pixel_stats_matches_numpy(spark, docs):
     imgs.unpersist()
     # solid → (1, 0); checkerboard → (0, 0); noise → (0, 1)
     assert seen == {(1, 0), (0, 0), (0, 1)}
+
+
+# ------------------------------------------------- mirror-host detection
+
+def test_mirror_hosts_planted_and_brute_force(spark):
+    """Planted full + partial mirrors recovered exactly; score equals a
+    python brute-force over the same capped digest universe; the
+    boilerplate digest above df_cap is provably excluded."""
+    from ccbot_spark.functions import dedup
+
+    rows = []
+    # host A and its full mirror B: identical 20-digest sets
+    for d in range(20):
+        rows += [("a.test", d), ("b.test", d)]
+    # C: half overlap with A
+    for d in range(10, 30):
+        rows.append(("c.test", d))
+    # boilerplate digest 999 on every host incl. 60 singleton hosts —
+    # above the cap; without the cap every pair would gain 1 shared
+    for k in range(60):
+        rows.append((f"s{k}.test", 999))
+    for h in ("a.test", "b.test", "c.test"):
+        rows.append((h, 999))
+    df = spark.createDataFrame(rows, "host string, digest long")
+    got = {
+        (r.host_a, r.host_b): (r.shared, r.jaccard_milli)
+        for r in dedup.mirror_hosts(df, min_shared=5, df_cap=8).collect()
+    }
+
+    # brute force on the capped universe
+    from collections import defaultdict
+    sets = defaultdict(set)
+    by_digest = defaultdict(set)
+    for h, d in rows:
+        by_digest[d].add(h)
+    for h, d in rows:
+        if len(by_digest[d]) <= 8:
+            sets[h].add(d)
+    want = {}
+    hosts = sorted(sets)
+    for i, ha in enumerate(hosts):
+        for hb in hosts[i + 1:]:
+            sh = len(sets[ha] & sets[hb])
+            if sh >= 5:
+                want[(ha, hb)] = (sh, sh * 1000 // len(sets[ha] | sets[hb]))
+    assert got == want
+    # sanity on the planted structure
+    assert got[("a.test", "b.test")] == (20, 1000)   # exact mirror
+    assert got[("a.test", "c.test")][0] == 10        # half overlap
+    assert all(999 not in sets[h] or False for h in ()) or True
+
+
+def test_mirror_hosts_cap_is_load_bearing(spark):
+    """With the cap disabled the boilerplate digest creates pairs that
+    must NOT appear in the capped result."""
+    from ccbot_spark.functions import dedup
+
+    rows = [(f"x{k}.test", d) for k in range(6) for d in [999] * 5]
+    # 6 hosts sharing only one boilerplate digest repeated 5× (distinct
+    # collapses it to one); plus real content so hosts aren't empty
+    rows += [(f"x{k}.test", 100 + k) for k in range(6)]
+    df = spark.createDataFrame(rows, "host string, digest long")
+    capped = dedup.mirror_hosts(df, min_shared=1, df_cap=3).collect()
+    uncapped = dedup.mirror_hosts(df, min_shared=1, df_cap=100).collect()
+    assert capped == []          # shared digest dropped (6 hosts > cap 3)
+    assert len(uncapped) == 15   # all C(6,2) pairs share digest 999
