@@ -193,3 +193,19 @@ def ip_key(host_col, pool: int) -> Column:
     c = F.col(host_col) if isinstance(host_col, str) else host_col
     h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
     return F.concat(F.lit("ip-"), F.pmod(h, F.lit(pool)).cast("string"))
+
+
+def url_template(url_col) -> Column:
+    """URL template of a page URL — the path with identifier runs
+    collapsed: long hex tokens (>=16 chars: session ids, content
+    hashes) become ``{h}`` FIRST, then any digit run becomes ``{n}``
+    (order matters — hex includes digits). Grouping a host's URLs by
+    template recovers its route structure (/product/{n}/view), the
+    input signal for per-template crawl budgets and trap diagnosis:
+    a host whose URL count is exploding inside ONE template is a
+    generator, not content. Pure JVM regexp — codegen, no Python.
+    Byte-identical twin of ``urlkit.url_template`` (grid-tested)."""
+    path = F.regexp_replace(url_col, "^[a-z]+://[^/]+", "")
+    path = F.regexp_replace(path, r"\?.*$", "")  # params: own analysis
+    path = F.regexp_replace(path, "[0-9a-f]{16,}", "{h}")
+    return F.regexp_replace(path, "[0-9]+", "{n}")

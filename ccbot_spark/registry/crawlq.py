@@ -447,6 +447,48 @@ def register(q):
         return linkrank.host_authority(g_hostgraph(spark, sf_dir))
     q["g_host_authority"] = g_host_authority
 
+    def f_url_template(spark, sf_dir):
+        # URL template mining (urlops.url_template): recover a host's
+        # route structure by collapsing identifier runs. URLs are
+        # synthesized in four shapes (numeric route, 16-hex session
+        # id, double-numeric, static asset); Spark extracts templates
+        # with the JVM regexp chain, DuckDB re-derives them from the
+        # synthesis arithmetic — a green row proves the hex-before-
+        # digits collapse recovers exactly what was encoded.
+        e = _t(spark, sf_dir, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("event_id") % 7).cast("string"), F.lit(".test")
+        )
+        i = F.col("event_id").cast("string")
+        hex16 = F.lower(F.lpad(F.hex(F.col("event_id")), 16, "0"))
+        url = (
+            F.when(
+                F.col("event_id") % 4 == 0,
+                F.concat(F.lit("https://"), host, F.lit("/product/"), i,
+                         F.lit("/view")),
+            )
+            .when(
+                F.col("event_id") % 4 == 1,
+                F.concat(F.lit("https://"), host, F.lit("/u/"), hex16,
+                         F.lit("/profile")),
+            )
+            .when(
+                F.col("event_id") % 4 == 2,
+                F.concat(F.lit("https://"), host, F.lit("/a"), i,
+                         F.lit("/b/"), i, F.lit("?ref="), i),
+            )
+            .otherwise(
+                F.concat(F.lit("https://"), host, F.lit("/static/style.css"))
+            )
+        )
+        return (
+            e.select(host.alias("host"),
+                     urlops.url_template(url).alias("template"))
+            .groupBy("host", "template")
+            .agg(F.count("*").alias("n_urls"))
+        )
+    q["f_url_template"] = f_url_template
+
     def g_mirror_hosts(spark, sf_dir):
         # mirror-site detection (dedup.mirror_hosts): hosts sharing
         # ≥ 5 content digests, scored by integer Jaccard over the
@@ -823,6 +865,19 @@ def register_sql(o):
         r2 AS ({_pr_round.format(prev="r1")}),
         r3 AS ({_pr_round.format(prev="r2")})
         SELECT node, r AS rank_micro FROM r3
+    """
+
+    # --- f_url_template: templates re-derived from the synthesis
+    # arithmetic, not re-extracted — proves the Spark regexp chain.
+    o["f_url_template"] = """
+        SELECT 'h' || CAST(event_id % 7 AS VARCHAR) || '.test' AS host,
+               CASE WHEN event_id % 4 = 0 THEN '/product/{n}/view'
+                    WHEN event_id % 4 = 1 THEN '/u/{h}/profile'
+                    WHEN event_id % 4 = 2 THEN '/a{n}/b/{n}'
+                    ELSE '/static/style.css' END AS template,
+               CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM events
+        GROUP BY 1, 2
     """
 
     # --- g_mirror_hosts: same planted layers re-derived; cap first,

@@ -356,3 +356,13 @@ def resolve_ip(
         if hit is not None:
             return hit
     return ip_key(host, pool)
+
+
+def url_template(url: str) -> str:
+    """Pure-python twin of ``operators.urlops.url_template`` (same
+    rule, same order: strip scheme://host, strip query, hex>=16 ->
+    {h}, digit runs -> {n}); grid-tested byte-identical."""
+    path = re.sub(r"^[a-z]+://[^/]+", "", url)
+    path = re.sub(r"\?.*$", "", path)
+    path = re.sub(r"[0-9a-f]{16,}", "{h}", path)
+    return re.sub(r"[0-9]+", "{n}", path)

@@ -230,3 +230,37 @@ def test_session_id_stripping():
     # idempotent like every other normalization rule
     u = n("http://h0.test/cart;jsessionid=A?PHPSESSID=b&k=v")
     assert n(u) == u == "http://h0.test/cart?k=v"
+
+
+def test_url_template_grid_jvm_matches_python(spark):
+    """Spark urlops.url_template == urlkit.url_template byte-for-byte
+    over a grid covering every collapse rule and its order."""
+    from pyspark.sql import functions as F
+
+    from ccbot_spark.operators import urlops
+
+    urls = [
+        "https://a.test/product/123/view",
+        "https://a.test/u/00000000deadbeef/profile",       # 16 hex -> {h}
+        "https://a.test/u/00000000deadbee/profile",        # 15 hex -> digits only
+        "https://a.test/a9/b/77?ref=9#frag",
+        "https://a.test/static/style.css",
+        "http://b.test:8080/x123y456",
+        "https://a.test/1234567890123456/x",               # 16 digits: hex wins
+        "https://a.test/",
+        "https://a.test",
+        "https://a.test/abcdefabcdefabcdefX/t",            # broken hex run (X)
+        "https://a.test/cal/2024/cal/2024/",
+    ]
+    want = [urlkit.url_template(u) for u in urls]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.t
+        for r in df.select(
+            urlops.url_template(F.col("url")).alias("t")
+        ).collect()
+    ]
+    assert got == want
+    assert urlkit.url_template("https://a.test/product/123/view") == "/product/{n}/view"
+    assert urlkit.url_template("https://a.test/u/00000000deadbeef/profile") == "/u/{h}/profile"
+    assert urlkit.url_template("https://a.test/1234567890123456/x") == "/{h}/x"
