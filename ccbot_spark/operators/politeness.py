@@ -348,3 +348,40 @@ def topk_hosts(pending: DataFrame, k: int = 16, min_count: int = 1000) -> list[s
         .collect()
     )
     return [r["host"] for r in rows]
+
+
+def byte_budget_plan(
+    cand: DataFrame,
+    budget_bytes: int,
+    host: str = "host",
+    est_bytes: str = "est_bytes",
+    priority: str = "priority",
+    url: str = "url",
+) -> DataFrame:
+    """Per-host BYTE-budgeted fetch plan — the bandwidth sibling of the
+    slot-count budget (a_host_budget caps requests; this caps payload:
+    ten 50 MB PDFs cost what a thousand HTML pages cost). Candidates
+    are ranked per host by (priority DESC, url ASC) — the generate
+    window's order — and kept while the running byte total INCLUDING
+    the candidate stays within budget; the top-ranked candidate is
+    always kept (a host whose best page alone exceeds budget still
+    makes progress, so the plan can never starve a host). Greedy by
+    rank, not knapsack — deterministic, one window, and the order a
+    priority frontier must respect anyway.
+
+    Returns (host, url, priority, est_bytes, cum_bytes, rnk) for kept
+    rows. One shuffle on host (the same partitioning the politeness
+    scheduler already imposes — in-engine this window rides the
+    GENERATE exchange for free); all column arithmetic, no Python."""
+    w = Window.partitionBy(host).orderBy(
+        F.col(priority).desc(), F.col(url).asc()
+    )
+    ranked = cand.withColumn("rnk", F.row_number().over(w).cast("long")).withColumn(
+        "cum_bytes",
+        F.sum(F.col(est_bytes)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return ranked.filter(
+        (F.col("cum_bytes") <= F.lit(int(budget_bytes))) | (F.col("rnk") == 1)
+    ).select(host, url, priority, est_bytes, "cum_bytes", "rnk")

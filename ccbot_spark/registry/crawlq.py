@@ -302,6 +302,34 @@ def register(q):
         )
     q["w_rate_limit"] = w_rate_limit
 
+    def w_byte_budget(spark, sf_dir):
+        # per-host BYTE-budgeted fetch plan (politeness.byte_budget_plan):
+        # keep candidates in generate order while the running payload
+        # estimate stays within 20 KB per host; rank-1 always kept so
+        # no host starves. est_bytes arithmetic chosen so some hosts
+        # hit the budget mid-list and at least one top candidate alone
+        # exceeds it (the never-starve branch is exercised).
+        from ccbot_spark.operators import politeness
+
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 8000)
+        host = F.concat(
+            F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+        )
+        cand = e.select(
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, F.lit("/p/"),
+                     F.col("event_id").cast("string")).alias("url"),
+            ((F.col("event_id") * 37) % 101).cast("long").alias("priority"),
+            (
+                F.lit(500)
+                + (F.col("event_id") * 13) % 5000
+                + F.when(F.col("event_id") % 97 == 0, F.lit(30000))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("est_bytes"),
+        )
+        return politeness.byte_budget_plan(cand, budget_bytes=20_000)
+    q["w_byte_budget"] = w_byte_budget
+
     def w_ip_schedule(spark, sf_dir):
         # IP-level politeness schedule (politeness.generate ip_pool) as
         # a pure relational query: hosts hash into 7 server addresses
@@ -865,6 +893,32 @@ def register_sql(o):
         r2 AS ({_pr_round.format(prev="r1")}),
         r3 AS ({_pr_round.format(prev="r2")})
         SELECT node, r AS rank_micro FROM r3
+    """
+
+    # --- w_byte_budget: identical window + keep rule in SQL.
+    o["w_byte_budget"] = """
+        WITH c AS (
+          SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,
+                 'https://h' || CAST(user_id % 20 AS VARCHAR)
+                   || '.test/p/' || CAST(event_id AS VARCHAR) AS url,
+                 CAST((event_id * 37) % 101 AS BIGINT) AS priority,
+                 CAST(500 + (event_id * 13) % 5000
+                      + CASE WHEN event_id % 97 = 0 THEN 30000 ELSE 0 END
+                      AS BIGINT) AS est_bytes
+          FROM events WHERE event_id < 8000
+        ),
+        r AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY host
+                   ORDER BY priority DESC, url ASC) AS rnk,
+                 SUM(est_bytes) OVER (PARTITION BY host
+                   ORDER BY priority DESC, url ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM c
+        )
+        SELECT host, url, priority, est_bytes,
+               CAST(cum AS BIGINT) AS cum_bytes, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE cum <= 20000 OR rnk = 1
     """
 
     # --- f_url_template: templates re-derived from the synthesis

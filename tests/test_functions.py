@@ -1615,3 +1615,46 @@ def test_mirror_hosts_cap_is_load_bearing(spark):
     uncapped = dedup.mirror_hosts(df, min_shared=1, df_cap=100).collect()
     assert capped == []          # shared digest dropped (6 hosts > cap 3)
     assert len(uncapped) == 15   # all C(6,2) pairs share digest 999
+
+
+# ------------------------------------------------- byte-budgeted plan
+
+def test_byte_budget_plan_matches_bruteforce(spark):
+    from ccbot_spark.operators import politeness
+
+    rows = []
+    for h in range(5):
+        for i in range(30):
+            rows.append((
+                f"h{h}.test",
+                f"https://h{h}.test/p/{i:02d}",
+                (i * 37) % 101,
+                300 + (i * 13) % 900 + (20000 if (h == 2 and i == 7) else 0),
+            ))
+    df = spark.createDataFrame(
+        rows, "host string, url string, priority long, est_bytes long"
+    )
+    got = {
+        (r.host, r.url): (r.cum_bytes, r.rnk)
+        for r in politeness.byte_budget_plan(df, budget_bytes=4000).collect()
+    }
+
+    want = {}
+    from collections import defaultdict
+    per = defaultdict(list)
+    for h, u, p, b in rows:
+        per[h].append((-p, u, b))
+    for h, cands in per.items():
+        cum = 0
+        for rnk, (_, u, b) in enumerate(sorted(cands), start=1):
+            cum += b
+            if cum <= 4000 or rnk == 1:
+                want[(h, u)] = (cum, rnk)
+    assert got == want
+    # the host whose top candidate alone blows the budget still fetches it
+    h2_kept = [k for k in got if k[0] == "h2.test"]
+    assert any(got[k][1] == 1 for k in h2_kept)
+    # and h2 keeps ONLY rank-1 iff its top candidate exceeds budget alone
+    top_h2 = min((r for r in want if r[0] == "h2.test"), key=lambda k: want[k][1])
+    if want[top_h2][0] > 4000:
+        assert h2_kept == [top_h2]
