@@ -209,6 +209,32 @@ def register(q):
         )
     q["ann_lsh"] = ann_lsh
 
+    def ann_recall_eval(spark, sf_dir):
+        # measure, don't guess: recall@5 of the LSH index against the
+        # exact brute-force ground truth, per query — the acceptance
+        # gauge an ANN rollout actually ships with. Integer output
+        # (hits + milli-recall); the oracle recomputes BOTH sides from
+        # their own CTEs, so a green row re-proves brute AND lsh AND
+        # the eval join in one check. At 10^9 vectors the ground truth
+        # comes from a sampled query set exactly like this one (the
+        # brute side is one broadcast-queries scan).
+        e = _t(spark, sf_dir, "embeddings")
+        brute = similarity.ann_bruteforce_topk(e, n_queries=10, k=5)
+        lsh = similarity.ann_lsh_topk(e, n_queries=10, k=5).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        return (
+            brute.join(lsh, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+            .select(
+                "query_id",
+                F.col("hits").cast("long").alias("hits"),
+                F.expr("(hits * 1000) div 5").cast("long").alias("recall_milli"),
+            )
+        )
+    q["ann_recall_eval"] = ann_recall_eval
+
 
 def register_sql(o):
 
@@ -525,6 +551,21 @@ def register_sql(o):
                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    # --- ann_recall_eval: both published ANN oracles re-run as CTEs
+    # (nested WITH), joined to score recall@5 — one green row proves
+    # brute, lsh, and the eval join together.
+    o["ann_recall_eval"] = f"""
+        WITH brute AS ({o["ann_topk"]}),
+        lsh AS ({o["ann_lsh"]})
+        SELECT b.query_id,
+               CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits,
+               CAST((COUNT(l.neighbor_id) * 1000) // 5 AS BIGINT)
+                   AS recall_milli
+        FROM brute b LEFT JOIN lsh l
+          ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
     """
 
     # --- MinHash+LSH: engine-neutral because both sides define the

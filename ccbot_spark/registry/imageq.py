@@ -73,6 +73,50 @@ def register(q):
         return multimodal.phash_near_pairs(ph, max_ham=6)
     q["img_phash_near"] = img_phash_near
 
+    def img_dedup_eval(spark, sf_dir):
+        # measure, don't guess (image side): precision/recall of the
+        # banded phash near-dup detector against the PLANTED ground
+        # truth of its own fixture — pairs (doc-i, doc-i+150), i < 50,
+        # are hamming-1 twins by construction. Expected: recall 1000
+        # (8-band join is pigeonhole-complete ≤ 7 bits ≥ the planted
+        # 1) with precision < 1000 iff md5 chance puts unrelated
+        # hashes within hamming 6 — the oracle recomputes detector AND
+        # truth, so the measured numbers are engine-exact, not vibes.
+        det = (
+            img_phash_near(spark, sf_dir)
+            .select("img_a", "img_b")
+            .distinct()
+            .withColumn("det", F.lit(1))
+        )
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+        ida = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        idb = F.concat(F.lit("doc-"), (F.col("doc_id") + 150).cast("string"))
+        planted = d.select(
+            F.least(ida, idb).alias("img_a"),
+            F.greatest(ida, idb).alias("img_b"),
+            F.lit(1).alias("pl"),
+        )
+        j = det.join(planted, ["img_a", "img_b"], "full")
+        return j.agg(
+            F.sum(F.when(F.col("det").isNotNull() & F.col("pl").isNotNull(),
+                         1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("det").isNotNull() & F.col("pl").isNull(),
+                         1).otherwise(0)).alias("fp"),
+            F.sum(F.when(F.col("det").isNull() & F.col("pl").isNotNull(),
+                         1).otherwise(0)).alias("fn"),
+        ).select(
+            (F.col("tp") + F.col("fp")).cast("long").alias("n_detected"),
+            (F.col("tp") + F.col("fn")).cast("long").alias("n_planted"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            F.expr("(tp * 1000) div (tp + fp)").cast("long")
+            .alias("precision_milli"),
+            F.expr("(tp * 1000) div (tp + fn)").cast("long")
+            .alias("recall_milli"),
+        )
+    q["img_dedup_eval"] = img_dedup_eval
+
     def img_blocklist(spark, sf_dir):
         # the PhotoDNA-style moderation gate: images whose phash falls
         # within Hamming ≤ 1 of a curated bad-hash list are flagged
@@ -761,6 +805,39 @@ def register_sql(o):
         )
         SELECT img_a, img_b, bit_count(xor(pa, pb)) AS hamming
         FROM pairs WHERE bit_count(xor(pa, pb)) <= 6
+    """
+
+    # --- img_dedup_eval: detector (the img_phash_near oracle as a
+    # CTE) scored against the planted hamming-1 truth pairs.
+    o["img_dedup_eval"] = f"""
+        WITH det AS (
+          SELECT DISTINCT img_a, img_b FROM ({o["img_phash_near"]})
+        ),
+        planted AS (
+          SELECT LEAST('doc-' || CAST(doc_id AS VARCHAR),
+                       'doc-' || CAST(doc_id + 150 AS VARCHAR)) AS img_a,
+                 GREATEST('doc-' || CAST(doc_id AS VARCHAR),
+                          'doc-' || CAST(doc_id + 150 AS VARCHAR)) AS img_b
+          FROM documents WHERE doc_id < 50
+        ),
+        m AS (
+          SELECT
+            COALESCE(SUM(CASE WHEN d.img_a IS NOT NULL
+                               AND p.img_a IS NOT NULL THEN 1 END), 0) AS tp,
+            COALESCE(SUM(CASE WHEN d.img_a IS NOT NULL
+                               AND p.img_a IS NULL THEN 1 END), 0) AS fp,
+            COALESCE(SUM(CASE WHEN d.img_a IS NULL
+                               AND p.img_a IS NOT NULL THEN 1 END), 0) AS fn
+          FROM det d FULL OUTER JOIN planted p
+            ON p.img_a = d.img_a AND p.img_b = d.img_b
+        )
+        SELECT CAST(tp + fp AS BIGINT) AS n_detected,
+               CAST(tp + fn AS BIGINT) AS n_planted,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               CAST((tp * 1000) // (tp + fp) AS BIGINT) AS precision_milli,
+               CAST((tp * 1000) // (tp + fn) AS BIGINT) AS recall_milli
+        FROM m
     """
 
     # --- img_curation: md5-synthesized (w, h) + doc_id-sliced captions,
