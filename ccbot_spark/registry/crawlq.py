@@ -602,6 +602,28 @@ def register(q):
         return fetchparse.anchor_term_counts(pairs)
     q["g_anchor_text"] = g_anchor_text
 
+    def g_triangles(spark, sf_dir):
+        # Per-node triangle counts + local clustering coefficient over
+        # the page link graph (linkrank.triangle_stats): degree-ordered
+        # orientation caps the wedge join at m^1.5 total and hot hubs
+        # orient inward, so no celebrity page explodes a partition.
+        # Edges synthesized deterministically (doc i links to 2i+1,
+        # 3i+2, i+1, 5i+3 mod 500 — 50 planted triangles at sf0.01);
+        # output integer-exact (clus_milli div truncation contractual).
+        d = _t(spark, sf_dir, "documents")
+        dsts = [
+            (F.col("doc_id") * 2 + 1) % 500,
+            (F.col("doc_id") * 3 + 2) % 500,
+            (F.col("doc_id") + 1) % 500,
+            (F.col("doc_id") * 5 + 3) % 500,
+        ]
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*dsts)).alias("dst"),
+        )
+        return linkrank.triangle_stats(edges)
+    q["g_triangles"] = g_triangles
+
 
 def register_sql(o):
 
@@ -1071,4 +1093,48 @@ def register_sql(o):
                CAST(CASE WHEN depth > 8 OR n_repeat > 1 OR url_len > 160
                          THEN 1 ELSE 0 END AS BIGINT) AS is_trap
         FROM f
+    """
+
+    # --- g_triangles: orientation-independent count — each triangle
+    # has exactly one id-ordering a < b < c whose three canonical
+    # edges (a,b),(b,c),(a,c) all exist, so a plain triple-join counts
+    # each exactly once; per-corner explode mirrors the Spark side.
+    o["g_triangles"] = """
+        WITH raw AS (
+          SELECT d.doc_id AS s, dst.p AS t
+          FROM documents d,
+               LATERAL (VALUES ((d.doc_id * 2 + 1) % 500),
+                               ((d.doc_id * 3 + 2) % 500),
+                               ((d.doc_id + 1) % 500),
+                               ((d.doc_id * 5 + 3) % 500)) AS dst(p)
+        ),
+        e AS (
+          SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+          FROM raw WHERE s <> t
+        ),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+          GROUP BY 1
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pn AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+          FROM (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+          GROUP BY 1
+        )
+        SELECT CAST(deg.node AS BIGINT) AS node, degree,
+               COALESCE(pn.triangles, 0) AS triangles,
+               CAST(CASE WHEN degree >= 2
+                    THEN (2000 * COALESCE(pn.triangles, 0))
+                         // (degree * (degree - 1))
+                    ELSE 0 END AS BIGINT) AS clus_milli
+        FROM deg LEFT JOIN pn USING (node)
     """

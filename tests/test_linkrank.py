@@ -105,3 +105,39 @@ def test_hits_repeated_edges_count_once(spark):
     once = _spark_hits(spark, [(0, 1), (1, 0)])
     dup = _spark_hits(spark, [(0, 1), (0, 1), (1, 0)])
     assert once == dup
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _spark_tri(spark, edges, parts=4):
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+    out = linkrank.triangle_stats(df)
+    return {r.node: (r.degree, r.triangles, r.clus_milli) for r in out.collect()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_st)
+def test_triangles_match_python_reference(spark, edges):
+    got = _spark_tri(spark, edges)
+    want = linkrank.triangle_stats_py(edges)
+    assert got == want
+
+
+def test_triangles_k4_and_orientation_invariance(spark):
+    # K4: every node has degree 3, sits in 3 triangles, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _spark_tri(spark, k4)
+    assert got == {n: (3, 3, 1000) for n in range(4)}
+    # duplicated + reversed edges count once; result partition-invariant
+    noisy = k4 + [(b, a) for a, b in k4] + k4
+    assert _spark_tri(spark, noisy, parts=2) == got
+    assert _spark_tri(spark, noisy, parts=16) == got
+
+
+def test_triangles_star_has_none(spark):
+    star = [(0, i) for i in range(1, 8)]
+    got = _spark_tri(spark, star)
+    assert got[0] == (7, 0, 0)
+    for i in range(1, 8):
+        assert got[i] == (1, 0, 0)
