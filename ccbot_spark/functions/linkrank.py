@@ -442,3 +442,90 @@ def triangle_stats_py(edge_list):
         t = tri[n]
         out[n] = (d, t, (2000 * t) // (d * (d - 1)) if d >= 2 else 0)
     return out
+
+
+def kcore_members(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """DF[node long, core_degree long]: the k-core of the undirected
+    graph — the maximal subgraph where every node keeps degree ≥ k —
+    via Matula–Beck iterative peeling: drop nodes with degree < k,
+    recompute degrees in the induced subgraph, repeat to fixpoint.
+    core_degree is the node's degree WITHIN the core.
+
+    The crawl read: a host/page's coreness separates densely
+    interlinked regions (directories, link farms, genuine hub
+    communities — high core) from tendrils and tree-shaped spam chains
+    (peel off in the first rounds), a standard webgraph
+    decomposition signal next to PageRank/HITS.
+
+    Shape per round: one degree hash-agg + two semi-joins (both ends
+    of each edge must survive) — all shuffles on node ids, no driver
+    state beyond one count per round for the fixpoint test. Rounds are
+    bounded by the peeling depth (the graph's degeneracy ordering
+    height), typically O(log n) on web graphs — NOT by n: each
+    localCheckpoint keeps the plan O(1) deep and prior rounds' blocks
+    are released eagerly (same discipline as pagerank_int).
+
+    Raises RuntimeError if the peel hasn't converged after max_rounds
+    — a diverging peel means pathological chain structure; raise
+    max_rounds or pre-trim leaves with a cheaper degree filter."""
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    cur = storagekit.local_checkpoint(
+        edges.select(
+            F.least(a, b).alias("ca"), F.greatest(a, b).alias("cb")
+        )
+        .where(F.col("ca") != F.col("cb"))
+        .distinct()
+    )
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("ca").alias("node"))
+            .unionAll(cur.select(F.col("cb").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("core_degree"))
+        )
+        keep = deg.where(F.col("core_degree") >= k)
+        if n_edges == 0:
+            break
+        nxt = storagekit.local_checkpoint(
+            cur.join(
+                keep.select(F.col("node").alias("ca")), "ca", "left_semi"
+            ).join(
+                keep.select(F.col("node").alias("cb")), "cb", "left_semi"
+            )
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            storagekit.release(nxt)
+            break
+        storagekit.release(cur)
+        cur = nxt
+        n_edges = n_next
+    else:
+        raise RuntimeError(f"k-core peel did not converge in {max_rounds} rounds")
+    # fixpoint: every surviving node has core_degree >= k already
+    out = storagekit.local_checkpoint(keep)
+    storagekit.release(cur)
+    _ACTIVE_CHECKPOINTS.append(out)
+    return out
+
+
+def kcore_members_py(edge_list, k):
+    """Pure-python oracle twin of kcore_members."""
+    e = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    while True:
+        deg: dict = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e2 = {(u, v) for u, v in e if u in keep and v in keep}
+        if e2 == e:
+            return {n: deg[n] for n in keep}
+        e = e2

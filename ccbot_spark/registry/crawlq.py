@@ -624,6 +624,31 @@ def register(q):
         return linkrank.triangle_stats(edges)
     q["g_triangles"] = g_triangles
 
+    def link_kcore(spark, sf_dir):
+        # k-core decomposition (linkrank.kcore_members, Matula–Beck
+        # peeling): planted structure — doc_ids < 50 form a ring with
+        # chords (degree 4: i±1, i±2 mod 50 — the 3-core), every other
+        # doc attaches as a binary tree tail (i — i div 2) that peels
+        # off level by level. 5 peel rounds at sf0.01; the oracle
+        # unrolls the same peel as a CTE chain.
+        d = _t(spark, sf_dir, "documents")
+        ring = d.filter(F.col("doc_id") < 50)
+        ring_e = ring.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + 1) % 50).alias("dst"),
+        ).unionByName(
+            ring.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") + 2) % 50).alias("dst"),
+            )
+        )
+        tree_e = d.filter(F.col("doc_id") >= 50).select(
+            F.col("doc_id").alias("src"),
+            F.expr("doc_id div 2").alias("dst"),
+        )
+        return linkrank.kcore_members(ring_e.unionByName(tree_e), k=3)
+    q["link_kcore"] = link_kcore
+
 
 def register_sql(o):
 
@@ -1138,3 +1163,46 @@ def register_sql(o):
                     ELSE 0 END AS BIGINT) AS clus_milli
         FROM deg LEFT JOIN pn USING (node)
     """
+
+    # --- link_kcore: the same peel unrolled as a CTE chain (16 rounds
+    # >= the fixture's peel depth at any test sf; extra rounds are
+    # no-ops once the fixpoint is reached).
+    _kcore_rounds = []
+    for _r in range(1, 17):
+        _p = _r - 1
+        _kcore_rounds.append(f"""
+        d{_r} AS MATERIALIZED (
+          SELECT node, COUNT(*) AS deg
+          FROM (SELECT a AS node FROM e{_p} UNION ALL SELECT b FROM e{_p})
+          GROUP BY 1
+        ),
+        k{_r} AS MATERIALIZED (SELECT node FROM d{_r} WHERE deg >= 3),
+        e{_r} AS MATERIALIZED (
+          SELECT a, b FROM e{_p}
+          WHERE a IN (SELECT node FROM k{_r})
+            AND b IN (SELECT node FROM k{_r})
+        )""")
+    o["link_kcore"] = (
+        """
+        WITH raw AS (
+          SELECT doc_id AS s, (doc_id + 1) % 50 AS t
+          FROM documents WHERE doc_id < 50
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % 50
+          FROM documents WHERE doc_id < 50
+          UNION ALL
+          SELECT doc_id, doc_id // 2
+          FROM documents WHERE doc_id >= 50
+        ),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+          FROM raw WHERE s <> t
+        ),"""
+        + ",".join(_kcore_rounds)
+        + """
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM (SELECT a AS node FROM e16 UNION ALL SELECT b FROM e16)
+        GROUP BY 1
+    """
+    )

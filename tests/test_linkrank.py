@@ -141,3 +141,35 @@ def test_triangles_star_has_none(spark):
     assert got[0] == (7, 0, 0)
     for i in range(1, 8):
         assert got[i] == (1, 0, 0)
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _spark_kcore(spark, edges, k, parts=4):
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+    out = linkrank.kcore_members(df, k=k)
+    got = {r.node: r.core_degree for r in out.collect()}
+    linkrank.clear_caches()
+    return got
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_st, st.integers(1, 4))
+def test_kcore_matches_python_reference(spark, edges, k):
+    assert _spark_kcore(spark, edges, k) == linkrank.kcore_members_py(edges, k)
+
+
+def test_kcore_peels_tree_keeps_ring(spark):
+    # ring-with-chords (3-core) + binary-tree tails that peel off
+    edges = (
+        [(i, (i + 1) % 50) for i in range(50)]
+        + [(i, (i + 2) % 50) for i in range(50)]
+        + [(i, i // 2) for i in range(50, 500)]
+    )
+    got = _spark_kcore(spark, edges, k=3)
+    assert got == {i: 4 for i in range(50)}
+    # partition-invariant
+    assert _spark_kcore(spark, edges, k=3, parts=16) == got
+    # k above the max coreness: empty
+    assert _spark_kcore(spark, edges, k=5) == {}
