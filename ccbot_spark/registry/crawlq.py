@@ -649,6 +649,31 @@ def register(q):
         return linkrank.kcore_members(ring_e.unionByName(tree_e), k=3)
     q["link_kcore"] = link_kcore
 
+    def a_hll_registers(spark, sf_dir):
+        # HyperLogLog register sketch (sketchkit.hll_registers):
+        # per-host distinct-URL registers, md5-keyed and integer-exact
+        # — the mergeable alternative to a distinct shuffle of the
+        # URLs at 10^10 scale. URL ids repeat (event_id % 900), so
+        # per-host distinct < row count; rho is computed from the
+        # integer bit length (len(bin(v))), never float log2, and the
+        # oracle replays the identical construction.
+        from ccbot_spark.functions import sketchkit
+
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 9000)
+        rows = e.select(
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 7).cast("string")
+            ).alias("host"),
+            F.concat(
+                F.lit("https://h"),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit(".test/p/"),
+                (F.col("event_id") % 900).cast("string"),
+            ).alias("url"),
+        )
+        return sketchkit.hll_registers(rows, key="url", group="host", p=8)
+    q["a_hll_registers"] = a_hll_registers
+
 
 def register_sql(o):
 
@@ -1206,3 +1231,30 @@ def register_sql(o):
         GROUP BY 1
     """
     )
+
+    # --- a_hll_registers: identical md5/Horner construction; rho from
+    # the binary-string length (exact), never float log2.
+    def _fold(expr, start, ln):
+        return (
+            f"list_reduce(list_transform(string_split("
+            f"substr(md5({expr}), {start}, {ln}), ''), "
+            "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+            "(a,b) -> a*16 + b)"
+        )
+
+    _hll_url = (
+        "'https://h' || CAST(event_id % 7 AS VARCHAR) || '.test/p/' || "
+        "CAST(event_id % 900 AS VARCHAR)"
+    )
+    o["a_hll_registers"] = f"""
+        WITH rows_ AS (
+          SELECT 'h' || CAST(event_id % 7 AS VARCHAR) AS host,
+                 {_fold(_hll_url, 1, 2)} AS register,
+                 {_fold(_hll_url, 3, 12)} AS v
+          FROM events WHERE event_id < 9000
+        )
+        SELECT host, register,
+               MAX(CASE WHEN v = 0 THEN 49
+                        ELSE 48 - length(bin(v)) + 1 END) AS max_rho
+        FROM rows_ GROUP BY 1, 2
+    """
