@@ -458,3 +458,79 @@ def pii_scrub_py(text: str) -> tuple:
         counts.append(len(_re.findall(pat, cur)))
         cur = _re.sub(pat, token, cur)
     return (*counts, cur)
+
+
+# ------------------------------------------------- boilerplate removal
+
+def boilerplate_strip(
+    df: DataFrame,
+    min_docs: int = 20,
+    words_per_para: int = 3,
+    text: str = "text",
+    group: str = "source",
+) -> DataFrame:
+    """Site-level boilerplate removal (the C4/CCNet companion to
+    paragraph_dedup, different rule): a paragraph that appears in
+    ≥ min_docs DISTINCT documents of the same ``group`` (host/source)
+    is template chrome — nav bars, cookie banners, footers — and is
+    stripped from EVERY document, first occurrence included. Contrast
+    paragraph_dedup, which keeps exactly one copy: dedup preserves
+    content that happens to repeat; boilerplate removal deletes
+    structure that repeats BY CONSTRUCTION of the site template.
+
+    Paragraphs are fixed ``words_per_para``-word chunks of the
+    single-space test corpus (same convention as paragraph_dedup;
+    real corpora split on blank lines — downstream unchanged).
+
+    Scale shape: document frequency per (group, para) via
+    groupBy + countDistinct — Spark plans partial dedup of
+    (group, para, doc_id) map-side, so a nav bar on every page of a
+    10^7-page host costs each map task one row, not a funnel. The
+    boiler set (df ≥ min_docs) is tiny — template chrome per host —
+    and joins back as an equi-join on (group, para); per-doc
+    re-aggregation keys on doc_id (near-uniform).
+
+    Output per doc: (doc_id, n_paras, n_boiler, text_clean) with
+    text_clean the surviving chunks re-joined in position order."""
+    toks = F.split(F.col(text), " ")
+    w = words_per_para
+    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    paras_arr = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(
+                F.slice(toks, (i - F.lit(1)) * w + F.lit(1), F.lit(w)), " "
+            ).alias("para"),
+        ),
+    )
+    ex = df.select("doc_id", F.col(group).alias("_g"), F.explode(paras_arr).alias("p")).select(
+        "doc_id", "_g", F.col("p.pos").alias("pos"), F.col("p.para").alias("para")
+    )
+    boiler = (
+        ex.groupBy("_g", "para")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_g", "para", F.lit(1).alias("_b"))
+    )
+    marked = ex.join(boiler, ["_g", "para"], "left").select(
+        "doc_id", "pos", "para",
+        F.coalesce(F.col("_b"), F.lit(0)).cast("long").alias("is_boiler"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum("is_boiler").alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_boiler") == 0, F.struct("pos", "para")
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

@@ -245,6 +245,27 @@ def register(q):
         )
     q["text_training_export"] = text_training_export
 
+    def text_boilerplate(spark, sf_dir):
+        # Site-template boilerplate removal (textkit.boilerplate_strip
+        # — the C4 rule that DELETES high-df paragraphs everywhere,
+        # vs para_dedup which keeps one copy). A 3-word header
+        # ("subscribe to {source}") is prepended to every doc, so
+        # chunk 1 has df = the source's whole doc count and must be
+        # stripped from every row; body chunks shift by one slot and
+        # survive unless they naturally cross the df threshold (both
+        # engines agree either way).
+        d = _t(spark, sf_dir, "documents")
+        boosted = d.select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.lit("subscribe to "), F.col("source"), F.lit(" "),
+                F.col("text"),
+            ).alias("text"),
+        )
+        return textkit.boilerplate_strip(boosted, min_docs=20)
+    q["text_boilerplate"] = text_boilerplate
+
 
 def register_sql(o):
 
@@ -648,4 +669,36 @@ def register_sql(o):
                CAST(weight * 1000000 // _tw AS BIGINT) AS rate_ppm,
                CAST(weight * 100000 // _tw AS BIGINT) AS take_tokens
         FROM w CROSS JOIN t
+    """
+
+    # --- text_boilerplate: same prepended-header fixture; df per
+    # (source, para) over distinct docs, strip everywhere at df >= 20
+    o["text_boilerplate"] = """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split('subscribe to ' || source || ' ' || text,
+                              ' ') AS t
+          FROM documents
+        ),
+        paras AS (
+          SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+                 array_to_string(t[((i-1)*3+1):((i-1)*3+3)], ' ') AS para
+          FROM toks,
+               UNNEST(range(1, CAST(ceil(len(t)/3.0) AS BIGINT) + 1)) AS r(i)
+        ),
+        boiler AS (
+          SELECT source, para FROM paras
+          GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 20
+        ),
+        marked AS (
+          SELECT p.doc_id, p.pos, p.para,
+                 CASE WHEN b.para IS NOT NULL THEN 1 ELSE 0 END AS is_boiler
+          FROM paras p
+          LEFT JOIN boiler b ON b.source = p.source AND b.para = p.para
+        )
+        SELECT doc_id, count(*) AS n_paras,
+               CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+               coalesce(string_agg(CASE WHEN is_boiler = 0 THEN para END,
+                                   ' ' ORDER BY pos), '') AS text_clean
+        FROM marked GROUP BY doc_id
     """

@@ -1049,6 +1049,37 @@ def test_paragraph_dedup_edge_cases(spark):
     }
 
 
+def test_boilerplate_strip(spark):
+    # 3 docs on host A share chunk-1 "nav bar here"; host B has the
+    # same chunk but only once -> below threshold there, kept
+    rows = [
+        (1, "A", "nav bar here alpha beta gamma"),
+        (2, "A", "nav bar here delta eps zeta"),
+        (3, "A", "nav bar here alpha beta gamma"),
+        (4, "B", "nav bar here unique words body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_boiler, r.text_clean)
+        for r in textkit.boilerplate_strip(df, min_docs=3).collect()
+    }
+    assert got == {
+        1: (2, 1, "alpha beta gamma"),
+        2: (2, 1, "delta eps zeta"),
+        3: (2, 1, "alpha beta gamma"),   # duplicate CONTENT is kept: not df-boiler
+        4: (2, 0, "nav bar here unique words body"),
+    }
+
+
+def test_boilerplate_distinct_doc_df(spark):
+    # within-doc repetition must NOT inflate df: one doc repeating a
+    # chunk 5 times contributes 1 to df, so nothing is stripped
+    rows = [(1, "A", "x y z x y z x y z x y z x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    [r] = textkit.boilerplate_strip(df, min_docs=2).collect()
+    assert (r.n_paras, r.n_boiler) == (5, 0)
+
+
 EV = "/root/testdata/sf0.001/events.parquet"
 
 
