@@ -1564,3 +1564,125 @@ def pixel_stats(images: DataFrame, t2: int = 10) -> DataFrame:
             )
 
     return images.mapInPandas(gen, schema=out_schema)
+
+
+def synth_blur_mix_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic fixture for the blur/sharpness gate: three pixel
+    classes by doc_id % 3 whose 4-neighbor Laplacian energy is
+    CLOSED-FORM from (w, h) arithmetic, so DuckDB can replay the exact
+    integer energy — 0: SOLID (Laplacian 0 everywhere), 1: LINEAR RAMP
+    value c + row (a perfectly smooth gradient — nonzero variance but
+    ZERO Laplacian, the case a variance gate cannot separate from real
+    content), 2: unit checkerboard with step s=9 (every interior sample
+    has |L| = 4s, so energy = 16s²·n_int exactly). Ramp base c = d %
+    180 keeps c + row ≤ 252 (h ≤ 73): no clipping, so linearity — and
+    the zero-Laplacian identity — holds everywhere. Encoded round-robin
+    over the lossless containers (ppm/png/bmp): stats decode-invariant."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 24 + d % 50
+                h = 24 + (d * 3) % 50
+                cls = d % 3
+                if cls == 0:
+                    c = d * 37 % 240
+                    px = np.full((h, w, 3), c, dtype=np.uint8)
+                elif cls == 1:
+                    c = d % 180
+                    col = (c + np.arange(h, dtype=np.int64)) % 256
+                    px = np.repeat(
+                        np.repeat(col[:, None], w, axis=1)[:, :, None],
+                        3, axis=2,
+                    ).astype(np.uint8)
+                else:
+                    c = d * 37 % 240
+                    ij = np.add.outer(np.arange(h), np.arange(w)) % 2
+                    px = np.repeat(
+                        (c + 9 * ij)[:, :, None], 3, axis=2
+                    ).astype(np.uint8)
+                fmt = ("ppm", "png", "bmp")[(d // 3) % 3]
+                rows.append((f"doc-{d}", codecs.encode(px, fmt), w, h, fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def laplacian_stats(images: DataFrame, tau: int = 100) -> DataFrame:
+    """Blur / sharpness gate — "variance of Laplacian" focus measure
+    (Pech-Pacheco et al., ICPR 2000), the standard curation step that
+    drops out-of-focus photos, upscaled thumbnails and smooth gradient
+    banners which survive a flat-variance gate (pixel_stats) because
+    they DO vary — just with no edges.
+
+    Per image, ONE Arrow decode pass computes the exact integer energy
+    of the 4-neighbor discrete Laplacian over the INTERIOR (valid)
+    region, per channel:
+
+      L(i,j) = 4·x(i,j) − x(i−1,j) − x(i+1,j) − x(i,j−1) − x(i,j+1)
+      n_int = 3·(h−2)·(w−2);   lap_energy = Σ L²   (int64 exact)
+      is_sharp ⇔ lap_energy ≥ tau·n_int   (mean L² ≥ tau, integer
+                                           cross-multiplied)
+
+    Interior-only makes the statistic closed-form on the fixture (no
+    boundary replication convention to model); images with w < 3 or
+    h < 3 have an empty interior → energy 0, not sharp. Exactness
+    bound: L² ≤ (4·255)² ≈ 1.04e6, so int64 holds to ~8.8e12 interior
+    samples — petapixel images, far beyond any crawl asset. Scale
+    shape: iterator mapInPandas (bounded batches), blob consumed and
+    DROPPED in the same stage — downstream sees 6 integer columns,
+    zero shuffle; composes with pixel_stats in the same decode pass at
+    scale (one decode, both moments).
+
+    Returns (image_id, w, h, n_int, lap_energy, is_sharp)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("n_int", T.LongType(), False),
+            T.StructField("lap_energy", T.LongType(), False),
+            T.StructField("is_sharp", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode_bytes(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape[:2]
+                if h < 3 or w < 3:
+                    n_int, energy = 0, 0
+                else:
+                    core = px[1:-1, 1:-1, :]
+                    lap = (
+                        4 * core
+                        - px[:-2, 1:-1, :]
+                        - px[2:, 1:-1, :]
+                        - px[1:-1, :-2, :]
+                        - px[1:-1, 2:, :]
+                    )
+                    n_int = int(lap.size)
+                    energy = int((lap * lap).sum())
+                is_sharp = int(n_int > 0 and energy >= tau * n_int)
+                rows.append((r.image_id, w, h, n_int, energy, is_sharp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return images.mapInPandas(gen, schema=out_schema)

@@ -769,6 +769,21 @@ def register(q):
         )
     q["img_flat_gate"] = img_flat_gate
 
+    def img_blur_gate(spark, sf_dir):
+        # blur / sharpness gate: variance-of-Laplacian focus measure
+        # (Pech-Pacheco 2000) as exact integer energy over the interior
+        # 4-neighbor Laplacian, one Arrow decode pass. The fixture
+        # plants solid / linear-ramp / step-9 checkerboard classes: the
+        # ramp is the adversarial case (nonzero variance, ZERO
+        # Laplacian — a flat-variance gate keeps it, this gate drops
+        # it). Checkerboard interior samples all have |L| = 4·9 = 36,
+        # so lap_energy = 1296·n_int EXACTLY — DuckDB re-derives every
+        # output column from doc_id arithmetic alone.
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        imgs = multimodal.synth_blur_mix_from_docs(docs)
+        return multimodal.laplacian_stats(imgs, tau=100)
+    q["img_blur_gate"] = img_blur_gate
+
 
 def register_sql(o):
 
@@ -1567,6 +1582,35 @@ def register_sql(o):
     # var_num computed in closed form from (w, h, c) — k = wh//2 cells
     # hold c+8, the rest c — and compared 4·var_num ≥ 100·n²; noise →
     # keep (fixture truth: uniform-random uint8 variance ≈ 5461 ≫ 25).
+    # --- img_blur_gate: every output column of the Laplacian gate is
+    # closed-form on the fixture. Solid and linear-ramp classes have
+    # identically zero 4-neighbor Laplacian (the ramp because L is a
+    # linear operator annihilating affine images — c + row has no mod
+    # wrap since c ≤ 179, row ≤ 72); the step-9 checkerboard has
+    # |L| = 36 at every interior sample, so energy = 36²·n_int with
+    # n_int = 3(h−2)(w−2). is_sharp ⇔ energy ≥ 100·n_int ⇔ cls = 2.
+    o["img_blur_gate"] = """
+        WITH d AS (
+          SELECT doc_id AS d,
+                 24 + doc_id % 50 AS w,
+                 24 + (doc_id * 3) % 50 AS h,
+                 doc_id % 3 AS cls
+          FROM documents WHERE doc_id < 300
+        ),
+        n AS (
+          SELECT *, 3 * (h - 2) * (w - 2) AS n_int FROM d
+        )
+        SELECT 'doc-' || CAST(d AS VARCHAR) AS image_id,
+               CAST(w AS INTEGER) AS w,
+               CAST(h AS INTEGER) AS h,
+               CAST(n_int AS BIGINT) AS n_int,
+               CAST(CASE WHEN cls = 2 THEN 1296 * n_int ELSE 0 END
+                    AS BIGINT) AS lap_energy,
+               CAST(CASE WHEN cls = 2 THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_sharp
+        FROM n
+    """
+
     o["img_flat_gate"] = """
         WITH d AS (
           SELECT doc_id AS d,

@@ -1582,6 +1582,57 @@ def test_pixel_stats_matches_numpy(spark, docs):
     assert seen == {(1, 0), (0, 0), (0, 1)}
 
 
+# --------------------------------------------- blur / sharpness gate
+
+def test_laplacian_stats_matches_numpy(spark, docs):
+    """laplacian_stats' exact integer Laplacian energy == an
+    independent numpy recomputation (np.diff-based second differences,
+    a different formulation than the operator's shifted-slice sum),
+    the ramp class proves variance alone cannot stand in for focus,
+    and sub-3×3 images get the empty-interior verdict."""
+    imgs = multimodal.synth_blur_mix_from_docs(
+        docs.filter(F.col("doc_id") < 60)
+    ).cache()
+    got = {
+        r.image_id: r
+        for r in multimodal.laplacian_stats(imgs, tau=100).collect()
+    }
+    verdicts = {}
+    for r in imgs.collect():
+        px = multimodal.decode_bytes(bytes(r.bytes), r.fmt).astype(np.int64)
+        # independent form: L = -(d²/di² + d²/dj²) via np.diff twice
+        dii = np.diff(px, n=2, axis=0)[:, 1:-1, :]
+        djj = np.diff(px, n=2, axis=1)[1:-1, :, :]
+        lap = -(dii + djj)
+        energy = int((lap * lap).sum())
+        n_int = int(lap.size)
+        g = got[r.image_id]
+        assert (g.n_int, g.lap_energy) == (n_int, energy), r.image_id
+        assert g.is_sharp == int(n_int > 0 and energy >= 100 * n_int)
+        d = int(r.image_id.split("-")[1])
+        verdicts[d % 3] = verdicts.get(d % 3, set()) | {g.is_sharp}
+        # closed-form fixture identities the oracle relies on
+        if d % 3 == 2:
+            assert g.lap_energy == 1296 * g.n_int
+        else:
+            assert g.lap_energy == 0
+    imgs.unpersist()
+    # solid and ramp both fail the gate; only the checkerboard passes —
+    # and the ramp has NONZERO variance (pixel_stats would keep it)
+    assert verdicts == {0: {0}, 1: {0}, 2: {1}}
+
+    # empty-interior boundary: a 2×5 image has no valid Laplacian
+    from ccbot_spark import codecs
+
+    tiny = np.arange(2 * 5 * 3, dtype=np.uint8).reshape(2, 5, 3)
+    tdf = spark.createDataFrame(
+        [("tiny", bytearray(codecs.encode(tiny, "ppm")), 5, 2, "ppm")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    row = multimodal.laplacian_stats(tdf).collect()[0]
+    assert (row.n_int, row.lap_energy, row.is_sharp) == (0, 0, 0)
+
+
 # ------------------------------------------------- mirror-host detection
 
 def test_mirror_hosts_planted_and_brute_force(spark):
