@@ -721,6 +721,102 @@ def embedding_near_pairs(df: DataFrame, t4: int = 3500) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- SemDeDup
+
+def semdedup(
+    df: DataFrame, n_centroids: int = 16, eps4: int = 9000
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = cluster the embedding space, then inside each
+    cluster drop every item that has a ≥ ε cosine neighbor EARLIER in
+    the keep order. The paper's keep order — ASCENDING similarity to
+    the cluster centroid, i.e. the most atypical member of a duplicate
+    neighborhood survives — is what distinguishes this from plain
+    near-dup pruning, and their official implementation's "max sim to
+    any previous item ≥ ε ⇒ drop" rule (y need not itself survive) is
+    reproduced verbatim as an EXISTS join.
+
+    Engine-neutral integer semantics end to end: vectors unit-quantize
+    to floor((x/‖x‖)·2^20) (similarity._quantized_unit — left-fold
+    norm, correctly-rounded IEEE ops); centroids are the deterministic
+    seeded sample used by ivf_topk_int (at production scale you'd feed
+    MLlib KMeans centers through the same assignment — the math
+    downstream is unchanged); assignment = argmax exact int64 dot (tie
+    → smaller cid); the ε test is the integer cross-multiplication
+    10^4·dot(a,b) ≥ eps4·2^40 (dot ≤ 64·2^40 so ·10^4 < 2^63).
+
+    Scale shape: the centroid table broadcasts (n_centroids rows);
+    assignment is one scan + one small-side join; the only shuffle
+    keys on cid; the within-cluster pair join is the paper's own
+    Σ n_c² cost, bounded by cluster granularity (k grows with n —
+    ~100k clusters at LAION scale keeps n_c ≈ 10^4). Quantized
+    vectors, never raw floats, move through the shuffle.
+
+    Returns (vec_id, cid, cdot, keep) — all int64, fully oracle-able.
+    """
+    from ccbot_spark.functions import similarity as _sim
+
+    scale2 = _sim.IVF_SCALE * _sim.IVF_SCALE  # 2^40
+    q = _sim._quantized_unit(df)
+    cents = (
+        q.filter(F.col("vec_id") % 997 < 31)
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    )
+    from pyspark.sql.window import Window
+
+    scored = q.join(F.broadcast(cents)).withColumn(
+        "cdot", _sim._idot(F.col("q"), F.col("cq"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("cid").asc()
+    )
+    assign = _persist(
+        scored.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "q", "cid", "cdot")
+    )
+
+    # Arrow-batched exact int64 pair dot (same rationale as
+    # embedding_lsh_near_pairs: ~10× over the interpreted fold).
+    @F.pandas_udf(T.LongType())
+    def int_dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xm = np.vstack(xs.to_numpy()).astype(np.int64)
+        ym = np.vstack(ys.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", xm, ym))
+
+    a = assign.select(
+        F.col("vec_id").alias("va"), F.col("q").alias("qa"),
+        "cid", F.col("cdot").alias("ca"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vb"), F.col("q").alias("qb"),
+        "cid", F.col("cdot").alias("cb"),
+    )
+    earlier = (F.col("cb") < F.col("ca")) | (
+        (F.col("cb") == F.col("ca")) & (F.col("vb") < F.col("va"))
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(earlier)
+        .withColumn("dot", int_dot_udf("qa", "qb"))
+        .filter(F.lit(10_000) * F.col("dot") >= F.lit(eps4 * scale2))
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(drops.withColumn("_drop", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            "cdot",
+            F.when(F.col("_drop").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )
+
+
 # ------------------------------------------------------- decontamination
 
 def contamination_hits(

@@ -146,6 +146,17 @@ def register(q):
         )
     q["dedup_embedding_lsh"] = dedup_embedding_lsh
 
+    def dedup_semantic(spark, sf_dir):
+        # SemDeDup (Abbas 2023): cluster-then-prune semantic dedup;
+        # keep order = ASCENDING centroid similarity (most atypical
+        # member of each duplicate neighborhood survives). Fully
+        # integer: unit-quantized 2^20 vectors, exact int64 dots,
+        # ε as a cross-multiplication — DuckDB replays every column.
+        return dedup.semdedup(
+            _t(spark, sf_dir, "embeddings"), n_centroids=16, eps4=3500
+        )
+    q["dedup_semantic"] = dedup_semantic
+
     # ---------------- similarity search
     def ann_topk(spark, sf_dir):
         return similarity.ann_bruteforce_topk(
@@ -502,6 +513,52 @@ def register_sql(o):
                                     ORDER BY dot DESC, neighbor_id ASC) AS rn
           FROM cand
         ) WHERE rn <= 5
+    """
+
+    # --- SemDeDup: same quantization + centroid CTEs as ann_ivf; the
+    # official "max sim to any EARLIER item ≥ ε ⇒ drop" rule is the
+    # EXISTS join in `drops` (earlier = lower centroid-dot, tie smaller
+    # id); ε test is 10^4·dot ≥ 9000·2^40 in exact integers.
+    o["dedup_semantic"] = f"""
+        WITH e AS ({_EMB_D}),
+        nq AS (
+          SELECT vec_id,
+                 list_transform(emb, x -> CAST(FLOOR(
+                   x / sqrt(list_sum(list_transform(emb, y -> y*y)))
+                     * 1048576.0) AS BIGINT)) AS q
+          FROM e
+        ),
+        cents AS (
+          SELECT vec_id AS cid, q AS cq FROM nq
+          WHERE vec_id % 997 < 31 ORDER BY vec_id LIMIT 16
+        ),
+        assign AS (
+          SELECT vec_id, q, cid, cdot FROM (
+            SELECT n.vec_id, n.q, c.cid,
+                   list_sum(list_transform(generate_series(1, len(n.q)),
+                     i -> n.q[i] * c.cq[i])) AS cdot,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(n.q)),
+                       i -> n.q[i] * c.cq[i])) DESC, c.cid ASC) AS rn
+            FROM nq n CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        drops AS (
+          SELECT DISTINCT a.vec_id
+          FROM assign a JOIN assign b
+            ON b.cid = a.cid
+           AND (b.cdot < a.cdot
+                OR (b.cdot = a.cdot AND b.vec_id < a.vec_id))
+           AND 10000 * list_sum(list_transform(
+                 generate_series(1, len(a.q)), i -> a.q[i] * b.q[i]))
+               >= 3500 * 1099511627776
+        )
+        SELECT a.vec_id,
+               CAST(a.cid AS BIGINT) AS cid,
+               CAST(a.cdot AS BIGINT) AS cdot,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep
+        FROM assign a LEFT JOIN drops d USING (vec_id)
     """
 
     # --- ANN LSH: bucket assignment mirrors similarity._bucket_udf
