@@ -529,3 +529,82 @@ def kcore_members_py(edge_list, k):
         if e2 == e:
             return {n: deg[n] for n in keep}
         e = e2
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """DF[src long, dst long, hops long]: resolve every redirecting
+    URL's 301 chain to its TERMINAL target (a node with no outgoing
+    redirect) plus the exact hop count — the canonicalization pass a
+    crawler runs over its accumulated redirect records before link
+    analysis, so that PageRank/HITS/anchor aggregation credit the
+    final URL rather than each hop of the chain.
+
+    Input is a functional graph (≤ 1 outgoing redirect per src — the
+    crawler stores the latest observed Location per URL) and must be
+    acyclic; a redirect LOOP that survives `max_rounds` pointer-jump
+    rounds raises rather than silently emitting a non-terminal.
+
+    Pointer jumping: each round rewrites next(x) ← next(next(x)) and
+    hops(x) ← hops(x) + hops(next(x)) via ONE self equi-join on the
+    next-pointer, so a chain of length L resolves in ⌈log2 L⌉ rounds
+    (max_rounds = 30 covers 10^9-hop chains — i.e. any real crawl).
+    Every shuffle moves 3 longs per unresolved row; resolved rows
+    drop out of the join via the left join's null side. Same
+    localCheckpoint-per-round + eager-release discipline as
+    pagerank_int/kcore (plan stays O(1) deep, blocks freed)."""
+    m = storagekit.local_checkpoint(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("nxt"),
+            F.lit(1).cast("long").alias("hops"),
+        )
+    )
+    for _ in range(max_rounds):
+        step = m.select(
+            F.col("src").alias("k"),
+            F.col("nxt").alias("k_nxt"),
+            F.col("hops").alias("k_hops"),
+        )
+        open_rows = m.join(step, m.nxt == step.k, "left_semi")
+        if open_rows.isEmpty():
+            break
+        nxt = storagekit.local_checkpoint(
+            m.join(step, m.nxt == step.k, "left").select(
+                "src",
+                F.coalesce("k_nxt", "nxt").alias("nxt"),
+                (
+                    F.col("hops") + F.coalesce("k_hops", F.lit(0))
+                ).alias("hops"),
+            )
+        )
+        storagekit.release(m)
+        m = nxt
+    else:
+        raise RuntimeError(
+            f"redirect chains did not resolve in {max_rounds} rounds "
+            "(cycle in the redirect graph?)"
+        )
+    out = m.select("src", F.col("nxt").alias("dst"), "hops")
+    _ACTIVE_CHECKPOINTS.append(m)
+    return out
+
+
+def resolve_redirects_py(edge_list):
+    """Pure-python oracle twin of resolve_redirects (direct walk)."""
+    nxt = dict(edge_list)
+    out = {}
+    for s in nxt:
+        cur, hops, seen = s, 0, set()
+        while cur in nxt:
+            if cur in seen:
+                raise RuntimeError("cycle")
+            seen.add(cur)
+            cur = nxt[cur]
+            hops += 1
+        out[s] = (cur, hops)
+    return out

@@ -649,6 +649,25 @@ def register(q):
         return linkrank.kcore_members(ring_e.unionByName(tree_e), k=3)
     q["link_kcore"] = link_kcore
 
+    def link_redirects(spark, sf_dir):
+        # Redirect-chain canonicalization (linkrank.resolve_redirects,
+        # pointer jumping: ⌈log2 L⌉ self-joins instead of L walk
+        # steps). Synthetic functional redirect graph: src % 7 != 0
+        # redirects down to src−1 (even) / src−2 (odd), terminals at
+        # multiples of 7 and ids < 2 — chains up to 8 hops, which the
+        # DuckDB oracle walks with a recursive CTE.
+        d = _t(spark, sf_dir, "documents")
+        edges = d.filter(
+            (F.col("doc_id") < 600)
+            & (F.col("doc_id") % 7 != 0)
+            & (F.col("doc_id") >= 2)
+        ).select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") - 1 - F.col("doc_id") % 2).alias("dst"),
+        )
+        return linkrank.resolve_redirects(edges)
+    q["link_redirects"] = link_redirects
+
     def a_hll_registers(spark, sf_dir):
         # HyperLogLog register sketch (sketchkit.hll_registers):
         # per-host distinct-URL registers, md5-keyed and integer-exact
@@ -1231,6 +1250,29 @@ def register_sql(o):
         GROUP BY 1
     """
     )
+
+    # --- link_redirects: the oracle WALKS each chain with a recursive
+    # CTE (hop-at-a-time) while Spark pointer-jumps in log rounds —
+    # agreeing terminals + exact hop counts check the whole shortcut
+    # algebra, not just the final mapping.
+    o["link_redirects"] = """
+        WITH RECURSIVE e AS (
+          SELECT doc_id AS src, doc_id - 1 - (doc_id % 2) AS dst
+          FROM documents
+          WHERE doc_id < 600 AND doc_id % 7 <> 0 AND doc_id >= 2
+        ),
+        walk AS (
+          SELECT src, dst, 1 AS hops FROM e
+          UNION ALL
+          SELECT w.src, e.dst, w.hops + 1
+          FROM walk w JOIN e ON e.src = w.dst
+        )
+        SELECT CAST(src AS BIGINT) AS src,
+               CAST(dst AS BIGINT) AS dst,
+               CAST(hops AS BIGINT) AS hops
+        FROM walk w
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.dst)
+    """
 
     # --- a_hll_registers: identical md5/Horner construction; rho from
     # the binary-string length (exact), never float log2.

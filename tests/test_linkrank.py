@@ -173,3 +173,42 @@ def test_kcore_peels_tree_keeps_ring(spark):
     assert _spark_kcore(spark, edges, k=3, parts=16) == got
     # k above the max coreness: empty
     assert _spark_kcore(spark, edges, k=5) == {}
+
+
+def _spark_resolve(spark, edges, parts=4, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+    out = {
+        r.src: (r.dst, r.hops)
+        for r in linkrank.resolve_redirects(df, **kw).collect()
+    }
+    linkrank.clear_caches()
+    return out
+
+
+def test_resolve_redirects_matches_python_walk(spark):
+    """Pointer jumping == a direct per-chain python walk on a random
+    functional DAG (every dst < src ⇒ acyclic), including a planted
+    300-hop chain that needs ~9 shortcut rounds."""
+    import random
+
+    rng = random.Random(5)
+    edges = []
+    for s in range(2, 400):
+        if rng.random() < 0.7:
+            edges.append((s, rng.randrange(0, s)))
+    # planted long chain: 1000 → 1001 → … → 1300 (ids disjoint)
+    edges += [(1000 + i, 1001 + i) for i in range(300)]
+    want = linkrank.resolve_redirects_py(edges)
+    assert _spark_resolve(spark, edges) == want
+    assert want[1000] == (1300, 300)  # the long chain resolved exactly
+
+
+def test_resolve_redirects_cycle_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="cycle"):
+        linkrank.resolve_redirects(df, max_rounds=6).collect()
+    linkrank.clear_caches()
