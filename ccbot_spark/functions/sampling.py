@@ -159,6 +159,46 @@ def hash_split(
     return df.select("*", b.alias("split_bucket"), lab.alias("split"))
 
 
+def leakfree_split(
+    df: DataFrame,
+    key: str,
+    pairs: DataFrame,
+    a: str = "img_a",
+    b: str = "img_b",
+    cuts: tuple[int, ...] = (90, 95),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    mod: int = 100,
+) -> DataFrame:
+    """Near-dup-closed train/val/test assignment — the FIXER for the
+    split-leakage audit: hash_split keyed on the item's near-dup
+    COMPONENT label (min reachable id via connected_components;
+    singletons key on themselves), so every member of a duplicate
+    neighborhood lands in the same split and cross-split leakage is
+    zero BY CONSTRUCTION, not by post-hoc filtering. Still stable
+    under corpus growth *within* a component's lifetime: an item's
+    split moves only if new data merges its component — which is
+    exactly when it must move to stay leak-free.
+
+    Scale shape: components is the O(log diameter) pointer-jumping
+    pass already paid for by dedup; the assignment itself is a left
+    join + one column expression, zero extra shuffles beyond the
+    component labels. Returns (key, group_key, split_bucket, split).
+    """
+    from ccbot_spark.functions import dedup as _dedup
+
+    comp = _dedup.connected_components(pairs, a=a, b=b)
+    with_group = (
+        df.select(key)
+        .join(comp.withColumnRenamed("doc_id", key), key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("cluster_id"), F.col(key)).alias("group_key"),
+        )
+    )
+    out = hash_split(with_group, "group_key", cuts=cuts, names=names, mod=mod)
+    return out.select(key, "group_key", "split_bucket", "split")
+
+
 def temperature_plan(
     df: DataFrame,
     budget: int,

@@ -753,6 +753,31 @@ def register(q):
         )
     q["img_split_leakage"] = img_split_leakage
 
+    def img_split_assign(spark, sf_dir):
+        # the FIXER for img_split_leakage: hash_split keyed on the
+        # near-dup COMPONENT label (sampling.leakfree_split), so the
+        # planted hamming-1 twins land in the same split by
+        # construction. Same phash fixture as the audit; the oracle
+        # replays components with WITH RECURSIVE + the identical
+        # md5-Horner bucket of the group key.
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        hx = F.md5(F.concat(F.lit("img:"), (F.col("doc_id") % 150).cast("string")))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(2147483648)
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+        flip = F.when(
+            F.col("doc_id") >= 150,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+        ph = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            (hi * F.lit(2147483648) + lo).bitwiseXOR(flip).alias("phash"),
+        )
+        pairs = multimodal.phash_near_pairs(ph, max_ham=6)
+        return sampling.leakfree_split(
+            ph.select("image_id"), "image_id", pairs, a="img_a", b="img_b"
+        )
+    q["img_split_assign"] = img_split_assign
+
     def img_flat_gate(spark, sf_dir):
         # low-information gate: exact integer pixel moments from one
         # Arrow decode pass; verdicts are integer cross-multiplied
@@ -1575,6 +1600,62 @@ def register_sql(o):
         JOIN sp sa ON sa.image_id = img_a
         JOIN sp sb ON sb.image_id = img_b
         WHERE bit_count(xor(pa, pb)) <= 6 AND sa.split <> sb.split
+    """
+
+    # --- img_split_assign: the audit's fixer — WITH RECURSIVE
+    # components over the same banded phash pair graph (string MIN
+    # label), then the md5-Horner bucket of the GROUP key.
+    o["img_split_assign"] = f"""
+        WITH RECURSIVE ph AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 xor(
+                   CAST((h64 // 4294967296) % 2147483648 AS BIGINT) * 2147483648
+                     + CAST((h64 % 4294967296) % 2147483648 AS BIGINT),
+                   CASE WHEN doc_id >= 150
+                        THEN CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INT)
+                        ELSE 0 END
+                 ) AS phash
+          FROM (SELECT doc_id,
+                       {_sql_h64("'img:' || CAST(doc_id % 150 AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 200)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b
+          FROM ph a JOIN ph b ON a.image_id < b.image_id
+           AND (
+             (a.phash & 65535) = (b.phash & 65535)
+             OR ((a.phash // 65536) & 65535) = ((b.phash // 65536) & 65535)
+             OR ((a.phash // 4294967296) & 65535)
+                = ((b.phash // 4294967296) & 65535)
+             OR ((a.phash // 281474976710656) & 65535)
+                = ((b.phash // 281474976710656) & 65535)
+           )
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ),
+        edges AS (
+          SELECT img_a AS a, img_b AS b FROM pairs
+          UNION SELECT img_b, img_a FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT a AS node, a AS lab FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+        ),
+        comp AS (
+          SELECT node AS image_id, MIN(lab) AS cluster_id
+          FROM reach GROUP BY node
+        ),
+        g AS (
+          SELECT p.image_id,
+                 COALESCE(c.cluster_id, p.image_id) AS group_key
+          FROM ph p LEFT JOIN comp c ON c.image_id = p.image_id
+        )
+        SELECT image_id, group_key,
+               {_sql_hmod("group_key", 100)} AS split_bucket,
+               CASE WHEN {_sql_hmod("group_key", 100)} < 90 THEN 'train'
+                    WHEN {_sql_hmod("group_key", 100)} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM g
     """
 
     # --- img_flat_gate: re-derive the three-class fixture's verdicts

@@ -229,3 +229,55 @@ def test_temperature_plan_matches_python(spark):
         assert got[s] == (a, w, w * 10**6 // tw, w * 50000 // tw), s
     big = max(avail, key=avail.get)
     assert got[big][2] < avail[big] * 10**6 // n_tot
+
+
+def test_leakfree_split_zero_leakage_by_construction(spark):
+    """leakfree_split: every near-dup component is split-PURE (the
+    img_split_leakage audit re-run on the new assignment is empty),
+    singletons keep the plain hash_split label, and a planted
+    cross-split pair under plain hash_split is healed."""
+    from ccbot_spark.functions import dedup as _dedup
+    from pyspark.sql import functions as F
+
+    items = spark.createDataFrame(
+        [(f"img-{i}",) for i in range(400)], "image_id string"
+    )
+    # near-dup graph: chains of 3 (3k, 3k+1, 3k+2) for k < 40
+    pair_rows = []
+    for k in range(40):
+        pair_rows += [
+            (f"img-{3*k}", f"img-{3*k+1}"),
+            (f"img-{3*k+1}", f"img-{3*k+2}"),
+        ]
+    pairs = spark.createDataFrame(pair_rows, "img_a string, img_b string")
+    got = sampling.leakfree_split(items, "image_id", pairs).collect()
+    sp = {r.image_id: r.split for r in got}
+    grp = {r.image_id: r.group_key for r in got}
+    assert len(sp) == 400
+
+    # 1) audit on the new assignment: empty
+    leaks = [(a, b) for a, b in pair_rows if sp[a] != sp[b]]
+    assert leaks == []
+    # component-transitive purity too (not just edge-adjacent)
+    for k in range(40):
+        trio = {sp[f"img-{3*k+j}"] for j in range(3)}
+        assert len(trio) == 1
+        assert {grp[f"img-{3*k+j}"] for j in range(3)} == {
+            min(f"img-{3*k+j}" for j in range(3))
+        }
+
+    # 2) singletons: identical to plain hash_split
+    plain = {
+        r.image_id: r.split
+        for r in sampling.hash_split(items, "image_id").collect()
+    }
+    linked = {x for ab in pair_rows for x in ab}
+    for i in range(400):
+        key = f"img-{i}"
+        if key not in linked:
+            assert sp[key] == plain[key]
+
+    # 3) the fixture is non-vacuous: plain hash_split DOES leak on
+    # at least one planted pair
+    assert any(plain[a] != plain[b] for a, b in pair_rows)
+    _dedup.clear_caches()
