@@ -129,3 +129,43 @@ def global_running_total(
         .drop("_pid", "_off")
     )
     return out, acc, ev
+
+
+def exact_quantiles(
+    df: DataFrame,
+    val_col: str,
+    p_bps: tuple[int, ...] = (5000, 9000, 9900, 9990),
+    num_partitions: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT discrete percentiles of one column — SQL percentile_disc
+    semantics (the value at 1-based sorted position ceil(p·n), which
+    DuckDB's native quantile_disc implements) — without
+    percentile_approx's wrong-by-design sketch answer and without the
+    single-partition global sort that dies at 10^10 rows.
+
+    Two-phase: global_sequence range-partitions + locally sorts the
+    values and broadcasts per-partition prefix offsets (one long per
+    partition on the driver), then the target ranks — computed in
+    INTEGER arithmetic, rank_p = ⌈p_bp·n / 10^4⌉ = (p_bp·n + 9999)
+    div 10^4 — broadcast-join against the numbered rows. Ties are
+    harmless: the VALUE at a global rank is well-defined whatever
+    order tied rows take. p99.9 of fetch latency / body bytes over a
+    full crawl is this exact query.
+
+    Returns (DF[p_bp, value, n_rows], cached_handle) — the caller
+    unpersists the handle when done (global_sequence contract)."""
+    numbered, n, handle = global_sequence(
+        df.select(F.col(val_col).alias("v")), ["v"], num_partitions
+    )
+    spark = df.sparkSession
+    tgt = [(int(p), max(1, (int(p) * n + 9999) // 10_000)) for p in p_bps]
+    tdf = spark.createDataFrame(tgt, "p_bp long, rn long")
+    out = (
+        numbered.join(F.broadcast(tdf), F.col("seq") == F.col("rn") - 1)
+        .select(
+            "p_bp",
+            F.col("v").alias("value"),
+            F.lit(n).cast("long").alias("n_rows"),
+        )
+    )
+    return out, handle

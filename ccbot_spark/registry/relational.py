@@ -315,6 +315,24 @@ def register(q):
         return run.select("o_orderkey", F.col("run_total").alias("run_cents"))
     q["w_global_runsum"] = w_global_runsum
 
+    def a_exact_quantiles(spark, sf_dir):
+        # EXACT p50/p90/p99/p99.9 (percentile_disc semantics — value
+        # at 1-based position ⌈p·n⌉) over lineitem price cents via the
+        # two-phase global rank: no percentile_approx sketch, no
+        # single-partition sort. Oracle = DuckDB's NATIVE
+        # quantile_disc, so the semantics claim is checked against an
+        # independent implementation, not our own construction.
+        from ccbot_spark.operators import sequencing
+
+        li = _t(spark, sf_dir, "lineitem")
+        vals = li.select(_cents(F.col("l_extendedprice")).alias("cents"))
+        out, cache = sequencing.exact_quantiles(
+            vals, "cents", num_partitions=16
+        )
+        _ACTIVE_CACHES.append(cache)
+        return out
+    q["a_exact_quantiles"] = a_exact_quantiles
+
     def s_limit(spark, sf_dir):
         o = _t(spark, sf_dir, "orders")
         return (
@@ -499,6 +517,28 @@ def register_sql(o):
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS run_cents
         FROM orders
+    """
+
+    # --- a_exact_quantiles: DuckDB's NATIVE quantile_disc (checked
+    # to be value-at-⌈p·n⌉) against the two-phase global-rank
+    # construction — an independent implementation of the semantics.
+    o["a_exact_quantiles"] = """
+        WITH c AS (
+          SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM lineitem
+        )
+        SELECT CAST(5000 AS BIGINT) AS p_bp,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS value,
+               CAST(COUNT(*) AS BIGINT) AS n_rows FROM c
+        UNION ALL
+        SELECT 9000, CAST(quantile_disc(cents, 0.9) AS BIGINT),
+               COUNT(*) FROM c
+        UNION ALL
+        SELECT 9900, CAST(quantile_disc(cents, 0.99) AS BIGINT),
+               COUNT(*) FROM c
+        UNION ALL
+        SELECT 9990, CAST(quantile_disc(cents, 0.999) AS BIGINT),
+               COUNT(*) FROM c
     """
 
     # --- w_global_runsum: the two-phase global running total must

@@ -158,6 +158,49 @@ def test_global_sequence_stable_across_partition_counts(spark):
     assert outs[0] == outs[1]
 
 
+def test_exact_quantiles_match_numpy_and_stay_multipartition(spark):
+    """sequencing.exact_quantiles == the value at 1-based position
+    ceil(p*n) of the numpy-sorted data (DuckDB quantile_disc
+    semantics), with ties planted, at two partition counts, and the
+    plan keeps no single-partition exchange."""
+    import math
+
+    import numpy as np
+
+    from ccbot_spark.operators import sequencing
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [rng.randint(0, 500, 3000), np.full(500, 77)]  # heavy tie block
+    )
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    s = np.sort(vals)
+    n = len(s)
+    p_bps = (1, 2500, 5000, 9000, 9990, 10000)
+    want = {
+        p: int(s[max(1, math.ceil(p * n / 10000)) - 1]) for p in p_bps
+    }
+    for parts in (4, 13):
+        out, cache = sequencing.exact_quantiles(
+            df, "x", p_bps=p_bps, num_partitions=parts
+        )
+        rows = out.collect()
+        assert {r.p_bp: r.value for r in rows} == want
+        assert all(r.n_rows == n for r in rows)
+        plan = explainkit.formatted_plan(out)
+        assert "SinglePartition" not in plan, plan
+        cache.unpersist()
+    # single-row edge: every percentile is that row
+    one, cache = sequencing.exact_quantiles(
+        spark.createDataFrame([(42,)], "x long"), "x", p_bps=(1, 10000),
+        num_partitions=4,
+    )
+    assert {(r.p_bp, r.value, r.n_rows) for r in one.collect()} == {
+        (1, 42, 1), (10000, 42, 1)
+    }
+    cache.unpersist()
+
+
 def test_surt_key_jvm_matches_python_and_stays_jvm(spark):
     """The SURT key (urlops.surt_key) is byte-identical to the pure
     python urlkit.surt and contains no Python evaluation node — the
