@@ -1320,6 +1320,96 @@ def strip_png_metadata(images: DataFrame, bytes_col: str = "bytes") -> DataFrame
     return images.mapInPandas(gen, schema=T.StructType(out_fields))
 
 
+def _strip_jpeg_segments(data: bytes) -> tuple[bytes, int, int]:
+    """Drop metadata segments from one JPEG byte string: COM (0xFFFE)
+    and APP1..APP15 (0xFFE1-0xFFEF — EXIF/GPS, XMP, ICC side data,
+    Photoshop IRBs). APP0/JFIF stays (it carries the pixel density a
+    renderer reads), and everything from SOS onward is copied verbatim
+    — entropy-coded data is never walked, so the scrub costs header
+    time, not codec time. Returns (scrubbed, n_stripped,
+    bytes_removed); non-JPEG / marker-desynced / truncated input
+    returns unchanged with zero counters — same refuse-to-rewrite
+    contract as the PNG walk."""
+    n = len(data)
+    if n < 4 or data[:2] != b"\xff\xd8":
+        return data, 0, 0
+    out = [b"\xff\xd8"]
+    pos = 2
+    stripped = removed = 0
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return data, 0, 0  # marker desync — refuse to rewrite
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data to EOI, copy verbatim
+            out.append(data[pos:])
+            return b"".join(out), stripped, removed
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            return data, 0, 0  # standalone marker before SOS — not a
+            # baseline header stream we can prove we parsed
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        end = pos + 2 + seglen
+        if seglen < 2 or end > n:
+            return data, 0, 0  # truncated segment — refuse to rewrite
+        if marker == 0xFE or 0xE1 <= marker <= 0xEF:
+            stripped += 1
+            removed += 2 + seglen
+        else:
+            out.append(data[pos:end])
+        pos = end
+    return data, 0, 0  # ran out of bytes before SOS — refuse
+
+
+def inject_jpeg_com_segment(data: bytes, text: bytes) -> bytes:
+    """Insert one COM segment right after SOI — the fixture the scrub
+    tests and the img_jpeg_scrub oracle plant with (a decoder skips
+    COM, so the tainted JPEG still decodes to the same pixels)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    seg = b"\xff\xfe" + struct.pack(">H", 2 + len(text)) + text
+    return data[:2] + seg + data[2:]
+
+
+def strip_image_metadata(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Container-dispatching privacy scrub (the `exiftool -all=`
+    analog for the whole corpus): PNG rows lose provenance chunks
+    (tEXt/zTXt/iTXt/eXIf/tIME), JPEG rows lose COM + APP1..APP15
+    (EXIF GPS tracks, camera serials, XMP authorship), every pixel and
+    every rendering-relevant byte stays identical, and any container
+    the walker cannot prove it parsed — PPM, BMP, truncated blobs —
+    passes through untouched with zero counters. One bounded iterator
+    mapInPandas over the blob column, no decode, no shuffle: the same
+    partitioning in and out, so it composes into the store/export path
+    for free. Output: every input column (bytes replaced) plus
+    stripped_chunks:long and stripped_bytes:long for audit."""
+    in_schema = images.schema
+    out_fields = list(in_schema.fields) + [
+        T.StructField("stripped_chunks", T.LongType(), False),
+        T.StructField("stripped_bytes", T.LongType(), False),
+    ]
+    cols = [f.name for f in in_schema.fields]
+    bi = cols.index(bytes_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                vals = list(r)
+                blob = bytes(vals[bi])
+                if blob.startswith(codecs.PNG_SIG):
+                    scrubbed, n_str, n_rm = _strip_png_chunks(blob)
+                elif blob[:2] == b"\xff\xd8":
+                    scrubbed, n_str, n_rm = _strip_jpeg_segments(blob)
+                else:
+                    scrubbed, n_str, n_rm = blob, 0, 0
+                vals[bi] = scrubbed
+                rows.append((*vals, n_str, n_rm))
+            yield pd.DataFrame(
+                rows, columns=cols + ["stripped_chunks", "stripped_bytes"]
+            )
+
+    return images.mapInPandas(gen, schema=T.StructType(out_fields))
+
+
 #: Per-bucket letterbox targets for training export (exact ladder
 #: ratios at comparable pixel area, so a loader batches fixed shapes).
 BUCKET_TARGETS = {

@@ -478,6 +478,47 @@ def register(q):
         )
     q["img_png_scrub"] = img_png_scrub
 
+    def img_jpeg_scrub(spark, sf_dir):
+        # container-dispatching privacy scrub: a ppm/jpeg/png fmt
+        # cycle where jpeg rows get one planted COM segment (body
+        # doc_id % 23 → 4 + body bytes removed) and png rows one
+        # CRC-correct tEXt chunk ('Comment' + body doc_id % 23 →
+        # 20 + body bytes removed); ppm rows pass through. DuckDB
+        # re-derives every counter from the fmt-cycle arithmetic, so
+        # green = the marker walk removed exactly the planted
+        # metadata in BOTH containers, no more, no less.
+        import pandas as _pd
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=("ppm", "jpeg", "png")
+        )
+
+        def plant(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    b = bytes(r.bytes)
+                    d = int(r.image_id.split("-")[1])
+                    if r.fmt == "jpeg":
+                        b = multimodal.inject_jpeg_com_segment(
+                            b, b"x" * (d % 23)
+                        )
+                    elif r.fmt == "png":
+                        b = multimodal.inject_png_text_chunk(
+                            b, b"Comment", b"x" * (d % 23)
+                        )
+                    rows.append((r.image_id, b, r.fmt))
+                yield _pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+        planted = imgs.mapInPandas(
+            plant, schema="image_id string, bytes binary, fmt string"
+        )
+        return multimodal.strip_image_metadata(planted).select(
+            "image_id", "fmt", "stripped_chunks", "stripped_bytes"
+        )
+    q["img_jpeg_scrub"] = img_jpeg_scrub
+
     def img_hash_family(spark, sf_dir):
         # rows-only by necessity (pixel-derived: DCT/gradient/mean
         # hashes have no SQL form; exactness vs the python reference
@@ -1233,6 +1274,25 @@ def register_sql(o):
                  AS stripped_chunks,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 0
                          ELSE 20 + doc_id % 23 END AS BIGINT)
+                 AS stripped_bytes
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_jpeg_scrub: fmt cycle ppm/jpeg/png by doc_id % 3; the
+    # planted COM costs 2 (marker) + 2 (length) + doc_id % 23 (body)
+    # bytes on jpeg rows, the planted tEXt 12 (framing) + 8 ('Comment'
+    # + NUL) + doc_id % 23 on png rows; ppm rows scrub nothing.
+    o["img_jpeg_scrub"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE doc_id % 3 WHEN 0 THEN 'ppm'
+                               WHEN 1 THEN 'jpeg'
+                               ELSE 'png' END AS fmt,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                 AS stripped_chunks,
+               CAST(CASE doc_id % 3
+                    WHEN 0 THEN 0
+                    WHEN 1 THEN 4 + doc_id % 23
+                    ELSE 20 + doc_id % 23 END AS BIGINT)
                  AS stripped_bytes
         FROM documents WHERE doc_id < 450
     """

@@ -446,6 +446,67 @@ def test_strip_png_metadata_scrubs_without_touching_pixels(spark):
     assert again.stripped_chunks == 0 and bytes(again.bytes) == clean
 
 
+def test_strip_image_metadata_dispatches_jpeg_and_png(spark):
+    # JPEG row: planted COM + encoder-stamped EXIF APP1 must both go,
+    # leaving bytes IDENTICAL to a metadata-free encode (the encoder
+    # emits APP1 as one contiguous segment, so scrub == never-stamped);
+    # PNG row reuses the chunk walk; ppm + truncated rows pass through
+    from ccbot_spark import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    clean_jpg = codecs.encode_jpeg(img)
+    tainted_jpg = multimodal.inject_jpeg_com_segment(
+        codecs.encode_jpeg(img, exif_orientation=6), b"gps track here"
+    )
+    clean_png = codecs.encode_png(img)
+    tainted_png = multimodal.inject_png_text_chunk(clean_png, b"Author", b"s3cret")
+    ppm = codecs.encode_ppm(img)
+    df = spark.createDataFrame(
+        [
+            ("jpg", tainted_jpg),
+            ("png", tainted_png),
+            ("ppm", ppm),
+            ("trunc", clean_jpg[:20]),
+        ],
+        "image_id string, bytes binary",
+    )
+    out = {r.image_id: r for r in multimodal.strip_image_metadata(df).collect()}
+    assert out["jpg"].stripped_chunks == 2  # COM + Exif APP1
+    assert out["jpg"].stripped_bytes == len(tainted_jpg) - len(clean_jpg)
+    assert bytes(out["jpg"].bytes) == clean_jpg
+    # the EXIF orientation really is gone from the scrubbed stream
+    assert multimodal._jpeg_exif_walk(bytes(out["jpg"].bytes))[2] is None
+    assert out["png"].stripped_chunks == 1
+    assert bytes(out["png"].bytes) == clean_png
+    assert bytes(out["ppm"].bytes) == ppm and out["ppm"].stripped_chunks == 0
+    assert bytes(out["trunc"].bytes) == clean_jpg[:20]
+    assert out["trunc"].stripped_chunks == 0
+    # idempotent: a second pass over scrubbed blobs strips nothing
+    again = multimodal.strip_image_metadata(
+        spark.createDataFrame(
+            [("jpg", bytes(out["jpg"].bytes))], "image_id string, bytes binary"
+        )
+    ).collect()[0]
+    assert again.stripped_chunks == 0 and bytes(again.bytes) == clean_jpg
+
+
+def test_strip_jpeg_segments_refuses_what_it_cannot_parse():
+    # marker desync, standalone marker before SOS, truncated segment,
+    # non-JPEG: all return unchanged with zero counters
+    from ccbot_spark.functions.multimodal import _strip_jpeg_segments
+
+    for bad in (
+        b"\xff\xd8\x00\x00\x00\x00",  # desync: no 0xFF at segment start
+        b"\xff\xd8\xff\xd0\xff\xda",  # standalone RST before SOS
+        b"\xff\xd8\xff\xfe\x00\xff",  # COM length runs past the end
+        b"\xff\xd8\xff\xe1\x00\x01",  # seglen < 2
+        b"not a jpeg",
+        b"\xff\xd8\xff\xe0\x00\x04\x00\x00",  # ends before SOS
+    ):
+        assert _strip_jpeg_segments(bad) == (bad, 0, 0)
+
+
 def test_exact_dup_groups_finds_byte_identical_reposts(spark, images):
     # d and d+150 share pixel seed AND container (fmt cycle period 3
     # divides 150) → byte-identical blobs; nothing else collides
