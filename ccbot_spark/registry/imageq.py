@@ -619,6 +619,38 @@ def register(q):
         )
     q["imgcap_training_export"] = imgcap_training_export
 
+    def mm_patch_pack(spark, sf_dir):
+        # vision-LM context-window packing: each (image, caption) pair
+        # costs ceil(w/16)·ceil(h/16) ViT patch tokens + whitespace
+        # caption tokens + 2 separators; whole samples first-fit into
+        # 1000-token windows per doc_id%8 shard in image_id order — a
+        # sample that would straddle a boundary bumps wholly into the
+        # next window (images aren't splittable, unlike text_pack's
+        # stream cut), and costs > cap mark pack_id = -1. The md5 dim
+        # synthesis makes a handful of rows exceed the cap, so the
+        # unpackable path is exercised in-oracle. DuckDB replays the
+        # sequential first-fit walk as a recursive CTE per shard.
+        from ccbot_spark import wds
+
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+        hx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32).cast("int")
+        h = (F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32).cast("int")
+        cap = F.expr("substr(text, 1, CAST(doc_id % 120 + 1 AS INT))")
+        meta = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+            w.alias("w"),
+            h.alias("h"),
+            cap.alias("caption"),
+        ).withColumn(
+            "cost", wds.patch_token_cost(F.col("w"), F.col("h"), F.col("caption"))
+        )
+        return wds.pack_samples(meta, cap=1000).select(
+            "image_id", "shard", "cost", "pack_id", "fill_offset"
+        )
+    q["mm_patch_pack"] = mm_patch_pack
+
     def img_discovery_meta(spark, sf_dir):
         # modern image+caption discovery channels beyond <img alt>:
         # OpenGraph meta (og:image + og:title/og:description caption,
@@ -1276,6 +1308,58 @@ def register_sql(o):
                          ELSE 20 + doc_id % 23 END AS BIGINT)
                  AS stripped_bytes
         FROM documents WHERE doc_id < 450
+    """
+
+    # --- mm_patch_pack: first-fit-in-order packing replayed as a
+    # recursive CTE per shard — state after row rn = (open window,
+    # its fill); a sample bumping past the 1000-token cap opens the
+    # next window, cost > cap rows take pack_id = -1 and leave the
+    # state untouched. Patch cost = ceil(w/16)·ceil(h/16) + whitespace
+    # caption tokens + 2, dims from the shared md5 'dim:' synthesis.
+    o["mm_patch_pack"] = f"""
+        WITH RECURSIVE meta AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 CAST(doc_id % 8 AS INTEGER) AS shard,
+                 CAST((h64 // 4294967296) % 481 + 32 AS BIGINT) AS w,
+                 CAST((h64 % 4294967296) % 481 + 32 AS BIGINT) AS h,
+                 substr(text, 1, CAST(doc_id % 120 + 1 AS INT)) AS caption
+          FROM (SELECT doc_id, text,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 800)
+        ),
+        costed AS (
+          SELECT image_id, shard,
+                 CAST((w + 15) // 16 * ((h + 15) // 16)
+                      + len(string_split(caption, ' ')) + 2 AS BIGINT) AS cost,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY image_id) AS rn
+          FROM meta
+        ),
+        walk AS (
+          SELECT shard, rn, image_id, cost,
+                 CASE WHEN cost > 1000 THEN CAST(-1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS pack_id,
+                 CAST(0 AS BIGINT) AS fill_offset,
+                 CAST(0 AS BIGINT) AS pack_after,
+                 CASE WHEN cost > 1000 THEN CAST(0 AS BIGINT)
+                      ELSE cost END AS fill_after
+          FROM costed WHERE rn = 1
+          UNION ALL
+          SELECT c.shard, c.rn, c.image_id, c.cost,
+                 CASE WHEN c.cost > 1000 THEN CAST(-1 AS BIGINT)
+                      WHEN w.fill_after + c.cost > 1000 THEN w.pack_after + 1
+                      ELSE w.pack_after END,
+                 CASE WHEN c.cost > 1000 THEN CAST(0 AS BIGINT)
+                      WHEN w.fill_after + c.cost > 1000 THEN CAST(0 AS BIGINT)
+                      ELSE w.fill_after END,
+                 CASE WHEN c.cost > 1000 THEN w.pack_after
+                      WHEN w.fill_after + c.cost > 1000 THEN w.pack_after + 1
+                      ELSE w.pack_after END,
+                 CASE WHEN c.cost > 1000 THEN w.fill_after
+                      WHEN w.fill_after + c.cost > 1000 THEN c.cost
+                      ELSE w.fill_after + c.cost END
+          FROM walk w JOIN costed c ON c.shard = w.shard AND c.rn = w.rn + 1
+        )
+        SELECT image_id, shard, cost, pack_id, fill_offset FROM walk
     """
 
     # --- img_jpeg_scrub: fmt cycle ppm/jpeg/png by doc_id % 3; the

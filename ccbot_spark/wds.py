@@ -46,6 +46,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from .operators import sequencing
 
@@ -75,6 +76,92 @@ def sample_cost(w: Column, h: Column, caption: Column) -> Column:
     the encoded blob) plus the caption member at its UTF-8 length."""
     px = (w.cast("long") * h.cast("long") * F.lit(3)).cast("long")
     return (entry_cost(px) + entry_cost(F.octet_length(caption))).cast("long")
+
+
+#: ViT patch edge (pixels) — a (w, h) image tokenizes to
+#: ceil(w/patch) × ceil(h/patch) patch tokens.
+VIT_PATCH = 16
+
+
+def patch_token_cost(
+    w: Column, h: Column, caption: Column, patch: int = VIT_PATCH,
+    extra: int = 2,
+) -> Column:
+    """Context-window cost of one (image, caption) sample for a
+    vision-language model: ``ceil(w/patch) · ceil(h/patch)`` image
+    patch tokens (the ViT tokenization) + whitespace caption tokens +
+    `extra` separator tokens (image-start/end markers). Like
+    :func:`sample_cost` this is metadata arithmetic — the planner
+    prices a sample from (w, h, caption) without touching pixels, and
+    the DuckDB oracle states the same formula verbatim."""
+    from .functions import textkit
+
+    pw = (w.cast("long") + F.lit(patch - 1)) / F.lit(patch)
+    ph = (h.cast("long") + F.lit(patch - 1)) / F.lit(patch)
+    patches = F.floor(pw).cast("long") * F.floor(ph).cast("long")
+    return (
+        patches + textkit.token_count(caption).cast("long") + F.lit(extra)
+    ).cast("long")
+
+
+def pack_samples(
+    df: DataFrame,
+    cap: int,
+    cost_col: str = "cost",
+    shard_col: str = "shard",
+    order_col: str = "image_id",
+) -> DataFrame:
+    """First-fit-in-order packing of whole samples into `cap`-token
+    context windows — the multimodal counterpart of
+    ``textkit.pack_sequences``, with the one semantic it cannot share:
+    an image's patch tokens are NOT splittable, so a sample that would
+    straddle a window boundary moves wholly into the next window
+    (padding the current one) instead of being cut. That bump makes
+    every offset depend on every earlier placement — inherently a
+    sequential scan — so packing runs per `shard_col` group inside one
+    applyInPandas pass, walking rows in `order_col` order: the shard
+    key bounds each scan exactly like pack_sequences' shard bounds its
+    window partition (at 10^9 samples, raise the shard count; shards
+    pack in parallel, deterministically, on any cluster). Rows whose
+    cost exceeds `cap` get pack_id = -1 (unpackable — a filter gate
+    upstream should have dropped them; the planner must not silently
+    overflow a window).
+
+    Output: input columns + pack_id:long (per-shard window ordinal)
+    and fill_offset:long (token offset of the sample inside its
+    window)."""
+    in_schema = df.schema
+    out_fields = list(in_schema.fields) + [
+        T.StructField("pack_id", T.LongType(), False),
+        T.StructField("fill_offset", T.LongType(), False),
+    ]
+    cols = [f.name for f in in_schema.fields]
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        packs = []
+        offs = []
+        pack = 0
+        fill = 0
+        for c in pdf[cost_col].astype("int64"):
+            c = int(c)
+            if c > cap:
+                packs.append(-1)
+                offs.append(0)
+                continue
+            if fill + c > cap:
+                pack += 1
+                fill = 0
+            packs.append(pack)
+            offs.append(fill)
+            fill += c
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        pdf["fill_offset"] = pd.Series(offs, dtype="int64")
+        return pdf[cols + ["pack_id", "fill_offset"]]
+
+    return df.groupBy(shard_col).applyInPandas(
+        pack_one, schema=T.StructType(out_fields)
+    )
 
 
 def plan_shards(

@@ -355,3 +355,34 @@ def test_engine_grouped_wds_sink_bucket_pure_and_complete(spark, tmp_path):
             buckets_seen |= shard_buckets
     assert got == {k: v[:3] for k, v in want.items()}
     assert len(buckets_seen) >= 3, "fixture must span buckets"
+
+
+def test_pack_samples_first_fit_matches_python_greedy(spark):
+    # sequential first-fit per shard: Spark == a plain python walk on
+    # the same ordered costs, plus the packing invariants (no window
+    # over cap, offsets contiguous, bump resets offset, -1 for
+    # cost > cap, parallelism-independent)
+    rows = [
+        (f"s-{i:03d}", i % 3, 1 + (i * 37) % 400) for i in range(120)
+    ]
+    rows.append(("s-998", 0, 901))  # exactly-fits-after-bump case
+    rows.append(("s-999", 1, 1500))  # unpackable
+    cap = 900
+    df = spark.createDataFrame(rows, "image_id string, shard int, cost long")
+    for parts in (1, 7):
+        got = {
+            r.image_id: (r.pack_id, r.fill_offset)
+            for r in wds.pack_samples(
+                df.repartition(parts), cap=cap
+            ).collect()
+        }
+        state = {}
+        for iid, shard, cost in sorted(rows):
+            pack, fill = state.get(shard, (0, 0))
+            if cost > cap:
+                assert got[iid] == (-1, 0), iid
+                continue
+            if fill + cost > cap:
+                pack, fill = pack + 1, 0
+            assert got[iid] == (pack, fill), iid
+            state[shard] = (pack, fill + cost)
