@@ -237,3 +237,74 @@ def temperature_plan(
             F.expr(f"weight * {int(budget)} DIV _tw").alias("take_tokens"),
         )
     )
+
+
+def epoch_shuffle_plan(
+    df: DataFrame,
+    epochs: int,
+    key: str = "image_id",
+    shard: str = "shard",
+    seed: str = "ep",
+) -> DataFrame:
+    """Deterministic per-epoch shuffle plan — the WebDataset two-level
+    recipe, which avoids the one thing a naive global shuffle needs
+    (a full sort of the corpus per epoch): each epoch (1) permutes the
+    SHARD ORDER by a seeded hash and (2) permutes samples WITHIN each
+    shard by a seeded hash. A loader streaming shards in epoch order,
+    samples in within-shard order, sees a fresh reproducible
+    permutation every epoch with no global exchange: the within-shard
+    window is bounded by shard size, the shard permutation by the
+    shard COUNT (one tiny agg + broadcast join). Every rank is a
+    row_number over md5(seed:epoch:·) — engine-neutral, so an
+    independent SQL engine replays the exact permutation, and the plan
+    is stable across reruns and cluster sizes by construction.
+
+    Output: one row per (epoch, sample) — epoch:int, key, shard,
+    shard_rank (position of the shard in this epoch's shard order),
+    pos_in_shard, and global_pos = shard-offset + pos_in_shard (the
+    0-based slot in the epoch's full permutation)."""
+    ep = F.explode(
+        F.sequence(F.lit(0), F.lit(int(epochs) - 1))
+    ).alias("epoch")
+    base = df.select(F.col(key).alias(key), F.col(shard).alias(shard))
+    fanned = base.select("*", ep)
+    skey = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed), F.col("epoch").cast("string"),
+            F.col(key).cast("string"),
+        )
+    )
+    w_in = Window.partitionBy("epoch", shard).orderBy(skey, F.col(key))
+    ranked = fanned.withColumn(
+        "pos_in_shard", (F.row_number().over(w_in) - 1).cast("long")
+    )
+
+    sizes = base.groupBy(shard).agg(F.count("*").alias("_n"))
+    shard_ep = sizes.select("*", ep)
+    shkey = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed), F.col("epoch").cast("string"),
+            F.col(shard).cast("string"),
+        )
+    )
+    w_sh = Window.partitionBy("epoch").orderBy(shkey, F.col(shard))
+    order = shard_ep.withColumn(
+        "shard_rank", (F.row_number().over(w_sh) - 1).cast("long")
+    ).withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                w_sh.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).select("epoch", shard, "shard_rank", "_offset")
+
+    return ranked.join(F.broadcast(order), ["epoch", shard]).select(
+        F.col("epoch").cast("int").alias("epoch"),
+        key,
+        shard,
+        "shard_rank",
+        "pos_in_shard",
+        (F.col("_offset") + F.col("pos_in_shard")).cast("long").alias("global_pos"),
+    )

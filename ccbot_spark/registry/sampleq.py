@@ -60,6 +60,23 @@ def register(q):
         )
     q["sample_split"] = sample_split
 
+    def sample_epoch_shuffle(spark, sf_dir):
+        # WebDataset-style per-epoch shuffle plan: seeded shard-order
+        # permutation × seeded within-shard permutation — a fresh
+        # reproducible global permutation per epoch with NO global
+        # sort (within-shard windows bounded by shard size, shard
+        # order by shard count). All ranks are md5-keyed row_numbers,
+        # so DuckDB replays every slot exactly.
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+        base = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "image_id"
+            ),
+            (F.col("doc_id") % 16).cast("int").alias("shard"),
+        )
+        return sampling.epoch_shuffle_plan(base, epochs=3)
+    q["sample_epoch_shuffle"] = sample_epoch_shuffle
+
     def sample_stratified(spark, sf_dir):
         # per-language rates; strata absent from the dict (es, fr) are
         # dropped — the downsample-the-head corpus-balancing move
@@ -93,6 +110,45 @@ def register_sql(o):
                     WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 95
                     THEN 'val' ELSE 'test' END AS split
         FROM documents
+    """
+
+    # --- sample_epoch_shuffle: both permutation levels replayed as
+    # md5-keyed row_numbers; global_pos = epoch shard-offset (running
+    # size sum in shard-order) + within-shard position.
+    o["sample_epoch_shuffle"] = """
+        WITH base AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 CAST(doc_id % 16 AS INTEGER) AS shard
+          FROM documents WHERE doc_id < 600
+        ),
+        ranked AS (
+          SELECT CAST(e AS INTEGER) AS epoch, image_id, shard,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY e, shard
+                   ORDER BY md5('ep:' || CAST(e AS VARCHAR) || ':' || image_id),
+                            image_id
+                 ) - 1 AS BIGINT) AS pos_in_shard
+          FROM base, UNNEST([0, 1, 2]) AS t(e)
+        ),
+        sizes AS (SELECT shard, COUNT(*) AS n FROM base GROUP BY shard),
+        shord AS (
+          SELECT CAST(e AS INTEGER) AS epoch, shard,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY e
+                   ORDER BY md5('ep:' || CAST(e AS VARCHAR) || ':'
+                                || CAST(shard AS VARCHAR)), shard
+                 ) - 1 AS BIGINT) AS shard_rank,
+                 CAST(COALESCE(SUM(n) OVER (
+                   PARTITION BY e
+                   ORDER BY md5('ep:' || CAST(e AS VARCHAR) || ':'
+                                || CAST(shard AS VARCHAR)), shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS off
+          FROM sizes, UNNEST([0, 1, 2]) AS t(e)
+        )
+        SELECT r.epoch, r.image_id, r.shard, s.shard_rank, r.pos_in_shard,
+               CAST(s.off + r.pos_in_shard AS BIGINT) AS global_pos
+        FROM ranked r JOIN shord s ON r.epoch = s.epoch AND r.shard = s.shard
     """
 
     o["sample_stratified"] = f"""

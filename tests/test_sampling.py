@@ -281,3 +281,55 @@ def test_leakfree_split_zero_leakage_by_construction(spark):
     # at least one planted pair
     assert any(plain[a] != plain[b] for a, b in pair_rows)
     _dedup.clear_caches()
+
+
+def test_epoch_shuffle_plan_permutation_properties(spark):
+    # each epoch's global_pos is a permutation of 0..n-1; epochs give
+    # DIFFERENT permutations; the plan is parallelism-independent; and
+    # a shard's internal order is unaffected by other shards' content
+    from ccbot_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(f"s-{i:03d}", i % 5) for i in range(200)],
+        "image_id string, shard int",
+    )
+    plan = sampling.epoch_shuffle_plan(df, epochs=3).collect()
+    n = 200
+    by_epoch = {}
+    for r in plan:
+        by_epoch.setdefault(r.epoch, {})[r.image_id] = r
+    assert set(by_epoch) == {0, 1, 2}
+    for ep, rows in by_epoch.items():
+        assert sorted(r.global_pos for r in rows.values()) == list(range(n))
+        # global_pos consistent with (shard_rank, pos_in_shard) order
+        order_a = [k for k, r in sorted(rows.items(), key=lambda kv: kv[1].global_pos)]
+        order_b = [
+            k for k, r in sorted(
+                rows.items(), key=lambda kv: (kv[1].shard_rank, kv[1].pos_in_shard)
+            )
+        ]
+        assert order_a == order_b
+    perms = [
+        tuple(sorted(rows, key=lambda k: rows[k].global_pos))
+        for rows in by_epoch.values()
+    ]
+    assert len(set(perms)) == 3, "epochs must permute differently"
+    # parallelism-independent
+    again = {
+        (r.epoch, r.image_id): (r.shard_rank, r.pos_in_shard, r.global_pos)
+        for r in sampling.epoch_shuffle_plan(df.repartition(7), epochs=3).collect()
+    }
+    want = {
+        (r.epoch, r.image_id): (r.shard_rank, r.pos_in_shard, r.global_pos)
+        for r in plan
+    }
+    assert again == want
+    # growth stability: dropping shard 4 leaves every other shard's
+    # within-shard order untouched (pos depends only on own members)
+    sub = sampling.epoch_shuffle_plan(
+        df.filter("shard < 4"), epochs=3
+    ).collect()
+    sub_pos = {(r.epoch, r.image_id): r.pos_in_shard for r in sub}
+    for (ep, iid), (_, pos, _g) in want.items():
+        if int(iid[2:]) % 5 < 4:
+            assert sub_pos[(ep, iid)] == pos
