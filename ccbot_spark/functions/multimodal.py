@@ -22,9 +22,10 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .. import codecs, phash as phash_mod
 
@@ -1776,3 +1777,75 @@ def laplacian_stats(images: DataFrame, tau: int = 100) -> DataFrame:
             )
 
     return images.mapInPandas(gen, schema=out_schema)
+
+
+def caption_norm(caption) -> Column:
+    """Normalized caption key for frequency analysis: lowercase,
+    whitespace collapsed, trimmed — the join key under which 'A photo'
+    / ' a  photo ' count as the same caption."""
+    c = F.col(caption) if isinstance(caption, str) else caption
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def caption_cap(
+    df: DataFrame,
+    caption: str = "caption",
+    quality: str = "area",
+    key: str = "image_id",
+    k: int = 4,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Caption-frequency cap — the LAION/DataComp observation that a
+    handful of stock captions ('image', 'a photo', alt-text
+    boilerplate) each ride MILLIONS of images and would dominate a
+    contrastive batch: keep at most `k` images per normalized caption,
+    best `quality` first, and report every caption's frequency for
+    audit. The hot captions are by definition the skewed keys, so the
+    winner selection is the two-phase top-k: phase 1 ranks inside
+    (caption, salt-of-key) buckets and keeps k per bucket — a
+    million-image caption costs k·salt_buckets survivors per map
+    side, never one window task — phase 2 ranks the ≤ k·salt_buckets
+    candidates per caption. Top-k is decomposable, so the result is
+    EXACTLY the single-window answer (the oracle states that form).
+    Frequency is a hash-agg + shuffle join on the caption key, never a
+    count-window. Output: (key, cap_norm, cap_freq, keep 0/1) for
+    every input row — a flag, not a filter, so the drop is auditable."""
+    base = df.select(
+        F.col(key).alias(key),
+        caption_norm(caption).alias("cap_norm"),
+        F.col(quality).cast("long").alias("_q"),
+    )
+    freq = base.groupBy("cap_norm").agg(F.count("*").alias("cap_freq"))
+    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets))
+    w1 = Window.partitionBy("cap_norm", "_salt").orderBy(
+        F.col("_q").desc(), F.col(key)
+    )
+    cand = (
+        base.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy("cap_norm").orderBy(F.col("_q").desc(), F.col(key))
+    winners = (
+        cand.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .select(
+            F.col("cap_norm").alias("_wc"),
+            F.col(key).alias("_wk"),
+            F.lit(1).alias("_keep"),
+        )
+    )
+    return (
+        base.join(freq, "cap_norm")
+        .join(
+            winners,
+            (F.col(key) == F.col("_wk")) & (F.col("cap_norm") == F.col("_wc")),
+            "left",
+        )
+        .select(
+            key,
+            "cap_norm",
+            F.col("cap_freq").cast("long").alias("cap_freq"),
+            F.coalesce(F.col("_keep"), F.lit(0)).cast("long").alias("keep"),
+        )
+    )

@@ -651,6 +651,31 @@ def register(q):
         )
     q["mm_patch_pack"] = mm_patch_pack
 
+    def imgcap_caption_cap(spark, sf_dir):
+        # LAION-style generic-caption cap: doc_id % 13 == 0 rows all
+        # carry the messy-whitespace variant of one stock caption
+        # ('A  Photo ' → normalized 'a photo'), the rest near-unique
+        # text prefixes; keep ≤ 4 images per normalized caption,
+        # best area (md5 dim synthesis) first. Spark runs the
+        # skew-safe two-phase top-k; DuckDB states the single-window
+        # form they provably equal.
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 700)
+        hx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32
+        h = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32
+        cap = F.when(
+            F.col("doc_id") % 13 == 0, F.lit("A  Photo ")
+        ).otherwise(F.expr("substr(text, 1, CAST(doc_id % 80 + 1 AS INT))"))
+        meta = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "image_id"
+            ),
+            cap.alias("caption"),
+            (w * h).cast("long").alias("area"),
+        )
+        return multimodal.caption_cap(meta, k=4)
+    q["imgcap_caption_cap"] = imgcap_caption_cap
+
     def img_discovery_meta(spark, sf_dir):
         # modern image+caption discovery channels beyond <img alt>:
         # OpenGraph meta (og:image + og:title/og:description caption,
@@ -1308,6 +1333,40 @@ def register_sql(o):
                          ELSE 20 + doc_id % 23 END AS BIGINT)
                  AS stripped_bytes
         FROM documents WHERE doc_id < 450
+    """
+
+    # --- imgcap_caption_cap: the two-phase top-k equals this single
+    # window; keep = rank by (area DESC, image_id) within normalized
+    # caption ≤ 4; cap_freq via plain GROUP BY.
+    o["imgcap_caption_cap"] = f"""
+        WITH meta AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 CASE WHEN doc_id % 13 = 0 THEN 'A  Photo '
+                      ELSE substr(text, 1, CAST(doc_id % 80 + 1 AS INT))
+                 END AS caption,
+                 CAST(((h64 // 4294967296) % 481 + 32)
+                      * ((h64 % 4294967296) % 481 + 32) AS BIGINT) AS area
+          FROM (SELECT doc_id, text,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 700)
+        ),
+        norm AS (
+          SELECT image_id, area,
+                 lower(trim(regexp_replace(caption, '\\s+', ' ', 'g')))
+                   AS cap_norm
+          FROM meta
+        ),
+        freq AS (SELECT cap_norm, COUNT(*) AS n FROM norm GROUP BY 1),
+        rk AS (
+          SELECT image_id, cap_norm,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cap_norm ORDER BY area DESC, image_id
+                 ) AS rn
+          FROM norm
+        )
+        SELECT r.image_id, r.cap_norm, CAST(f.n AS BIGINT) AS cap_freq,
+               CAST(CASE WHEN r.rn <= 4 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM rk r JOIN freq f ON r.cap_norm = f.cap_norm
     """
 
     # --- mm_patch_pack: first-fit-in-order packing replayed as a

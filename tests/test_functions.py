@@ -1873,3 +1873,31 @@ def test_byte_budget_plan_matches_bruteforce(spark):
     top_h2 = min((r for r in want if r[0] == "h2.test"), key=lambda k: want[k][1])
     if want[top_h2][0] > 4000:
         assert h2_kept == [top_h2]
+
+
+def test_caption_cap_two_phase_equals_single_window(spark):
+    # 60-row hot caption (whitespace/case variants) + near-unique
+    # tails; the salted two-phase winner set must equal a brute
+    # single-ranking, freq counts the NORMALIZED key, keep ≤ k per
+    # caption with best-area-first order
+    rows = []
+    for i in range(60):
+        cap = ["a photo", "A  photo", " a photo  ", "A PHOTO"][i % 4]
+        rows.append((f"hot-{i:02d}", cap, 100 + i))
+    for i in range(40):
+        rows.append((f"uniq-{i:02d}", f"caption number {i}", 50))
+    df = spark.createDataFrame(rows, "image_id string, caption string, area long")
+    out = {r.image_id: r for r in multimodal.caption_cap(df, k=3).collect()}
+    assert len(out) == 100
+    hot = [r for r in out.values() if r.cap_norm == "a photo"]
+    assert len(hot) == 60 and all(r.cap_freq == 60 for r in hot)
+    kept_hot = sorted(r.image_id for r in hot if r.keep == 1)
+    # brute: top-3 by (area desc, image_id) == the 3 largest areas
+    want = sorted(
+        (f"hot-{i:02d}" for i in range(60)),
+        key=lambda k_: (-(100 + int(k_[4:])), k_),
+    )[:3]
+    assert kept_hot == sorted(want)
+    for r in out.values():
+        if r.image_id.startswith("uniq"):
+            assert r.keep == 1 and r.cap_freq == 1
