@@ -308,3 +308,54 @@ def epoch_shuffle_plan(
         "pos_in_shard",
         (F.col("_offset") + F.col("pos_in_shard")).cast("long").alias("global_pos"),
     )
+
+
+def contrastive_batch_plan(
+    df: DataFrame,
+    n_batches: int,
+    key: str = "image_id",
+    host: str = "host",
+    seed: str = "cb",
+) -> DataFrame:
+    """Contrastive-batch composition with NO same-host negatives: in
+    CLIP-style training every other sample in the batch is a negative,
+    and two crops/pages from one site are usually NOT semantic
+    negatives — a batch containing both teaches the model a false
+    distinction. Assignment: rank each sample within its host by a
+    seeded md5 (skew-safe grouped_rank — a hot host never funnels one
+    window task), offset by the host's own hash, and stripe:
+
+        batch = (md5(host) + host_rank) mod n_batches
+
+    Within a host the ranks are consecutive, so batches are provably
+    DISTINCT while host_rank < n_batches; rows past that (host bigger
+    than the batch count — the only case where a same-host pair is
+    unavoidable) keep their striped batch but carry overflow = 1 so
+    the trainer can drop or re-shard them. Host offsets make the
+    striping start uniform across hosts, so batch sizes balance in
+    expectation with zero coordination. One hash-agg + bounded
+    windows; SQL-replayable end to end.
+
+    Output: (key, host, host_rank, batch, overflow 0/1)."""
+    from ..operators import sequencing
+
+    okey = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(key).cast("string"))
+    )
+    base = df.select(
+        F.col(key).alias(key), F.col(host).alias(host), okey.alias("_ok")
+    )
+    ranked = sequencing.grouped_rank(base, [host], "_ok", out_col="host_rank")
+    hbase = F.pmod(
+        F.conv(F.substring(F.md5(F.col(host)), 1, 15), 16, 10).cast("long"),
+        F.lit(n_batches),
+    )
+    return ranked.select(
+        key,
+        host,
+        "host_rank",
+        F.pmod(hbase + F.col("host_rank"), F.lit(n_batches))
+        .cast("long")
+        .alias("batch"),
+        (F.col("host_rank") >= n_batches).cast("long").alias("overflow"),
+    )

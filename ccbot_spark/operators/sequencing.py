@@ -169,3 +169,50 @@ def exact_quantiles(
         )
     )
     return out, handle
+
+
+def grouped_rank(
+    df: DataFrame,
+    group: list[str],
+    order: str,
+    buckets: int = 256,
+    out_col: str = "grank",
+) -> DataFrame:
+    """Exact 0-based rank WITHIN each group by a hex-digest order
+    column, without ever giving one group to one window task — the
+    per-group sibling of global_sequence, for ranks keyed on a skewed
+    group (a 10^7-image host) where `Window.partitionBy(group)` would
+    funnel. Requires `order` to be a hex string (md5-style) unique per
+    row within its group.
+
+    Bucket = the first two hex chars of the order value, i.e. a PREFIX
+    of the sort key — so ordering by bucket then order is ordering by
+    order, and rank decomposes exactly:
+
+      1. per-(group, bucket) counts: one map-side-combinable hash-agg
+         (≤ `buckets` rows per group, whatever the group's size);
+      2. per-group prefix sums over those ≤ `buckets` rows (a window
+         bounded by the bucket COUNT, not the group size);
+      3. rank = bucket offset + row_number within (group, bucket) — a
+         hot group spreads over `buckets` window partitions.
+    """
+    b = F.conv(F.substring(F.col(order), 1, 2), 16, 10).cast("int")
+    base = df.withColumn("_gb", b)
+    counts = base.groupBy(*group, "_gb").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(*group)
+        .orderBy("_gb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
+    ).drop("_n")
+    w_in = Window.partitionBy(*group, "_gb").orderBy(F.col(order))
+    return (
+        base.join(offsets, [*group, "_gb"])
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .drop("_gb", "_off")
+    )

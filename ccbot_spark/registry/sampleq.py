@@ -77,6 +77,24 @@ def register(q):
         return sampling.epoch_shuffle_plan(base, epochs=3)
     q["sample_epoch_shuffle"] = sample_epoch_shuffle
 
+    def sample_batch_plan(spark, sf_dir):
+        # contrastive batches with no same-host negatives: stripe
+        # batch = (md5(host) + per-host seeded rank) mod 12; ranks
+        # come from the skew-safe grouped_rank (md5-prefix buckets),
+        # hosts of 13+ members exercise the overflow flag. DuckDB
+        # replays rank + stripe with a plain per-host window.
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+        base = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "image_id"
+            ),
+            F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias(
+                "host"
+            ),
+        )
+        return sampling.contrastive_batch_plan(base, n_batches=12)
+    q["sample_batch_plan"] = sample_batch_plan
+
     def sample_stratified(spark, sf_dir):
         # per-language rates; strata absent from the dict (es, fr) are
         # dropped — the downsample-the-head corpus-balancing move
@@ -110,6 +128,31 @@ def register_sql(o):
                     WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 95
                     THEN 'val' ELSE 'test' END AS split
         FROM documents
+    """
+
+    # --- sample_batch_plan: the grouped_rank equals this plain
+    # per-host window; stripe offset = the same md5/Horner-fold the
+    # Spark side computes on the host string.
+    o["sample_batch_plan"] = f"""
+        WITH base AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+                 md5('cb:doc-' || CAST(doc_id AS VARCHAR)) AS ok
+          FROM documents WHERE doc_id < 800
+        ),
+        rk AS (
+          SELECT image_id, host,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY ok
+                 ) - 1 AS BIGINT) AS host_rank
+          FROM base
+        )
+        SELECT image_id, host, host_rank,
+               CAST(({_sql_hmod("host", 12)} + host_rank) % 12 AS BIGINT)
+                 AS batch,
+               CAST(CASE WHEN host_rank >= 12 THEN 1 ELSE 0 END AS BIGINT)
+                 AS overflow
+        FROM rk
     """
 
     # --- sample_epoch_shuffle: both permutation levels replayed as

@@ -333,3 +333,45 @@ def test_epoch_shuffle_plan_permutation_properties(spark):
     for (ep, iid), (_, pos, _g) in want.items():
         if int(iid[2:]) % 5 < 4:
             assert sub_pos[(ep, iid)] == pos
+
+
+def test_contrastive_batch_plan_no_same_host_pairs(spark):
+    # the core guarantee: within a batch, non-overflow rows have
+    # DISTINCT hosts; ranks are a permutation per host; grouped_rank
+    # (md5-prefix buckets) == plain window rank at two parallelisms
+    from pyspark.sql import functions as F
+    from ccbot_spark.functions import sampling
+    from pyspark.sql.window import Window
+
+    rows = [
+        (f"s-{i:03d}", f"h{i % 9}") for i in range(150)
+    ] + [(f"big-{i:03d}", "hot") for i in range(40)]
+    df = spark.createDataFrame(rows, "image_id string, host string")
+    B = 16
+    for parts in (1, 8):
+        plan = sampling.contrastive_batch_plan(
+            df.repartition(parts), n_batches=B
+        ).collect()
+        by_host = {}
+        seen_batches = {}
+        for r in plan:
+            by_host.setdefault(r.host, []).append(r.host_rank)
+            assert r.overflow == (1 if r.host_rank >= B else 0)
+            if not r.overflow:
+                k_ = (r.batch, r.host)
+                assert k_ not in seen_batches, k_
+                seen_batches[k_] = r.image_id
+        for host, ranks in by_host.items():
+            assert sorted(ranks) == list(range(len(ranks))), host
+        # "hot" host (40 > B) must raise overflow on exactly 40 - B rows
+        assert sum(1 for r in plan if r.host == "hot" and r.overflow) == 40 - B
+        # grouped_rank == the naive window form
+        okey = F.md5(F.concat_ws(":", F.lit("cb"), F.col("image_id")))
+        w = Window.partitionBy("host").orderBy(okey)
+        want = {
+            r.image_id: r.rk
+            for r in df.withColumn(
+                "rk", (F.row_number().over(w) - 1).cast("long")
+            ).collect()
+        }
+        assert {r.image_id: r.host_rank for r in plan} == want
