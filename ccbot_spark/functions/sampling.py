@@ -359,3 +359,52 @@ def contrastive_batch_plan(
         .alias("batch"),
         (F.col("host_rank") >= n_batches).cast("long").alias("overflow"),
     )
+
+
+def curriculum_plan(
+    df: DataFrame,
+    epochs: int,
+    quality: str = "quality",
+    key: str = "doc_id",
+    num_partitions: int = 32,
+):
+    """Curriculum schedule — anneal from the cleanest data to the full
+    corpus: epoch e (0-based, of E) trains on the top ceil(n·(e+1)/E)
+    samples by quality, so the first epoch sees the best 1/E of the
+    corpus and the last sees everything. The global quality ranking is
+    the two-phase global_sequence (range partition + per-partition
+    offsets — never a single-partition Window.orderBy), ranked by
+    (quality DESC, key) so ties are deterministic. One ranking pass
+    serves every epoch; the per-epoch keep is a pure comparison
+    against the exact prefix size.
+
+    Returns (plan_df, cache_handle) — plan rows (epoch:int, key,
+    quality, q_rank, keep 0/1); caller unpersists the handle after
+    consuming (registry queries park it in _ACTIVE_CACHES)."""
+    from ..operators import sequencing
+
+    ranked, total, cache = sequencing.global_sequence(
+        df.select(
+            F.col(key).alias(key), F.col(quality).cast("long").alias(quality)
+        ),
+        [F.col(quality).desc(), F.col(key)],
+        num_partitions,
+        seq_col="q_rank",
+    )
+    ep = F.explode(F.sequence(F.lit(0), F.lit(int(epochs) - 1))).alias("epoch")
+    e = int(epochs)
+    plan = ranked.select("*", ep).select(
+        F.col("epoch").cast("int").alias("epoch"),
+        key,
+        quality,
+        "q_rank",
+        (
+            F.col("q_rank")
+            < F.ceil(
+                (F.lit(total) * (F.col("epoch") + 1)) / F.lit(e)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+    return plan, cache

@@ -95,6 +95,19 @@ def register(q):
         return sampling.contrastive_batch_plan(base, n_batches=12)
     q["sample_batch_plan"] = sample_batch_plan
 
+    def sample_curriculum(spark, sf_dir):
+        # curriculum schedule: epoch e of 4 keeps the top
+        # ceil(n·(e+1)/4) docs by (n_chars DESC, doc_id) — exact
+        # global rank via the two-phase global_sequence, one ranking
+        # pass serving all epochs.
+        d = _t(spark, sf_dir, "documents")
+        plan, cache = sampling.curriculum_plan(
+            d, epochs=4, quality="n_chars", key="doc_id"
+        )
+        _ACTIVE_CACHES.append(cache)
+        return plan
+    q["sample_curriculum"] = sample_curriculum
+
     def sample_stratified(spark, sf_dir):
         # per-language rates; strata absent from the dict (es, fr) are
         # dropped — the downsample-the-head corpus-balancing move
@@ -128,6 +141,24 @@ def register_sql(o):
                     WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 95
                     THEN 'val' ELSE 'test' END AS split
         FROM documents
+    """
+
+    # --- sample_curriculum: the two-phase global_sequence equals the
+    # naive global window; prefix size = ceil(n·(e+1)/4).
+    o["sample_curriculum"] = """
+        WITH rk AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_chars DESC, doc_id
+                 ) - 1 AS BIGINT) AS q_rank,
+                 COUNT(*) OVER () AS n
+          FROM documents
+        )
+        SELECT CAST(e AS INTEGER) AS epoch, doc_id, n_chars, q_rank,
+               CAST(CASE WHEN q_rank <
+                      CAST(ceil(n * (e + 1) / 4.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM rk, UNNEST([0, 1, 2, 3]) AS t(e)
     """
 
     # --- sample_batch_plan: the grouped_rank equals this plain

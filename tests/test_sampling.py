@@ -375,3 +375,37 @@ def test_contrastive_batch_plan_no_same_host_pairs(spark):
             ).collect()
         }
         assert {r.image_id: r.host_rank for r in plan} == want
+
+
+def test_curriculum_plan_prefixes_grow_and_nest(spark):
+    # epoch prefixes are exact sizes ceil(n(e+1)/E), nested (epoch e's
+    # keep set ⊆ epoch e+1's), the last epoch keeps everything, and
+    # ranks match a brute sort; parallelism-independent
+    from ccbot_spark.functions import sampling
+
+    rows = [(i, (i * 31) % 50) for i in range(97)]  # heavy quality ties
+    df = spark.createDataFrame(rows, "doc_id long, quality long")
+    E = 3
+    for parts in (1, 8):
+        plan, cache = sampling.curriculum_plan(
+            df.repartition(parts), epochs=E, num_partitions=8
+        )
+        got = plan.collect()
+        cache.unpersist()
+        import math
+
+        n = 97
+        brute = sorted(rows, key=lambda r: (-r[1], r[0]))
+        rank = {doc: i for i, (doc, _q) in enumerate(brute)}
+        by_epoch = {}
+        for r in got:
+            assert r.q_rank == rank[r.doc_id]
+            if r.keep:
+                by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+        prev = set()
+        for e in range(E):
+            want_sz = math.ceil(n * (e + 1) / E)
+            assert len(by_epoch[e]) == want_sz, e
+            assert prev <= by_epoch[e]
+            prev = by_epoch[e]
+        assert by_epoch[E - 1] == {d for d, _ in rows}
