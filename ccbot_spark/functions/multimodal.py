@@ -1849,3 +1849,43 @@ def caption_cap(
             F.coalesce(F.col("_keep"), F.lit(0)).cast("long").alias("keep"),
         )
     )
+
+
+def svg_meta(
+    df: DataFrame, body_col: str = "body", id_col: str = "image_id"
+) -> DataFrame:
+    """SVG sniff + dims — the one raster-adjacent container that
+    arrives as TEXT, so the parse is pure JVM regexp inside
+    whole-stage codegen (no Arrow stage at all; the cheapest member of
+    the header_meta family). `is_svg` requires an <svg> root (optional
+    XML prolog); integer-pixel width/height attributes win, a
+    "0 0 W H" viewBox is the fallback (from_viewbox = 1); percent /
+    unit-ful / absent dims stay NULL — a sniffer reports only what it
+    can prove. Patterns avoid backreferences and lookaround so the
+    identical regexes run under Java here and RE2 in the DuckDB
+    oracle."""
+    body = F.col(body_col)
+    is_svg = body.rlike(r'(?s)^\s*(<\?xml[^>]*\?>\s*)?<svg[\s>]')
+    aw = F.regexp_extract(body, r'<svg[^>]*?\swidth="([0-9]+)"', 1).try_cast("long")
+    ah = F.regexp_extract(body, r'<svg[^>]*?\sheight="([0-9]+)"', 1).try_cast("long")
+    vb = r'<svg[^>]*?viewBox="0 0 ([0-9]+) ([0-9]+)"'
+    vw = F.regexp_extract(body, vb, 1).try_cast("long")
+    vh = F.regexp_extract(body, vb, 2).try_cast("long")
+    use_vb = aw.isNull() & ah.isNull() & vw.isNotNull()
+    return df.select(
+        F.col(id_col).alias("image_id"),
+        is_svg.cast("long").alias("is_svg"),
+        F.when(~is_svg, F.lit(None).cast("long"))
+        .when(use_vb, vw)
+        .otherwise(aw)
+        .alias("svg_w"),
+        F.when(~is_svg, F.lit(None).cast("long"))
+        .when(use_vb, vh)
+        .otherwise(ah)
+        .alias("svg_h"),
+        F.when(is_svg & use_vb, F.lit(1))
+        .when(is_svg, F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("from_viewbox"),
+    )

@@ -676,6 +676,57 @@ def register(q):
         return multimodal.caption_cap(meta, k=4)
     q["imgcap_caption_cap"] = imgcap_caption_cap
 
+    def img_svg_meta(spark, sf_dir):
+        # SVG sniff: bodies cycle attr-dims / XML-prolog + viewBox /
+        # percent-dims / non-SVG by doc_id % 4, dims from the md5
+        # synthesis; the parse is pure JVM regexp (no Arrow stage) and
+        # DuckDB runs the IDENTICAL patterns under RE2.
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+        hx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32).cast("string")
+        h = (F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32).cast("string")
+        body = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit('<svg width="'), w, F.lit('" height="'), h,
+                    F.lit('"><rect/></svg>'),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit('<?xml version="1.0"?>\n<svg viewBox="0 0 '),
+                    w, F.lit(" "), h, F.lit('"><path/></svg>'),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit('<svg width="100%" height="50%"><g/></svg>'),
+            )
+            .otherwise(F.lit("<html><body>not svg</body></html>"))
+        )
+        rows = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "image_id"
+            ),
+            body.alias("body"),
+        )
+        # registry surface: NULL → -1 sentinels (the driver's value
+        # hash goes through pandas, where nullable ints decay to
+        # float64); the library function keeps honest NULLs.
+        m = multimodal.svg_meta(rows)
+        return m.select(
+            "image_id",
+            "is_svg",
+            F.coalesce(F.col("svg_w"), F.lit(-1)).cast("long").alias("svg_w"),
+            F.coalesce(F.col("svg_h"), F.lit(-1)).cast("long").alias("svg_h"),
+            F.coalesce(F.col("from_viewbox"), F.lit(-1))
+            .cast("long")
+            .alias("from_viewbox"),
+        )
+    q["img_svg_meta"] = img_svg_meta
+
     def img_discovery_meta(spark, sf_dir):
         # modern image+caption discovery channels beyond <img alt>:
         # OpenGraph meta (og:image + og:title/og:description caption,
@@ -1333,6 +1384,64 @@ def register_sql(o):
                          ELSE 20 + doc_id % 23 END AS BIGINT)
                  AS stripped_bytes
         FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_svg_meta: the same regexes under RE2 over the same
+    # synthesized bodies; m0 → attr dims, m1 → viewBox fallback,
+    # m2 → percent dims (NULL), m3 → not SVG (all NULL).
+    o["img_svg_meta"] = f"""
+        WITH rows_ AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN '<svg width="'
+                     || CAST((h64 // 4294967296) % 481 + 32 AS VARCHAR)
+                     || '" height="'
+                     || CAST((h64 % 4294967296) % 481 + 32 AS VARCHAR)
+                     || '"><rect/></svg>'
+                   WHEN 1 THEN '<?xml version="1.0"?>' || chr(10)
+                     || '<svg viewBox="0 0 '
+                     || CAST((h64 // 4294967296) % 481 + 32 AS VARCHAR)
+                     || ' '
+                     || CAST((h64 % 4294967296) % 481 + 32 AS VARCHAR)
+                     || '"><path/></svg>'
+                   WHEN 2 THEN '<svg width="100%" height="50%"><g/></svg>'
+                   ELSE '<html><body>not svg</body></html>'
+                 END AS body
+          FROM (SELECT doc_id,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 600)
+        ),
+        feat AS (
+          SELECT image_id, body,
+                 regexp_matches(body,
+                   '(?s)^\\s*(<\\?xml[^>]*\\?>\\s*)?<svg[\\s>]') AS is_svg,
+                 TRY_CAST(regexp_extract(body,
+                   '<svg[^>]*?\\swidth="([0-9]+)"', 1) AS BIGINT) AS aw,
+                 TRY_CAST(regexp_extract(body,
+                   '<svg[^>]*?\\sheight="([0-9]+)"', 1) AS BIGINT) AS ah,
+                 TRY_CAST(regexp_extract(body,
+                   '<svg[^>]*?viewBox="0 0 ([0-9]+) ([0-9]+)"', 1)
+                   AS BIGINT) AS vw,
+                 TRY_CAST(regexp_extract(body,
+                   '<svg[^>]*?viewBox="0 0 ([0-9]+) ([0-9]+)"', 2)
+                   AS BIGINT) AS vh
+          FROM rows_
+        )
+        SELECT image_id,
+               CAST(CASE WHEN is_svg THEN 1 ELSE 0 END AS BIGINT) AS is_svg,
+               CAST(COALESCE(CASE
+                    WHEN NOT is_svg THEN NULL
+                    WHEN aw IS NULL AND ah IS NULL AND vw IS NOT NULL THEN vw
+                    ELSE aw END, -1) AS BIGINT) AS svg_w,
+               CAST(COALESCE(CASE
+                    WHEN NOT is_svg THEN NULL
+                    WHEN aw IS NULL AND ah IS NULL AND vw IS NOT NULL THEN vh
+                    ELSE ah END, -1) AS BIGINT) AS svg_h,
+               CAST(COALESCE(CASE
+                    WHEN NOT is_svg THEN NULL
+                    WHEN aw IS NULL AND ah IS NULL AND vw IS NOT NULL THEN 1
+                    ELSE 0 END, -1) AS BIGINT) AS from_viewbox
+        FROM feat
     """
 
     # --- imgcap_caption_cap: the two-phase top-k equals this single

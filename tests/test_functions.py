@@ -1901,3 +1901,27 @@ def test_caption_cap_two_phase_equals_single_window(spark):
     for r in out.values():
         if r.image_id.startswith("uniq"):
             assert r.keep == 1 and r.cap_freq == 1
+
+
+def test_svg_meta_sniffs_dims_and_stays_jvm_side(spark):
+    cases = [
+        ("attr", '<svg width="640" height="480"><rect/></svg>', 1, 640, 480, 0),
+        ("prolog_vb", '<?xml version="1.0"?>\n<svg viewBox="0 0 24 32"><path/></svg>', 1, 24, 32, 1),
+        ("pct", '<svg width="100%" height="50%"><g/></svg>', 1, None, None, 0),
+        ("w_only", '<svg width="77" fill="red"><g/></svg>', 1, 77, None, 0),
+        ("attr_wins", '<svg width="10" height="20" viewBox="0 0 99 98"/>', 1, 10, 20, 0),
+        ("spacey", '  \n <svg><circle/></svg>', 1, None, None, 0),
+        ("html", "<html><body>not svg</body></html>", 0, None, None, None),
+        ("plainsvg_word", "the word svg appears but no tag", 0, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(c[0], c[1]) for c in cases], "image_id string, body string"
+    )
+    out = {r.image_id: r for r in multimodal.svg_meta(df).collect()}
+    for name, _b, is_svg, w, h, fvb in cases:
+        r = out[name]
+        assert (r.is_svg, r.svg_w, r.svg_h, r.from_viewbox) == (is_svg, w, h, fvb), name
+    # the whole parse must stay JVM-side: no Python eval node of any kind
+    plan = multimodal.svg_meta(df)._jdf.queryExecution().executedPlan().toString()
+    for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert pynode not in plan, pynode
