@@ -647,3 +647,34 @@ def extract_images(fetched: DataFrame) -> DataFrame:
         "sched_time",
         F.col("img_idx").cast("int").alias("img_idx"),
     )
+
+
+#: <link rel="alternate" ...> tags — the hreflang declaration carrier.
+_ALT_LINK_PAT = r'<link\b[^>]*rel="alternate"[^>]*>'
+
+
+def extract_hreflang(
+    pages: DataFrame, html_col: str = "html", url_col: str = "page_url"
+) -> DataFrame:
+    """One row per `<link rel="alternate" hreflang=...>` declaration:
+    (page_url, hreflang, alt_url). Language-variant clusters are the
+    crawl's third dedup axis after content digests and canonical tags
+    — the en/de/fr editions of a page are distinct bytes but one
+    logical document, and a training corpus usually wants them grouped
+    (feed the edges to dedup.connected_components) rather than
+    counted as independent pages. The whole scan is JVM regexp — tag
+    harvest via regexp_extract_all, attribute picks via
+    regexp_extract — no Python stage; tags missing either attribute
+    are dropped (a declaration the parser can't prove is not an
+    edge)."""
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(_ALT_LINK_PAT), F.lit(0)
+    )
+    per = pages.select(
+        F.col(url_col).alias("page_url"), F.explode_outer(tags).alias("_tag")
+    )
+    lang = F.regexp_extract(F.col("_tag"), r'hreflang="([A-Za-z-]+)"', 1)
+    href = F.regexp_extract(F.col("_tag"), r'href="([^"]+)"', 1)
+    return per.select(
+        "page_url", lang.alias("hreflang"), href.alias("alt_url")
+    ).filter((F.col("hreflang") != "") & (F.col("alt_url") != ""))

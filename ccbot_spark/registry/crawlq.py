@@ -602,6 +602,62 @@ def register(q):
         return fetchparse.anchor_term_counts(pairs)
     q["g_anchor_text"] = g_anchor_text
 
+    def g_hreflang_clusters(spark, sf_dir):
+        # language-variant clustering: docs < 450 form planted triads
+        # (3g, 3g+1, 3g+2) — each page declares its two siblings via
+        # <link rel="alternate" hreflang>, d%7==0 pages add a decoy
+        # alternate tag with NO hreflang (must be ignored). JVM regexp
+        # extraction → edges → connected_components; green = the
+        # extraction + min-label clustering reproduced the planted
+        # triads exactly (cluster = 3·(d div 3), n_alts = 2).
+        from ccbot_spark.operators import fetchparse
+
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        did = F.col("doc_id").cast("long")
+        r = did % 3
+        base3 = did - r
+        m1 = base3 + (r + 1) % 3
+        m2 = base3 + (r + 2) % 3
+
+        def page_url(col):
+            return F.concat(
+                F.lit("https://h"), (col % 37).cast("string"),
+                F.lit(".example/p"), col.cast("string"),
+            )
+
+        decoy = F.when(
+            did % 7 == 0,
+            F.lit('<link rel="alternate" href="https://x.example/nolang">'),
+        ).otherwise(F.lit(""))
+        html = F.concat(
+            F.lit("<html><head>"),
+            decoy,
+            F.lit('<link rel="alternate" hreflang="en" href="'),
+            page_url(m1), F.lit('">'),
+            F.lit('<link rel="alternate" hreflang="de" href="'),
+            page_url(m2), F.lit('">'),
+            F.lit("</head><body></body></html>"),
+        )
+        pages = d.select(page_url(did).alias("page_url"), html.alias("html"))
+        alts = fetchparse.extract_hreflang(pages)
+        n_alts = alts.groupBy("page_url").agg(F.count("*").alias("n_alts"))
+        pid = F.regexp_extract(F.col("page_url"), r"p([0-9]+)$", 1).cast("long")
+        aid = F.regexp_extract(F.col("alt_url"), r"p([0-9]+)$", 1).cast("long")
+        edges = alts.select(pid.alias("a"), aid.alias("b"))
+        comp = dedup.connected_components(edges, "a", "b")
+        return (
+            comp.join(
+                n_alts.select(
+                    F.regexp_extract(F.col("page_url"), r"p([0-9]+)$", 1)
+                    .cast("long")
+                    .alias("doc_id"),
+                    "n_alts",
+                ),
+                "doc_id",
+            ).select("doc_id", "cluster_id", F.col("n_alts").cast("long").alias("n_alts"))
+        )
+    q["g_hreflang_clusters"] = g_hreflang_clusters
+
     def g_triangles(spark, sf_dir):
         # Per-node triangle counts + local clustering coefficient over
         # the page link graph (linkrank.triangle_stats): degree-ordered
@@ -856,6 +912,15 @@ def register_sql(o):
     # docs is nofollow and must be absent), each contributing its two
     # words; Spark must parse the rendered HTML back to the same
     # (target, term, cnt) multiset.
+    # --- g_hreflang_clusters: planted triads — cluster = the triad
+    # head 3·(d div 3), n_alts = the 2 hreflang-bearing declarations
+    # (the d%7 decoy tag has no hreflang and must not count).
+    o["g_hreflang_clusters"] = """
+        SELECT doc_id, CAST(3 * (doc_id // 3) AS BIGINT) AS cluster_id,
+               CAST(2 AS BIGINT) AS n_alts
+        FROM documents WHERE doc_id < 450
+    """
+
     o["g_anchor_text"] = """
         WITH anchors AS (
           SELECT doc_id, v.i

@@ -1925,3 +1925,32 @@ def test_svg_meta_sniffs_dims_and_stays_jvm_side(spark):
     plan = multimodal.svg_meta(df)._jdf.queryExecution().executedPlan().toString()
     for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert pynode not in plan, pynode
+
+
+def test_extract_hreflang_jvm_side_and_attribute_strict(spark):
+    # order-insensitive attributes, decoys without hreflang or href
+    # dropped, non-alternate links ignored, all-JVM plan
+    from ccbot_spark.operators import fetchparse
+
+    html = (
+        '<html><head>'
+        '<link rel="alternate" hreflang="en" href="https://e.x/en">'
+        '<link rel="alternate" href="https://e.x/feed">'          # no hreflang
+        '<link rel="alternate" hreflang="pt-BR" href="https://e.x/pt">'
+        '<link rel="stylesheet" href="https://e.x/css">'          # not alternate
+        '<link rel="alternate" hreflang="de">'                    # no href
+        '</head></html>'
+    )
+    df = spark.createDataFrame(
+        [("https://e.x/", html), ("https://e.y/", "<html>no links</html>")],
+        "page_url string, html string",
+    )
+    out = fetchparse.extract_hreflang(df)
+    rows = sorted((r.page_url, r.hreflang, r.alt_url) for r in out.collect())
+    assert rows == [
+        ("https://e.x/", "en", "https://e.x/en"),
+        ("https://e.x/", "pt-BR", "https://e.x/pt"),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert pynode not in plan, pynode
