@@ -491,20 +491,40 @@ def _encode_block(
     return dc
 
 
-def exif_app1(orientation: int) -> bytes:
-    """Minimal spec-valid Exif APP1 segment carrying ONE IFD0 entry —
-    the orientation tag (0x0112, SHORT). Little-endian TIFF header
-    ('II'), IFD0 at offset 8, zero next-IFD pointer: 26 TIFF bytes,
-    34-byte segment. What every camera writes, reduced to the one tag
-    the training pipeline must honor."""
-    if not 1 <= orientation <= 8:
+def exif_app1(orientation: int | None, gps: bool = False) -> bytes:
+    """Minimal spec-valid Exif APP1 segment. IFD0 carries the
+    orientation tag (0x0112, SHORT) when `orientation` is set, and —
+    when `gps` — the GPS IFD pointer (0x8825, LONG) to a one-entry GPS
+    IFD (GPSVersionID 0x0000, BYTE×4 = 2.3.0.0): the smallest
+    structure a compliant reader resolves as "this image carries GPS
+    metadata", which is all the privacy audit needs to detect (real
+    cameras hang rational lat/long off the same pointer).
+    Little-endian TIFF header ('II'), IFD0 at offset 8, zero next-IFD
+    pointers. What every camera writes, reduced to the tags the
+    training pipeline must honor or scrub."""
+    if orientation is not None and not 1 <= orientation <= 8:
         raise ValueError(f"EXIF orientation must be 1..8, got {orientation}")
+    if orientation is None and not gps:
+        raise ValueError("empty APP1: need orientation and/or gps")
+    entries = []
+    if orientation is not None:
+        entries.append(struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0))
+    n = len(entries) + (1 if gps else 0)
+    gps_off = 8 + 2 + 12 * n + 4  # header + count + entries + next ptr
+    if gps:
+        entries.append(struct.pack("<HHII", 0x8825, 4, 1, gps_off))
     tiff = (
         b"II*\x00" + struct.pack("<I", 8)  # TIFF header, IFD0 @ 8
-        + struct.pack("<H", 1)  # one entry
-        + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+        + struct.pack("<H", n)
+        + b"".join(entries)
         + struct.pack("<I", 0)  # no next IFD
     )
+    if gps:
+        tiff += (
+            struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0000, 1, 4) + b"\x02\x03\x00\x00"
+            + struct.pack("<I", 0)
+        )
     payload = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
 

@@ -1889,3 +1889,99 @@ def svg_meta(
         .cast("long")
         .alias("from_viewbox"),
     )
+
+
+def _jpeg_gps_walk(data: bytes) -> tuple[int, int]:
+    """(has_exif, has_gps) from one bounded marker walk: has_exif when
+    an APP1/Exif segment parses to a valid TIFF IFD0, has_gps when
+    that IFD0 carries the GPS IFD pointer tag (0x8825) — presence
+    only, which is all a privacy audit needs (the rationals hang off
+    the pointer). Both byte orders; malformed TIFF → (0, 0), never a
+    guess."""
+    if data[:3] != b"\xff\xd8\xff":
+        return 0, 0
+    pos = 2
+    n = len(data)
+    while pos + 3 < n:
+        if data[pos] != 0xFF:
+            return 0, 0
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return 0, 0
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker == 0xDA:
+            return 0, 0  # hit entropy data without an Exif APP1
+        if marker == 0xE1:
+            seg = data[pos + 4 : pos + 2 + seglen]
+            if seg[:6] == b"Exif\x00\x00" and len(seg) >= 14:
+                tiff = seg[6:]
+                bo = tiff[:2]
+                e = "<" if bo == b"II" else ">" if bo == b"MM" else None
+                if e is not None and struct.unpack_from(e + "H", tiff, 2)[0] == 42:
+                    (ifd_off,) = struct.unpack_from(e + "I", tiff, 4)
+                    if ifd_off + 2 <= len(tiff):
+                        (cnt,) = struct.unpack_from(e + "H", tiff, ifd_off)
+                        for i in range(cnt):
+                            ep = ifd_off + 2 + 12 * i
+                            if ep + 12 > len(tiff):
+                                break
+                            (tag,) = struct.unpack_from(e + "H", tiff, ep)
+                            if tag == 0x8825:
+                                return 1, 1
+                        return 1, 0
+        pos += 2 + seglen
+    return 0, 0
+
+
+def exif_gps_audit(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    head: int = JPEG_HEAD_BYTES,
+) -> DataFrame:
+    """Privacy audit BEFORE export: which JPEGs still carry EXIF, and
+    which of those carry a GPS IFD (location of someone's home in a
+    training corpus) — the detection side of the scrub
+    (`strip_image_metadata` removes APP1 wholesale; this reports what
+    WOULD leak if export skipped the scrub, and after a scrub pass it
+    must report zeros). Same scale shape as jpeg_exif_orient:
+    `substring` prunes to a bounded head JVM-side, the blob never
+    reaches the output, one Arrow pass does the marker walk.
+
+    Output: (image_id, has_exif 0/1, has_gps 0/1)."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("has_exif", T.LongType(), False),
+            T.StructField("has_gps", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                he, hg = _jpeg_gps_walk(bytes(r.head_bytes))
+                rows.append((r.image_id, he, hg))
+            yield pd.DataFrame(rows, columns=["image_id", "has_exif", "has_gps"])
+
+    pruned = images.select(
+        F.col(id_col).alias("image_id"),
+        F.substring(F.col(bytes_col), 1, head).alias("head_bytes"),
+    )
+    return pruned.mapInPandas(gen, schema=schema)
+
+
+def inject_jpeg_app1(data: bytes, app1: bytes) -> bytes:
+    """Insert a prebuilt APP1 segment (codecs.exif_app1) right after
+    SOI — the fixture the GPS-audit tests and oracle plant with; the
+    marker walks accept APP1 at any pre-SOS position."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return data[:2] + app1 + data[2:]

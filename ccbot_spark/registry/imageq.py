@@ -519,6 +519,45 @@ def register(q):
         )
     q["img_jpeg_scrub"] = img_jpeg_scrub
 
+    def img_gps_audit(spark, sf_dir):
+        # privacy audit: jpeg rows (doc_id % 3 == 1) get a planted
+        # Exif APP1 — GPS IFD when doc_id % 5 == 0, orientation-only
+        # when doc_id % 5 in (1, 2), none otherwise; ppm/png rows
+        # never carry EXIF. Green = the marker walk resolves the GPS
+        # pointer tag exactly where the plant put it.
+        import pandas as _pd
+
+        from ccbot_spark import codecs as _codecs
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=("ppm", "jpeg", "png")
+        )
+
+        def plant(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    b = bytes(r.bytes)
+                    d = int(r.image_id.split("-")[1])
+                    if r.fmt == "jpeg":
+                        if d % 5 == 0:
+                            b = multimodal.inject_jpeg_app1(
+                                b, _codecs.exif_app1(1 + d % 8, gps=True)
+                            )
+                        elif d % 5 in (1, 2):
+                            b = multimodal.inject_jpeg_app1(
+                                b, _codecs.exif_app1(1 + d % 8)
+                            )
+                    rows.append((r.image_id, b))
+                yield _pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+        planted = imgs.mapInPandas(
+            plant, schema="image_id string, bytes binary"
+        )
+        return multimodal.exif_gps_audit(planted)
+    q["img_gps_audit"] = img_gps_audit
+
     def img_hash_family(spark, sf_dir):
         # rows-only by necessity (pixel-derived: DCT/gradient/mean
         # hashes have no SQL form; exactness vs the python reference
@@ -1383,6 +1422,18 @@ def register_sql(o):
                CAST(CASE WHEN doc_id % 3 = 0 THEN 0
                          ELSE 20 + doc_id % 23 END AS BIGINT)
                  AS stripped_bytes
+        FROM documents WHERE doc_id < 450
+    """
+
+    # --- img_gps_audit: the plant arithmetic — jpeg rows are
+    # doc_id % 3 == 1; GPS on % 5 == 0, orientation-only on % 5 in
+    # (1, 2), bare jpeg otherwise; ppm/png rows carry nothing.
+    o["img_gps_audit"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 5 <= 2
+                         THEN 1 ELSE 0 END AS BIGINT) AS has_exif,
+               CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 5 = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS has_gps
         FROM documents WHERE doc_id < 450
     """
 

@@ -1954,3 +1954,37 @@ def test_extract_hreflang_jvm_side_and_attribute_strict(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert pynode not in plan, pynode
+
+
+def test_exif_gps_audit_detects_and_scrub_clears(spark):
+    # GPS pointer found exactly where planted (both byte-order-safe
+    # walks share TIFF parsing); orientation-only EXIF is has_exif
+    # without has_gps; scrubbing then re-auditing must report zeros
+    from ccbot_spark import codecs
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(18, 22, 3), dtype=np.uint8)
+    base = codecs.encode_jpeg(img)
+    gps = multimodal.inject_jpeg_app1(base, codecs.exif_app1(3, gps=True))
+    gps_only = multimodal.inject_jpeg_app1(base, codecs.exif_app1(None, gps=True))
+    orient = multimodal.inject_jpeg_app1(base, codecs.exif_app1(6))
+    df = spark.createDataFrame(
+        [("gps", gps), ("gpsonly", gps_only), ("orient", orient),
+         ("bare", base), ("png", codecs.encode_png(img))],
+        "image_id string, bytes binary",
+    )
+    out = {r.image_id: (r.has_exif, r.has_gps)
+           for r in multimodal.exif_gps_audit(df).collect()}
+    assert out == {
+        "gps": (1, 1), "gpsonly": (1, 1), "orient": (1, 0),
+        "bare": (0, 0), "png": (0, 0),
+    }
+    # the gps-stamped stream still decodes and the orientation tag in
+    # the combined IFD0 still reads back (exif walk shares the IFD)
+    assert multimodal._jpeg_exif_walk(gps)[2] == 3
+    np.testing.assert_array_equal(codecs.decode_jpeg(gps), codecs.decode_jpeg(base))
+    # scrub → audit must be all zeros
+    scrubbed = multimodal.strip_image_metadata(df)
+    out2 = {r.image_id: (r.has_exif, r.has_gps)
+            for r in multimodal.exif_gps_audit(scrubbed).collect()}
+    assert all(v == (0, 0) for v in out2.values())
