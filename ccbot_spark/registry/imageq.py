@@ -558,6 +558,29 @@ def register(q):
         return multimodal.exif_gps_audit(planted)
     q["img_gps_audit"] = img_gps_audit
 
+    def imgcap_lang_mixture(spark, sf_dir):
+        # multilingual caption balance: stopword-ratio langid over the
+        # synthesized captions (20·stop ≥ tok → 'en') feeds the T=2
+        # temperature mixture — low-resource caption languages
+        # upweighted ∝ isqrt(availability). Pure composition of two
+        # oracled primitives; one scan + hash-agg + 2-row plan.
+        d = _t(spark, sf_dir, "documents")
+        cap = F.expr("substr(text, 1, CAST(doc_id % 120 + 1 AS INT))")
+        rows = d.select(cap.alias("caption"))
+        lang = F.when(
+            textkit.stopword_count(F.col("caption")) * 20
+            >= textkit.token_count(F.col("caption")),
+            F.lit("en"),
+        ).otherwise(F.lit("other"))
+        pairs = rows.select(
+            lang.alias("lang"),
+            textkit.token_count(F.col("caption")).cast("long").alias("n_tokens"),
+        )
+        return sampling.temperature_plan(
+            pairs, budget=100000, source="lang", tokens="n_tokens"
+        )
+    q["imgcap_lang_mixture"] = imgcap_lang_mixture
+
     def img_hash_family(spark, sf_dir):
         # rows-only by necessity (pixel-derived: DCT/gradient/mean
         # hashes have no SQL form; exactness vs the python reference
@@ -1423,6 +1446,37 @@ def register_sql(o):
                          ELSE 20 + doc_id % 23 END AS BIGINT)
                  AS stripped_bytes
         FROM documents WHERE doc_id < 450
+    """
+
+    # --- imgcap_lang_mixture: langid integer test + isqrt weights
+    # chained over the caption synthesis (text_langid +
+    # text_temperature_plan formulas on the substr captions).
+    o["imgcap_lang_mixture"] = f"""
+        WITH caps AS (
+          SELECT substr(text, 1, CAST(doc_id % 120 + 1 AS INT)) AS caption
+          FROM documents
+        ),
+        tagged AS (
+          SELECT CASE WHEN len(list_filter(string_split(lower(caption), ' '),
+                          t -> t IN {_STOP_SQL})) * 20
+                          >= len(string_split(caption, ' '))
+                      THEN 'en' ELSE 'other' END AS lang,
+                 CAST(len(string_split(caption, ' ')) AS BIGINT) AS n_tokens
+          FROM caps
+        ),
+        avail AS (
+          SELECT lang, SUM(n_tokens) AS avail_tokens FROM tagged GROUP BY lang
+        ),
+        w AS (
+          SELECT lang, avail_tokens,
+                 CAST(FLOOR(SQRT(avail_tokens)) AS BIGINT) AS weight
+          FROM avail
+        ),
+        t AS (SELECT SUM(weight) AS _tw FROM w)
+        SELECT lang, CAST(avail_tokens AS BIGINT) AS avail_tokens, weight,
+               CAST(weight * 1000000 // _tw AS BIGINT) AS rate_ppm,
+               CAST(weight * 100000 // _tw AS BIGINT) AS take_tokens
+        FROM w CROSS JOIN t
     """
 
     # --- img_gps_audit: the plant arithmetic — jpeg rows are
