@@ -738,6 +738,69 @@ def register(q):
         return multimodal.caption_cap(meta, k=4)
     q["imgcap_caption_cap"] = imgcap_caption_cap
 
+    def mm_interleaved_pack(spark, sf_dir):
+        # MMC4/OBELICS-style interleaved documents: doc_id % 3 inline
+        # images per doc (dims from md5 'dim:d:i'), document cost =
+        # text tokens + Σ(patch tokens + 2 separators); whole DOCS
+        # first-fit into 1500-token windows per doc_id%8 shard (a doc
+        # with its images is the atomic training unit — it never
+        # splits across windows). Image-cost aggregation is a
+        # map-side-combinable hash-agg; packing reuses pack_samples;
+        # the max-cost doc exceeds the cap → the -1 path stays live.
+        from ccbot_spark import wds
+
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+        did = F.col("doc_id").cast("long")
+        n_img = (did % 3).cast("int")
+        imgs = d.select(
+            did.alias("doc_id"),
+            F.explode(
+                F.when(n_img == 0, F.array()).otherwise(
+                    F.sequence(F.lit(1), n_img)
+                )
+            ).alias("i"),
+        )
+        hx = F.md5(
+            F.concat_ws(
+                ":", F.lit("dim"), F.col("doc_id").cast("string"),
+                F.col("i").cast("string"),
+            )
+        )
+        w = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32
+        h = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32
+        per_img = imgs.select(
+            "doc_id",
+            (
+                F.floor((w + 15) / 16) * F.floor((h + 15) / 16) + 2
+            ).cast("long").alias("img_cost"),
+        )
+        img_cost = per_img.groupBy("doc_id").agg(
+            F.sum("img_cost").alias("img_tokens"),
+            F.count("*").alias("n_images"),
+        )
+        base = (
+            d.select(
+                did.alias("doc_id"),
+                (did % 8).cast("int").alias("shard"),
+                textkit.token_count(F.col("text")).cast("long").alias("txt"),
+            )
+            .join(img_cost, "doc_id", "left")
+            .select(
+                "doc_id",
+                "shard",
+                F.coalesce(F.col("n_images"), F.lit(0)).cast("long").alias(
+                    "n_images"
+                ),
+                (F.col("txt") + F.coalesce(F.col("img_tokens"), F.lit(0)))
+                .cast("long")
+                .alias("cost"),
+            )
+        )
+        return wds.pack_samples(
+            base, cap=1500, order_col="doc_id"
+        ).select("doc_id", "shard", "n_images", "cost", "pack_id", "fill_offset")
+    q["mm_interleaved_pack"] = mm_interleaved_pack
+
     def img_svg_meta(spark, sf_dir):
         # SVG sniff: bodies cycle attr-dims / XML-prolog + viewBox /
         # percent-dims / non-SVG by doc_id % 4, dims from the md5
@@ -1547,6 +1610,64 @@ def register_sql(o):
                     WHEN aw IS NULL AND ah IS NULL AND vw IS NOT NULL THEN 1
                     ELSE 0 END, -1) AS BIGINT) AS from_viewbox
         FROM feat
+    """
+
+    # --- mm_interleaved_pack: per-doc image costs via UNNEST(range)
+    # + the same recursive first-fit walk as mm_patch_pack at cap
+    # 1500; n_images rides along through the walk.
+    o["mm_interleaved_pack"] = f"""
+        WITH RECURSIVE imgs AS (
+          SELECT doc_id, i,
+                 {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS h64
+          FROM documents,
+               UNNEST(range(1, CAST(doc_id % 3 AS BIGINT) + 1)) AS t(i)
+          WHERE doc_id < 800
+        ),
+        imgc AS (
+          SELECT doc_id,
+                 SUM((((h64 // 4294967296) % 481 + 32) + 15) // 16
+                     * ((((h64 % 4294967296) % 481 + 32) + 15) // 16)
+                     + 2) AS img_tokens,
+                 COUNT(*) AS n_images
+          FROM imgs GROUP BY doc_id
+        ),
+        costed AS (
+          SELECT d.doc_id, CAST(d.doc_id % 8 AS INTEGER) AS shard,
+                 CAST(COALESCE(i.n_images, 0) AS BIGINT) AS n_images,
+                 CAST(len(string_split(d.text, ' '))
+                      + COALESCE(i.img_tokens, 0) AS BIGINT) AS cost,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY d.doc_id % 8 ORDER BY d.doc_id
+                 ) AS rn
+          FROM documents d LEFT JOIN imgc i USING (doc_id)
+          WHERE d.doc_id < 800
+        ),
+        walk AS (
+          SELECT shard, rn, doc_id, n_images, cost,
+                 CASE WHEN cost > 1500 THEN CAST(-1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS pack_id,
+                 CAST(0 AS BIGINT) AS fill_offset,
+                 CAST(0 AS BIGINT) AS pack_after,
+                 CASE WHEN cost > 1500 THEN CAST(0 AS BIGINT)
+                      ELSE cost END AS fill_after
+          FROM costed WHERE rn = 1
+          UNION ALL
+          SELECT c.shard, c.rn, c.doc_id, c.n_images, c.cost,
+                 CASE WHEN c.cost > 1500 THEN CAST(-1 AS BIGINT)
+                      WHEN w.fill_after + c.cost > 1500 THEN w.pack_after + 1
+                      ELSE w.pack_after END,
+                 CASE WHEN c.cost > 1500 THEN CAST(0 AS BIGINT)
+                      WHEN w.fill_after + c.cost > 1500 THEN CAST(0 AS BIGINT)
+                      ELSE w.fill_after END,
+                 CASE WHEN c.cost > 1500 THEN w.pack_after
+                      WHEN w.fill_after + c.cost > 1500 THEN w.pack_after + 1
+                      ELSE w.pack_after END,
+                 CASE WHEN c.cost > 1500 THEN w.fill_after
+                      WHEN w.fill_after + c.cost > 1500 THEN c.cost
+                      ELSE w.fill_after + c.cost END
+          FROM walk w JOIN costed c ON c.shard = w.shard AND c.rn = w.rn + 1
+        )
+        SELECT doc_id, shard, n_images, cost, pack_id, fill_offset FROM walk
     """
 
     # --- imgcap_caption_cap: the two-phase top-k equals this single
