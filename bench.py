@@ -233,6 +233,64 @@ def main() -> None:
     )
     entry.clear_caches()  # the export plan registers a sequencing cache
     bench("q_gif_frames", lambda: run(qs["img_gif_frames"](spark, SF_DIR)))
+    # ---- round-5 training-prep additions, uncapped (the registry
+    # entries cap doc_id for oracle size; these scale with sf):
+    # whole-sample patch-token packing, the two-level epoch shuffle
+    # plan, and the skew-safe generic-caption cap.
+    from pyspark.sql import functions as _Fq
+
+    from ccbot_spark import wds as _wdsq
+    from ccbot_spark.functions import multimodal as _mmq
+    from ccbot_spark.functions import sampling as _smq
+
+    def _docs_meta():
+        d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        hx = _Fq.md5(
+            _Fq.concat(_Fq.lit("dim:"), _Fq.col("doc_id").cast("string"))
+        )
+        w = (
+            _Fq.conv(_Fq.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32
+        )
+        h = (
+            _Fq.conv(_Fq.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32
+        )
+        return d.select(
+            _Fq.concat(
+                _Fq.lit("doc-"), _Fq.col("doc_id").cast("string")
+            ).alias("image_id"),
+            (_Fq.col("doc_id") % 8).cast("int").alias("shard"),
+            w.cast("int").alias("w"),
+            h.cast("int").alias("h"),
+            _Fq.expr(
+                "substr(text, 1, CAST(doc_id % 120 + 1 AS INT))"
+            ).alias("caption"),
+            (w * h).cast("long").alias("area"),
+        )
+
+    def patch_pack():
+        meta = _docs_meta().withColumn(
+            "cost",
+            _wdsq.patch_token_cost(
+                _Fq.col("w"), _Fq.col("h"), _Fq.col("caption")
+            ),
+        )
+        run(_wdsq.pack_samples(meta, cap=1000))
+
+    bench("q_patch_pack", patch_pack)
+
+    def epoch_shuffle():
+        run(
+            _smq.epoch_shuffle_plan(
+                _docs_meta().select("image_id", "shard"), epochs=3
+            )
+        )
+
+    bench("q_epoch_shuffle", epoch_shuffle)
+
+    def caption_cap():
+        run(_mmq.caption_cap(_docs_meta(), k=4))
+
+    bench("q_caption_cap", caption_cap)
 
     # ---- audio / video tiers (round 5): encode + JVM header gate +
     # Arrow decode-features over the full documents table (the
