@@ -82,6 +82,7 @@ class CrawlEngine:
         max_depth: int = 0,
         recrawl_every: int = 0,
         adaptive_recrawl: bool = False,
+        sitemap_lastmod: bool = False,
         content_dedup: bool = False,
         age_boost: int = 0,
         warc_dir: str | None = None,
@@ -190,6 +191,19 @@ class CrawlEngine:
         if adaptive_recrawl and not recrawl_every:
             raise ValueError("adaptive_recrawl requires recrawl_every > 0")
         self.adaptive_recrawl = adaptive_recrawl
+        # sitemap <lastmod> honored (sitemaps.org): a due revisit of a
+        # sitemap-LISTED page is skipped — no slot, no trace — while
+        # the urlset's declared lastmod (the content-epoch clock) says
+        # the page hasn't changed since our last fetch, so even the
+        # conditional GET that would 304 is saved. Membership is the
+        # pure sha2 slice _sitemap_pages defines, evaluated as a JVM
+        # expression in the due-check (pre-shuffle drop — skipped
+        # revisits never reach GENERATE). Unlisted pages keep the
+        # revisit policy unchanged. Mirrors
+        # oracle.crawl(sitemap_lastmod=True) exactly.
+        if sitemap_lastmod and not recrawl_every:
+            raise ValueError("sitemap_lastmod requires recrawl_every > 0")
+        self.sitemap_lastmod = sitemap_lastmod
         # optional WARC archive sink: every cycle's stored images also
         # land as {warc_dir}/cycle=NNNNN/segment-*.warc.gz (one gzip
         # member per record, JVM-built records, caption/fmt carried as
@@ -949,10 +963,47 @@ class CrawlEngine:
             if self.recrawl_every:
                 # per-row due check: interval == recrawl_every unless the
                 # adaptive policy has moved it
-                cand_pred = cand_pred | (
-                    (F.col("status") == "fetched")
-                    & (F.col("last_cycle") + F.col("interval") <= F.lit(cycle))
+                revisit_due = (F.col("status") == "fetched") & (
+                    F.col("last_cycle") + F.col("interval") <= F.lit(cycle)
                 )
+                if self.sitemap_lastmod:
+                    # sitemap <lastmod> skip, all-JVM: listed = the
+                    # _sitemap_pages sha2 slice of /p/N pages; declared
+                    # lastmod unchanged = same content epoch as our
+                    # last fetch (static web: never changes). The
+                    # whole predicate folds into the frontier scan.
+                    jcol = F.regexp_extract(
+                        F.col("url_norm"), r"^https?://[^/]+/p/([0-9]+)$", 1
+                    )
+                    listed = (jcol != "") & (
+                        F.conv(
+                            F.substring(
+                                F.sha2(
+                                    F.concat(
+                                        F.lit(f"map:{cfg.seed}:"),
+                                        F.col("host"),
+                                        F.lit(":"),
+                                        jcol,
+                                    ),
+                                    256,
+                                ),
+                                1,
+                                2,
+                            ),
+                            16,
+                            10,
+                        ).cast("int")
+                        % 4
+                        == 0
+                    )
+                    if cfg.change_every:
+                        lastmod_unchanged = F.expr(
+                            f"last_cycle div {cfg.change_every}"
+                        ) == F.lit(synthweb.content_version(cfg, cycle))
+                    else:
+                        lastmod_unchanged = F.lit(True)
+                    revisit_due = revisit_due & ~(listed & lastmod_unchanged)
+                cand_pred = cand_pred | revisit_due
             # 429 Retry-After deferral: a deferred URL is invisible to
             # GENERATE (any status branch) until not_before is reached
             cand_pred = cand_pred & (F.col("not_before") <= F.lit(cycle))

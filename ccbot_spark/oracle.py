@@ -99,6 +99,7 @@ def crawl(
     max_depth: int = 0,
     recrawl_every: int = 0,
     adaptive_recrawl: bool = False,
+    sitemap_lastmod: bool = False,
     etag_revalidate: bool = False,
     honor_max_age: bool = False,
     content_dedup: bool = False,
@@ -214,6 +215,28 @@ def crawl(
     # dead-host circuit breaker: host → first eligible cycle again
     dead_until: dict[str, int] = {}
 
+    def lastmod_skips(e: FrontierEntry, cycle: int) -> bool:
+        """sitemap_lastmod: a due revisit of a sitemap-LISTED page is
+        skipped (no slot, no trace) while the urlset's declared
+        <lastmod> — the content-epoch clock — says the page has not
+        changed since our last fetch; the conditional GET that would
+        have answered 304 is never issued. Unlisted pages keep the
+        revisit policy unchanged. Mirrors the engine's JVM sha2
+        membership + epoch test exactly."""
+        if not sitemap_lastmod or e.status != "fetched":
+            return False
+        parts = e.url_norm.split("/")
+        if len(parts) != 5 or parts[3] != "p":
+            return False
+        if (
+            synthweb._digest(f"map:{cfg.seed}:{e.host}:{parts[4]}")[0] % 4
+            != 0
+        ):
+            return False  # not in the host's urlset — no lastmod known
+        return synthweb.content_version(
+            cfg, e.last_cycle
+        ) == synthweb.content_version(cfg, cycle)
+
     for cycle in range(1, cycles + 1):
         # ---- GENERATE: per-host candidate ordering + robots + budget
         by_host: dict[str, list[FrontierEntry]] = {}
@@ -237,6 +260,7 @@ def crawl(
                     # per-URL due check: e.interval == recrawl_every
                     # unless the adaptive policy has moved it
                     and e.last_cycle <= cycle - e.interval
+                    and not lastmod_skips(e, cycle)
                 )
             ):
                 by_host.setdefault(e.host, []).append(e)

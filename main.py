@@ -166,6 +166,10 @@ def parse_args():
     p.add_argument("--adaptive-recrawl", action="store_true",
                    help="per-URL adaptive revisit intervals: 304 doubles "
                         "a page's interval, a changed revisit halves it")
+    p.add_argument("--sitemap-lastmod", action="store_true",
+                   help="honor sitemap <lastmod>: skip due revisits of "
+                        "sitemap-listed pages the declared lastmod proves "
+                        "unchanged (saves even the conditional GET)")
     p.add_argument("--warc-dir", default=None,
                    help="also archive each cycle's stored images as "
                         "WARC segment files under this directory "
@@ -297,6 +301,7 @@ def main() -> None:
         max_depth=args.max_depth,
         recrawl_every=args.recrawl_every,
         adaptive_recrawl=args.adaptive_recrawl,
+        sitemap_lastmod=args.sitemap_lastmod,
         error_backoff=args.error_backoff,
         domain_budget=args.domain_budget,
         ip_pool=args.ip_pool,
