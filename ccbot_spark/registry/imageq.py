@@ -801,6 +801,55 @@ def register(q):
         ).select("doc_id", "shard", "n_images", "cost", "pack_id", "fill_offset")
     q["mm_interleaved_pack"] = mm_interleaved_pack
 
+    def mm_pack_efficiency(spark, sf_dir):
+        # padding-waste report over the mm_patch_pack windows — the
+        # number a training-infra team watches (every wasted token is
+        # paid-for compute): per shard, windows = max pack_id + 1,
+        # capacity = windows·cap, used = Σ packed cost, waste in ppm
+        # by integer division; unpackable (-1) rows counted separately.
+        from ccbot_spark import wds
+
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+        hx = F.md5(F.concat(F.lit("dim:"), F.col("doc_id").cast("string")))
+        w = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % 481 + 32).cast("int")
+        h = (F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % 481 + 32).cast("int")
+        cap = F.expr("substr(text, 1, CAST(doc_id % 120 + 1 AS INT))")
+        meta = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("image_id"),
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+            w.alias("w"),
+            h.alias("h"),
+            cap.alias("caption"),
+        ).withColumn(
+            "cost", wds.patch_token_cost(F.col("w"), F.col("h"), F.col("caption"))
+        )
+        packed = wds.pack_samples(meta, cap=1000)
+        return (
+            packed.groupBy("shard")
+            .agg(
+                F.max(F.when(F.col("pack_id") >= 0, F.col("pack_id")))
+                .alias("_maxp"),
+                F.sum(
+                    F.when(F.col("pack_id") >= 0, F.col("cost")).otherwise(0)
+                ).alias("used_tokens"),
+                F.sum((F.col("pack_id") == -1).cast("long")).alias(
+                    "n_unpackable"
+                ),
+            )
+            .select(
+                "shard",
+                (F.col("_maxp") + 1).cast("long").alias("n_windows"),
+                ((F.col("_maxp") + 1) * 1000).cast("long").alias("capacity"),
+                F.col("used_tokens").cast("long").alias("used_tokens"),
+                F.expr(
+                    "CAST((( _maxp + 1) * 1000 - used_tokens) * 1000000 "
+                    "DIV ((_maxp + 1) * 1000) AS BIGINT)"
+                ).alias("waste_ppm"),
+                F.col("n_unpackable").cast("long").alias("n_unpackable"),
+            )
+        )
+    q["mm_pack_efficiency"] = mm_pack_efficiency
+
     def img_svg_meta(spark, sf_dir):
         # SVG sniff: bodies cycle attr-dims / XML-prolog + viewBox /
         # percent-dims / non-SVG by doc_id % 4, dims from the md5
@@ -1668,6 +1717,65 @@ def register_sql(o):
           FROM walk w JOIN costed c ON c.shard = w.shard AND c.rn = w.rn + 1
         )
         SELECT doc_id, shard, n_images, cost, pack_id, fill_offset FROM walk
+    """
+
+    # --- mm_pack_efficiency: the mm_patch_pack walk folded to the
+    # per-shard waste report (integer ppm).
+    o["mm_pack_efficiency"] = f"""
+        WITH RECURSIVE meta AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+                 CAST(doc_id % 8 AS INTEGER) AS shard,
+                 CAST((h64 // 4294967296) % 481 + 32 AS BIGINT) AS w,
+                 CAST((h64 % 4294967296) % 481 + 32 AS BIGINT) AS h,
+                 substr(text, 1, CAST(doc_id % 120 + 1 AS INT)) AS caption
+          FROM (SELECT doc_id, text,
+                       {_sql_h64("'dim:' || CAST(doc_id AS VARCHAR)")} AS h64
+                FROM documents WHERE doc_id < 800)
+        ),
+        costed AS (
+          SELECT image_id, shard,
+                 CAST((w + 15) // 16 * ((h + 15) // 16)
+                      + len(string_split(caption, ' ')) + 2 AS BIGINT) AS cost,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY image_id) AS rn
+          FROM meta
+        ),
+        walk AS (
+          SELECT shard, rn, image_id, cost,
+                 CASE WHEN cost > 1000 THEN CAST(-1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS pack_id,
+                 CAST(0 AS BIGINT) AS pack_after,
+                 CASE WHEN cost > 1000 THEN CAST(0 AS BIGINT)
+                      ELSE cost END AS fill_after
+          FROM costed WHERE rn = 1
+          UNION ALL
+          SELECT c.shard, c.rn, c.image_id, c.cost,
+                 CASE WHEN c.cost > 1000 THEN CAST(-1 AS BIGINT)
+                      WHEN w.fill_after + c.cost > 1000 THEN w.pack_after + 1
+                      ELSE w.pack_after END,
+                 CASE WHEN c.cost > 1000 THEN w.pack_after
+                      WHEN w.fill_after + c.cost > 1000 THEN w.pack_after + 1
+                      ELSE w.pack_after END,
+                 CASE WHEN c.cost > 1000 THEN w.fill_after
+                      WHEN w.fill_after + c.cost > 1000 THEN c.cost
+                      ELSE w.fill_after + c.cost END
+          FROM walk w JOIN costed c ON c.shard = w.shard AND c.rn = w.rn + 1
+        )
+        SELECT shard,
+               CAST(MAX(CASE WHEN pack_id >= 0 THEN pack_id END) + 1
+                    AS BIGINT) AS n_windows,
+               CAST((MAX(CASE WHEN pack_id >= 0 THEN pack_id END) + 1)
+                    * 1000 AS BIGINT) AS capacity,
+               CAST(SUM(CASE WHEN pack_id >= 0 THEN cost ELSE 0 END)
+                    AS BIGINT) AS used_tokens,
+               CAST(((MAX(CASE WHEN pack_id >= 0 THEN pack_id END) + 1)
+                     * 1000
+                     - SUM(CASE WHEN pack_id >= 0 THEN cost ELSE 0 END))
+                    * 1000000
+                    // ((MAX(CASE WHEN pack_id >= 0 THEN pack_id END) + 1)
+                        * 1000) AS BIGINT) AS waste_ppm,
+               CAST(SUM(CASE WHEN pack_id = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unpackable
+        FROM walk GROUP BY shard
     """
 
     # --- imgcap_caption_cap: the two-phase top-k equals this single
