@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .. import parsekit, schemas, synthweb
 from . import urlops
@@ -678,3 +679,44 @@ def extract_hreflang(
     return per.select(
         "page_url", lang.alias("hreflang"), href.alias("alt_url")
     ).filter((F.col("hreflang") != "") & (F.col("alt_url") != ""))
+
+
+def anchor_postings(pairs: DataFrame, k: int = 8) -> DataFrame:
+    """Inverted posting lists over anchor terms — the search-index
+    artifact one step past anchor_term_counts: per TERM, its document
+    frequency and the top-`k` targets by anchor-count (ties broken by
+    target asc), serialized as 'target:cnt' joined with '|'. Hot terms
+    ('click', 'here') are the skewed keys, so the per-term top-k is
+    the salted two-phase form (phase 1 ranks inside (term, salt)
+    buckets — a 10^8-posting term costs k·16 survivors per map side —
+    phase 2 ranks the survivors; top-k decomposes, so the result
+    equals the single window exactly, which is the form the oracle
+    states). df comes from the same counts via hash-agg, never a
+    count window. Serializing the list keeps the driver compare
+    engine-neutral (array columns hash differently across engines)."""
+    counts = anchor_term_counts(pairs)
+    salt = F.pmod(F.xxhash64(F.col("target")), F.lit(16))
+    w1 = Window.partitionBy("term", "_salt").orderBy(
+        F.col("cnt").desc(), F.col("target")
+    )
+    cand = (
+        counts.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy("term").orderBy(F.col("cnt").desc(), F.col("target"))
+    top = (
+        cand.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .withColumn("_entry", F.concat_ws(":", "target", "cnt"))
+    )
+    df_ = counts.groupBy("term").agg(
+        F.countDistinct("target").cast("long").alias("df")
+    )
+    postings = top.groupBy("term").agg(
+        F.concat_ws(
+            "|", F.array_sort(F.collect_list(F.struct("_r2", "_entry")))
+            .getField("_entry")
+        ).alias("postings")
+    )
+    return df_.join(postings, "term").select("term", "df", "postings")

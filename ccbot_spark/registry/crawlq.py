@@ -658,6 +658,58 @@ def register(q):
         )
     q["g_hreflang_clusters"] = g_hreflang_clusters
 
+    def g_anchor_postings(spark, sf_dir):
+        # inverted posting lists over the g_anchor_text fixture: per
+        # TERM, document frequency + the top-8 'target:cnt' entries
+        # (cnt desc, target asc) joined with '|'. Spark runs the
+        # salted two-phase top-k (hot anchor terms are the skewed
+        # keys); DuckDB states the single-window form they provably
+        # equal. Serialized postings keep the value hash engine-
+        # neutral (array columns hash differently across engines).
+        from ccbot_spark.operators import fetchparse
+
+        d = F.col("doc_id")
+        W = ("alpha", "beta", "gamma", "delta",
+             "omega", "sigma", "kappa", "lambda")
+
+        def word(expr):
+            c = F.when(expr % 8 == 0, F.lit(W[0]))
+            for ix in range(1, 8):
+                c = c.when(expr % 8 == ix, F.lit(W[ix]))
+            return c
+
+        def tag(i):
+            tgt = F.concat(
+                F.lit("https://h"), ((d + i) % 7).cast("string"),
+                F.lit(".test/p/"), ((d * 3 + i) % 500).cast("string"),
+            )
+            rel = (
+                F.when(
+                    (F.lit(i) == 1) & (d % 5 == 2),
+                    F.lit(' rel="nofollow"'),
+                ).otherwise(F.lit(""))
+            )
+            return F.when(
+                d % 3 >= i,
+                F.concat(
+                    F.lit('<a href="'), tgt, F.lit('"'), rel, F.lit(">"),
+                    word(d + 3 * i), F.lit(" "), word(d + 3 * i + 1),
+                    F.lit("</a>"),
+                ),
+            ).otherwise(F.lit(""))
+
+        docs = _t(spark, sf_dir, "documents").filter(d < 2000)
+        pages = docs.select(
+            F.concat(F.lit("doc:"), d.cast("string")).alias("page_url"),
+            F.concat(
+                F.lit("<html><body><p>no anchors here</p>"),
+                tag(0), tag(1), tag(2), F.lit("</body></html>"),
+            ).alias("html"),
+        )
+        pairs = fetchparse.extract_anchor_texts(pages)
+        return fetchparse.anchor_postings(pairs, k=8)
+    q["g_anchor_postings"] = g_anchor_postings
+
     def g_triangles(spark, sf_dir):
         # Per-node triangle counts + local clustering coefficient over
         # the page link graph (linkrank.triangle_stats): degree-ordered
@@ -941,6 +993,48 @@ def register_sql(o):
         )
         SELECT target, term, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM terms GROUP BY target, term
+    """
+
+    # --- g_anchor_postings: the two-phase top-k equals this single
+    # window over the re-derived anchor counts; postings via
+    # string_agg ORDER BY rank.
+    o["g_anchor_postings"] = """
+        WITH anchors AS (
+          SELECT doc_id, v.i
+          FROM documents, (VALUES (0), (1), (2)) AS v(i)
+          WHERE doc_id < 2000
+            AND doc_id % 3 >= v.i
+            AND NOT (v.i = 1 AND doc_id % 5 = 2)
+        ), terms AS (
+          SELECT 'https://h' || CAST((doc_id + i) % 7 AS VARCHAR)
+                 || '.test/p/'
+                 || CAST((doc_id * 3 + i) % 500 AS VARCHAR) AS target,
+                 CASE (doc_id + 3 * i + w.j) % 8
+                      WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                      WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta'
+                      WHEN 4 THEN 'omega' WHEN 5 THEN 'sigma'
+                      WHEN 6 THEN 'kappa' ELSE 'lambda' END AS term
+          FROM anchors, (VALUES (0), (1)) AS w(j)
+        ), counts AS (
+          SELECT target, term, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM terms GROUP BY target, term
+        ), rk AS (
+          SELECT term, target, cnt,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY term ORDER BY cnt DESC, target
+                 ) AS rn
+          FROM counts
+        ), df_ AS (
+          SELECT term, CAST(COUNT(DISTINCT target) AS BIGINT) AS df
+          FROM counts GROUP BY term
+        ), post AS (
+          SELECT term,
+                 string_agg(target || ':' || CAST(cnt AS VARCHAR), '|'
+                            ORDER BY rn) AS postings
+          FROM rk WHERE rn <= 8 GROUP BY term
+        )
+        SELECT d.term, d.df, p.postings
+        FROM df_ d JOIN post p ON d.term = p.term
     """
 
     o["text_wet_extract"] = r"""

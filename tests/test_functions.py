@@ -1988,3 +1988,25 @@ def test_exif_gps_audit_detects_and_scrub_clears(spark):
     out2 = {r.image_id: (r.has_exif, r.has_gps)
             for r in multimodal.exif_gps_audit(scrubbed).collect()}
     assert all(v == (0, 0) for v in out2.values())
+
+
+def test_anchor_postings_two_phase_equals_brute(spark):
+    # hot term ('click') with 30 targets vs k=3: serialized postings
+    # must equal a brute python ranking; df counts distinct targets
+    from ccbot_spark.operators import fetchparse
+
+    pairs = []
+    for t in range(30):
+        for _ in range(t % 5 + 1):  # target t has t%5+1 'click' anchors
+            pairs.append((f"u{t:02d}", "click here"))
+    pairs.append(("u99", "rare"))
+    df = spark.createDataFrame(pairs, "href string, anchor string")
+    out = {r.term: r for r in fetchparse.anchor_postings(df, k=3).collect()}
+    assert out["rare"].df == 1 and out["rare"].postings == "u99:1"
+    assert out["click"].df == 30 and out["here"].df == 30
+    brute = sorted(
+        ((t % 5 + 1, f"u{t:02d}") for t in range(30)),
+        key=lambda x: (-x[0], x[1]),
+    )[:3]
+    want = "|".join(f"{u}:{c}" for c, u in brute)
+    assert out["click"].postings == want == out["here"].postings
