@@ -79,6 +79,7 @@ class CrawlEngine:
         record_lineage: bool = True,
         rank_every: int = 0,
         trap_filter: bool = False,
+        deny_patterns: list[str] | None = None,
         max_depth: int = 0,
         recrawl_every: int = 0,
         adaptive_recrawl: bool = False,
@@ -169,6 +170,21 @@ class CrawlEngine:
         # rejects it (urlops.filter_traps; oracle.crawl mirrors with
         # urlkit.is_trap so traces stay byte-identical)
         self.trap_filter = trap_filter
+        # URL deny-list (Heritrix-style scope rules): user-supplied
+        # regexes; a DISCOVERED candidate (link, redirect target,
+        # rel=canonical target) matching any pattern is never enqueued
+        # — dropped pre-shuffle next to the trap gate, parsed_links
+        # metrics and rank edges stay pre-filter. Seeds are exempt
+        # (operators seed what they mean to crawl). Patterns must be
+        # Java/Python-regex compatible (no backreferences) so the
+        # engine's JVM rlike and oracle.crawl(deny_patterns=...)'s
+        # `re` agree. One alternation, one codegen scan.
+        self.deny_patterns = list(deny_patterns or [])
+        self._deny_re = (
+            "|".join(f"(?:{p})" for p in self.deny_patterns)
+            if self.deny_patterns
+            else None
+        )
         # max_depth = K > 0: Heritrix max-hops — discovered URLs more
         # than K link-hops from every seed are dropped at extraction
         # time (pre-shuffle; they never enter seen/frontier/dup-trace).
@@ -1395,6 +1411,9 @@ class CrawlEngine:
             # seen joins, or the frontier merge (parsed_links metrics
             # and the rank edge log stay pre-filter, like the oracle)
             pool = urlops.filter_traps(pool, url_col="url_norm")
+        if self._deny_re is not None:
+            # scope deny-list, same pre-shuffle position as traps
+            pool = pool.filter(~F.col("url_norm").rlike(self._deny_re))
         cand = (
             pool
             .groupBy("url_norm")

@@ -43,6 +43,7 @@ Deterministic semantics (normative):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from . import codecs, parsekit, phash, robots, synthweb, urlkit
@@ -96,6 +97,7 @@ def crawl(
     rank_every: int = 0,
     sitemap_seeds: bool = False,
     trap_filter: bool = False,
+    deny_patterns: list[str] | None = None,
     max_depth: int = 0,
     recrawl_every: int = 0,
     adaptive_recrawl: bool = False,
@@ -214,6 +216,18 @@ def crawl(
 
     # dead-host circuit breaker: host → first eligible cycle again
     dead_until: dict[str, int] = {}
+
+    # URL deny-list (scope rules): one compiled alternation; a
+    # DISCOVERED candidate matching it is never enqueued. Mirrors the
+    # engine's pre-shuffle rlike filter; seeds are exempt.
+    deny_re = (
+        re.compile("|".join(f"(?:{p})" for p in deny_patterns))
+        if deny_patterns
+        else None
+    )
+
+    def denied_scope(u: str) -> bool:
+        return deny_re is not None and deny_re.search(u) is not None
 
     def lastmod_skips(e: FrontierEntry, cycle: int) -> bool:
         """sitemap_lastmod: a due revisit of a sitemap-LISTED page is
@@ -457,6 +471,8 @@ def crawl(
                 tgt = urlkit.normalize_url(tgt_raw)
                 if tgt is not None and trap_filter and urlkit.is_trap(tgt):
                     tgt = None
+                if tgt is not None and denied_scope(tgt):
+                    tgt = None  # scope deny-list, pre-seen like traps
                 if tgt is not None and max_depth and e.depth + 1 > max_depth:
                     # depth gate (max-hops): dropped pre-seen, like
                     # traps — no dup event, never enqueued
@@ -556,6 +572,8 @@ def crawl(
                     events.append((2, st, host, url, slot, "canonical"))
                     if trap_filter and urlkit.is_trap(canon):
                         continue
+                    if denied_scope(canon):
+                        continue  # scope deny-list, pre-seen
                     if max_depth and e.depth + 1 > max_depth:
                         continue
                     if canon in seen:
@@ -641,6 +659,9 @@ def crawl(
                 if trap_filter and urlkit.is_trap(link):
                     # parsed (metric + edge log above), never enqueued —
                     # mirrors the engine's pre-shuffle filter_traps
+                    continue
+                if denied_scope(link):
+                    # scope deny-list: parsed, never enqueued
                     continue
                 if max_depth and e.depth + 1 > max_depth:
                     # depth gate: parsed, never enqueued (like traps)

@@ -166,6 +166,9 @@ def parse_args():
     p.add_argument("--adaptive-recrawl", action="store_true",
                    help="per-URL adaptive revisit intervals: 304 doubles "
                         "a page's interval, a changed revisit halves it")
+    p.add_argument("--deny-pattern", action="append", default=[],
+                   help="scope deny-list regex (repeatable): discovered "
+                        "URLs matching any pattern are never enqueued")
     p.add_argument("--sitemap-lastmod", action="store_true",
                    help="honor sitemap <lastmod>: skip due revisits of "
                         "sitemap-listed pages the declared lastmod proves "
@@ -302,6 +305,7 @@ def main() -> None:
         recrawl_every=args.recrawl_every,
         adaptive_recrawl=args.adaptive_recrawl,
         sitemap_lastmod=args.sitemap_lastmod,
+        deny_patterns=args.deny_pattern,
         error_backoff=args.error_backoff,
         domain_budget=args.domain_budget,
         ip_pool=args.ip_pool,
