@@ -608,3 +608,39 @@ def resolve_redirects_py(edge_list):
             hops += 1
         out[s] = (cur, hops)
     return out
+
+
+def cocitation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_out: int = 16,
+    min_cocite: int = 2,
+) -> DataFrame:
+    """Co-citation counts — the classic relatedness signal (Small
+    1973): two targets are related when the same sources link to
+    both. Pair generation is a self-equi-join on the SOURCE, so a
+    source of out-degree d contributes d·(d−1)/2 pairs: unbounded,
+    that's the super-node blowup (a links-to-everything hub page), so
+    sources with out-degree > `max_out` are dropped FIRST — the same
+    df-cap discipline the n-gram dedup applies to stop-shingles, and
+    at web scale the hubs a cap drops are exactly the navigational
+    pages whose co-citations carry no signal. One degree hash-agg +
+    one equi-join keyed on src + one pair hash-agg; pairs ordered
+    (a < b) so each pair counts once. Pairs below `min_cocite` are
+    noise and are dropped in the final agg's HAVING.
+
+    Output: (dst_a, dst_b, cocite) with dst_a < dst_b."""
+    deg = edges.groupBy(src).agg(F.count("*").alias("_d"))
+    kept = edges.join(
+        deg.filter(F.col("_d") <= max_out).select(src), src
+    )
+    ea = kept.select(F.col(src).alias("_s"), F.col(dst).alias("dst_a"))
+    eb = kept.select(F.col(src).alias("_s"), F.col(dst).alias("dst_b"))
+    return (
+        ea.join(eb, "_s")
+        .filter(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count("*").alias("cocite"))
+        .filter(F.col("cocite") >= min_cocite)
+    )

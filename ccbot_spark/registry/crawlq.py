@@ -436,6 +436,20 @@ def register(q):
         return linkrank.hits_int(edges, iterations=2)
     q["link_hits"] = link_hits
 
+    def g_cocitation(spark, sf_dir):
+        # co-citation relatedness (Small 1973) over the order→part
+        # graph: parts the same order cites together; sources of
+        # out-degree > 5 df-capped FIRST (super-node pair blowup — the
+        # stop-shingle discipline), pairs (a < b) counted once, noise
+        # pairs below 2 dropped.
+        li = _t(spark, sf_dir, "lineitem")
+        edges = li.select(
+            F.col("l_orderkey").cast("long").alias("src"),
+            F.col("l_partkey").cast("long").alias("dst"),
+        )
+        return linkrank.cocitation(edges, max_out=5, min_cocite=2)
+    q["g_cocitation"] = g_cocitation
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -993,6 +1007,23 @@ def register_sql(o):
         )
         SELECT target, term, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM terms GROUP BY target, term
+    """
+
+    # --- g_cocitation: df-capped self-equi-join on the source key.
+    o["g_cocitation"] = """
+        WITH deg AS (
+          SELECT l_orderkey AS src, COUNT(*) AS d
+          FROM lineitem GROUP BY 1
+        ),
+        kept AS (
+          SELECT l.l_orderkey AS src, CAST(l.l_partkey AS BIGINT) AS dst
+          FROM lineitem l JOIN deg ON deg.src = l.l_orderkey
+          WHERE deg.d <= 5
+        )
+        SELECT a.dst AS dst_a, b.dst AS dst_b,
+               CAST(COUNT(*) AS BIGINT) AS cocite
+        FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
     """
 
     # --- g_anchor_postings: the two-phase top-k equals this single

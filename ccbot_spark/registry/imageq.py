@@ -581,6 +581,70 @@ def register(q):
         )
     q["imgcap_lang_mixture"] = imgcap_lang_mixture
 
+    def img_privacy_pipeline(spark, sf_dir):
+        # the privacy ENDGAME composed: plant (COM on every jpeg, GPS
+        # APP1 on doc_id % 5 == 0, orientation-only APP1 on % 5 in
+        # (1,2), tEXt on every png) → audit → scrub → re-audit. One
+        # row per image chains what the audit SAW, what the scrub
+        # REMOVED (exact byte arithmetic: COM = 4 + d%23; APP1 = 66
+        # bytes with GPS / 36 orientation-only; tEXt = 20 + d%23),
+        # and post_gps = 0 — the chain, not just each stage, is
+        # what DuckDB re-derives.
+        import pandas as _pd
+
+        from ccbot_spark import codecs as _codecs
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+        imgs = multimodal.synth_images_from_docs(
+            docs, fmts=("ppm", "jpeg", "png")
+        )
+
+        def plant(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    b = bytes(r.bytes)
+                    d = int(r.image_id.split("-")[1])
+                    if r.fmt == "jpeg":
+                        b = multimodal.inject_jpeg_com_segment(
+                            b, b"x" * (d % 23)
+                        )
+                        if d % 5 == 0:
+                            b = multimodal.inject_jpeg_app1(
+                                b, _codecs.exif_app1(1 + d % 8, gps=True)
+                            )
+                        elif d % 5 in (1, 2):
+                            b = multimodal.inject_jpeg_app1(
+                                b, _codecs.exif_app1(1 + d % 8)
+                            )
+                    elif r.fmt == "png":
+                        b = multimodal.inject_png_text_chunk(
+                            b, b"Comment", b"x" * (d % 23)
+                        )
+                    rows.append((r.image_id, b))
+                yield _pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+        planted = imgs.mapInPandas(
+            plant, schema="image_id string, bytes binary"
+        )
+        pre = multimodal.exif_gps_audit(planted).select(
+            "image_id",
+            F.col("has_exif").alias("pre_exif"),
+            F.col("has_gps").alias("pre_gps"),
+        )
+        scrubbed = multimodal.strip_image_metadata(planted)
+        post = multimodal.exif_gps_audit(scrubbed).select(
+            "image_id", F.col("has_gps").alias("post_gps")
+        )
+        return (
+            pre.join(
+                scrubbed.select("image_id", "stripped_chunks", "stripped_bytes"),
+                "image_id",
+            )
+            .join(post, "image_id")
+        )
+    q["img_privacy_pipeline"] = img_privacy_pipeline
+
     def img_hash_family(spark, sf_dir):
         # rows-only by necessity (pixel-derived: DCT/gradient/mean
         # hashes have no SQL form; exactness vs the python reference
@@ -1589,6 +1653,32 @@ def register_sql(o):
                CAST(weight * 1000000 // _tw AS BIGINT) AS rate_ppm,
                CAST(weight * 100000 // _tw AS BIGINT) AS take_tokens
         FROM w CROSS JOIN t
+    """
+
+    # --- img_privacy_pipeline: the chained plant/audit/scrub
+    # arithmetic — jpeg rows (d%3==1): COM always (4 + d%23 bytes),
+    # GPS APP1 on d%5==0 (66 bytes), orientation APP1 on d%5 in (1,2)
+    # (36 bytes); png rows (d%3==2): one tEXt (20 + d%23); post-scrub
+    # GPS is zero everywhere.
+    o["img_privacy_pipeline"] = """
+        SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+               CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 5 <= 2
+                         THEN 1 ELSE 0 END AS BIGINT) AS pre_exif,
+               CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 5 = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS pre_gps,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN
+                           1 + CASE WHEN doc_id % 5 <= 2 THEN 1 ELSE 0 END
+                         WHEN doc_id % 3 = 2 THEN 1
+                         ELSE 0 END AS BIGINT) AS stripped_chunks,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN
+                           4 + doc_id % 23
+                           + CASE WHEN doc_id % 5 = 0 THEN 66
+                                  WHEN doc_id % 5 <= 2 THEN 36
+                                  ELSE 0 END
+                         WHEN doc_id % 3 = 2 THEN 20 + doc_id % 23
+                         ELSE 0 END AS BIGINT) AS stripped_bytes,
+               CAST(0 AS BIGINT) AS post_gps
+        FROM documents WHERE doc_id < 450
     """
 
     # --- img_gps_audit: the plant arithmetic — jpeg rows are
