@@ -408,3 +408,19 @@ def curriculum_plan(
         .alias("keep"),
     )
     return plan, cache
+
+
+def reservoir_sample(
+    df: DataFrame, n: int, key: str = "doc_id", seed: str = "rs"
+) -> DataFrame:
+    """Fixed-SIZE uniform sample without replacement (vs hash_sample's
+    fixed-RATE): keep the n rows with the smallest md5(seed:key) — the
+    same distribution a reservoir sample draws, but deterministic,
+    engine-neutral, and mergeable (the union of two partitions'
+    top-n IS computable from their individual top-ns, which is
+    exactly what Spark's TakeOrdered does: per-partition heads, then
+    one n-row merge on the driver — never a global sort). Changing
+    `seed` redraws independently; growing the corpus only evicts
+    boundary rows."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key).cast("string")))
+    return df.withColumn("_rk", h).orderBy("_rk").limit(n).drop("_rk")

@@ -138,3 +138,60 @@ def hll_registers_py(keys, p: int = 8, suffix_hex: int = 12) -> dict:
         rho = (w + 1) if v == 0 else (w - v.bit_length() + 1)
         regs[reg] = max(regs.get(reg, 0), rho)
     return regs
+
+
+def cm_registers(
+    df: DataFrame, key: str, d: int = 4, w: int = 64, weight=None
+) -> DataFrame:
+    """DF[row long, bucket long, cnt long] — the mergeable Count-Min
+    sketch (Cormode & Muthukrishnan) of the key frequency vector: d
+    hash rows × w buckets, register (i, h_i(key) mod w) accumulates
+    the key's weight. Like hll_registers this is ONE hash-agg with
+    map-side combine producing a d·w-row table whatever the corpus
+    size; merging sketches = elementwise SUM (cm_merge), and a point
+    estimate is min over rows (cm_estimate_py) with the classic
+    one-sided error ≤ e·N/w at confidence 1 − e^−d. Hash rows use
+    independent md5 salts so DuckDB replays every register exactly."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(int(d) - 1))).alias("row")
+    wcol = (
+        F.lit(1).cast("long")
+        if weight is None
+        else F.col(weight).cast("long")
+    )
+    base = df.select(F.col(key).cast("string").alias("_k"), wcol.alias("_w"))
+    fanned = base.select("*", rows)
+    h = F.md5(
+        F.concat_ws(":", F.lit("cm"), F.col("row").cast("string"), F.col("_k"))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(int(w))
+    )
+    return (
+        fanned.select(
+            F.col("row").cast("long").alias("row"), bucket.alias("bucket"), "_w"
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches (same d, w): elementwise sum per (row, bucket) —
+    the sketch of the concatenated streams."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate_py(registers: dict, key: str, d: int = 4, w: int = 64) -> int:
+    """Point frequency estimate: min over hash rows of the key's
+    register. Derived value — OUTSIDE the exactness boundary; tests
+    bound it (estimate ≥ true count, tight on light keys)."""
+    import hashlib
+
+    vals = []
+    for i in range(d):
+        hx = hashlib.md5(f"cm:{i}:{key}".encode()).hexdigest()
+        vals.append(registers.get((i, int(hx[:15], 16) % w), 0))
+    return min(vals)

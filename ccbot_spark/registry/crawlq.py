@@ -450,6 +450,24 @@ def register(q):
         return linkrank.cocitation(edges, max_out=5, min_cocite=2)
     q["g_cocitation"] = g_cocitation
 
+    def a_countmin_registers(spark, sf_dir):
+        # Count-Min sketch (sketchkit.cm_registers): 4×64 frequency
+        # registers over a skewed host stream (event_id % 37 hosts,
+        # zipf-ish because low ids repeat via % 900) — the mergeable
+        # heavy-hitter sketch next to the HLL distinct sketch; one
+        # hash-agg, 256-row artifact at any stream size. DuckDB
+        # replays every register from the same md5 salts.
+        from ccbot_spark.functions import sketchkit
+
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 9000)
+        rows = e.select(
+            F.concat(
+                F.lit("h"), ((F.col("event_id") % 900) % 37).cast("string")
+            ).alias("host")
+        )
+        return sketchkit.cm_registers(rows, "host", d=4, w=64)
+    q["a_countmin_registers"] = a_countmin_registers
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -1007,6 +1025,28 @@ def register_sql(o):
         )
         SELECT target, term, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM terms GROUP BY target, term
+    """
+
+    # --- a_countmin_registers: each of the 4 hash rows replayed from
+    # md5('cm:i:key'); bucket = first-15-hex fold mod 64.
+    o["a_countmin_registers"] = """
+        WITH keys AS (
+          SELECT 'h' || CAST((event_id % 900) % 37 AS VARCHAR) AS k
+          FROM events WHERE event_id < 9000
+        ),
+        fanned AS (
+          SELECT k, CAST(i AS BIGINT) AS row
+          FROM keys, UNNEST([0, 1, 2, 3]) AS t(i)
+        )
+        SELECT row,
+               CAST(list_reduce(list_transform(
+                      string_split(substr(md5('cm:' || CAST(row AS VARCHAR)
+                                               || ':' || k), 1, 15), ''),
+                      c -> CAST(strpos('0123456789abcdef', c) - 1
+                                AS HUGEINT)),
+                      (a, b) -> a * 16 + b) % 64 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM fanned GROUP BY 1, 2
     """
 
     # --- g_cocitation: df-capped self-equi-join on the source key.

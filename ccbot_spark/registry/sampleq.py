@@ -108,6 +108,17 @@ def register(q):
         return plan
     q["sample_curriculum"] = sample_curriculum
 
+    def sample_reservoir(spark, sf_dir):
+        # fixed-SIZE uniform sample (vs sample_hash's fixed rate): the
+        # 100 smallest md5('rs:'||doc_id) — reservoir-sample
+        # distribution, executed as TakeOrdered (per-partition heads +
+        # one 100-row driver merge, never a global sort).
+        d = _t(spark, sf_dir, "documents")
+        return sampling.reservoir_sample(
+            d.select("doc_id", "lang", "source"), n=100
+        )
+    q["sample_reservoir"] = sample_reservoir
+
     def sample_stratified(spark, sf_dir):
         # per-language rates; strata absent from the dict (es, fr) are
         # dropped — the downsample-the-head corpus-balancing move
@@ -141,6 +152,14 @@ def register_sql(o):
                     WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 95
                     THEN 'val' ELSE 'test' END AS split
         FROM documents
+    """
+
+    # --- sample_reservoir: the same md5 order, stated as a plain
+    # ORDER BY ... LIMIT (the driver compare is order-insensitive, so
+    # only the 100-row SET must match).
+    o["sample_reservoir"] = """
+        SELECT doc_id, lang, source FROM documents
+        ORDER BY md5('rs:' || CAST(doc_id AS VARCHAR)) LIMIT 100
     """
 
     # --- sample_curriculum: the two-phase global_sequence equals the

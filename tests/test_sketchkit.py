@@ -75,3 +75,50 @@ def test_p_validation():
         sketchkit.hll_registers(None, "u", "h", p=6)
     with pytest.raises(ValueError):
         sketchkit.hll_registers(None, "u", "h", suffix_hex=16)
+
+
+def test_cm_sketch_estimate_bounds_and_merge(spark):
+    # estimate ≥ true count always (one-sided), exact on a light key
+    # in a small sketch; merging two halves == sketching the union
+    from ccbot_spark.functions import sketchkit
+
+    keys = [f"h{i % 13}" for i in range(500)] + ["rare"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = sketchkit.cm_registers(df, "k", d=4, w=256)
+    regs = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    assert sum(regs.values()) == 4 * 501  # every row sums to N
+    import collections
+
+    true = collections.Counter(keys)
+    for k, n in true.items():
+        est = sketchkit.cm_estimate_py(regs, k, d=4, w=256)
+        assert est >= n, (k, est, n)
+    assert sketchkit.cm_estimate_py(regs, "rare", d=4, w=256) <= 3
+    # merge = sketch of the concatenation
+    a = spark.createDataFrame([(k,) for k in keys[:250]], "k string")
+    b = spark.createDataFrame([(k,) for k in keys[250:]], "k string")
+    merged = {
+        (r.row, r.bucket): r.cnt
+        for r in sketchkit.cm_merge(
+            sketchkit.cm_registers(a, "k", d=4, w=256),
+            sketchkit.cm_registers(b, "k", d=4, w=256),
+        ).collect()
+    }
+    assert merged == regs
+
+
+def test_reservoir_sample_take_ordered_plan_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from ccbot_spark.functions import sampling
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    got = sampling.reservoir_sample(df, 50)
+    rows = sorted(r.doc_id for r in got.collect())
+    again = sorted(
+        r.doc_id
+        for r in sampling.reservoir_sample(df.repartition(7), 50).collect()
+    )
+    assert rows == again and len(rows) == 50
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
