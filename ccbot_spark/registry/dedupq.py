@@ -157,6 +157,49 @@ def register(q):
         )
     q["dedup_semantic"] = dedup_semantic
 
+    def text_dedup_eval(spark, sf_dir):
+        # retrieval-quality eval for the text near-dup stack: a
+        # borderline corpus (every doc plus a 50–89 % prefix mutant at
+        # doc_id+10000, J spread around the threshold) → exact-Jaccard
+        # truth (t10=5) vs MinHash-LSH candidates → one row of
+        # n_truth / n_cand / n_hit / precision_ppm / recall_ppm. The
+        # LSH banding provably misses borderline pairs (recall < 1)
+        # while staying precise — the tradeoff the eval exists to
+        # measure; both sides replayed integer-exact in DuckDB.
+        d = _t(spark, sf_dir, "documents")
+        mut = d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr(
+                "substr(text, 1, CAST(length(text) * (50 + doc_id % 40) "
+                "DIV 100 AS INT))"
+            ).alias("text"),
+        )
+        corpus = d.select("doc_id", "text").unionByName(mut)
+        truth = dedup.ngram_jaccard_pairs(corpus, n=3, t10=5).select(
+            "doc_a", "doc_b"
+        )
+        cand = dedup.minhash_lsh_candidates(corpus).select("doc_a", "doc_b")
+        hit = cand.join(truth, ["doc_a", "doc_b"])
+        row = (
+            truth.agg(F.count("*").alias("n_truth"))
+            .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+            .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        )
+        return row.select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.expr(
+                "CAST(CASE WHEN n_cand > 0 THEN n_hit * 1000000 DIV n_cand "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_truth > 0 THEN n_hit * 1000000 DIV n_truth "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    q["text_dedup_eval"] = text_dedup_eval
+
     # ---------------- similarity search
     def ann_topk(spark, sf_dir):
         return similarity.ann_bruteforce_topk(
@@ -672,6 +715,79 @@ def register_sql(o):
         SELECT doc_a, doc_b,
                CAST(FLOOR(matches * 10.0 / 64) AS BIGINT) AS est10
         FROM est
+    """
+
+    # --- text_dedup_eval: the jaccard-truth and minhash-candidate
+    # constructions re-instantiated over the mutated-prefix corpus
+    # (every doc ∪ its 50–89 % prefix at doc_id+10000), folded to one
+    # precision/recall row.
+    corpus_sql = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 10000, "
+        "substr(text, 1, CAST(len(text) * (50 + doc_id % 40) // 100 AS INT)) "
+        "FROM documents"
+    )
+    sh_corpus = _SHINGLES.replace("FROM documents", "FROM corpus")
+    o["text_dedup_eval"] = f"""
+        WITH corpus AS ({corpus_sql}),
+        sh AS ({sh_corpus}),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE inter * 10 >= 5 * (sa.sz + sb.sz - inter)
+        ),
+        hx AS (
+          SELECT doc_id, CAST({_sql_h64('shingle')} % 2147483647 AS BIGINT) AS x
+          FROM sh
+        ),
+        params(i, a, b) AS (VALUES {mh_params}),
+        sigs0 AS (
+          SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS s
+          FROM hx CROSS JOIN params GROUP BY doc_id, i
+        ),
+        sigs AS (
+          SELECT d.doc_id, p.i, COALESCE(s0.s, 2147483647) AS s
+          FROM (SELECT doc_id FROM corpus) d
+          CROSS JOIN params p
+          LEFT JOIN sigs0 s0 ON s0.doc_id = d.doc_id AND s0.i = p.i
+        ),
+        bands AS (
+          SELECT doc_id, i // 8 AS band_id,
+                 md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS band_hash
+          FROM sigs GROUP BY doc_id, i // 8
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        hit AS (
+          SELECT c.doc_a FROM cand c
+          JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        ),
+        n AS (
+          SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                 (SELECT COUNT(*) FROM cand) AS n_cand,
+                 (SELECT COUNT(*) FROM hit) AS n_hit
+        )
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(CASE WHEN n_cand > 0
+                    THEN n_hit * 1000000 // n_cand ELSE 0 END AS BIGINT)
+                 AS precision_ppm,
+               CAST(CASE WHEN n_truth > 0
+                    THEN n_hit * 1000000 // n_truth ELSE 0 END AS BIGINT)
+                 AS recall_ppm
+        FROM n
     """
 
     # --- SimHash: per-token uint64 hash (same md5 construction), bit
