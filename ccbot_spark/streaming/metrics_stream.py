@@ -197,3 +197,34 @@ def st_trending_hosts(
             "bytes",
         )
     )
+
+
+def st_cm_sketch(events: DataFrame, key: str = "url_norm", d: int = 4,
+                 w: int = 64) -> DataFrame:
+    """Count-Min registers as a STREAMING aggregation — the natural
+    home of the sketch (Cormode & Muthukrishnan wrote it for streams):
+    the d×w register table is a running groupBy-sum, so each
+    micro-batch folds in with map-side partial aggregation and state
+    is bounded at d·w rows forever, whatever the stream's key
+    cardinality — the frequency monitor a crawl dashboard keeps
+    without a per-key state explosion. Same md5-salted construction
+    as sketchkit.cm_registers, so the drained stream equals the batch
+    sketch row-for-row (pytest) and merges with batch sketches via
+    cm_merge."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(int(d) - 1))).alias("row")
+    base = events.select(F.col(key).cast("string").alias("_k")).select(
+        "*", rows
+    )
+    h = F.md5(
+        F.concat_ws(":", F.lit("cm"), F.col("row").cast("string"), F.col("_k"))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(int(w))
+    )
+    return (
+        base.select(
+            F.col("row").cast("long").alias("row"), bucket.alias("bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

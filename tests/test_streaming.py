@@ -702,3 +702,22 @@ def test_imgcap_profile_stream_matches_batch(spark, imgcap_dir):
         .collect()
     }
     assert got == want and len({w for (w, _) in got}) >= 2
+
+
+def test_cm_sketch_stream_matches_batch(spark, events_dir):
+    # the drained streaming CM sketch == sketchkit.cm_registers over
+    # the same rows (register-for-register), and state is d·w-bounded
+    from ccbot_spark.functions import sketchkit
+
+    stream = ms.st_cm_sketch(ms.read_fetch_events(spark, events_dir))
+    ms.run_complete_to_memory(stream, "cm_out")
+    got = {
+        (r.row, r.bucket): r.cnt for r in spark.table("cm_out").collect()
+    }
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in sketchkit.cm_registers(
+            spark.read.parquet(events_dir), "url_norm", d=4, w=64
+        ).collect()
+    }
+    assert got == want and len(got) <= 4 * 64
