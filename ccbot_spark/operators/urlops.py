@@ -209,3 +209,31 @@ def url_template(url_col) -> Column:
     path = F.regexp_replace(path, r"\?.*$", "")  # params: own analysis
     path = F.regexp_replace(path, "[0-9a-f]{16,}", "{h}")
     return F.regexp_replace(path, "[0-9]+", "{n}")
+
+
+#: First-match URL taxonomy rules (class, path/query regex). The
+#: page-TYPE signal a focused crawl prioritizes on before fetching
+#: anything: listing/search/pagination pages are cheap link farms,
+#: article/product leaves are the content. Patterns avoid
+#: backreferences so Java regex and RE2 agree.
+URL_CLASS_RULES = (
+    ("home", r"^https?://[^/]+/?$"),
+    ("media", r"(?i)\.(?:jpe?g|png|gif|webp|mp4|pdf|css|js)(?:\?|$)"),
+    ("search", r"(?i)(?:/search(?:/|\?|$)|[?&](?:q|s|query)=)"),
+    ("pagination", r"(?i)(?:/page/[0-9]+(?:/|$)|[?&]page=[0-9]+)"),
+    ("tag", r"(?i)/(?:tag|tags|category|categories|label)(?:/|$)"),
+    ("article", r"/20[0-9]{2}/|/[a-z0-9]+(?:-[a-z0-9]+){2,}/?$"),
+)
+
+
+def url_class(url_col) -> Column:
+    """Taxonomy class of a URL ('home' / 'media' / 'search' /
+    'pagination' / 'tag' / 'article' / 'other'), first matching rule
+    wins — one codegen `when` chain, no Python, so the classifier
+    costs a scan and composes into the GENERATE priority expression
+    (e.g. demote 'pagination', boost 'article') for free."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    out = F.lit("other")
+    for name, pat in reversed(URL_CLASS_RULES):
+        out = F.when(c.rlike(pat), F.lit(name)).otherwise(out)
+    return out

@@ -468,6 +468,35 @@ def register(q):
         return sketchkit.cm_registers(rows, "host", d=4, w=64)
     q["a_countmin_registers"] = a_countmin_registers
 
+    def f_url_class(spark, sf_dir):
+        # URL taxonomy (the focused-crawl page-TYPE prior): one URL
+        # per class family planted by event_id % 10, with the tricky
+        # variants (uppercase media extension behind a query string,
+        # pagination as path AND query form, slug-article vs
+        # date-article, a bare capitalized path that must stay
+        # 'other'); urlops.url_class must put each in its planted
+        # class via the first-match codegen when-chain.
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+        i = F.col("event_id")
+        s = i.cast("string")
+        url = (
+            F.when(i % 10 == 0, F.lit("https://h1.test/"))
+            .when(i % 10 == 1, F.concat(F.lit("https://h2.test/photos/IMG"), s, F.lit(".JPG?x=1")))
+            .when(i % 10 == 2, F.concat(F.lit("https://h3.test/find?q=term"), s))
+            .when(i % 10 == 3, F.concat(F.lit("https://h4.test/blog/page/"), (i % 50).cast("string")))
+            .when(i % 10 == 4, F.lit("https://h5.test/tag/news"))
+            .when(i % 10 == 5, F.concat(F.lit("https://h6.test/2024/story"), s))
+            .when(i % 10 == 6, F.concat(F.lit("https://h0.test/my-long-slug-title-"), s))
+            .when(i % 10 == 7, F.concat(F.lit("https://h2.test/p/"), s))
+            .when(i % 10 == 8, F.lit("https://h3.test/list?page=3&x=2"))
+            .otherwise(F.lit("https://h4.test/About"))
+        )
+        rows = e.select(F.col("event_id").cast("long").alias("event_id"), url.alias("url"))
+        return rows.select(
+            "event_id", "url", urlops.url_class("url").alias("cls")
+        )
+    q["f_url_class"] = f_url_class
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -1025,6 +1054,39 @@ def register_sql(o):
         )
         SELECT target, term, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM terms GROUP BY target, term
+    """
+
+    # --- f_url_class: the plant arithmetic — each event_id % 10 slot
+    # constructs a URL of a known class (slot 7 '/p/N' and slot 9
+    # '/About' must stay 'other').
+    o["f_url_class"] = """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CASE event_id % 10
+                 WHEN 0 THEN 'https://h1.test/'
+                 WHEN 1 THEN 'https://h2.test/photos/IMG'
+                      || CAST(event_id AS VARCHAR) || '.JPG?x=1'
+                 WHEN 2 THEN 'https://h3.test/find?q=term'
+                      || CAST(event_id AS VARCHAR)
+                 WHEN 3 THEN 'https://h4.test/blog/page/'
+                      || CAST(event_id % 50 AS VARCHAR)
+                 WHEN 4 THEN 'https://h5.test/tag/news'
+                 WHEN 5 THEN 'https://h6.test/2024/story'
+                      || CAST(event_id AS VARCHAR)
+                 WHEN 6 THEN 'https://h0.test/my-long-slug-title-'
+                      || CAST(event_id AS VARCHAR)
+                 WHEN 7 THEN 'https://h2.test/p/'
+                      || CAST(event_id AS VARCHAR)
+                 WHEN 8 THEN 'https://h3.test/list?page=3&x=2'
+                 ELSE 'https://h4.test/About'
+               END AS url,
+               CASE event_id % 10
+                 WHEN 0 THEN 'home' WHEN 1 THEN 'media'
+                 WHEN 2 THEN 'search' WHEN 3 THEN 'pagination'
+                 WHEN 4 THEN 'tag' WHEN 5 THEN 'article'
+                 WHEN 6 THEN 'article' WHEN 8 THEN 'pagination'
+                 ELSE 'other'
+               END AS cls
+        FROM events WHERE event_id < 5000
     """
 
     # --- a_countmin_registers: each of the 4 hash rows replayed from

@@ -264,3 +264,31 @@ def test_url_template_grid_jvm_matches_python(spark):
     assert urlkit.url_template("https://a.test/product/123/view") == "/product/{n}/view"
     assert urlkit.url_template("https://a.test/u/00000000deadbeef/profile") == "/u/{h}/profile"
     assert urlkit.url_template("https://a.test/1234567890123456/x") == "/{h}/x"
+
+
+def test_url_class_first_match_and_plan(spark):
+    # precedence: a search URL with page= stays 'search' (rule order);
+    # media beats article slug; home only for bare root; all-JVM plan
+    from pyspark.sql import functions as F
+
+    from ccbot_spark.operators import urlops
+
+    cases = [
+        ("https://a.test/", "home"),
+        ("https://a.test", "home"),
+        ("https://a.test/x", "other"),
+        ("https://a.test/search?page=2&q=x", "search"),  # search beats pagination
+        ("https://a.test/my-nice-photo-set.JPG", "media"),  # media beats slug
+        ("https://a.test/blog/page/9", "pagination"),
+        ("https://a.test/tags/", "tag"),
+        ("https://a.test/2023/heads-up", "article"),
+        ("https://a.test/one-two-three", "article"),
+        ("https://a.test/one-two", "other"),  # needs >= 2 hyphens
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.select("url", "want", urlops.url_class("url").alias("cls"))
+    for r in out.collect():
+        assert r.cls == r.want, (r.url, r.cls, r.want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert pynode not in plan, pynode
