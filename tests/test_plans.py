@@ -375,3 +375,43 @@ def test_letterbox_plan_is_pure_projection(spark, tmp_path):
     assert "Exchange" not in plan, plan
     for pynode in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert pynode not in plan, plan
+
+
+def test_round5_training_plans_no_single_partition_exchange(spark):
+    # the session's training-prep planners must never collapse to one
+    # partition: epoch shuffle (two-level windows + broadcast offsets),
+    # curriculum (two-phase global rank), caption cap (salted two-phase
+    # top-k), anchor postings (same), contrastive batch plan
+    # (md5-prefix grouped_rank) — a Window.orderBy() with no partition
+    # key anywhere in these would show up as Exchange SinglePartition
+    from ccbot_spark.functions import multimodal, sampling
+    from ccbot_spark.operators import fetchparse
+
+    df = spark.createDataFrame(
+        [(f"s-{i:03d}", i % 5, f"h{i % 7}", f"cap {i % 9}", 100 + i)
+         for i in range(300)],
+        "image_id string, shard int, host string, caption string, area long",
+    )
+    plans = {
+        "epoch_shuffle": sampling.epoch_shuffle_plan(
+            df.select("image_id", "shard"), epochs=2
+        ),
+        "caption_cap": multimodal.caption_cap(df, k=3),
+        "batch_plan": sampling.contrastive_batch_plan(df, n_batches=8),
+        "postings": fetchparse.anchor_postings(
+            df.select(F.col("image_id").alias("href"),
+                      F.col("caption").alias("anchor")), k=3
+        ),
+    }
+    for name, out in plans.items():
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+    # curriculum returns (plan, cache): check and release
+    cplan, cache = sampling.curriculum_plan(
+        df.select(F.col("image_id").alias("doc_id"),
+                  F.col("area").alias("quality")),
+        epochs=3, num_partitions=8,
+    )
+    p = cplan._jdf.queryExecution().executedPlan().toString()
+    cache.unpersist()
+    assert "Exchange SinglePartition" not in p, p
