@@ -497,6 +497,37 @@ def register(q):
         )
     q["f_url_class"] = f_url_class
 
+    def a_host_fairness(spark, sf_dir):
+        # Jain's fairness index over per-host fetch counts — the
+        # politeness-quality number a crawl operator watches (1.0 =
+        # perfectly even service, 1/n = one host hogs everything) —
+        # in exact integer cross-multiplication: fairness_ppm =
+        # (Σx)²·10⁶ DIV (n·Σx²). Zipf-ish host skew planted via the
+        # event_id % 900 repeat; two hash-aggs, one row out.
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 9000)
+        per_host = (
+            e.select(
+                F.concat(
+                    F.lit("h"), ((F.col("event_id") % 900) % 37).cast("string")
+                ).alias("host")
+            )
+            .groupBy("host")
+            .agg(F.count("*").alias("x"))
+        )
+        return per_host.agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("x").cast("long").alias("total"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_sq"),
+        ).select(
+            "n_hosts",
+            "total",
+            "sum_sq",
+            F.expr(
+                "CAST(total * total * 1000000 DIV (n_hosts * sum_sq) AS BIGINT)"
+            ).alias("fairness_ppm"),
+        )
+    q["a_host_fairness"] = a_host_fairness
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -1054,6 +1085,21 @@ def register_sql(o):
         )
         SELECT target, term, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM terms GROUP BY target, term
+    """
+
+    # --- a_host_fairness: Jain index by integer cross-multiplication.
+    o["a_host_fairness"] = """
+        WITH per_host AS (
+          SELECT 'h' || CAST((event_id % 900) % 37 AS VARCHAR) AS host,
+                 COUNT(*) AS x
+          FROM events WHERE event_id < 9000 GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+               CAST(SUM(x) AS BIGINT) AS total,
+               CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+               CAST(SUM(x) * SUM(x) * 1000000
+                    // (COUNT(*) * SUM(x * x)) AS BIGINT) AS fairness_ppm
+        FROM per_host
     """
 
     # --- f_url_class: the plant arithmetic — each event_id % 10 slot
