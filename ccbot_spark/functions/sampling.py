@@ -424,3 +424,35 @@ def reservoir_sample(
     boundary rows."""
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key).cast("string")))
     return df.withColumn("_rk", h).orderBy("_rk").limit(n).drop("_rk")
+
+
+def weighted_sample(
+    df: DataFrame, n: int, weight: str, key: str = "doc_id", seed: str = "ws"
+) -> DataFrame:
+    """Fixed-size probability-proportional-to-size sample WITHOUT
+    replacement: sequential Poisson sampling (Ohlsson 1998; the
+    priority-sampling family of Duffield-Lund-Thorup) — keep the n rows
+    with the smallest u/w, where u is the deterministic 60-bit
+    md5(seed:key) uniform and w the row's positive integer weight.
+    Higher-weight rows draw systematically smaller priorities, so
+    inclusion probability grows ~ proportionally to weight, yet the
+    draw is fully deterministic and engine-neutral: u and w are exact
+    integers, and IEEE double division is correctly rounded, so every
+    engine computes the bit-identical priority. Scale path is the same
+    as reservoir_sample: TakeOrdered = per-partition heads + one n-row
+    driver merge, never a global sort; the union of two shards' top-n
+    is computable from their individual top-ns, so the sample is
+    mergeable across snapshots. Redraw with a new `seed`; scaling all
+    weights by any constant leaves the selection unchanged (only
+    weight RATIOS matter)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(key).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    pri = h.cast("double") / F.col(weight).cast("double")
+    return (
+        df.withColumn("_pri", pri).orderBy("_pri", key).limit(n).drop("_pri")
+    )

@@ -149,3 +149,13 @@ def _sql_hmod(expr: str, mod: int) -> str:
         "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
         f"(a,b) -> a*16 + b) % {mod})"
     )
+
+
+def _sql_h60(expr: str) -> str:
+    """Raw 60-bit md5 fold (the un-modded _sql_hmod): mirrors Spark
+    conv(substr(md5(x),1,15),16,10) cast long — fits BIGINT exactly."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}),1,15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a,b) -> a*16 + b)"
+    )

@@ -28,6 +28,7 @@ from ccbot_spark.registry.common import (  # noqa: F401
     _MIXED_URLS,
     _SHINGLES,
     _STOP_SQL,
+    _sql_h60,
     _cents,
     _doc_urls,
     _mixed_scheme_urls,
@@ -119,6 +120,21 @@ def register(q):
         )
     q["sample_reservoir"] = sample_reservoir
 
+    def sample_weighted(spark, sf_dir):
+        # fixed-size probability-proportional-to-length sample
+        # (sequential Poisson / priority sampling): the 60 smallest
+        # md5-uniform / n_chars priorities. Longer docs draw smaller
+        # priorities, so selection skews toward length — the
+        # token-budget-aware cousin of sample_reservoir, still fully
+        # deterministic and TakeOrdered-mergeable.
+        d = _t(spark, sf_dir, "documents")
+        return sampling.weighted_sample(
+            d.select("doc_id", "lang", "source", "n_chars"),
+            n=60,
+            weight="n_chars",
+        )
+    q["sample_weighted"] = sample_weighted
+
     def sample_stratified(spark, sf_dir):
         # per-language rates; strata absent from the dict (es, fr) are
         # dropped — the downsample-the-head corpus-balancing move
@@ -152,6 +168,17 @@ def register_sql(o):
                     WHEN {_sql_hmod("CAST(doc_id AS VARCHAR)", 100)} < 95
                     THEN 'val' ELSE 'test' END AS split
         FROM documents
+    """
+
+    # --- sample_weighted: sequential Poisson sampling — ORDER BY the
+    # exact-integer 60-bit md5 fold divided (IEEE-exact) by n_chars;
+    # doc_id tiebreak is unreachable (md5 keys are distinct) but keeps
+    # both plans total orders.
+    o["sample_weighted"] = f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        ORDER BY CAST({_sql_h60("'ws:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                 / CAST(n_chars AS DOUBLE), doc_id
+        LIMIT 60
     """
 
     # --- sample_reservoir: the same md5 order, stated as a plain

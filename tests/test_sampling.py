@@ -409,3 +409,54 @@ def test_curriculum_plan_prefixes_grow_and_nest(spark):
             assert prev <= by_epoch[e]
             prev = by_epoch[e]
         assert by_epoch[E - 1] == {d for d, _ in rows}
+
+
+def test_weighted_sample_matches_python_reference(docs):
+    # sequential Poisson: top-n by md5-uniform / weight must equal the
+    # pure-python draw with the identical hash construction
+    import hashlib
+
+    rows = docs.select("doc_id", "n_chars").collect()
+    pri = {
+        r.doc_id: int(hashlib.md5(f"ws:{r.doc_id}".encode()).hexdigest()[:15], 16)
+        / float(r.n_chars)
+        for r in rows
+    }
+    want = set(sorted(pri, key=lambda d: (pri[d], d))[:60])
+    got = {
+        r.doc_id
+        for r in sampling.weighted_sample(docs, n=60, weight="n_chars").collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_scale_invariant_and_partition_stable(docs):
+    # only weight RATIOS matter: w -> 7w leaves the selection unchanged;
+    # and the draw is a pure function of the data, not the partitioning
+    base = {
+        r.doc_id
+        for r in sampling.weighted_sample(
+            docs.repartition(3), n=40, weight="n_chars"
+        ).collect()
+    }
+    scaled = {
+        r.doc_id
+        for r in sampling.weighted_sample(
+            docs.repartition(16).withColumn("w7", F.col("n_chars") * 7),
+            n=40,
+            weight="w7",
+        ).collect()
+    }
+    assert base == scaled and len(base) == 40
+
+
+def test_weighted_sample_skews_toward_weight(docs):
+    # the selected set's mean weight must exceed the corpus mean — the
+    # whole point of probability-proportional-to-size
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    picked_mean = (
+        sampling.weighted_sample(docs, n=60, weight="n_chars")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert picked_mean > corpus_mean
