@@ -315,6 +315,34 @@ def register(q):
         return run.select("o_orderkey", F.col("run_total").alias("run_cents"))
     q["w_global_runsum"] = w_global_runsum
 
+    def s_zorder_layout(spark, sf_dir):
+        # Z-order (Morton) file-layout plan over events: bucket
+        # user_id and minute-of-epoch to 8 bits each, interleave to a
+        # 16-bit curve key (pure JVM shift/mask sum), rank along the
+        # curve with the two-phase global_sequence, cut files every
+        # 500 rows, and emit per-FILE min/max stats — the data-skipping
+        # manifest both a user_id predicate AND a time predicate can
+        # prune against.
+        from ccbot_spark.functions import eventops
+        from ccbot_spark.plans import layout
+
+        ev = _t(spark, sf_dir, "events")
+        plan, cache = layout.plan_zorder_files(
+            ev,
+            a=F.col("user_id") % 256,
+            b=(
+                F.floor(eventops.epoch_us(F.col("ts")) / F.lit(60_000_000))
+                % 256
+            ),
+            tiebreak="event_id",
+            rows_per_file=500,
+            bits=8,
+            num_partitions=16,
+        )
+        _ACTIVE_CACHES.append(cache)
+        return plan
+    q["s_zorder_layout"] = s_zorder_layout
+
     def a_exact_quantiles(spark, sf_dir):
         # EXACT p50/p90/p99/p99.9 (percentile_disc semantics — value
         # at 1-based position ⌈p·n⌉) over lineitem price cents via the
@@ -557,6 +585,35 @@ def register_sql(o):
                CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
                     - 1 AS BIGINT) AS seq
         FROM orders WHERE o_totalprice > 400000
+    """
+
+    # --- s_zorder_layout: the same Morton interleave as a BIGINT
+    # bit-expression fold; exact rank via ROW_NUMBER (DuckDB side may
+    # funnel — the Spark side is the two-phase plan under test).
+    o["s_zorder_layout"] = """
+        WITH z AS (
+          SELECT event_id,
+                 CAST(user_id % 256 AS BIGINT) AS a,
+                 CAST((epoch_us(ts) // 60000000) % 256 AS BIGINT) AS b
+          FROM events
+        ),
+        zk AS (
+          SELECT event_id, a, b,
+                 CAST(list_sum(list_transform(range(0, 8),
+                   i -> (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1))
+                 )) AS BIGINT) AS zval
+          FROM z
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY zval, event_id) - 1 AS seq
+          FROM zk
+        )
+        SELECT CAST(seq // 500 AS BIGINT) AS file_id,
+               COUNT(*) AS n_rows,
+               MIN(zval) AS zmin, MAX(zval) AS zmax,
+               MIN(a) AS amin, MAX(a) AS amax,
+               MIN(b) AS bmin, MAX(b) AS bmax
+        FROM r GROUP BY file_id
     """
 
     o["s_limit"] = """

@@ -415,3 +415,62 @@ def test_round5_training_plans_no_single_partition_exchange(spark):
     p = cplan._jdf.queryExecution().executedPlan().toString()
     cache.unpersist()
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from ccbot_spark.plans import layout
+
+    def morton(a, b, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 123, 255) for b in (0, 2, 77, 200, 255)],
+        "a long, b long",
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn(
+            "z", layout.zorder_key(F.col("a"), F.col("b"), bits=8)
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == morton(a, b, 8), (a, b)
+
+
+def test_zorder_layout_plan_shape_and_pruning(spark, sf_dir):
+    # two-phase rank: no single-partition exchange anywhere; and the
+    # point of the curve — BOTH axis predicates prune a strict subset
+    # of files via the emitted min/max stats
+    from ccbot_spark.functions import eventops
+    from ccbot_spark.plans import layout
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan, cache = layout.plan_zorder_files(
+        ev,
+        a=F.col("user_id") % 256,
+        b=(F.floor(eventops.epoch_us(F.col("ts")) / F.lit(60_000_000)) % 256),
+        tiebreak="event_id",
+        rows_per_file=500,
+        bits=8,
+        num_partitions=8,
+    )
+    p = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in p, p
+    files = plan.collect()
+    cache.unpersist()
+    assert sum(f.n_rows for f in files) == ev.count()
+    # file z-ranges are disjoint (global rank along the curve)
+    spans = sorted((f.zmin, f.zmax) for f in files)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    # data skipping on EACH dimension: a predicate covering 1/4 of an
+    # axis must skip a meaningful share of files on min/max stats
+    # (against a single-axis sort, the orthogonal predicate prunes 0)
+    n = len(files)
+    a_hit = sum(1 for f in files if not (f.amax < 64 or f.amin > 127))
+    b_hit = sum(1 for f in files if not (f.bmax < 64 or f.bmin > 127))
+    assert a_hit < n and b_hit < n, (a_hit, b_hit, n)
