@@ -534,3 +534,103 @@ def boilerplate_strip(
             " ",
         ).alias("text_clean"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """BM25-shaped query relevance over the corpus (the focused-crawl
+    frontier prior: score every candidate page against the crawl's
+    topic terms), with the house's integer-exact discipline:
+
+      * k1 = 1.2 and b = 0.75 are kept as exact rationals (6/5, 3/4)
+        and cleared from the denominators, so the tf-saturation term
+        tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) becomes the exact
+        integer ratio 44·TT·tf / (20·TT·tf + 6·TT + 18·dl·N)
+        (avgdl = TT/N substituted, everything × 20·TT), floored to ppm;
+      * the idf is the LOG-FREE Robertson ratio (N − df + ½)/(df + ½)
+        as an exact integer permil ((2(N−df)+1)·1000 // (2·df+1)) —
+        same ordering as the log form for any fixed df comparison,
+        never negative, and exactly reproducible in any engine (a
+        float ln() is not);
+      * one corpus scan computes dl and each term's tf as JVM array
+        expressions (no explode — the term list is a static column
+        set); ONE one-row aggregate computes N, TT and every df; that
+        row broadcasts back with a crossJoin. Total cost: one scan +
+        one 1-row shuffle, independent of corpus size.
+
+    63-bit headroom: the tf numerator 10^6·44·TT·tf caps TT·tf at
+    ~2·10^11 — per-stats-scope (e.g. per-shard or per-crawl-slice)
+    totals at 100 TB, exactly how df/avgdl stats are scoped in a
+    sharded index anyway.
+
+    Output: (key, n_tokens, tf_<term>..., bm25_micro) — score in
+    micro-units (idf_permil × tf_ppm // 1000 summed over terms).
+    """
+    toks = F.filter(tokens(F.lower(F.col(text))), lambda t: t != F.lit(""))
+
+    def _tf(w):
+        # NB: a `lambda t, w=w:` default would make pyspark treat the
+        # lambda as (element, index) — the closure keeps arity 1
+        return F.size(F.filter(toks, lambda t: t == F.lit(w))).cast("long")
+
+    proj = df.select(
+        key,
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(w).alias(f"_tf{i}") for i, w in enumerate(terms)],
+    )
+    stats = proj.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("tt"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = proj.crossJoin(F.broadcast(stats))
+    contribs = [
+        F.expr(
+            f"(((2 * (n_docs - _df{i}) + 1) * 1000) DIV (2 * _df{i} + 1)) "
+            f"* ((1000000 * 44 * tt * _tf{i}) "
+            f"DIV (20 * tt * _tf{i} + 6 * tt + 18 * dl * n_docs)) DIV 1000"
+        )
+        for i in range(len(terms))
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return joined.select(
+        key,
+        F.col("dl").alias("n_tokens"),
+        *[F.col(f"_tf{i}").alias(f"tf_{w}") for i, w in enumerate(terms)],
+        score.cast("long").alias("bm25_micro"),
+    )
+
+
+def bm25_scores_py(
+    docs: list[tuple[int, str]], terms: tuple[str, ...]
+) -> dict[int, int]:
+    """Pure-python twin of bm25_scores (same integer formula), for the
+    pytest gate."""
+    toked = {
+        d: [t for t in txt.lower().split(" ") if t] for d, txt in docs
+    }
+    n = len(toked)
+    tt = sum(len(v) for v in toked.values())
+    dfs = {w: sum(1 for v in toked.values() if w in v) for w in terms}
+    out = {}
+    for d, v in toked.items():
+        dl = len(v)
+        s = 0
+        for w in terms:
+            tf = sum(1 for t in v if t == w)
+            idf_permil = ((2 * (n - dfs[w]) + 1) * 1000) // (2 * dfs[w] + 1)
+            tf_ppm = (1000000 * 44 * tt * tf) // (
+                20 * tt * tf + 6 * tt + 18 * dl * n
+            )
+            s += idf_permil * tf_ppm // 1000
+        out[d] = s
+    return out

@@ -75,6 +75,16 @@ def register(q):
         return textkit.langid(_t(spark, sf_dir, "documents"))
     q["text_langid"] = text_langid
 
+    def text_bm25(spark, sf_dir):
+        # focused-crawl topic relevance: BM25-shaped score of every
+        # doc against the crawl's query terms — one scan + one 1-row
+        # broadcast agg (N, total tokens, per-term df); log-free
+        # rational idf and rational-cleared tf saturation keep every
+        # value an exact integer (see textkit.bm25_scores).
+        d = _t(spark, sf_dir, "documents")
+        return textkit.bm25_scores(d, terms=("scan", "merge", "hash"))
+    q["text_bm25"] = text_bm25
+
     def text_vocab_topk(spark, sf_dir):
         # tokenizer/BPE-build prerequisite: corpus vocabulary head
         # (one explode + hash-agg + TakeOrdered; textkit.vocab_topk)
@@ -332,6 +342,42 @@ def register_sql(o):
                          >= len(string_split(text, ' '))
                     THEN 'en' ELSE 'other' END AS lang_pred
         FROM documents
+    """
+
+    # --- text_bm25: same integer formula — HUGEINT-safe in DuckDB
+    # (SUM promotes), floored divisions mirror Spark's DIV exactly.
+    o["text_bm25"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t <> '')) AS BIGINT) AS dl,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t = 'scan')) AS BIGINT) AS tf0,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t = 'merge')) AS BIGINT) AS tf1,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t = 'hash')) AS BIGINT) AS tf2
+          FROM documents
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS tt,
+                 CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                 CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                 CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM p
+        )
+        SELECT doc_id, dl AS n_tokens,
+               tf0 AS tf_scan, tf1 AS tf_merge, tf2 AS tf_hash,
+               CAST(
+                 (((2*(n_docs-df0)+1)*1000) // (2*df0+1))
+                   * ((1000000*44*tt*tf0) // (20*tt*tf0 + 6*tt + 18*dl*n_docs)) // 1000
+                 + (((2*(n_docs-df1)+1)*1000) // (2*df1+1))
+                   * ((1000000*44*tt*tf1) // (20*tt*tf1 + 6*tt + 18*dl*n_docs)) // 1000
+                 + (((2*(n_docs-df2)+1)*1000) // (2*df2+1))
+                   * ((1000000*44*tt*tf2) // (20*tt*tf2 + 6*tt + 18*dl*n_docs)) // 1000
+               AS BIGINT) AS bm25_micro
+        FROM p, s
     """
 
     o["text_vocab_topk"] = """

@@ -2010,3 +2010,46 @@ def test_anchor_postings_two_phase_equals_brute(spark):
     )[:3]
     want = "|".join(f"{u}:{c}" for c, u in brute)
     assert out["click"].postings == want == out["here"].postings
+
+
+# ------------------------------------------------------------ bm25
+def test_bm25_matches_python_twin(docs):
+    from ccbot_spark.functions import textkit as tk
+
+    terms = ("scan", "merge", "hash")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    want = tk.bm25_scores_py(rows, terms)
+    got = {
+        r.doc_id: r.bm25_micro
+        for r in tk.bm25_scores(docs, terms=terms).collect()
+    }
+    assert got == want
+
+
+def test_bm25_plan_one_scan_no_python(docs):
+    # the whole score is JVM expressions: no BatchEvalPython /
+    # ArrowEvalPython stage; the stats side reaches the join as a
+    # broadcast, not a shuffle
+    from ccbot_spark.functions import textkit as tk
+    from ccbot_spark.plans import explainkit
+
+    out = tk.bm25_scores(docs, terms=("scan", "merge"))
+    plan = explainkit.simple_plan(out)
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bm25_idf_orders_rare_above_common(docs):
+    # a rarer term must carry a larger idf_permil than a more common
+    # one: two docs with the same single-occurrence tf for different
+    # terms score in df order
+    from ccbot_spark.functions import textkit as tk
+
+    terms = ("scan", "merge", "hash")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    toked = {d: [t for t in txt.lower().split(" ") if t] for d, txt in rows}
+    n = len(toked)
+    dfs = {w: sum(1 for v in toked.values() if w in v) for w in terms}
+    idf = {w: ((2 * (n - dfs[w]) + 1) * 1000) // (2 * dfs[w] + 1) for w in terms}
+    ranked = sorted(terms, key=lambda w: dfs[w])
+    assert idf[ranked[0]] >= idf[ranked[1]] >= idf[ranked[2]]
