@@ -644,3 +644,69 @@ def cocitation(
         .agg(F.count("*").alias("cocite"))
         .filter(F.col("cocite") >= min_cocite)
     )
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous majority label propagation (Raghavan-Albert-Kumara
+    2007) — the near-linear community-detection baseline a crawler
+    uses to group pages/hosts into link neighborhoods (site sections,
+    mirror families, topic clusters) without the quadratic costs of
+    modularity methods.
+
+    Deterministic by construction: updates are SYNCHRONOUS (every
+    node's round-t+1 label reads only round-t labels — the async
+    variant is processing-order-dependent and unreproducible across
+    partitionings) and ties break (count DESC, label ASC) via the
+    house min(struct(-count, label)) winner idiom. Labels start as the
+    node's own id.
+
+    Scale shape: the graph is symmetrized + de-duplicated once; each
+    round is ONE equi-join of the (node,label) frame against the edge
+    list plus two hash aggregates — all shuffles keyed on node id, the
+    label frame is two longs per node, and nothing ever collects. A
+    fixed small iteration count is the web-scale norm (LPA ~converges
+    in <5 sweeps; later sweeps mostly oscillate on bipartite-ish
+    subgraphs, which synchronous updates make visible and a fixed
+    cutoff makes reproducible).
+
+    Output: (node, community, community_size); isolated nodes never
+    appear (they have no edges to propagate over)."""
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iterations):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        winners = votes.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("nc"), F.col("label").alias("lab")
+                )
+            ).alias("w")
+        )
+        labels = labels.join(winners, "node", "left").select(
+            "node",
+            F.coalesce(F.col("w.lab"), F.col("label")).alias("label"),
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("community"),
+        "community_size",
+    )

@@ -450,6 +450,26 @@ def register(q):
         return linkrank.cocitation(edges, max_out=5, min_cocite=2)
     q["g_cocitation"] = g_cocitation
 
+    def g_label_prop(spark, sf_dir):
+        # majority label-propagation communities (3 synchronous
+        # rounds, ties → smallest label) over the deterministic
+        # doc-link graph — link-neighborhood clustering for mirror
+        # families / site sections; per round one node-keyed equi-join
+        # + two hash aggs, labels frame is two longs per node
+        d = _t(spark, sf_dir, "documents")
+        n = F.lit(500)
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 2 + 1) % n,
+                    (F.col("doc_id") * 3 + 2) % n,
+                )
+            ).alias("dst"),
+        )
+        return linkrank.label_propagation(edges, iterations=3)
+    q["g_label_prop"] = g_label_prop
+
     def a_countmin_registers(spark, sf_dir):
         # Count-Min sketch (sketchkit.cm_registers): 4×64 frequency
         # registers over a skewed host stream (event_id % 37 hosts,
@@ -1158,6 +1178,49 @@ def register_sql(o):
     """
 
     # --- g_cocitation: df-capped self-equi-join on the source key.
+    # --- g_label_prop: the 3 synchronous rounds unrolled CTE-for-CTE
+    # with the identical min(struct(-count, label)) winner rule
+    _lp = [
+        """e0 AS (
+             SELECT doc_id AS src, (doc_id*2+1) % 500 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id, (doc_id*3+2) % 500 FROM documents
+           ),
+           ud AS (
+             SELECT DISTINCT src, dst FROM (
+               SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0
+             ) WHERE src <> dst
+           ),
+           n0 AS (SELECT DISTINCT src AS node, src AS label FROM ud)"""
+    ]
+    for _i in range(3):
+        _lp.append(
+            f"""v{_i+1} AS (
+             SELECT e.dst AS node, l.label, COUNT(*) AS c
+             FROM ud e JOIN n{_i} l ON e.src = l.node
+             GROUP BY e.dst, l.label
+           ),
+           w{_i+1} AS (
+             SELECT node, min(struct_pack(nc := -c, lab := label)) AS w
+             FROM v{_i+1} GROUP BY node
+           ),
+           n{_i+1} AS (
+             SELECT n.node, COALESCE(w.w.lab, n.label) AS label
+             FROM n{_i} n LEFT JOIN w{_i+1} w USING (node)
+           )"""
+        )
+    o["g_label_prop"] = (
+        "WITH "
+        + ",\n".join(_lp)
+        + """
+        SELECT n.node, n.label AS community, s.community_size
+        FROM n3 n JOIN (
+          SELECT label, COUNT(*) AS community_size FROM n3 GROUP BY label
+        ) s USING (label)
+    """
+    )
+
     o["g_cocitation"] = """
         WITH deg AS (
           SELECT l_orderkey AS src, COUNT(*) AS d

@@ -212,3 +212,83 @@ def test_resolve_redirects_cycle_raises(spark):
     with _pytest.raises(RuntimeError, match="cycle"):
         linkrank.resolve_redirects(df, max_rounds=6).collect()
     linkrank.clear_caches()
+
+
+# ------------------------------------------------------------ LPA
+def _lpa_py(edges, iterations=3):
+    """Pure-python synchronous majority LPA, (count desc, label asc)
+    tie-break — the label_propagation contract."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nodes = {s for s, _ in und}
+    nbrs = {n: [] for n in nodes}
+    for s, d in und:
+        nbrs[d].append(s)  # votes flow src -> dst
+    labels = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for n in nodes:
+            votes = {}
+            for m in nbrs[n]:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            if votes:
+                new[n] = min(votes, key=lambda l: (-votes[l], l))
+            else:
+                new[n] = labels[n]
+        labels = new
+    return labels
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_lpa_matches_python_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    got = {
+        r.node: r.community
+        for r in linkrank.label_propagation(df, iterations=3).collect()
+    }
+    assert got == _lpa_py(edges)
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 4-cliques joined by one bridge edge: LPA must keep them as
+    # two communities labeled by each clique's smallest node id
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a < b]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = linkrank.label_propagation(df, iterations=3).collect()
+    comm = {r.node: r.community for r in out}
+    assert {comm[0], comm[1], comm[2]} == {0}
+    assert {comm[11], comm[12], comm[13]} == {10}
+    sizes = {r.node: r.community_size for r in out}
+    assert sizes[1] == sum(1 for n in comm if comm[n] == comm[1])
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    edges = [(i, (i * 7 + 3) % 23) for i in range(60)]
+    a = {
+        (r.node, r.community)
+        for r in linkrank.label_propagation(
+            spark.createDataFrame(edges, "src long, dst long").repartition(2),
+            iterations=3,
+        ).collect()
+    }
+    b = {
+        (r.node, r.community)
+        for r in linkrank.label_propagation(
+            spark.createDataFrame(edges, "src long, dst long").repartition(16),
+            iterations=3,
+        ).collect()
+    }
+    assert a == b
