@@ -516,3 +516,83 @@ def frames_to_ppm(frames: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return frames.select("video_id", "frame_no", bytes_col).mapInPandas(
         gen, schema=schema
     )
+
+
+def near_dup_pairs(
+    feats: DataFrame,
+    min_shared: int = 2,
+    df_cap: int = 24,
+    min_jaccard_milli: int = 200,
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Near-duplicate VIDEO detection over shot-signature sets — the
+    re-encode/trim/re-post case byte-exact dedup can't see: two clips
+    sharing most of their (coarse) per-frame color signatures are the
+    same footage even when the containers differ.
+
+    signature  = (y_mean // 16) * 16 + (u_mean // 16)  — a coarse
+    (Y, U)-bucket code per sampled frame, robust to small re-encode
+    shifts by construction (anything within a 16-level plane bucket
+    collides); per-video signature SETS are compared with the same
+    df-capped Jaccard as dedup.mirror_hosts: signatures shared by more
+    than `df_cap` videos are dropped FIRST (solid-color intros, black
+    frames — the boilerplate of video), set sizes are counted over the
+    SAME capped universe, and jaccard_milli is the exact integer
+    (shared·1000) div (union).
+
+    Scale shape: signatures come from the one existing frame_features
+    decode pass (the blob never re-reads); then one sig hash-agg for
+    the cap, one self equi-join ON SIGNATURE (≤ df_cap² pairs per
+    sig — linear in signatures, never all-pairs in videos), one pair
+    hash-agg. The capped sig set is persisted so the Arrow decode
+    never runs twice; callers unpersist via the returned frame's
+    lineage once consumed (300-video fixtures just let it expire).
+
+    Output: (vid_a, vid_b, shared, jaccard_milli), vid_a < vid_b."""
+    sigs = feats.select(
+        id_col,
+        (
+            F.shiftleft(F.shiftright(F.col("y_mean"), 4), 4)
+            + F.shiftright(F.col("u_mean"), 4)
+        )
+        .cast("long")
+        .alias("sig"),
+    ).distinct()
+    by_sig = sigs.groupBy("sig").agg(F.count("*").alias("_nv"))
+    kept = sigs.join(
+        by_sig.filter(F.col("_nv") <= df_cap).select("sig"), "sig"
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("n_sigs"))
+    a = kept.select(F.col(id_col).alias("vid_a"), "sig")
+    b = kept.select(F.col(id_col).alias("vid_b"), "sig")
+    shared = (
+        a.join(b, "sig")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed(id_col, "vid_a")
+            .withColumnRenamed("n_sigs", "na"),
+            "vid_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "vid_b")
+            .withColumnRenamed("n_sigs", "nb"),
+            "vid_b",
+        )
+        .select(
+            "vid_a",
+            "vid_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.expr("(shared * 1000) div (na + nb - shared)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+        .filter(F.col("jaccard_milli") >= min_jaccard_milli)
+    )

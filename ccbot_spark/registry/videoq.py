@@ -99,6 +99,16 @@ def register(q):
         )
     q["vid_keyframes"] = vid_keyframes
 
+    def vid_near_dedup(spark, sf_dir):
+        # near-duplicate clips via df-capped Jaccard over coarse
+        # (Y,U)-bucket shot signatures — the re-encode/trim case
+        # byte-exact dedup can't see; one decode pass, then the
+        # signature equi-join (never all-pairs in videos)
+        return videokit.near_dup_pairs(
+            videokit.frame_features(_synth(spark, sf_dir))
+        )
+    q["vid_near_dedup"] = vid_near_dedup
+
     def vid_curation(spark, sf_dir):
         # header-tier curation: dims / frame-count / duration gates as
         # pure column exprs over the JVM header parse — every verdict
@@ -353,6 +363,44 @@ def register_sql(o):
         UNION ALL
         SELECT 'video', 'y4m', CAST(COUNT(*) AS BIGINT),
                CAST(SUM(nbytes) AS BIGINT) FROM vid
+    """
+
+    # --- vid_near_dedup: closed-form signatures (the plane means are
+    # pure integer functions of doc_id/frame), same df-cap + capped
+    # set sizes + integer milli-Jaccard as the Spark side
+    o["vid_near_dedup"] = f"""
+        WITH {_PARAMS_CTE},
+        fr AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(n_frames AS BIGINT), 1)) AS frame_no
+          FROM params
+        ),
+        sg AS (
+          SELECT DISTINCT 'doc-' || CAST(doc_id AS VARCHAR) AS video_id,
+                 CAST(((((doc_id % 150) * 31 + frame_no * 17) % 256) // 16) * 16
+                      + ((((doc_id % 150) * 7 + frame_no * 5) % 256) // 16)
+                      AS BIGINT) AS sig
+          FROM fr
+        ),
+        keptv AS (
+          SELECT video_id, sig FROM sg
+          WHERE sig IN (SELECT sig FROM sg GROUP BY sig HAVING COUNT(*) <= 24)
+        ),
+        sizes AS (SELECT video_id, COUNT(*) AS n FROM keptv GROUP BY video_id),
+        shpair AS (
+          SELECT a.video_id AS vid_a, b.video_id AS vid_b, COUNT(*) AS shared
+          FROM keptv a JOIN keptv b USING (sig)
+          WHERE a.video_id < b.video_id
+          GROUP BY a.video_id, b.video_id
+          HAVING COUNT(*) >= 2
+        )
+        SELECT s.vid_a, s.vid_b, CAST(s.shared AS BIGINT) AS shared,
+               CAST((s.shared * 1000) // (sa.n + sb.n - s.shared)
+                    AS BIGINT) AS jaccard_milli
+        FROM shpair s
+        JOIN sizes sa ON s.vid_a = sa.video_id
+        JOIN sizes sb ON s.vid_b = sb.video_id
+        WHERE (s.shared * 1000) // (sa.n + sb.n - s.shared) >= 200
     """
 
     o["vid_exact_dedup"] = """

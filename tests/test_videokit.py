@@ -353,3 +353,64 @@ def test_multimodal_frame_sample_dispatches_y4m(spark):
     )
     rows = multimodal.frame_sample(df, every_n=2).collect()
     assert sorted(r["frame_no"] for r in rows) == [0, 2, 4]
+
+
+# ------------------------------------------------------------------
+# Near-dup pairs
+# ------------------------------------------------------------------
+
+
+def test_near_dup_matches_python_reference(spark, sf_dir):
+    # Spark df-capped Jaccard over decoded shot signatures == python
+    # reference over the closed-form synthesis arithmetic
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    feats = videokit.frame_features(videokit.synth_videos_from_docs(docs))
+    got = {
+        (r.vid_a, r.vid_b): (r.shared, r.jaccard_milli)
+        for r in videokit.near_dup_pairs(feats).collect()
+    }
+
+    sigs = {}
+    for d in range(300):
+        _w, _h, n, _fps = videokit.synth_params(d)
+        s = set()
+        for f in range(n):
+            y, u, _v = videokit.synth_plane_means(d, f)
+            s.add((y // 16) * 16 + (u // 16))
+        sigs[f"doc-{d}"] = s
+    from collections import Counter
+
+    df_ = Counter(sig for s in sigs.values() for sig in s)
+    capped = {v: {sig for sig in s if df_[sig] <= 24} for v, s in sigs.items()}
+    want = {}
+    vids_sorted = sorted(capped)
+    for i, a in enumerate(vids_sorted):
+        for b in vids_sorted[i + 1:]:
+            sh = len(capped[a] & capped[b])
+            if sh >= 2:
+                jm = (sh * 1000) // (len(capped[a]) + len(capped[b]) - sh)
+                if jm >= 200:
+                    want[(a, b)] = (sh, jm)
+    assert got == want
+
+
+def test_near_dup_exact_twins_score_1000(spark, sf_dir):
+    # doc and doc+150 are byte-identical clips: whenever the twin pair
+    # survives the df-cap with >= 2 signatures it must score exactly
+    # 1000 milli-Jaccard, and at least some twins must survive
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    feats = videokit.frame_features(videokit.synth_videos_from_docs(docs))
+    pairs = {
+        (r.vid_a, r.vid_b): r.jaccard_milli
+        for r in videokit.near_dup_pairs(feats).collect()
+    }
+    twins = [
+        pairs.get(tuple(sorted((f"doc-{d}", f"doc-{d + 150}"))))
+        for d in range(150)
+    ]
+    present = [j for j in twins if j is not None]
+    assert present and all(j == 1000 for j in present)
