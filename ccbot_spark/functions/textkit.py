@@ -634,3 +634,126 @@ def bm25_scores_py(
             s += idf_permil * tf_ppm // 1000
         out[d] = s
     return out
+
+
+#: fixed replace() passes per BPE merge application. replace() consumes
+#: its trailing delimiter, so one pass over " a a a a " merges only
+#: every other occurrence of " a a "; each extra pass halves what's
+#: left. 4 passes close any overlap run up to ~16 repeats — beyond any
+#: natural word — and a FIXED count (not run-to-fixpoint) is what keeps
+#: the result an exact, engine-neutral function of the data.
+BPE_REPLACE_PASSES = 4
+
+
+def bpe_train(df, n_merges: int = 6, text: str = "text"):
+    """Distributed BPE vocabulary induction — the merge-learning loop
+    of Sennrich-Haddow-Birch 2016 §3.2 (and of every GPT-style
+    tokenizer build), run as Spark aggregations over the WORD
+    vocabulary:
+
+      * ONE corpus scan builds (word, count) — from then on all state
+        is vocabulary-sized, never corpus-sized (the classic reason
+        BPE training scales: a 100 TB corpus has ~10^8 distinct words,
+        not 10^13);
+      * each round: adjacent symbol pairs via a JVM array transform
+        weighted by word count → one hash-agg on the pair → the argmax
+        ((count DESC, pair ASC) — deterministic tie-break) via
+        TakeOrdered(1), a ONE-row driver collect per round (same
+        bounded-collect budget as the IVF centroid sample);
+      * the winning pair is applied to every word's symbol string with
+        BPE_REPLACE_PASSES fixed replace() passes over the
+        space-joined symbols (' a b ' → ' ab '; symbols never contain
+        spaces, so the delimiters make the match unambiguous). Both
+        Spark and DuckDB replace() scan left-to-right without
+        rescanning replacements, so the oracle replays the exact
+        transformation.
+
+    The symbol-string frame is persisted once; each round's lineage is
+    i replace-expressions over that cache. The learned merge table
+    (n_merges rows) is assembled from the collected argmax rows — the
+    output IS the bounded driver state.
+
+    Returns a DataFrame (step, left_sym, right_sym, merged,
+    pair_count)."""
+    from pyspark.storagelevel import StorageLevel
+
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text)), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = words.withColumn(
+        "s", F.array_join(F.split(F.col("w"), ""), " ")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    spark = df.sparkSession
+    merges = []
+    sym = F.col("s")
+    for step in range(1, n_merges + 1):
+        toks = F.split(sym, " ")
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda j: F.concat(
+                    F.element_at(toks, j), F.lit(" "), F.element_at(toks, j + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            vocab.select(F.col("n"), F.explode(pairs).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), "pr")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pr, c = best[0].pr, best[0].c
+        left, right = pr.split(" ")
+        merges.append((step, left, right, left + right, int(c)))
+        pat, rep = f" {pr} ", f" {left + right} "
+        padded = F.concat(F.lit(" "), sym, F.lit(" "))
+        for _ in range(BPE_REPLACE_PASSES):
+            padded = F.replace(padded, F.lit(pat), F.lit(rep))
+        sym = F.trim(padded)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_train_py(texts: list[str], n_merges: int = 6) -> list[tuple]:
+    """Pure-python twin of bpe_train (same word counts, same argmax
+    tie-break, same fixed-pass replace rule), for the pytest gate."""
+    from collections import Counter
+
+    words = Counter(
+        t for txt in texts for t in txt.lower().split(" ") if t
+    )
+    syms = {w: " ".join(w) for w in words}
+    out = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, s in syms.items():
+            ts = s.split(" ")
+            for a, b in zip(ts, ts[1:]):
+                counts[f"{a} {b}"] += words[w]
+        if not counts:
+            break
+        pr = min(counts, key=lambda p: (-counts[p], p))
+        left, right = pr.split(" ")
+        out.append((step, left, right, left + right, counts[pr]))
+        pat, rep = f" {pr} ", f" {left + right} "
+        for w in syms:
+            padded = f" {syms[w]} "
+            for _ in range(BPE_REPLACE_PASSES):
+                padded = padded.replace(pat, rep)
+            syms[w] = padded.strip(" ")
+    return out

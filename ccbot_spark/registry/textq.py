@@ -85,6 +85,15 @@ def register(q):
         return textkit.bm25_scores(d, terms=("scan", "merge", "hash"))
     q["text_bm25"] = text_bm25
 
+    def text_bpe_train(spark, sf_dir):
+        # BPE tokenizer-vocabulary induction (Sennrich merge loop):
+        # 6 learned merges over the corpus word vocabulary — one
+        # corpus scan, then vocabulary-sized hash-aggs + a 1-row
+        # argmax collect per round (textkit.bpe_train).
+        d = _t(spark, sf_dir, "documents")
+        return textkit.bpe_train(d, n_merges=6)
+    q["text_bpe_train"] = text_bpe_train
+
     def text_vocab_topk(spark, sf_dir):
         # tokenizer/BPE-build prerequisite: corpus vocabulary head
         # (one explode + hash-agg + TakeOrdered; textkit.vocab_topk)
@@ -343,6 +352,66 @@ def register_sql(o):
                     THEN 'en' ELSE 'other' END AS lang_pred
         FROM documents
     """
+
+    # --- text_bpe_train: the 6 merge rounds unrolled CTE-for-CTE.
+    # Each round: pair counts from the previous symbol strings, the
+    # (count DESC, pair ASC) argmax as a 1-row CTE, and the merge
+    # applied with the same BPE_REPLACE_PASSES fixed replace() passes
+    # as the Spark side (both engines' replace() scans left-to-right
+    # without rescanning replacements). MATERIALIZED pins each vocab
+    # level so the chain doesn't re-inline exponentially.
+    _bpe = [
+        """w0 AS MATERIALIZED (
+             SELECT tok AS w, COUNT(*) AS n FROM (
+               SELECT unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents
+             ) WHERE tok <> '' GROUP BY tok
+           ),
+           v0 AS MATERIALIZED (
+             SELECT w, n,
+                    array_to_string(
+                      list_transform(range(1, len(w)+1), i -> w[i]), ' ') AS s
+             FROM w0
+           )"""
+    ]
+    for _i in range(1, 7):
+        _expr = "' ' || s || ' '"
+        for _ in range(textkit.BPE_REPLACE_PASSES):
+            _expr = (
+                f"replace({_expr}, ' ' || (SELECT pr FROM b{_i}) || ' ', "
+                f"' ' || replace((SELECT pr FROM b{_i}), ' ', '') || ' ')"
+            )
+        _bpe.append(
+            f"""p{_i} AS (
+             SELECT pr, SUM(n) AS c FROM (
+               SELECT n, unnest(list_transform(
+                 range(1, len(string_split(s, ' '))),
+                 j -> string_split(s, ' ')[j] || ' ' || string_split(s, ' ')[j+1]
+               )) AS pr
+               FROM v{_i-1}
+             ) GROUP BY pr
+           ),
+           b{_i} AS MATERIALIZED (
+             SELECT pr, c FROM p{_i} ORDER BY c DESC, pr LIMIT 1
+           ),
+           v{_i} AS MATERIALIZED (
+             SELECT w, n, trim({_expr}) AS s FROM v{_i-1}
+           )"""
+        )
+    o["text_bpe_train"] = (
+        "WITH "
+        + ",\n".join(_bpe)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"""SELECT {_i} AS step,
+                   string_split(pr, ' ')[1] AS left_sym,
+                   string_split(pr, ' ')[2] AS right_sym,
+                   replace(pr, ' ', '') AS merged,
+                   CAST(c AS BIGINT) AS pair_count
+            FROM b{_i}"""
+            for _i in range(1, 7)
+        )
+    )
 
     # --- text_bm25: same integer formula — HUGEINT-safe in DuckDB
     # (SUM promotes), floored divisions mirror Spark's DIV exactly.

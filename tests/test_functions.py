@@ -2053,3 +2053,71 @@ def test_bm25_idf_orders_rare_above_common(docs):
     idf = {w: ((2 * (n - dfs[w]) + 1) * 1000) // (2 * dfs[w] + 1) for w in terms}
     ranked = sorted(terms, key=lambda w: dfs[w])
     assert idf[ranked[0]] >= idf[ranked[1]] >= idf[ranked[2]]
+
+
+# ------------------------------------------------------------ BPE train
+def test_bpe_train_matches_python_twin(docs):
+    from ccbot_spark.functions import textkit as tk
+
+    texts = [r.text for r in docs.select("text").collect()]
+    want = tk.bpe_train_py(texts, n_merges=6)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in tk.bpe_train(docs, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_train_known_corpus(spark):
+    # the Sennrich toy shape: 'low'×5 + 'lower'×2 + 'newest'×6 +
+    # 'widest'×3 — classic first merges are (e,s) then (es,t)
+    from ccbot_spark.functions import textkit as tk
+
+    corpus = ["low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3]
+    df = spark.createDataFrame([(0, corpus[0].strip())], "doc_id long, text string")
+    got = [
+        (r.step, r.merged, r.pair_count)
+        for r in tk.bpe_train(df, n_merges=3).orderBy("step").collect()
+    ]
+    assert got[0] == (1, "es", 9)
+    assert got[1] == (2, "est", 9)
+    want = tk.bpe_train_py([corpus[0].strip()], n_merges=3)
+    assert got == [(s, m, c) for s, _l, _r, m, c in want]
+
+
+def test_bpe_fixed_passes_equal_true_bpe_on_fixture(docs):
+    # on natural-length words the 4-pass replace rule coincides with
+    # textbook left-to-right non-overlapping BPE merging — check the
+    # learned merge TABLE is identical to a true-BPE trainer's
+    from collections import Counter
+
+    from ccbot_spark.functions import textkit as tk
+
+    texts = [r.text for r in docs.select("text").collect()]
+
+    def true_bpe(texts, n_merges):
+        words = Counter(t for txt in texts for t in txt.lower().split(" ") if t)
+        syms = {w: list(w) for w in words}
+        out = []
+        for step in range(1, n_merges + 1):
+            counts = Counter()
+            for w, ts in syms.items():
+                for a, b in zip(ts, ts[1:]):
+                    counts[(a, b)] += words[w]
+            if not counts:
+                break
+            pr = min(counts, key=lambda p: (-counts[p], f"{p[0]} {p[1]}"))
+            out.append((step, pr[0], pr[1], pr[0] + pr[1], counts[pr]))
+            for w, ts in syms.items():
+                i, new = 0, []
+                while i < len(ts):
+                    if i + 1 < len(ts) and (ts[i], ts[i + 1]) == pr:
+                        new.append(ts[i] + ts[i + 1])
+                        i += 2
+                    else:
+                        new.append(ts[i])
+                        i += 1
+                syms[w] = new
+        return out
+
+    assert tk.bpe_train_py(texts, n_merges=6) == true_bpe(texts, 6)
