@@ -710,3 +710,107 @@ def label_propagation(
         F.col("label").alias("community"),
         "community_size",
     )
+
+
+def ppr_int(
+    edges: DataFrame,
+    is_seed,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank — Haveliwala 2002 — the
+    seed-expansion scorer for focused crawling: teleport mass returns
+    ONLY to the seed set, so rank measures link-graph proximity to the
+    seeds rather than global authority (which pages should a topical
+    crawl reach next, given the seed list it started from?).
+
+    Same integer micro-unit update as pagerank_int, with the teleport
+    restricted:  rank₀(n) = SCALE·[seed(n)],  and per round
+
+        rank(n) = [seed(n)]·(SCALE·(den−num)) div den
+                  + (num · Σ_in rank(u) div outdeg(u)) div den
+
+    `is_seed` is a Column PREDICATE over `node` (e.g. a bounded id
+    range, a broadcast-joined membership flag) — kept as a JVM
+    expression so seed membership never leaves the plan; non-seed
+    nodes unreachable from seeds stay exactly 0. Outdeg is pre-joined
+    once, every round is one equi-join + one hash-agg, rounds are
+    localCheckpointed and released like pagerank_int."""
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e0 = storagekit.local_checkpoint(e0)
+    nodes = storagekit.local_checkpoint(
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = storagekit.local_checkpoint(
+        e0.join(e0.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+    )
+    storagekit.release(e0)
+    base = (SCALE * (damping_den - damping_num)) // damping_den
+    seed_base = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+
+    ranks = nodes.withColumn(
+        "rank_micro",
+        F.when(is_seed, F.lit(SCALE)).otherwise(F.lit(0)).cast("long"),
+    )
+    prev = None
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = storagekit.local_checkpoint(
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    seed_base
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_sum, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+        storagekit.release(prev)
+        prev = ranks
+    storagekit.release(e)
+    if iterations > 0:
+        storagekit.release(nodes)
+    _ACTIVE_CHECKPOINTS.append(ranks)
+    return ranks
+
+
+def ppr_int_py(
+    edge_list: list[tuple],
+    seeds: set,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> dict:
+    """Pure-python reference of the ppr_int update rule."""
+    e = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    outdeg: dict = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (SCALE * (damping_den - damping_num)) // damping_den
+    rank = {n: (SCALE if n in seeds else 0) for n in nodes}
+    for _ in range(iterations):
+        in_sum = {n: 0 for n in nodes}
+        for u, v in e:
+            in_sum[v] += rank[u] // outdeg[u]
+        rank = {
+            n: (base if n in seeds else 0)
+            + (damping_num * in_sum[n]) // damping_den
+            for n in nodes
+        }
+    return rank

@@ -420,6 +420,22 @@ def register(q):
         return linkrank.pagerank_int(edges, iterations=3)
     q["link_pagerank"] = link_pagerank
 
+    def link_ppr(spark, sf_dir):
+        # personalized PageRank (topic-sensitive PR): teleport only to
+        # the seed set (node id < 400 — the crawl's seed list), so
+        # rank == link-graph proximity to the seeds; the focused-crawl
+        # frontier-expansion scorer. Same integer micro-unit rounds as
+        # link_pagerank; unreached nodes stay exactly 0.
+        li = _t(spark, sf_dir, "lineitem")
+        edges = li.select(
+            (F.col("l_orderkey") * 10).cast("long").alias("src"),
+            (F.col("l_partkey") * 10 + 1).cast("long").alias("dst"),
+        )
+        return linkrank.ppr_int(
+            edges, is_seed=F.col("node") < 400, iterations=3
+        )
+    q["link_ppr"] = link_ppr
+
     def link_hits(spark, sf_dir):
         # hubs & authorities (Kleinberg HITS), the second classic
         # crawl-ordering signal: integer-exact L1-normalized updates
@@ -1384,6 +1400,39 @@ def register_sql(o):
         r1 AS ({_pr_round.format(prev="r0")}),
         r2 AS ({_pr_round.format(prev="r1")}),
         r3 AS ({_pr_round.format(prev="r2")})
+        SELECT node, r AS rank_micro FROM r3
+    """
+
+    # --- link_ppr: the personalized rounds — base term gated on the
+    # seed predicate, rank₀ = SCALE·[seed].
+    _ppr_round = """
+        SELECT n.node,
+               CAST(CASE WHEN n.node < 400 THEN 150000 ELSE 0 END
+                    + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.r // o.outdeg) AS in_sum
+            FROM e
+            JOIN {prev} p ON p.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    """
+    o["link_ppr"] = f"""
+        WITH e AS (
+          SELECT DISTINCT l_orderkey * 10 AS src, l_partkey * 10 + 1 AS dst
+          FROM lineitem
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (
+          SELECT node,
+                 CAST(CASE WHEN node < 400 THEN 1000000 ELSE 0 END
+                      AS BIGINT) AS r
+          FROM nodes
+        ),
+        r1 AS ({_ppr_round.format(prev="r0")}),
+        r2 AS ({_ppr_round.format(prev="r1")}),
+        r3 AS ({_ppr_round.format(prev="r2")})
         SELECT node, r AS rank_micro FROM r3
     """
 

@@ -292,3 +292,45 @@ def test_lpa_deterministic_across_partitionings(spark):
         ).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------------------ PPR
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_ppr_matches_python_reference(spark, edges):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    got = {
+        r.node: r.rank_micro
+        for r in linkrank.ppr_int(
+            df, is_seed=F.col("node") < 5, iterations=3
+        ).collect()
+    }
+    want = linkrank.ppr_int_py(edges, seeds=set(range(5)), iterations=3)
+    linkrank.clear_caches()
+    assert got == want
+
+
+def test_ppr_mass_stays_near_seeds(spark):
+    # chain 0→1→2→…→9 seeded at {0}: rank must be strictly decreasing
+    # along the chain and 0 on nodes unreachable from the seed side
+    from pyspark.sql import functions as F
+
+    edges = [(i, i + 1) for i in range(9)] + [(20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = {
+        row.node: row.rank_micro
+        for row in linkrank.ppr_int(
+            df, is_seed=F.col("node") == 0, iterations=4
+        ).collect()
+    }
+    linkrank.clear_caches()
+    assert r[0] > r[1] > r[2] > r[3]
+    assert r[20] == 0 and r[21] == 0
