@@ -757,3 +757,58 @@ def bpe_train_py(texts: list[str], n_merges: int = 6) -> list[tuple]:
                 padded = padded.replace(pat, rep)
             syms[w] = padded.strip(" ")
     return out
+
+
+def keywords_topk(
+    df: DataFrame, k: int = 3, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Per-document keyword extraction: the top-k non-stopword tokens
+    by tf·idf — the doc-level companion of bm25_scores' corpus query
+    scoring (what is this page ABOUT, for anchor-text synthesis,
+    topical routing, caption fallback). idf is the same log-free
+    Robertson permil ratio as bm25_scores, so the score is an exact
+    integer in any engine.
+
+    Shape: one explode + (doc, tok) hash-agg for tf, one token-keyed
+    hash-agg for df joined back ON TOKEN, the 1-row corpus count as a
+    broadcast crossJoin, and a per-doc window top-k — partitioned BY
+    DOCUMENT, so every window is bounded by a single doc's distinct
+    token count; no global funnel anywhere.
+
+    Output: (key, tok, tf, score_permil, kw_rank)."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(
+            key, F.explode(tokens(F.lower(F.col(text)))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .filter(~F.col("tok").isin(*STOPWORDS))
+    )
+    tf = toks.groupBy(key, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
+    nd = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score_permil",
+            F.expr(
+                "tf * (((2 * (n_docs - df_t) + 1) * 1000) DIV (2 * df_t + 1))"
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("score_permil").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= k)
+        .select(
+            key,
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            "score_permil",
+            "kw_rank",
+        )
+    )

@@ -85,6 +85,14 @@ def register(q):
         return textkit.bm25_scores(d, terms=("scan", "merge", "hash"))
     q["text_bm25"] = text_bm25
 
+    def text_keywords(spark, sf_dir):
+        # per-doc top-3 tf·idf keywords (stopwords excluded, log-free
+        # Robertson idf permil) — per-DOC windows, token-keyed df
+        # join, 1-row corpus count broadcast (textkit.keywords_topk)
+        d = _t(spark, sf_dir, "documents")
+        return textkit.keywords_topk(d, k=3)
+    q["text_keywords"] = text_keywords
+
     def text_bpe_train(spark, sf_dir):
         # BPE tokenizer-vocabulary induction (Sennrich merge loop):
         # 6 learned merges over the corpus word vocabulary — one
@@ -351,6 +359,36 @@ def register_sql(o):
                          >= len(string_split(text, ' '))
                     THEN 'en' ELSE 'other' END AS lang_pred
         FROM documents
+    """
+
+    # --- text_keywords: same tf·idf permil integers + per-doc window
+    o["text_keywords"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+          WHERE tok <> '' AND tok NOT IN {_STOP_SQL}
+          GROUP BY doc_id, tok
+        ),
+        dfreq AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tok, tf,
+                 tf * (((2*(n_docs - df_t) + 1) * 1000) // (2*df_t + 1))
+                   AS score_permil
+          FROM tf JOIN dfreq USING (tok), nd
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score_permil DESC, tok
+          ) AS kw_rank FROM scored
+        )
+        SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+               CAST(score_permil AS BIGINT) AS score_permil,
+               CAST(kw_rank AS BIGINT) AS kw_rank
+        FROM r WHERE kw_rank <= 3
     """
 
     # --- text_bpe_train: the 6 merge rounds unrolled CTE-for-CTE.

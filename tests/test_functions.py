@@ -2121,3 +2121,52 @@ def test_bpe_fixed_passes_equal_true_bpe_on_fixture(docs):
         return out
 
     assert tk.bpe_train_py(texts, n_merges=6) == true_bpe(texts, 6)
+
+
+# ------------------------------------------------------------ keywords
+def test_keywords_topk_matches_python(docs):
+    from collections import Counter
+
+    from ccbot_spark.functions import textkit as tk
+
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    toked = {
+        d: [
+            t
+            for t in txt.lower().split(" ")
+            if t and t not in tk.STOPWORDS
+        ]
+        for d, txt in rows
+    }
+    n = len(rows)
+    tf = {d: Counter(v) for d, v in toked.items()}
+    df_t = Counter(t for d in tf for t in tf[d])
+    want = {}
+    for d in toked:
+        scored = sorted(
+            (
+                (
+                    -(tf[d][t] * (((2 * (n - df_t[t]) + 1) * 1000) // (2 * df_t[t] + 1))),
+                    t,
+                )
+                for t in tf[d]
+            )
+        )[:3]
+        want[d] = [(t, -s) for s, t in scored]
+    got = {}
+    for r in (
+        tk.keywords_topk(docs, k=3).orderBy("doc_id", "kw_rank").collect()
+    ):
+        got.setdefault(r.doc_id, []).append((r.tok, r.score_permil))
+    assert got == want
+
+
+def test_keywords_exclude_stopwords_and_bound_k(docs):
+    from ccbot_spark.functions import textkit as tk
+
+    out = tk.keywords_topk(docs, k=2).collect()
+    assert all(r.tok not in tk.STOPWORDS for r in out)
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in out)
+    assert max(per_doc.values()) <= 2
