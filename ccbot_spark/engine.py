@@ -104,6 +104,8 @@ class CrawlEngine:
         anchor_texts: bool = False,
         focus_terms: list[str] | None = None,
         focus_boost: int = 50,
+        content_boost: int = 0,
+        content_cap: int = 5,
         max_body_bytes: int = 0,
         dead_host_backoff: int = 0,
         error_backoff: int = 0,
@@ -460,6 +462,17 @@ class CrawlEngine:
         # the short href crosses to Python for resolution.
         self.focus_terms = [t.lower() for t in focus_terms] if focus_terms else None
         self.focus_boost = focus_boost
+        # shark-search content relevance (Hersovici et al. 1998 line):
+        # with content_boost > 0, every link discovered on a page whose
+        # extracted TEXT contains focus terms inherits
+        # min(tf, content_cap)·content_boost extra priority — the
+        # page-is-on-topic signal, complementing the per-LINK anchor
+        # boost above. Computed as one JVM expression over the same
+        # wet_text extraction the WET sink uses (textkit.wet_text ==
+        # parsekit.extract_text byte-for-byte, so the oracle mirrors
+        # exactly); mirrors oracle.crawl(content_boost=…).
+        self.content_boost = content_boost
+        self.content_cap = content_cap
         if content_dedup:
             self.digests = make_table_store(
                 spark, workdir, "digests", _with_bucket(schemas.DIGESTS), ("bucket",)
@@ -1372,6 +1385,7 @@ class CrawlEngine:
                 )
                 .join(matched, ["page_url", "url_norm"], "left")
                 .select(
+                    "page_url",
                     "url_norm",
                     (
                         F.col("parent_priority")
@@ -1385,8 +1399,46 @@ class CrawlEngine:
             )
         else:
             link_pool = links.select(
-                "url_norm", "parent_priority", "parent_depth"
+                "page_url", "url_norm", "parent_priority", "parent_depth"
             )
+        if self.content_boost and self.focus_terms is not None:
+            # shark-search content relevance: every link from a page
+            # whose extracted text mentions the focus terms inherits
+            # min(tf, cap)·content_boost — one JVM wet_text + token
+            # filter per parsed page (no Python), joined back on the
+            # page url BEFORE the max-priority dedup. Redirect and
+            # canonical targets carry no content signal, like anchors.
+            from .functions import textkit as _tk
+
+            rel = parse_src.select(
+                F.col("url_norm").alias("page_url"),
+                (
+                    F.least(
+                        F.size(
+                            F.filter(
+                                F.split(
+                                    F.lower(_tk.wet_text(F.col("html"))), " "
+                                ),
+                                lambda t: t.isin(*self.focus_terms),
+                            )
+                        ),
+                        F.lit(self.content_cap),
+                    )
+                    * F.lit(self.content_boost)
+                ).cast("long").alias("_rel"),
+            )
+            link_pool = (
+                link_pool.join(rel, "page_url", "left")
+                .withColumn(
+                    "parent_priority",
+                    (
+                        F.col("parent_priority")
+                        + F.coalesce(F.col("_rel"), F.lit(0))
+                    ).cast("long"),
+                )
+                .drop("_rel")
+            )
+        link_pool = link_pool.drop("page_url")
         pool = link_pool.unionByName(redir_tgts)
         if canons is not None:
             # canonical targets: same discovered-pool rules as redirect

@@ -112,6 +112,8 @@ def crawl(
     anchor_texts: bool = False,
     focus_terms: list[str] | None = None,
     focus_boost: int = 50,
+    content_boost: int = 0,
+    content_cap: int = 5,
     max_body_bytes: int = 0,
     dead_host_backoff: int = 0,
     error_backoff: int = 0,
@@ -651,6 +653,20 @@ def crawl(
                 for tgt, text in parsekit.extract_anchor_pairs(url, html):
                     if fset & set(text.lower().split()):
                         boosted_targets.add(tgt)
+            # shark-search content relevance: every link from this
+            # page inherits min(tf, cap)·content_boost, where tf
+            # counts focus-term tokens in the extracted text — the
+            # exact arithmetic of the engine's wet_text token filter
+            # (extract_text == textkit.wet_text byte-for-byte)
+            page_rel = 0
+            if content_boost and focus_terms and not page_nf:
+                _fset = {t.lower() for t in focus_terms}
+                _tf = sum(
+                    1
+                    for t in parsekit.extract_text(html).lower().split(" ")
+                    if t in _fset
+                )
+                page_rel = min(_tf, content_cap) * content_boost
             # links
             for link in [] if page_nf else parsekit.extract_links(url, html):
                 m["parsed_links"] += 1
@@ -675,7 +691,7 @@ def crawl(
                 else:
                     eff = e.priority + (
                         focus_boost if link in boosted_targets else 0
-                    )
+                    ) + page_rel
                     prev = discovered.get(link)
                     if prev is None or eff > prev:
                         discovered[link] = eff

@@ -143,6 +143,13 @@ def parse_args():
                         "(focused/topical crawling)")
     p.add_argument("--focus-boost", type=int, default=50,
                    help="priority boost for focus-term matches")
+    p.add_argument("--content-boost", type=int, default=0,
+                   help="shark-search content relevance: links from a "
+                        "page whose extracted text mentions the focus "
+                        "terms inherit min(tf, cap) * this boost")
+    p.add_argument("--content-cap", type=int, default=5,
+                   help="cap on the per-page focus-term tf used by "
+                        "--content-boost")
     p.add_argument("--anchor-texts", action="store_true",
                    help="aggregate anchor-text terms per link target "
                         "into an 'anchors' table while parsing")
@@ -327,6 +334,8 @@ def main() -> None:
             args.focus_terms.split(",") if args.focus_terms else None
         ),
         focus_boost=args.focus_boost,
+        content_boost=args.content_boost,
+        content_cap=args.content_cap,
         max_body_bytes=args.max_body_bytes,
         dead_host_backoff=args.dead_host_backoff,
         age_boost=args.age_boost,
