@@ -211,3 +211,61 @@ def sessionize(
         F.max("_us").alias("session_end_us"),
         F.sum("_cents").alias("sum_cents"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user: str = "user_id",
+    ts: str = "ts",
+    typ: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis — "did this user do A, then B, then C,
+    IN ORDER?" (conversion funnels; for a crawl, the
+    discover→fetch→store progression per host). Computed as CHAINED
+    CONDITIONAL MINIMA:
+
+        t₁ = min ts of step 1
+        tᵢ = min ts of step i STRICTLY AFTER tᵢ₋₁
+
+    which is the textbook funnel semantics without a per-user ordered
+    window: each stage is one hash-agg keyed on user + one user-keyed
+    join, so a 10^9-user log runs as len(steps) shuffles on the user
+    key and nothing ever sorts a user's history. Integer
+    epoch-microseconds end to end (the house tz-free epoch_us);
+    absent stages surface as -1 with `stage` = how far the user got.
+
+    Output: (user, t1_us..tN_us, stage)."""
+    base = events.select(
+        user,
+        F.col(typ).alias("_t"),
+        epoch_us(F.col(ts)).alias("_us"),
+    )
+    acc = (
+        base.filter(F.col("_t") == steps[0])
+        .groupBy(user)
+        .agg(F.min("_us").alias("t1_us"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}_us"
+        nxt = (
+            base.filter(F.col("_t") == s)
+            .join(acc.select(user, prev), user)
+            .filter(F.col("_us") > F.col(prev))
+            .groupBy(user)
+            .agg(F.min("_us").alias(f"t{i}_us"))
+        )
+        acc = acc.join(nxt, user, "left")
+    users = events.select(user).distinct()
+    out = users.join(acc, user, "left")
+    stage = F.lit(0).cast("long")
+    for i in range(1, len(steps) + 1):
+        stage = stage + F.col(f"t{i}_us").isNotNull().cast("long")
+    return out.select(
+        user,
+        *[
+            F.coalesce(F.col(f"t{i}_us"), F.lit(-1)).cast("long").alias(f"t{i}_us")
+            for i in range(1, len(steps) + 1)
+        ],
+        stage.alias("stage"),
+    )

@@ -81,6 +81,14 @@ def register(q):
         return eventops.sessionize(_t(spark, sf_dir, "events"), gap_s=1800)
     q["a_sessionize"] = a_sessionize
 
+    def a_funnel(spark, sf_dir):
+        # ordered funnel view→click→purchase per user via chained
+        # conditional minima — len(steps) user-keyed hash-aggs, no
+        # per-user ordered window (eventops.funnel)
+        ev = _t(spark, sf_dir, "events")
+        return eventops.funnel(ev)
+    q["a_funnel"] = a_funnel
+
 
 def register_sql(o):
 
@@ -128,6 +136,38 @@ def register_sql(o):
 
     # --- a_sessionize: gaps-and-islands with the same strict->gap
     # boundary and (ts, event_id) tiebreak as eventops.sessionize
+    # --- a_funnel: the same chained strictly-after minima
+    o["a_funnel"] = """
+        WITH b AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ),
+        s1 AS (
+          SELECT user_id, MIN(us) AS t1 FROM b
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT b.user_id, MIN(us) AS t2 FROM b
+          JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND us > t1 GROUP BY b.user_id
+        ),
+        s3 AS (
+          SELECT b.user_id, MIN(us) AS t3 FROM b
+          JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND us > t2 GROUP BY b.user_id
+        ),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id,
+               CAST(COALESCE(t1, -1) AS BIGINT) AS t1_us,
+               CAST(COALESCE(t2, -1) AS BIGINT) AS t2_us,
+               CAST(COALESCE(t3, -1) AS BIGINT) AS t3_us,
+               CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                    + (t3 IS NOT NULL)::INT AS BIGINT) AS stage
+        FROM u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """
+
     o["a_sessionize"] = """
         WITH x AS (
           SELECT user_id, ts, event_id,

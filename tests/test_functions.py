@@ -2170,3 +2170,51 @@ def test_keywords_exclude_stopwords_and_bound_k(docs):
 
     per_doc = Counter(r.doc_id for r in out)
     assert max(per_doc.values()) <= 2
+
+
+# ------------------------------------------------------------ funnel
+def test_funnel_matches_python(spark):
+    import datetime as dt
+
+    from ccbot_spark.functions import eventops
+
+    rows = []
+    # user 0: full ordered funnel; user 1: click before view (stage 1
+    # unless a later click follows); user 2: view only; user 3: none
+    base = dt.datetime(2020, 1, 1)
+    ev = [
+        (0, "view", 0), (0, "click", 10), (0, "purchase", 20),
+        (1, "click", 0), (1, "view", 5), (1, "purchase", 8),
+        (2, "view", 3),
+        (3, "error", 1),
+        # user 4: purchase BETWEEN view and click — must not count
+        (4, "view", 0), (4, "purchase", 1), (4, "click", 2),
+    ]
+    for u, t, s in ev:
+        rows.append((u, t, base + dt.timedelta(seconds=s)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {
+        r.user_id: (r.t1_us, r.t2_us, r.t3_us, r.stage)
+        for r in eventops.funnel(df).collect()
+    }
+    us = lambda s: s * 1_000_000 + int(
+        base.replace(tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    assert got[0] == (us(0), us(10), us(20), 3)
+    # user 1: view@5, no click after 5 → stage 1
+    assert got[1] == (us(5), -1, -1, 1)
+    assert got[2] == (us(3), -1, -1, 1)
+    assert got[3] == (-1, -1, -1, 0)
+    # user 4: view@0, click@2, purchase@1 is BEFORE the click → stage 2
+    assert got[4] == (us(0), us(2), -1, 2)
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir):
+    from ccbot_spark.functions import eventops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = eventops.funnel(ev).collect()
+    n = {s: sum(1 for r in out if r.stage >= s) for s in (1, 2, 3)}
+    assert n[1] >= n[2] >= n[3] > 0
