@@ -812,3 +812,80 @@ def keywords_topk(
             "kw_rank",
         )
     )
+
+
+def collocations_topk(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text: str = "text",
+) -> DataFrame:
+    """Collocation (phrase) mining: adjacent-token bigrams ranked by a
+    PMI-SHAPED association ratio — pointwise mutual information
+    without its log, as the exact integer ppm of
+
+        p(ab) / (p(a)·p(b)) = (c_ab · T²) / (B · c_a · c_b)
+
+    computed with the FIXED nesting ((10⁶·c_ab·T) div (B·c_a))·T div
+    c_b, which keeps every intermediate inside int64 for per-scope
+    token totals up to ~10⁷ (shard the stats scope above that, as for
+    bm25_scores). The nesting order is part of the contract — both
+    engines replay it literally, so the score is engine-exact; and
+    since log is monotone, the RANKING equals true-PMI ranking.
+
+    Shape: one scan builds the token arrays; unigram and bigram
+    hash-aggs; the two 1-row totals broadcast back; bigrams below
+    `min_count` are dropped BEFORE the unigram joins (the Zipf tail is
+    where PMI is pure noise — standard practice since Church & Hanks
+    1990); final top-k is a TakeOrdered, never a global sort.
+
+    Output: (w1, w2, pair_count, pmi_ratio_ppm)."""
+    toks = F.filter(tokens(F.lower(F.col(text))), lambda t: t != F.lit(""))
+    base = df.select(toks.alias("_tk"))
+    uni = (
+        base.select(F.explode(F.col("_tk")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = F.when(
+        F.size(F.col("_tk")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_tk")) - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("_tk"), j).alias("w1"),
+                F.element_at(F.col("_tk"), j + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    tt = uni.agg(F.sum("c").alias("t_total"))
+    bt = (
+        base.select(
+            F.greatest(F.size(F.col("_tk")) - 1, F.lit(0)).alias("_nb")
+        )
+        .agg(F.sum("_nb").alias("b_total"))
+    )
+    scored = (
+        bi.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("pair_count"),
+            F.expr(
+                "(((1000000 * c_ab * t_total) DIV (b_total * c_a)) * t_total)"
+                " DIV c_b"
+            ).cast("long").alias("pmi_ratio_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio_ppm").desc(), "w1", "w2"
+    ).limit(k)

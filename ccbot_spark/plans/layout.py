@@ -99,3 +99,49 @@ def plan_zorder_files(
         )
     )
     return plan, cache
+
+
+def column_stats(df: DataFrame, cols) -> DataFrame:
+    """Iceberg-manifest-style column statistics in ONE scan: per
+    column, (n_rows, n_nulls, exact ndv, min, max) plus the
+    dictionary-encoding recommendation (ndv·10 ≤ n_rows → 'dict').
+    This is the writer-side metadata a 100 TB table's readers live
+    off — min/max drive file skipping, ndv drives encoding choice and
+    join-size estimation, null counts drive IS NULL pruning.
+
+    `cols` is a list of (name, Column) pairs, so derived stats columns
+    (e.g. exact integer cents for a money double) ride the same pass.
+    Shape: one aggregate row (COUNT + 4 aggregates per column — the
+    multi-distinct expand is the standard price of exact ndv; swap in
+    approx_count_distinct at the 10^12-row tier), exploded to one row
+    per column. min/max are computed in the column's NATIVE order and
+    stringified after (a string-side min would order "10" < "9")."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, c in cols:
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"_nn_{name}"),
+            F.countDistinct(c).alias(f"_ndv_{name}"),
+            F.min(c).cast("string").alias(f"_min_{name}"),
+            F.max(c).cast("string").alias(f"_max_{name}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col(f"_nn_{name}").cast("long").alias("n_nulls"),
+            F.col(f"_ndv_{name}").cast("long").alias("ndv"),
+            F.col(f"_min_{name}").alias("min_val"),
+            F.col(f"_max_{name}").alias("max_val"),
+        )
+        for name, _ in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .withColumn(
+            "encoding",
+            F.when(F.col("ndv") * 10 <= F.col("n_rows"), F.lit("dict"))
+            .otherwise(F.lit("plain")),
+        )
+    )

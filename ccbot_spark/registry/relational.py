@@ -343,6 +343,27 @@ def register(q):
         return plan
     q["s_zorder_layout"] = s_zorder_layout
 
+    def s_column_stats(spark, sf_dir):
+        # Iceberg-manifest-style stats collection over orders: one
+        # scan, exact ndv/min/max/null-count per column + the
+        # dictionary-encoding recommendation; the money double rides
+        # as exact integer cents so min/max stringify identically in
+        # any engine.
+        from ccbot_spark.plans import layout
+
+        o = _t(spark, sf_dir, "orders")
+        return layout.column_stats(
+            o,
+            [
+                ("o_orderkey", F.col("o_orderkey")),
+                ("o_custkey", F.col("o_custkey")),
+                ("o_orderstatus", F.col("o_orderstatus")),
+                ("o_orderpriority", F.col("o_orderpriority")),
+                ("o_totalprice_cents", _cents(F.col("o_totalprice"))),
+            ],
+        )
+    q["s_column_stats"] = s_column_stats
+
     def a_exact_quantiles(spark, sf_dir):
         # EXACT p50/p90/p99/p99.9 (percentile_disc semantics — value
         # at 1-based position ⌈p·n⌉) over lineitem price cents via the
@@ -615,6 +636,34 @@ def register_sql(o):
                MIN(b) AS bmin, MAX(b) AS bmax
         FROM r GROUP BY file_id
     """
+
+    # --- s_column_stats: per-column UNION ALL of the same aggregates;
+    # min/max in native order, stringified after.
+    _cs_col = """
+        SELECT '{name}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {x} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               CAST(COUNT(DISTINCT {x}) AS BIGINT) AS ndv,
+               CAST(MIN({x}) AS VARCHAR) AS min_val,
+               CAST(MAX({x}) AS VARCHAR) AS max_val,
+               CASE WHEN COUNT(DISTINCT {x}) * 10 <= COUNT(*)
+                    THEN 'dict' ELSE 'plain' END AS encoding
+        FROM orders
+    """
+    o["s_column_stats"] = "\nUNION ALL\n".join(
+        _cs_col.format(name=n, x=x)
+        for n, x in [
+            ("o_orderkey", "o_orderkey"),
+            ("o_custkey", "o_custkey"),
+            ("o_orderstatus", "o_orderstatus"),
+            ("o_orderpriority", "o_orderpriority"),
+            (
+                "o_totalprice_cents",
+                "CAST(round(o_totalprice * 100, 0) AS BIGINT)",
+            ),
+        ]
+    )
 
     o["s_limit"] = """
         SELECT o_orderkey, o_custkey FROM orders

@@ -85,6 +85,14 @@ def register(q):
         return textkit.bm25_scores(d, terms=("scan", "merge", "hash"))
     q["text_bm25"] = text_bm25
 
+    def text_collocations(spark, sf_dir):
+        # PMI-shaped collocation mining: top-50 adjacent bigrams by
+        # the log-free association ratio p(ab)/(p(a)p(b)) in exact
+        # nested-integer ppm; Zipf tail (c_ab < 5) dropped pre-join
+        d = _t(spark, sf_dir, "documents")
+        return textkit.collocations_topk(d, k=50, min_count=5)
+    q["text_collocations"] = text_collocations
+
     def text_keywords(spark, sf_dir):
         # per-doc top-3 tf·idf keywords (stopwords excluded, log-free
         # Robertson idf permil) — per-DOC windows, token-keyed df
@@ -359,6 +367,39 @@ def register_sql(o):
                          >= len(string_split(text, ' '))
                     THEN 'en' ELSE 'other' END AS lang_pred
         FROM documents
+    """
+
+    # --- text_collocations: identical nested-integer PMI ratio
+    o["text_collocations"] = """
+        WITH tk AS (
+          SELECT list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks
+          FROM documents
+        ),
+        uni AS (
+          SELECT tok, COUNT(*) AS c FROM (
+            SELECT unnest(toks) AS tok FROM tk
+          ) GROUP BY tok
+        ),
+        bi AS (
+          SELECT w1, w2, COUNT(*) AS c_ab FROM (
+            SELECT toks[j] AS w1, toks[j+1] AS w2
+            FROM tk, UNNEST(range(1, len(toks))) AS r(j)
+          ) GROUP BY w1, w2 HAVING COUNT(*) >= 5
+        ),
+        tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM uni),
+        bt AS (
+          SELECT CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) AS b_total
+          FROM tk
+        )
+        SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS pair_count,
+               CAST((((1000000 * b.c_ab * t_total) // (b_total * ua.c))
+                     * t_total) // ub.c AS BIGINT) AS pmi_ratio_ppm
+        FROM bi b
+        JOIN uni ua ON ua.tok = b.w1
+        JOIN uni ub ON ub.tok = b.w2, tt, bt
+        ORDER BY pmi_ratio_ppm DESC, b.w1, b.w2
+        LIMIT 50
     """
 
     # --- text_keywords: same tf·idf permil integers + per-doc window

@@ -2218,3 +2218,31 @@ def test_funnel_stage_counts_monotone(spark, sf_dir):
     out = eventops.funnel(ev).collect()
     n = {s: sum(1 for r in out if r.stage >= s) for s in (1, 2, 3)}
     assert n[1] >= n[2] >= n[3] > 0
+
+
+# ------------------------------------------------------------ collocations
+def test_collocations_match_python(docs):
+    from collections import Counter
+
+    from ccbot_spark.functions import textkit as tk
+
+    texts = [r.text for r in docs.select("text").collect()]
+    uni, bi, b_total = Counter(), Counter(), 0
+    for t in texts:
+        ts = [w for w in t.lower().split(" ") if w]
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+        b_total += max(len(ts) - 1, 0)
+    t_total = sum(uni.values())
+    scored = []
+    for (a, b), cab in bi.items():
+        if cab >= 5:
+            ppm = (((1000000 * cab * t_total) // (b_total * uni[a])) * t_total) // uni[b]
+            scored.append((-ppm, a, b, cab))
+    scored.sort()
+    want = [(a, b, c, -n) for n, a, b, c in scored[:50]]
+    got = [
+        (r.w1, r.w2, r.pair_count, r.pmi_ratio_ppm)
+        for r in tk.collocations_topk(docs, k=50, min_count=5).collect()
+    ]
+    assert got == want

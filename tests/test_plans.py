@@ -474,3 +474,47 @@ def test_zorder_layout_plan_shape_and_pruning(spark, sf_dir):
     a_hit = sum(1 for f in files if not (f.amax < 64 or f.amin > 127))
     b_hit = sum(1 for f in files if not (f.bmax < 64 or f.bmin > 127))
     assert a_hit < n and b_hit < n, (a_hit, b_hit, n)
+
+
+def test_column_stats_matches_pandas(spark, sf_dir):
+    from ccbot_spark.plans import layout
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = {
+        r.col_name: (r.n_rows, r.n_nulls, r.ndv, r.min_val, r.max_val, r.encoding)
+        for r in layout.column_stats(
+            o,
+            [
+                ("o_orderkey", F.col("o_orderkey")),
+                ("o_orderstatus", F.col("o_orderstatus")),
+            ],
+        ).collect()
+    }
+    pdf = o.select("o_orderkey", "o_orderstatus").toPandas()
+    n = len(pdf)
+    for c in ("o_orderkey", "o_orderstatus"):
+        ndv = pdf[c].nunique()
+        assert got[c] == (
+            n,
+            int(pdf[c].isna().sum()),
+            ndv,
+            str(pdf[c].min()),
+            str(pdf[c].max()),
+            "dict" if ndv * 10 <= n else "plain",
+        )
+
+
+def test_column_stats_single_scan_counts_nulls(spark):
+    from ccbot_spark.plans import layout
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x long, y string"
+    )
+    got = {
+        r.col_name: (r.n_nulls, r.ndv, r.min_val, r.max_val)
+        for r in layout.column_stats(
+            df, [("x", F.col("x")), ("y", F.col("y"))]
+        ).collect()
+    }
+    assert got["x"] == (1, 2, "1", "2")
+    assert got["y"] == (1, 2, "a", "b")
