@@ -423,3 +423,49 @@ def curation_flags(
         too_many_ch.alias("too_many_ch"),
         keep.alias("keep"),
     )
+
+
+def near_dup_blocks(feats: DataFrame, id_col: str = "audio_id") -> DataFrame:
+    """Resample/gain-tolerant near-duplicate BLOCKING over decoded
+    audio features — the audio twin of the image phash-band and video
+    shot-signature passes: two uploads of the same recording usually
+    differ by sample RATE (re-encode) or small GAIN, not by waveform
+    shape. The block key deliberately excludes the rate:
+
+        (channels, p_est, amp_bucket)
+        p_est      = (n_samples − 1) div zero_crossings   # shape, in
+                     samples-per-half-period — rate-free
+        amp_bucket = rms >> 8                             # 256-level
+                     gain bucket
+
+    Silent clips (peak = 0) carry no shape and are excluded. One
+    hash-agg on the block key + a min-id keeper per block; clips never
+    compare pairwise — blocking IS the scale story (candidates exist
+    only within a block, like LSH bands). Output: each clip in a
+    block of ≥ 2, (audio_id, channels, p_est, amp_bucket, group_n,
+    is_keeper)."""
+    sig = feats.filter(
+        (F.col("peak") > 0) & (F.col("zero_crossings") > 0)
+    ).select(
+        id_col,
+        F.col("channels").cast("long").alias("channels"),
+        F.expr("(n_samples - 1) div zero_crossings")
+        .cast("long")
+        .alias("p_est"),
+        F.shiftright(F.col("rms"), 8).cast("long").alias("amp_bucket"),
+    )
+    grp = sig.groupBy("channels", "p_est", "amp_bucket").agg(
+        F.count("*").alias("group_n"), F.min(id_col).alias("_keeper")
+    )
+    return (
+        sig.join(grp, ["channels", "p_est", "amp_bucket"])
+        .filter(F.col("group_n") >= 2)
+        .select(
+            id_col,
+            "channels",
+            "p_est",
+            "amp_bucket",
+            F.col("group_n").cast("long").alias("group_n"),
+            (F.col(id_col) == F.col("_keeper")).cast("long").alias("is_keeper"),
+        )
+    )

@@ -1035,3 +1035,46 @@ def mirror_hosts(
             .alias("jaccard_milli"),
         )
     )
+
+
+def incremental_dedup(
+    prior: DataFrame,
+    batch: DataFrame,
+    digest,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot incremental dedup — the per-batch corpus-hygiene
+    pass of a CONTINUOUS crawl: a new batch is deduplicated (a)
+    against the whole PRIOR corpus by content digest and (b) within
+    itself, first occurrence (min key) winning. Every batch row comes
+    back labeled:
+
+        'prior_dup'  digest already in the prior corpus
+        'batch_dup'  digest new, but an earlier batch row has it
+        'kept'       the batch winner for a new digest
+
+    `digest` is a Column expression evaluated on BOTH frames (md5 of
+    the full text in production; any canonicalized fingerprint works).
+    Shape: the prior side reduces to DISTINCT digests (digest-sized,
+    not corpus-sized), one digest-keyed left join + one batch-side
+    min-key hash-agg. At 10^10 prior digests the join rides the
+    engine's Bloom-shard prefilter (seen.py) under the house
+    prefilter-only exactness contract — the Bloom only ever skips
+    definite non-members, so the result is identical."""
+    d = batch.withColumn("_dg", digest)
+    p = prior.select(digest.alias("_dg")).distinct().withColumn(
+        "_in_prior", F.lit(1)
+    )
+    w = d.groupBy("_dg").agg(F.min(key).alias("_w"))
+    return (
+        d.join(p, "_dg", "left")
+        .join(w, "_dg")
+        .select(
+            key,
+            F.col("_dg").alias("digest"),
+            F.when(F.col("_in_prior").isNotNull(), F.lit("prior_dup"))
+            .when(F.col(key) != F.col("_w"), F.lit("batch_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

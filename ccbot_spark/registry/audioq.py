@@ -128,6 +128,16 @@ def register(q):
         ).select("audio_id", "duration_ms", "rate", "channels", "peak", "rms")
     q["aud_pipeline"] = aud_pipeline
 
+    def aud_near_dedup(spark, sf_dir):
+        # rate/gain-tolerant near-dup blocking: block key (channels,
+        # shape half-period re-derived rate-free from the decoded
+        # features, rms>>8 gain bucket) — candidates only within a
+        # block, never pairwise across clips
+        return audiokit.near_dup_blocks(
+            audiokit.audio_features(_synth(spark, sf_dir))
+        )
+    q["aud_near_dedup"] = aud_near_dedup
+
     def aud_fingerprint_near(spark, sf_dir):
         # ROWS-ONLY by documented necessity: the Haitsma–Kalker robust
         # fingerprint is numpy-FFT band energies — not SQL-expressible
@@ -256,6 +266,32 @@ def register_sql(o):
                CAST(n2 * 1000 // rate2 AS BIGINT) AS hdr_duration_ms,
                CAST(44 + n2 * channels * 2 AS BIGINT) AS nbytes
         FROM r
+    """
+
+    # --- aud_near_dedup: the block key re-derived in closed form
+    # (zero_crossings = (n-1)//period, so p_est = (n-1)//zc)
+    o["aud_near_dedup"] = f"""
+        WITH {_PARAMS_CTE},
+        sig AS (
+          SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS audio_id,
+                 CAST(channels AS BIGINT) AS channels,
+                 CAST((n_samples - 1) // ((n_samples - 1) // period)
+                      AS BIGINT) AS p_est,
+                 CAST(amp >> 8 AS BIGINT) AS amp_bucket
+          FROM params WHERE amp > 0
+        ),
+        grp AS (
+          SELECT channels, p_est, amp_bucket,
+                 COUNT(*) AS group_n, MIN(audio_id) AS keeper
+          FROM sig GROUP BY channels, p_est, amp_bucket
+        )
+        SELECT s.audio_id, s.channels, s.p_est, s.amp_bucket,
+               CAST(g.group_n AS BIGINT) AS group_n,
+               CAST(CASE WHEN s.audio_id = g.keeper THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_keeper
+        FROM sig s
+        JOIN grp g USING (channels, p_est, amp_bucket)
+        WHERE g.group_n >= 2
     """
 
     o["aud_pipeline"] = f"""

@@ -95,6 +95,24 @@ def register(q):
         return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
     q["dedup_exact"] = dedup_exact
 
+    def dedup_incremental(spark, sf_dir):
+        # cross-snapshot batch dedup: docs ≥ 400 are "this crawl's
+        # batch", docs < 400 the prior corpus; digest = md5 of the
+        # 5-token prefix fingerprint (full-text md5 in production —
+        # prefix makes the fixture non-vacuous). prior side reduces to
+        # DISTINCT digests; Bloom-prefilterable under the house
+        # prefilter-only exactness contract.
+        d = _t(spark, sf_dir, "documents")
+        dg = F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+        )
+        return dedup.incremental_dedup(
+            d.filter(F.col("doc_id") < 400),
+            d.filter(F.col("doc_id") >= 400),
+            digest=dg,
+        )
+    q["dedup_incremental"] = dedup_incremental
+
     def dedup_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), n=3, t10=1
@@ -297,6 +315,26 @@ def register_sql(o):
         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_partkey = p.p_partkey
                             AND l.l_quantity > 45)
+    """
+
+    # --- dedup_incremental: same digest + status rules
+    o["dedup_incremental"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS dg
+          FROM documents WHERE doc_id >= 400
+        ),
+        p AS (
+          SELECT DISTINCT
+                 md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS dg
+          FROM documents WHERE doc_id < 400
+        ),
+        w AS (SELECT dg, MIN(doc_id) AS w FROM d GROUP BY dg)
+        SELECT d.doc_id, d.dg AS digest,
+               CASE WHEN p.dg IS NOT NULL THEN 'prior_dup'
+                    WHEN d.doc_id <> w.w THEN 'batch_dup'
+                    ELSE 'kept' END AS status
+        FROM d LEFT JOIN p ON d.dg = p.dg JOIN w ON d.dg = w.dg
     """
 
     o["j_phash_near"] = """

@@ -267,3 +267,49 @@ def test_curation_gates_fire(audio):
     n_rows = len(flags)
     assert all(0 < v < n_rows for v in fired.values()), fired
     assert 0 < sum(r["keep"] for r in flags.values()) < n_rows
+
+
+# ------------------------------------------------------------------
+# Near-dup blocking
+# ------------------------------------------------------------------
+
+
+def test_near_dup_blocks_rate_and_gain_tolerant(spark):
+    # the same square wave at three rates and a small gain change must
+    # land in ONE block; a different-period wave must not
+    import numpy as np
+
+    from ccbot_spark.functions import audiokit
+
+    def clip(aid, amp, period, rate, n=512):
+        idx = np.arange(n)
+        s = np.where((idx // period) % 2 == 0, amp, -amp).astype(np.int16)
+        return (aid, audiokit.encode_wav(s.reshape(-1, 1), rate))
+
+    rows = [
+        clip("a-8k", 9000, 16, 8000),
+        clip("a-16k", 9000, 16, 16000),
+        clip("a-44k", 9100, 16, 44100),  # +100 gain: same rms>>8 bucket
+        clip("b-other", 9000, 24, 8000),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    out = audiokit.near_dup_blocks(audiokit.audio_features(df)).collect()
+    ids = {r.audio_id for r in out}
+    assert ids == {"a-8k", "a-16k", "a-44k"}
+    assert len({(r.channels, r.p_est, r.amp_bucket) for r in out}) == 1
+    keepers = [r.audio_id for r in out if r.is_keeper == 1]
+    assert keepers == ["a-16k"]  # min id in the block
+
+
+def test_near_dup_blocks_silence_excluded(spark):
+    import numpy as np
+
+    from ccbot_spark.functions import audiokit
+
+    z = np.zeros((256, 1), np.int16)
+    rows = [
+        ("s1", audiokit.encode_wav(z, 8000)),
+        ("s2", audiokit.encode_wav(z, 8000)),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    assert audiokit.near_dup_blocks(audiokit.audio_features(df)).count() == 0

@@ -2246,3 +2246,39 @@ def test_collocations_match_python(docs):
         for r in tk.collocations_topk(docs, k=50, min_count=5).collect()
     ]
     assert got == want
+
+
+# ------------------------------------------------------------ incremental dedup
+def test_incremental_dedup_statuses(spark):
+    from ccbot_spark.functions import dedup as dd
+
+    prior = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "aaa"), (11, "ccc"), (12, "ccc"), (13, "ddd")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.status
+        for r in dd.incremental_dedup(
+            prior, batch, digest=F.md5(F.col("text"))
+        ).collect()
+    }
+    assert out == {10: "prior_dup", 11: "kept", 12: "batch_dup", 13: "kept"}
+
+
+def test_incremental_dedup_kept_set_grows_correctly(docs):
+    # union(prior digests, kept batch digests) must equal the distinct
+    # digest set of the whole corpus — nothing lost, nothing duplicated
+    from ccbot_spark.functions import dedup as dd
+
+    dg = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " "))
+    prior = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    out = dd.incremental_dedup(prior, batch, digest=dg)
+    kept = {r.digest for r in out.filter(F.col("status") == "kept").collect()}
+    prior_dgs = {r.d for r in prior.select(dg.alias("d")).distinct().collect()}
+    all_dgs = {r.d for r in docs.select(dg.alias("d")).distinct().collect()}
+    assert prior_dgs | kept == all_dgs
+    assert not (prior_dgs & kept)
