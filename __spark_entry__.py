@@ -62,6 +62,9 @@ def clear_caches() -> None:
         _ACTIVE_CACHES.pop().unpersist()
     dedup.clear_caches()
     linkrank.clear_caches()
+    from ccbot_spark.functions import videokit as _vk
+
+    _vk.clear_caches()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -208,6 +208,14 @@ def main() -> None:
     entry.clear_caches()  # cdx_index registers a sequencing cache
     bench("q_para_dedup", lambda: run(qs["text_para_dedup"](spark, SF_DIR)))
     bench("q_asof_join", lambda: run(qs["j_asof"](spark, SF_DIR)))
+    # ---- final-session additions (all scale with sf)
+    bench("q_bpe_train", lambda: run(qs["text_bpe_train"](spark, SF_DIR)))
+    bench("q_bm25", lambda: run(qs["text_bm25"](spark, SF_DIR)))
+    bench("q_label_prop", lambda: run(qs["g_label_prop"](spark, SF_DIR)))
+    bench("q_funnel", lambda: run(qs["a_funnel"](spark, SF_DIR)))
+    bench("q_zorder_layout", lambda: run(qs["s_zorder_layout"](spark, SF_DIR)))
+    entry.clear_caches()  # zorder registers a sequencing cache
+    bench("q_vid_near_dedup", lambda: run(qs["vid_near_dedup"](spark, SF_DIR)))
 
     def img_pipeline():
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))

@@ -43,6 +43,27 @@ from pyspark.sql import types as T
 
 from .. import codecs
 
+#: frames persisted by near_dup_pairs (the capped signature set that
+#: keeps the Arrow decode from running twice); released via
+#: clear_caches() once results are consumed — same contract as
+#: functions/dedup._ACTIVE_CACHES.
+_ACTIVE_CACHES: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def clear_caches() -> None:
+    """Unpersist every intermediate cached by this module (safe once
+    no returned DataFrame is still in use)."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
 # ------------------------------------------------------------------
 # Y4M codec (pure python+numpy; mjpegtools YUV4MPEG2 spec)
 # ------------------------------------------------------------------
@@ -562,9 +583,7 @@ def near_dup_pairs(
     kept = sigs.join(
         by_sig.filter(F.col("_nv") <= df_cap).select("sig"), "sig"
     )
-    from pyspark.storagelevel import StorageLevel
-
-    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = _persist(kept)
     sizes = kept.groupBy(id_col).agg(F.count("*").alias("n_sigs"))
     a = kept.select(F.col(id_col).alias("vid_a"), "sig")
     b = kept.select(F.col(id_col).alias("vid_b"), "sig")
