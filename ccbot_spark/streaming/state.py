@@ -170,3 +170,76 @@ def st_host_politeness_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1_us", T.LongType(), False),
+        T.StructField("t2_us", T.LongType(), False),
+        T.StructField("t3_us", T.LongType(), False),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("t1_us", T.LongType(), False),
+        T.StructField("t2_us", T.LongType(), False),
+        T.StructField("t3_us", T.LongType(), False),
+        T.StructField("stage", T.LongType(), False),
+    ]
+)
+
+
+def st_funnel_state(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming ordered-funnel (the stateful twin of
+    eventops.funnel): per-user state is just the chained-minima tuple
+    (t1, t2, t3) — three longs per user, bounded forever — updated by
+    applying each micro-batch's rows in (ts, event_type) order with
+    the same strictly-after first-match rule:
+
+        tᵢ := ts   when event_type == steps[i], tᵢ unset,
+                   and (i == 0 or ts > tᵢ₋₁)
+
+    On an IN-ORDER stream (watermarked upstream, like every other
+    st_* twin here) the final emitted row per user equals the batch
+    funnel exactly — that's the parity gate in tests/test_streaming.py;
+    a late event older than an already-set stage is dropped by the
+    first-match rule, the standard stateful-funnel degradation. Each
+    micro-batch emits the user's CURRENT funnel row."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t = list(state.get) if state.exists else [-1, -1, -1]
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_type"], kind="mergesort")
+        for typ, ts in zip(pdf["event_type"], pdf["ts"]):
+            if typ not in steps:
+                continue
+            i = steps.index(typ)
+            us = int(
+                (ts if isinstance(ts, dt.datetime) else ts.to_pydatetime())
+                .replace(tzinfo=dt.timezone.utc)
+                .timestamp()
+                * 1_000_000
+            )
+            if t[i] < 0 and (i == 0 or (t[i - 1] >= 0 and us > t[i - 1])):
+                t[i] = us
+        state.update(tuple(t))
+        stage = sum(1 for x in t if x >= 0)
+        yield pd.DataFrame(
+            [(key[0], t[0], t[1], t[2], stage)],
+            columns=[f.name for f in FUNNEL_OUT_SCHEMA.fields],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -721,3 +721,66 @@ def test_cm_sketch_stream_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) <= 4 * 64
+
+
+def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
+    """st_funnel_state over a ts-ordered file stream (one micro-batch
+    per file) must end at EXACTLY the batch eventops.funnel result for
+    every user — the chained-minima state survives batch boundaries."""
+    import os
+
+    from ccbot_spark.functions import eventops
+    from ccbot_spark.streaming import state as st
+
+    sub = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_type", F.col("ts").cast("timestamp_ntz"))
+    )
+    # three sequential, ts-ordered files (in-order stream)
+    rows = sorted(
+        sub.collect(), key=lambda r: (r.ts, r.event_type, r.user_id)
+    )
+    src = tmp_path / "src"
+    os.makedirs(src)
+    third = (len(rows) + 2) // 3
+    schema = "user_id long, event_type string, ts timestamp_ntz"
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third:(i + 1) * third], schema
+        ).coalesce(1).write.parquet(str(src / f"part{i}"))
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = st.st_funnel_state(events)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("funnel_out").collect()
+    # the LAST emitted row per user (st emits one row per touched
+    # user per batch) must equal the batch funnel
+    last = {}
+    for r in emitted:
+        last[r.user_id] = (r.t1_us, r.t2_us, r.t3_us, r.stage)
+    want = {
+        r.user_id: (r.t1_us, r.t2_us, r.t3_us, r.stage)
+        for r in eventops.funnel(sub).collect()
+    }
+    # users with zero funnel events still appear in batch (stage 0);
+    # the stream only emits for users with at least one event — both
+    # see the same universe here since every user has events
+    assert last == want
+    # state really crossed batches: some user must have advanced a
+    # stage after its first emitted row
+    first = {}
+    for r in emitted:
+        first.setdefault(r.user_id, (r.t1_us, r.t2_us, r.t3_us, r.stage))
+    assert any(first[u][3] < last[u][3] for u in last)
