@@ -269,3 +269,40 @@ def funnel(
         ],
         stage.alias("stage"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    bucket_us: int = 86_400_000_000,
+    user: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Cohort retention — users grouped by their FIRST-activity day
+    (the cohort), counted at every later activity-day offset: the
+    engagement-decay curve behind every retention chart (for a crawl,
+    swap users→hosts and activity→fetch cycles to read host liveness
+    decay).
+
+    Shape: one distinct (user, day) projection — the raw log reduces
+    to at most users×days rows immediately — one min hash-agg per
+    user for the cohort assignment, one user-keyed join back, one
+    pair hash-agg. Day buckets are exact integers from the tz-free
+    epoch_us (floor(us / bucket)); after the distinct, COUNT(*) per
+    (cohort, offset) IS the distinct-user count.
+
+    Output: (cohort_day, day_offset, n_users)."""
+    acts = events.select(
+        user,
+        F.floor(epoch_us(F.col(ts)) / F.lit(bucket_us))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    cohorts = acts.groupBy(user).agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(cohorts, user)
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -89,6 +89,13 @@ def register(q):
         return eventops.funnel(ev)
     q["a_funnel"] = a_funnel
 
+    def a_cohort_retention(spark, sf_dir):
+        # first-activity-day cohorts × activity-day offsets: the
+        # retention decay matrix, one distinct + two hash-aggs
+        ev = _t(spark, sf_dir, "events")
+        return eventops.cohort_retention(ev)
+    q["a_cohort_retention"] = a_cohort_retention
+
 
 def register_sql(o):
 
@@ -136,6 +143,22 @@ def register_sql(o):
 
     # --- a_sessionize: gaps-and-islands with the same strict->gap
     # boundary and (ts, event_id) tiebreak as eventops.sessionize
+    # --- a_cohort_retention: same day-bucket integers
+    o["a_cohort_retention"] = """
+        WITH a AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events
+        ),
+        c AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id
+        )
+        SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+               CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY c.cohort_day, a.day - c.cohort_day
+    """
+
     # --- a_funnel: the same chained strictly-after minima
     o["a_funnel"] = """
         WITH b AS (

@@ -2282,3 +2282,34 @@ def test_incremental_dedup_kept_set_grows_correctly(docs):
     all_dgs = {r.d for r in docs.select(dg.alias("d")).distinct().collect()}
     assert prior_dgs | kept == all_dgs
     assert not (prior_dgs & kept)
+
+
+# ------------------------------------------------------------ cohorts
+def test_cohort_retention_matches_python(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from ccbot_spark.functions import eventops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in eventops.cohort_retention(ev).collect()
+    }
+    import datetime as dt
+
+    days = defaultdict(set)
+    for r in ev.select("user_id", "ts").collect():
+        us = int(
+            r.ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+        days[r.user_id].add(us // 86_400_000_000)
+    want = Counter()
+    for u, ds in days.items():
+        c = min(ds)
+        for d in ds:
+            want[(c, d - c)] += 1
+    assert got == dict(want)
+    # offset-0 row of each cohort counts the whole cohort: it must be
+    # the max over that cohort's offsets
+    for (c, off), n in got.items():
+        assert n <= got[(c, 0)]
