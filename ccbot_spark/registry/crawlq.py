@@ -564,6 +564,75 @@ def register(q):
         )
     q["a_host_fairness"] = a_host_fairness
 
+    def a_host_gini(spark, sf_dir):
+        # Gini concentration of per-host service (the complement of
+        # a_host_fairness's Jain index — Gini reads the TAIL, Jain
+        # the variance): exact integer ppm over rank-weighted counts,
+        #   G_ppm = (2·Σᵢ i·xᵢ − (n+1)·Σx) · 10⁶ DIV (n·Σx)
+        # with ranks by (x, host) from the two-phase global_sequence
+        # (no single-partition window even though hosts are few —
+        # same primitive as the trace numbering, any cardinality).
+        from ccbot_spark.operators import sequencing
+
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 9000)
+        per_host = (
+            e.select(
+                F.concat(
+                    F.lit("h"), ((F.col("event_id") % 900) % 37).cast("string")
+                ).alias("host")
+            )
+            .groupBy("host")
+            .agg(F.count("*").alias("x"))
+        )
+        ranked, _n, cache = sequencing.global_sequence(
+            per_host, ["x", "host"], num_partitions=8
+        )
+        _ACTIVE_CACHES.append(cache)
+        return ranked.agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("x").cast("long").alias("total"),
+            F.sum((F.col("seq") + 1) * F.col("x")).cast("long").alias("rank_wsum"),
+        ).select(
+            "n_hosts",
+            "total",
+            F.expr(
+                "(2 * rank_wsum - (n_hosts + 1) * total) * 1000000"
+                " DIV (n_hosts * total)"
+            ).cast("long").alias("gini_ppm"),
+        )
+    q["a_host_gini"] = a_host_gini
+
+    def g_reciprocity(spark, sf_dir):
+        # link reciprocity per source page (mutual-link fraction —
+        # the classic link-farm signal: organic webs are mostly
+        # one-way, spam rings link both ways): one self-join of the
+        # deduped edge set against its own reverse, integer ppm.
+        d = _t(spark, sf_dir, "documents")
+        n = F.lit(500)
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 2 + 1) % n,
+                    (F.col("doc_id") * 3 + 2) % n,
+                )
+            ).alias("dst"),
+        ).filter(F.col("src") != F.col("dst")).distinct()
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ).withColumn("_r", F.lit(1))
+        marked = edges.join(rev, ["src", "dst"], "left")
+        return marked.groupBy("src").agg(
+            F.count("*").cast("long").alias("n_out"),
+            F.sum(F.col("_r").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_recip"),
+        ).withColumn(
+            "recip_ppm",
+            F.expr("n_recip * 1000000 DIV n_out").cast("long"),
+        )
+    q["g_reciprocity"] = g_reciprocity
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -1124,6 +1193,40 @@ def register_sql(o):
     """
 
     # --- a_host_fairness: Jain index by integer cross-multiplication.
+    # --- a_host_gini: same rank-weighted integer formula
+    o["a_host_gini"] = """
+        WITH per_host AS (
+          SELECT 'h' || CAST((event_id % 900) % 37 AS VARCHAR) AS host,
+                 COUNT(*) AS x
+          FROM events WHERE event_id < 9000 GROUP BY host
+        ),
+        ranked AS (
+          SELECT x, ROW_NUMBER() OVER (ORDER BY x, host) AS i FROM per_host
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+               CAST(SUM(x) AS BIGINT) AS total,
+               CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+                    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
+        FROM ranked
+    """
+
+    # --- g_reciprocity: edge set vs its own reverse
+    o["g_reciprocity"] = """
+        WITH e0 AS (
+          SELECT doc_id AS src, (doc_id*2+1) % 500 AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id*3+2) % 500 FROM documents
+        ),
+        e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+        SELECT e.src, CAST(COUNT(*) AS BIGINT) AS n_out,
+               CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_recip,
+               CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS recip_ppm
+        FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+        GROUP BY e.src
+    """
+
     o["a_host_fairness"] = """
         WITH per_host AS (
           SELECT 'h' || CAST((event_id % 900) % 37 AS VARCHAR) AS host,

@@ -2313,3 +2313,54 @@ def test_cohort_retention_matches_python(spark, sf_dir):
     # the max over that cohort's offsets
     for (c, off), n in got.items():
         assert n <= got[(c, 0)]
+
+
+# ------------------------------------------------------------ gini
+def test_gini_extremes(spark):
+    # perfectly even counts -> G = 0; one host hogs everything -> G
+    # near (n-1)/n
+    from ccbot_spark.operators import sequencing
+
+    def gini_ppm(counts):
+        n = len(counts)
+        xs = sorted(counts)
+        total = sum(xs)
+        rw = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * rw - (n + 1) * total) * 1_000_000 // (n * total)
+
+    assert gini_ppm([5, 5, 5, 5]) == 0
+    n = 10
+    g = gini_ppm([0] * 0 + [1] * (n - 1) + [991])  # near-total hog
+    assert g > 800_000
+    # the Spark path over a tiny frame equals the python fold
+    df = spark.createDataFrame(
+        [("h%d" % i, x) for i, x in enumerate([1, 2, 3, 14])],
+        "host string, x long",
+    )
+    ranked, _n, cache = sequencing.global_sequence(df, ["x", "host"], 4)
+    row = ranked.selectExpr(
+        "count(*) AS n", "sum(x) AS t", "sum((seq + 1) * x) AS rw"
+    ).first()
+    cache.unpersist()
+    got = (2 * row.rw - (row.n + 1) * row.t) * 1_000_000 // (row.n * row.t)
+    assert got == gini_ppm([1, 2, 3, 14])
+
+
+def test_reciprocity_counts(spark):
+    from pyspark.sql import functions as SF
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (4, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long").distinct()
+    rev = e.select(SF.col("dst").alias("src"), SF.col("src").alias("dst")) \
+        .withColumn("_r", SF.lit(1))
+    got = {
+        r.src: (r.n_out, r.n_recip)
+        for r in e.join(rev, ["src", "dst"], "left")
+        .groupBy("src")
+        .agg(
+            SF.count("*").alias("n_out"),
+            SF.sum(SF.col("_r").isNotNull().cast("long")).alias("n_recip"),
+        )
+        .collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 1), 3: (1, 1), 4: (2, 1)}
