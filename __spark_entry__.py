@@ -62,9 +62,11 @@ def clear_caches() -> None:
         _ACTIVE_CACHES.pop().unpersist()
     dedup.clear_caches()
     linkrank.clear_caches()
+    from ccbot_spark.functions import textkit as _tk
     from ccbot_spark.functions import videokit as _vk
 
     _vk.clear_caches()
+    _tk.clear_bpe_caches()
 
 
 def entry(spark: SparkSession) -> DataFrame:

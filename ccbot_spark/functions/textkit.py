@@ -645,7 +645,9 @@ def bm25_scores_py(
 BPE_REPLACE_PASSES = 4
 
 
-def bpe_train(df, n_merges: int = 6, text: str = "text"):
+def bpe_train(
+    df, n_merges: int = 6, text: str = "text", return_vocab: bool = False
+):
     """Distributed BPE vocabulary induction — the merge-learning loop
     of Sennrich-Haddow-Birch 2016 §3.2 (and of every GPT-style
     tokenizer build), run as Spark aggregations over the WORD
@@ -721,12 +723,45 @@ def bpe_train(df, n_merges: int = 6, text: str = "text"):
         for _ in range(BPE_REPLACE_PASSES):
             padded = F.replace(padded, F.lit(pat), F.lit(rep))
         sym = F.trim(padded)
+    if return_vocab:
+        out = vocab.select(
+            "w",
+            F.col("n").cast("long").alias("n_occurrences"),
+            F.length("w").cast("long").alias("n_chars_w"),
+            F.size(F.split(sym, " ")).cast("long").alias("n_symbols"),
+        )
+        # the caller consumes `out` before the cache would matter; the
+        # projection re-reads the persisted vocab exactly once
+        _BPE_CACHES.append(vocab)
+        return out
     vocab.unpersist()
     return spark.createDataFrame(
         merges,
         "step int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     )
+
+
+#: vocab frames still referenced by a bpe_train(return_vocab=True)
+#: result; released via clear_bpe_caches() (wired into
+#: __spark_entry__.clear_caches through the dedup-module convention).
+_BPE_CACHES: list = []
+
+
+def clear_bpe_caches() -> None:
+    while _BPE_CACHES:
+        _BPE_CACHES.pop().unpersist()
+
+
+def bpe_segment(df, n_merges: int = 6, text: str = "text"):
+    """The learned tokenizer APPLIED: every corpus word with its
+    symbol count after `n_merges` BPE merges — the compression curve
+    a tokenizer build is judged by (Σ n_occurrences·n_symbols is the
+    corpus token count under the learned vocab; n_chars_w is the
+    ceiling with no merges). Runs the same training loop and returns
+    the final word→segmentation table instead of the merge list.
+    Output: (w, n_occurrences, n_chars_w, n_symbols)."""
+    return bpe_train(df, n_merges=n_merges, text=text, return_vocab=True)
 
 
 def bpe_train_py(texts: list[str], n_merges: int = 6) -> list[tuple]:

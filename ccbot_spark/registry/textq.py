@@ -110,6 +110,15 @@ def register(q):
         return textkit.bpe_train(d, n_merges=6)
     q["text_bpe_train"] = text_bpe_train
 
+    def text_bpe_segment(spark, sf_dir):
+        # the learned tokenizer APPLIED: word → symbol count after the
+        # 6 merges (Σ n·n_symbols = corpus token count under the
+        # vocab — the compression curve a tokenizer build is judged
+        # by); same loop, final vocab table out
+        d = _t(spark, sf_dir, "documents")
+        return textkit.bpe_segment(d, n_merges=6)
+    q["text_bpe_segment"] = text_bpe_segment
+
     def text_vocab_topk(spark, sf_dir):
         # tokenizer/BPE-build prerequisite: corpus vocabulary head
         # (one explode + hash-agg + TakeOrdered; textkit.vocab_topk)
@@ -490,6 +499,18 @@ def register_sql(o):
             FROM b{_i}"""
             for _i in range(1, 7)
         )
+    )
+
+    # --- text_bpe_segment: the same chain's FINAL vocab level
+    o["text_bpe_segment"] = (
+        "WITH "
+        + ",\n".join(_bpe)
+        + """
+        SELECT w, CAST(n AS BIGINT) AS n_occurrences,
+               CAST(len(w) AS BIGINT) AS n_chars_w,
+               CAST(len(string_split(s, ' ')) AS BIGINT) AS n_symbols
+        FROM v6
+    """
     )
 
     # --- text_bm25: same integer formula — HUGEINT-safe in DuckDB

@@ -2364,3 +2364,34 @@ def test_reciprocity_counts(spark):
         .collect()
     }
     assert got == {1: (2, 1), 2: (1, 1), 3: (1, 1), 4: (2, 1)}
+
+
+def test_bpe_segment_matches_python_and_compresses(docs):
+    from collections import Counter
+
+    from ccbot_spark.functions import textkit as tk
+
+    texts = [r.text for r in docs.select("text").collect()]
+    # python twin of the segmentation table
+    words = Counter(t for txt in texts for t in txt.lower().split(" ") if t)
+    syms = {w: " ".join(w) for w in words}
+    for _s, l, r, _m, _c in tk.bpe_train_py(texts, n_merges=6):
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        for w in syms:
+            padded = f" {syms[w]} "
+            for _ in range(tk.BPE_REPLACE_PASSES):
+                padded = padded.replace(pat, rep)
+            syms[w] = padded.strip(" ")
+    want = {
+        w: (words[w], len(w), len(syms[w].split(" "))) for w in words
+    }
+    got = {
+        r.w: (r.n_occurrences, r.n_chars_w, r.n_symbols)
+        for r in tk.bpe_segment(docs, n_merges=6).collect()
+    }
+    tk.clear_bpe_caches()
+    assert got == want
+    # merges must strictly compress the corpus token count
+    before = sum(n * c for n, c, _s in want.values())
+    after = sum(n * s for n, _c, s in want.values())
+    assert after < before
