@@ -306,3 +306,60 @@ def cohort_retention(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group: str,
+    value: str,
+    tiebreak: str,
+    percents: tuple[int, ...] = (50, 90, 99),
+    bucket_shift: int = 12,
+) -> DataFrame:
+    """EXACT per-group percentiles (percentile_disc semantics: the
+    value at 1-based rank ⌈p·n/100⌉) without ever giving one group to
+    one window task. `Window.partitionBy(group)` funnels a hot group
+    (one event_type can be half a 10^12-row log); instead the
+    within-group rank decomposes over VALUE-PREFIX buckets, the
+    integer-key form of sequencing.grouped_rank's hex trick:
+
+      bucket = value >> bucket_shift   (monotone in value, so group
+      rank = per-(group, bucket) offset + row_number within bucket)
+
+      1. per-(group, bucket) counts — map-side-combinable hash-agg;
+      2. per-group prefix sums over ≤ 2^(bits−shift) bucket rows — a
+         window bounded by the BUCKET count, never the group size;
+      3. within-(group, bucket) row_number by (value, tiebreak).
+
+    Output: (group, n_rows, p<p>_<value> per requested percent) —
+    integer-exact, engine-replayable."""
+    base = df.withColumn(
+        "_qb", F.shiftright(F.col(value), bucket_shift)
+    )
+    counts = base.groupBy(group, "_qb").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(group)
+        .orderBy("_qb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
+    ).drop("_n")
+    w_in = Window.partitionBy(group, "_qb").orderBy(value, tiebreak)
+    ranked = (
+        base.join(offsets, [group, "_qb"])
+        .withColumn(
+            "_rk", (F.col("_off") + F.row_number().over(w_in)).cast("long")
+        )
+    )
+    sizes = df.groupBy(group).agg(F.count("*").alias("_gn"))
+    j = ranked.join(sizes, group)
+    aggs = [F.max("_gn").cast("long").alias("n_rows")]
+    for p in percents:
+        pos = F.expr(f"({p} * _gn + 99) DIV 100")
+        aggs.append(
+            F.max(F.when(F.col("_rk") == pos, F.col(value)))
+            .cast("long")
+            .alias(f"p{p}_{value}")
+        )
+    return j.groupBy(group).agg(*aggs)

@@ -96,6 +96,18 @@ def register(q):
         return eventops.cohort_retention(ev)
     q["a_cohort_retention"] = a_cohort_retention
 
+    def a_group_quantiles(spark, sf_dir):
+        # exact p50/p90/p99 of value-cents per event_type — the
+        # per-group percentile_disc, rank decomposed over value-prefix
+        # buckets so a hot group never funnels one window task
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "cents", F.round(F.col("value") * 100).cast("long")
+        )
+        return eventops.group_quantiles(
+            ev, group="event_type", value="cents", tiebreak="event_id"
+        )
+    q["a_group_quantiles"] = a_group_quantiles
+
 
 def register_sql(o):
 
@@ -157,6 +169,32 @@ def register_sql(o):
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN c USING (user_id)
         GROUP BY c.cohort_day, a.day - c.cohort_day
+    """
+
+    # --- a_group_quantiles: percentile_disc restated as the explicit
+    # rank formula (value at 1-based rank ceil(p·n/100), ties by id)
+    o["a_group_quantiles"] = """
+        WITH c AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ),
+        r AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(MAX(CASE WHEN rk = (50 * n + 99) // 100
+                             THEN cents END) AS BIGINT) AS p50_cents,
+               CAST(MAX(CASE WHEN rk = (90 * n + 99) // 100
+                             THEN cents END) AS BIGINT) AS p90_cents,
+               CAST(MAX(CASE WHEN rk = (99 * n + 99) // 100
+                             THEN cents END) AS BIGINT) AS p99_cents
+        FROM r GROUP BY event_type
     """
 
     # --- a_funnel: the same chained strictly-after minima

@@ -2395,3 +2395,42 @@ def test_bpe_segment_matches_python_and_compresses(docs):
     before = sum(n * c for n, c, _s in want.values())
     after = sum(n * s for n, _c, s in want.values())
     assert after < before
+
+
+# ------------------------------------------------------------ group quantiles
+def test_group_quantiles_match_python(spark, sf_dir):
+    from ccbot_spark.functions import eventops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    got = {
+        r.event_type: (r.n_rows, r.p50_cents, r.p90_cents, r.p99_cents)
+        for r in eventops.group_quantiles(
+            ev, "event_type", "cents", "event_id"
+        ).collect()
+    }
+    rows = ev.select("event_type", "cents", "event_id").collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.event_type].append((r.cents, r.event_id))
+    want = {}
+    for t, xs in per.items():
+        xs.sort()
+        n = len(xs)
+        pick = lambda p: xs[(p * n + 99) // 100 - 1][0]
+        want[t] = (n, pick(50), pick(90), pick(99))
+    assert got == want
+
+
+def test_group_quantiles_never_single_partition(spark, sf_dir):
+    from ccbot_spark.functions import eventops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = eventops.group_quantiles(ev, "event_type", "cents", "event_id")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in p, p
