@@ -633,6 +633,45 @@ def register(q):
         )
     q["g_reciprocity"] = g_reciprocity
 
+    def crawl_focus_plan(spark, sf_dir):
+        # composed focused-crawl frontier plan: priority = content
+        # relevance (BM25, log-free integers) + link proximity to the
+        # seed list (personalized PageRank micro-units, 2 rounds on
+        # the doc graph, seeds = doc_id < 40) — the two signals a
+        # shark-search scheduler actually mixes, both individually
+        # oracled, composed here into one integer priority per URL.
+        d = _t(spark, sf_dir, "documents")
+        rel = textkit.bm25_scores(
+            d, terms=("scan", "merge", "hash")
+        ).select("doc_id", "bm25_micro")
+        n = F.lit(500)
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 2 + 1) % n,
+                    (F.col("doc_id") * 3 + 2) % n,
+                )
+            ).alias("dst"),
+        )
+        prox = linkrank.ppr_int(
+            edges, is_seed=F.col("node") < 40, iterations=2
+        ).withColumnRenamed("node", "doc_id")
+        return (
+            _doc_urls(d)
+            .join(rel, "doc_id")
+            .join(prox, "doc_id", "left")
+            .select(
+                "doc_id",
+                "url",
+                (
+                    F.col("bm25_micro")
+                    + F.coalesce(F.col("rank_micro"), F.lit(0))
+                ).cast("long").alias("priority_micro"),
+            )
+        )
+    q["crawl_focus_plan"] = crawl_focus_plan
+
     def f_trap_detect(spark, sf_dir):
         # crawler-trap heuristics over synthesized URLs: every 5th URL
         # is a calendar loop (repeated segments), every 5th+1 a 10-deep
@@ -1193,6 +1232,80 @@ def register_sql(o):
     """
 
     # --- a_host_fairness: Jain index by integer cross-multiplication.
+    # --- crawl_focus_plan: bm25 CTEs (same formula as text_bm25) +
+    # 2 personalized-PageRank rounds (seeds = doc_id < 40) summed
+    _cfp_round = """
+        SELECT n.node,
+               CAST(CASE WHEN n.node < 40 THEN 150000 ELSE 0 END
+                    + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.r // o.outdeg) AS in_sum
+            FROM e
+            JOIN {prev} p ON p.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    """
+    o["crawl_focus_plan"] = f"""
+        WITH bp AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t <> '')) AS BIGINT) AS dl,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t = 'scan')) AS BIGINT) AS tf0,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t = 'merge')) AS BIGINT) AS tf1,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t = 'hash')) AS BIGINT) AS tf2
+          FROM documents
+        ),
+        bs AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS tt,
+                 CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                 CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                 CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM bp
+        ),
+        rel AS (
+          SELECT doc_id,
+                 CAST(
+                   (((2*(n_docs-df0)+1)*1000) // (2*df0+1))
+                     * ((1000000*44*tt*tf0) // (20*tt*tf0 + 6*tt + 18*dl*n_docs)) // 1000
+                   + (((2*(n_docs-df1)+1)*1000) // (2*df1+1))
+                     * ((1000000*44*tt*tf1) // (20*tt*tf1 + 6*tt + 18*dl*n_docs)) // 1000
+                   + (((2*(n_docs-df2)+1)*1000) // (2*df2+1))
+                     * ((1000000*44*tt*tf2) // (20*tt*tf2 + 6*tt + 18*dl*n_docs)) // 1000
+                 AS BIGINT) AS bm25_micro
+          FROM bp, bs
+        ),
+        e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src, (doc_id*2+1) % 500 AS dst FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id*3+2) % 500 FROM documents
+          )
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (
+          SELECT node,
+                 CAST(CASE WHEN node < 40 THEN 1000000 ELSE 0 END
+                      AS BIGINT) AS r
+          FROM nodes
+        ),
+        r1 AS ({_cfp_round.format(prev="r0")}),
+        r2 AS ({_cfp_round.format(prev="r1")})
+        SELECT d.doc_id,
+               'https://' || d.source || '.example.com/d/'
+                 || CAST(d.doc_id AS VARCHAR) AS url,
+               CAST(rel.bm25_micro + COALESCE(r2.r, 0) AS BIGINT)
+                 AS priority_micro
+        FROM documents d
+        JOIN rel ON rel.doc_id = d.doc_id
+        LEFT JOIN r2 ON r2.node = d.doc_id
+    """
+
     # --- a_host_gini: same rank-weighted integer formula
     o["a_host_gini"] = """
         WITH per_host AS (

@@ -2434,3 +2434,23 @@ def test_group_quantiles_never_single_partition(spark, sf_dir):
     out = eventops.group_quantiles(ev, "event_type", "cents", "event_id")
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_crawl_focus_plan_is_sum_of_parts(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    plan = {
+        r.doc_id: r.priority_micro
+        for r in qs["crawl_focus_plan"](spark, sf_dir).collect()
+    }
+    bm = {
+        r.doc_id: r.bm25_micro
+        for r in qs["text_bm25"](spark, sf_dir).collect()
+    }
+    entry.clear_caches()
+    assert set(plan) == set(bm)
+    # proximity component is non-negative and positive for seeds'
+    # graph neighborhood; the plan never drops below content relevance
+    assert all(plan[d] >= bm[d] for d in plan)
+    assert any(plan[d] > bm[d] for d in plan)
