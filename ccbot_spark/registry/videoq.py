@@ -99,6 +99,82 @@ def register(q):
         )
     q["vid_keyframes"] = vid_keyframes
 
+    def mm_dataset_card(spark, sf_dir):
+        # cross-modal DATASET CARD: the one-page statistics table a
+        # training-data release ships (docs / images / audio / video
+        # volumes, token totals, exact-dup counts, pixel/sample/frame
+        # budgets) — every number an integer from one agg per
+        # modality, image dups via JVM md5 over the blobs, audio via
+        # the pure-JVM header parse (no decode anywhere).
+        from ccbot_spark.functions import audiokit, multimodal
+
+        d = _t(spark, sf_dir, "documents")
+        toks = F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        doc_stats = d.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            (F.count("*") - F.countDistinct(F.md5("text")))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        imgs = multimodal.synth_images_from_docs(
+            d.filter(F.col("doc_id") < 450).select("doc_id")
+        )
+        img_stats = imgs.agg(
+            F.count("*").cast("long").alias("n_images"),
+            (F.count("*") - F.countDistinct(F.md5("bytes")))
+            .cast("long")
+            .alias("n_dup_images"),
+            F.sum(F.col("w").cast("long") * F.col("h"))
+            .cast("long")
+            .alias("total_pixels"),
+        )
+        aud = audiokit.wav_header_meta(
+            audiokit.synth_audio_from_docs(
+                d.filter(F.col("doc_id") < 400)
+            )
+        )
+        aud_stats = aud.agg(
+            F.count("*").cast("long").alias("n_audio_clips"),
+            F.sum("hdr_n_samples").cast("long").alias("total_samples"),
+        )
+        vids = _synth(spark, sf_dir)
+        vid_stats = vids.agg(
+            F.count("*").cast("long").alias("n_videos"),
+            F.sum(F.col("n_frames").cast("long"))
+            .cast("long")
+            .alias("total_frames"),
+        )
+
+        def _rows(stats):
+            cols = stats.columns
+            return stats.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("metric"),
+                                F.col(c).alias("value"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.*")
+
+        out = _rows(doc_stats)
+        for st in (img_stats, aud_stats, vid_stats):
+            out = out.unionByName(_rows(st))
+        return out
+    q["mm_dataset_card"] = mm_dataset_card
+
     def vid_near_dedup(spark, sf_dir):
         # near-duplicate clips via df-capped Jaccard over coarse
         # (Y,U)-bucket shot signatures — the re-encode/trim case
@@ -363,6 +439,57 @@ def register_sql(o):
         UNION ALL
         SELECT 'video', 'y4m', CAST(COUNT(*) AS BIGINT),
                CAST(SUM(nbytes) AS BIGINT) FROM vid
+    """
+
+    # --- mm_dataset_card: every metric in closed form (image dims =
+    # 16+(d%150)·7%97 × 16+(d%150)·11%97; byte-dup classes over
+    # doc<450 are the (d%150) groups since 150 % 3 == 0 keeps the
+    # fmt cycle aligned; audio n_samples and video n_frames from the
+    # synthesis arithmetic)
+    o["mm_dataset_card"] = """
+        SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+        FROM documents
+        UNION ALL
+        SELECT 'total_tokens',
+               CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                            t -> t <> ''))) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_dup_docs',
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_images', CAST(COUNT(*) AS BIGINT)
+        FROM documents WHERE doc_id < 450
+        UNION ALL
+        SELECT 'n_dup_images',
+               CAST(COUNT(*) - COUNT(DISTINCT doc_id % 150) AS BIGINT)
+        FROM documents WHERE doc_id < 450
+        UNION ALL
+        SELECT 'total_pixels',
+               CAST(SUM((16 + (doc_id % 150) * 7 % 97)
+                        * (16 + (doc_id % 150) * 11 % 97)) AS BIGINT)
+        FROM documents WHERE doc_id < 450
+        UNION ALL
+        SELECT 'n_audio_clips', CAST(COUNT(*) AS BIGINT)
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT 'total_samples',
+               CAST(SUM(256 + (doc_id % 150) * 37 % 4096) AS BIGINT)
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT 'n_videos', CAST(COUNT(*) AS BIGINT)
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT 'total_frames',
+               CAST(SUM(2 + (doc_id % 150) % 9) AS BIGINT)
+        FROM documents WHERE doc_id < 300
     """
 
     # --- vid_near_dedup: closed-form signatures (the plane means are

@@ -414,3 +414,25 @@ def test_near_dup_exact_twins_score_1000(spark, sf_dir):
     ]
     present = [j for j in twins if j is not None]
     assert present and all(j == 1000 for j in present)
+
+
+def test_dataset_card_metrics_consistent(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    card = {
+        r.metric: r.value
+        for r in entry.queries()["mm_dataset_card"](spark, sf_dir).collect()
+    }
+    entry.clear_caches()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert card["n_docs"] == n
+    assert card["n_images"] == min(450, n)
+    assert card["n_audio_clips"] == min(400, n)
+    assert card["n_videos"] == min(300, n)
+    # the planted mod-150 duplicate structure: 450 images over 150
+    # byte-distinct classes -> 300 dups
+    assert card["n_dup_images"] == card["n_images"] - min(150, n)
+    assert card["n_dup_docs"] == 0  # fixture texts are unique
+    assert card["total_tokens"] > 0 and card["total_pixels"] > 0
+    assert card["total_samples"] > 0 and card["total_frames"] > 0
