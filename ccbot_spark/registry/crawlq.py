@@ -1037,6 +1037,35 @@ def register(q):
         return sketchkit.hll_registers(rows, key="url", group="host", p=8)
     q["a_hll_registers"] = a_hll_registers
 
+    def a_hll_merged(spark, sf_dir):
+        # the point of a sketch: MERGEABILITY — the per-host sketches
+        # roll up to the GLOBAL distinct-URL sketch by elementwise max
+        # (sketchkit.hll_merge), never re-touching the raw URLs; this
+        # is how 10^4 crawl shards report one corpus cardinality.
+        from ccbot_spark.functions import sketchkit
+
+        e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 9000)
+        rows = e.select(
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 7).cast("string")
+            ).alias("host"),
+            F.concat(
+                F.lit("https://h"),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit(".test/p/"),
+                (F.col("event_id") % 900).cast("string"),
+            ).alias("url"),
+        )
+        per_host = sketchkit.hll_registers(rows, key="url", group="host")
+        merged = sketchkit.hll_merge(per_host.drop("host").withColumn(
+            "_g", F.lit(1)
+        ))
+        return merged.select(
+            F.col("register").cast("long").alias("register"),
+            F.col("max_rho").cast("long").alias("max_rho"),
+        )
+    q["a_hll_merged"] = a_hll_merged
+
 
 def register_sql(o):
 
@@ -1965,4 +1994,17 @@ def register_sql(o):
                MAX(CASE WHEN v = 0 THEN 49
                         ELSE 48 - length(bin(v)) + 1 END) AS max_rho
         FROM rows_ GROUP BY 1, 2
+    """
+
+    # --- a_hll_merged: the rollup is just MAX without the host key
+    o["a_hll_merged"] = f"""
+        WITH rows_ AS (
+          SELECT {_fold(_hll_url, 1, 2)} AS register,
+                 {_fold(_hll_url, 3, 12)} AS v
+          FROM events WHERE event_id < 9000
+        )
+        SELECT register,
+               MAX(CASE WHEN v = 0 THEN 49
+                        ELSE 48 - length(bin(v)) + 1 END) AS max_rho
+        FROM rows_ GROUP BY register
     """

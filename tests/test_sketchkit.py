@@ -122,3 +122,31 @@ def test_reservoir_sample_take_ordered_plan_and_determinism(spark):
     assert rows == again and len(rows) == 50
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    # merging per-group sketches must equal sketching the union of
+    # the raw keys — the mergeability contract
+    from pyspark.sql import functions as F
+
+    from ccbot_spark.functions import sketchkit
+
+    rows = spark.createDataFrame(
+        [("a", f"k{i}") for i in range(200)]
+        + [("b", f"k{i}") for i in range(100, 400)],
+        "g string, k string",
+    )
+    per = sketchkit.hll_registers(rows, key="k", group="g")
+    merged = {
+        (r.register, r.max_rho)
+        for r in sketchkit.hll_merge(
+            per.drop("g").withColumn("_g", F.lit(1))
+        ).select("register", "max_rho").collect()
+    }
+    direct = {
+        (r.register, r.max_rho)
+        for r in sketchkit.hll_registers(
+            rows.withColumn("g", F.lit("all")), key="k", group="g"
+        ).select("register", "max_rho").collect()
+    }
+    assert merged == direct
