@@ -108,6 +108,36 @@ def register(q):
         )
     q["a_group_quantiles"] = a_group_quantiles
 
+    def a_gap_histogram(spark, sf_dir):
+        # log2-bucketed inter-event gap histogram per user stream (the
+        # ops latency-histogram staple; for a crawl, inter-fetch gaps
+        # per host = politeness conformance): lag within user (window
+        # bounded by one user's history), bucket = integer bit length
+        # of the gap seconds — no float log2, same trick as the HLL
+        # rho — then one global hash-agg over ~64 buckets.
+        from pyspark.sql.window import Window
+
+        ev = _t(spark, sf_dir, "events")
+        us = eventops.epoch_us(F.col("ts"))
+        w = Window.partitionBy("user_id").orderBy(us, "event_id")
+        gaps = (
+            ev.withColumn("_us", us)
+            .withColumn("_prev", F.lag("_us").over(w))
+            .filter(F.col("_prev").isNotNull())
+            .withColumn(
+                "gap_s", F.expr("(_us - _prev) DIV 1000000").cast("long")
+            )
+        )
+        bucket = F.when(F.col("gap_s") <= 0, F.lit(0)).otherwise(
+            F.length(F.bin(F.col("gap_s")))
+        ).cast("long")
+        return gaps.groupBy(bucket.alias("log2_bucket")).agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+    q["a_gap_histogram"] = a_gap_histogram
+
 
 def register_sql(o):
 
@@ -169,6 +199,27 @@ def register_sql(o):
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM a JOIN c USING (user_id)
         GROUP BY c.cohort_day, a.day - c.cohort_day
+    """
+
+    # --- a_gap_histogram: same lag + integer bit-length buckets
+    o["a_gap_histogram"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ) AS gap_us
+          FROM events
+        ),
+        s AS (
+          SELECT gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL
+        )
+        SELECT CAST(CASE WHEN gap_s <= 0 THEN 0
+                         ELSE length(bin(gap_s)) END AS BIGINT)
+                 AS log2_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM s GROUP BY 1
     """
 
     # --- a_group_quantiles: percentile_disc restated as the explicit

@@ -135,6 +135,31 @@ def register(q):
         )
     q["sample_weighted"] = sample_weighted
 
+    def sample_bootstrap(spark, sf_dir):
+        # bootstrap replicate planning (Bag-of-Little-Bootstraps-style
+        # subsampling for variance estimates over corpus metrics): 8
+        # replicates, each the deterministic 63%-rate md5 draw keyed
+        # ('bs'||replicate||':'||doc_id) — replicates are independent
+        # redraws, rows explode from a literal replicate array (no
+        # shuffle; the filter is one hash expr per row).
+        d = _t(spark, sf_dir, "documents")
+        reps = d.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(r) for r in range(8)])).alias(
+                "replicate"
+            ),
+        )
+        key = F.concat(
+            F.lit("bs"),
+            F.col("replicate").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+        return reps.filter(sampling.key_hash_mod(key, 100) < 63).select(
+            F.col("replicate").cast("long").alias("replicate"), "doc_id"
+        )
+    q["sample_bootstrap"] = sample_bootstrap
+
     def sample_stratified(spark, sf_dir):
         # per-language rates; strata absent from the dict (es, fr) are
         # dropped — the downsample-the-head corpus-balancing move
@@ -179,6 +204,16 @@ def register_sql(o):
         ORDER BY CAST({_sql_h60("'ws:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
                  / CAST(n_chars AS DOUBLE), doc_id
         LIMIT 60
+    """
+
+    # --- sample_bootstrap: same md5 rate draw per (replicate, doc)
+    o["sample_bootstrap"] = f"""
+        SELECT CAST(r AS BIGINT) AS replicate, doc_id
+        FROM documents, UNNEST(range(0, 8)) AS t(r)
+        WHERE {_sql_hmod(
+            "'bs' || CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)",
+            100,
+        )} < 63
     """
 
     # --- sample_reservoir: the same md5 order, stated as a plain

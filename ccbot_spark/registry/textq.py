@@ -85,6 +85,36 @@ def register(q):
         return textkit.bm25_scores(d, terms=("scan", "merge", "hash"))
     q["text_bm25"] = text_bm25
 
+    def text_vocab_coverage(spark, sf_dir):
+        # tokenizer-eval metric: per-doc coverage of the corpus top-30
+        # vocabulary (textkit.vocab_topk) — n_covered / n_tokens is
+        # the OOV-rate complement every vocab build is judged by. The
+        # 30-row vocab broadcasts; one scan computes per-doc hits.
+        d = _t(spark, sf_dir, "documents")
+        vocab = textkit.vocab_topk(d, k=30).select("tok")
+        toks = d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("tok"),
+        )
+        j = toks.join(
+            F.broadcast(vocab.withColumn("_v", F.lit(1))), "tok", "left"
+        )
+        return j.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("_v").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_covered"),
+        ).withColumn(
+            "coverage_ppm",
+            F.expr("n_covered * 1000000 DIV n_tokens").cast("long"),
+        )
+    q["text_vocab_coverage"] = text_vocab_coverage
+
     def text_collocations(spark, sf_dir):
         # PMI-shaped collocation mining: top-50 adjacent bigrams by
         # the log-free association ratio p(ab)/(p(a)p(b)) in exact
@@ -376,6 +406,32 @@ def register_sql(o):
                          >= len(string_split(text, ' '))
                     THEN 'en' ELSE 'other' END AS lang_pred
         FROM documents
+    """
+
+    # --- text_vocab_coverage: same top-30 vocab + per-doc hit counts
+    o["text_vocab_coverage"] = """
+        WITH v AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS n FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents
+            ) WHERE tok <> '' GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 30
+          )
+        ),
+        t AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v)
+                             THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                    AS BIGINT) AS coverage_ppm
+        FROM t WHERE tok <> ''
+        GROUP BY doc_id
     """
 
     # --- text_collocations: identical nested-integer PMI ratio

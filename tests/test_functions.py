@@ -2454,3 +2454,62 @@ def test_crawl_focus_plan_is_sum_of_parts(spark, sf_dir):
     # graph neighborhood; the plan never drops below content relevance
     assert all(plan[d] >= bm[d] for d in plan)
     assert any(plan[d] > bm[d] for d in plan)
+
+
+# ------------------------------------------------------------ last batch
+def test_vocab_coverage_bounds_and_python(docs):
+    from collections import Counter
+
+    import __spark_entry__ as entry
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_covered, r.coverage_ppm)
+        for r in entry.queries()["text_vocab_coverage"](
+            docs.sparkSession, SF
+        ).collect()
+    }
+    entry.clear_caches()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    cnt = Counter(
+        t for txt in texts.values() for t in txt.lower().split(" ") if t
+    )
+    top30 = {
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    }
+    for d, txt in texts.items():
+        ts = [t for t in txt.lower().split(" ") if t]
+        cov = sum(1 for t in ts if t in top30)
+        assert got[d] == (len(ts), cov, cov * 1_000_000 // len(ts))
+
+
+def test_gap_histogram_total_and_buckets(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["a_gap_histogram"](spark, sf_dir).collect()
+    entry.clear_caches()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_gaps for r in out) == n_events - n_users
+    for r in out:
+        if r.log2_bucket > 0:
+            assert (1 << (r.log2_bucket - 1)) <= r.max_gap_s
+            assert r.min_gap_s < (1 << r.log2_bucket)
+
+
+def test_bootstrap_replicates_independent_and_rate(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["sample_bootstrap"](spark, sf_dir).collect()
+    entry.clear_caches()
+    from collections import defaultdict
+
+    per = defaultdict(set)
+    for r in rows:
+        per[r.replicate].add(r.doc_id)
+    assert set(per) == set(range(8))
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for rep, ds in per.items():
+        assert 0.5 * n < len(ds) < 0.75 * n  # ~63% draw
+    # replicates differ (independent redraws)
+    assert len({frozenset(v) for v in per.values()}) == 8
