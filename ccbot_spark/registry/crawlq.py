@@ -633,6 +633,57 @@ def register(q):
         )
     q["g_reciprocity"] = g_reciprocity
 
+    def link_bfs_depth(spark, sf_dir):
+        # multi-source BFS depth map from the seed list (3 synchronous
+        # frontier expansions — the "how deep does my crawl reach"
+        # coverage question; the engine's max_depth gate enforces this
+        # number, here it's computed declaratively): per round one
+        # edge equi-join + a min hash-agg; unreached nodes report -1.
+        d = _t(spark, sf_dir, "documents")
+        n = F.lit(500)
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 2 + 1) % n,
+                    (F.col("doc_id") * 3 + 2) % n,
+                )
+            ).alias("dst"),
+        ).distinct()
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        depth = nodes.withColumn(
+            "depth",
+            F.when(F.col("node") < 40, F.lit(0)).otherwise(F.lit(None)),
+        )
+        for _ in range(3):
+            reached = (
+                edges.join(
+                    depth.filter(F.col("depth").isNotNull())
+                    .withColumnRenamed("node", "src")
+                    .withColumnRenamed("depth", "_d"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg((F.min("_d") + 1).alias("_nd"))
+            )
+            depth = depth.join(reached, "node", "left").select(
+                "node",
+                F.when(
+                    F.col("depth").isNotNull(),
+                    F.least(F.col("depth"), F.coalesce("_nd", "depth")),
+                )
+                .otherwise(F.col("_nd"))
+                .alias("depth"),
+            )
+        return depth.select(
+            "node", F.coalesce(F.col("depth"), F.lit(-1)).cast("long").alias("depth")
+        )
+    q["link_bfs_depth"] = link_bfs_depth
+
     def crawl_focus_plan(spark, sf_dir):
         # composed focused-crawl frontier plan: priority = content
         # relevance (BM25, log-free integers) + link proximity to the
@@ -1261,6 +1312,47 @@ def register_sql(o):
     """
 
     # --- a_host_fairness: Jain index by integer cross-multiplication.
+    # --- link_bfs_depth: 3 synchronous expansions unrolled; min-merge
+    # at each level mirrors the engine's shortest-hops semantics
+    _bfs = [
+        """e AS (
+             SELECT DISTINCT src, dst FROM (
+               SELECT doc_id AS src, (doc_id*2+1) % 500 AS dst FROM documents
+               UNION ALL
+               SELECT doc_id, (doc_id*3+2) % 500 FROM documents
+             )
+           ),
+           bn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           d0 AS (
+             SELECT node,
+                    CASE WHEN node < 40 THEN 0 ELSE NULL END AS depth
+             FROM bn
+           )"""
+    ]
+    for _i in range(3):
+        _bfs.append(
+            f"""r{_i+1} AS (
+             SELECT e.dst AS node, MIN(p.depth) + 1 AS nd
+             FROM e JOIN d{_i} p ON p.node = e.src
+             WHERE p.depth IS NOT NULL
+             GROUP BY e.dst
+           ),
+           d{_i+1} AS (
+             SELECT d.node,
+                    CASE WHEN d.depth IS NOT NULL
+                         THEN LEAST(d.depth, COALESCE(r.nd, d.depth))
+                         ELSE r.nd END AS depth
+             FROM d{_i} d LEFT JOIN r{_i+1} r ON r.node = d.node
+           )"""
+        )
+    o["link_bfs_depth"] = (
+        "WITH "
+        + ",\n".join(_bfs)
+        + """
+        SELECT node, CAST(COALESCE(depth, -1) AS BIGINT) AS depth FROM d3
+    """
+    )
+
     # --- crawl_focus_plan: bm25 CTEs (same formula as text_bm25) +
     # 2 personalized-PageRank rounds (seeds = doc_id < 40) summed
     _cfp_round = """

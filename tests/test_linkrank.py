@@ -334,3 +334,39 @@ def test_ppr_mass_stays_near_seeds(spark):
     linkrank.clear_caches()
     assert r[0] > r[1] > r[2] > r[3]
     assert r[20] == 0 and r[21] == 0
+
+
+# ------------------------------------------------------------ BFS depth
+def test_bfs_depth_matches_python(spark):
+    import __spark_entry__ as entry
+
+    got = {
+        r.node: r.depth
+        for r in entry.queries()["link_bfs_depth"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    entry.clear_caches()
+    # python BFS over the same synthetic graph, 3 levels, seeds < 40
+    edges = set()
+    for d in range(500):
+        for t in ((d * 2 + 1) % 500, (d * 3 + 2) % 500):
+            edges.add((d, t))
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    depth = {n: (0 if n < 40 else None) for n in range(500)}
+    frontier = {n for n in depth if depth[n] == 0}
+    for lvl in (1, 2, 3):
+        nxt = set()
+        for s in frontier:
+            for t in adj.get(s, []):
+                if depth[t] is None:
+                    depth[t] = lvl
+                    nxt.add(t)
+        frontier = nxt
+    want = {n: (d if d is not None else -1) for n, d in depth.items()}
+    assert got == want
+    assert any(v == 3 for v in got.values()) or any(
+        v == -1 for v in got.values()
+    )
